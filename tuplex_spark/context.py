@@ -1,0 +1,218 @@
+"""Context — entry point, owns the SparkSession and options.
+
+API parity target: python/tuplex/context.py of the reference
+(parallelize/csv/text/orc + options).  ``parquet`` is an added source (the
+test corpus is parquet; the reference gets ORC the same way).
+
+Options use the reference's ``tuplex.*`` naming where a Spark equivalent
+exists; unknown keys are accepted and ignored (the reference tolerates
+unknown keys the same way).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession, functions as F, types as T
+
+from .dataset import DataSet
+from .exceptions import code_for
+from .typeutils import infer_schema_from_rows
+from .sources import csv_inference as CSV
+from .udf.fallback import EXC_CODE, EXC_OP, EXC_PAYLOAD
+
+_SAMPLE_ROWS = 100
+
+DEFAULTS = {
+    "tuplex.exceptions": True,           # capture per-row exceptions
+    "tuplex.useCompiledUDFs": True,      # AST->Column compiler on
+    "tuplex.inputSplitSize": "64MB",     # reference ContextOptions.cc:227
+    "tuplex.shufflePartitions": None,    # None -> leave Spark default
+    "tuplex.csv.maxDetectionMemory": CSV.MAX_DETECTION_BYTES,
+    "tuplex.autoBroadcastJoin": True,
+}
+
+
+class Context:
+    def __init__(self, conf: dict | None = None, spark: SparkSession = None,
+                 name: str = "tuplex_spark", **kwargs):
+        self._options = dict(DEFAULTS)
+        self._options.update(conf or {})
+        self._options.update(kwargs)
+        if spark is None:
+            spark = build_session(name, self._options)
+        self.spark = spark
+
+    # ------------------------------------------------------------ options
+    def options(self) -> dict:
+        return dict(self._options)
+
+    def getOption(self, key):
+        return self._options.get(key)
+
+    # ------------------------------------------------------------ sources
+    def parallelize(self, value_list, columns=None, schema=None,
+                    auto_unpack: bool = True) -> DataSet:
+        """Python list -> DataSet (reference: context.py:246).
+
+        Rows that don't conform to the unified schema are quarantined as
+        BadParallelizeInput exceptions instead of failing the job
+        (reference: PythonContext.cc:621-673 fallback rows)."""
+        rows = list(value_list)
+        if auto_unpack and rows and all(isinstance(r, dict) for r in rows):
+            keys: list[str] = []
+            for r in rows:
+                for k in r:
+                    if k not in keys:
+                        keys.append(k)
+            columns = columns or keys
+            rows = [tuple(r.get(k) for k in keys) for r in rows]
+
+        norm = [r if isinstance(r, tuple) else r for r in rows]
+        # split conforming vs bad rows by width
+        widths = {}
+        for r in norm:
+            w = len(r) if isinstance(r, tuple) else 1
+            widths[w] = widths.get(w, 0) + 1
+        major_w = max(widths, key=widths.get) if widths else 1
+        good, bad = [], []
+        for r in norm:
+            w = len(r) if isinstance(r, tuple) else 1
+            (good if w == major_w else bad).append(r)
+        if schema is None:
+            sschema = infer_schema_from_rows(good, columns)
+        else:
+            sschema = schema
+        data = [r if isinstance(r, tuple) else (r,) for r in good]
+        try:
+            df = self.spark.createDataFrame(data, sschema)
+        except Exception:
+            # type-nonconforming rows: route through per-row validation
+            df, extra_bad = self._parallelize_lenient(data, sschema)
+            bad += extra_bad
+        cols = [f.name for f in sschema.fields]
+        parked = []
+        if bad:
+            code = code_for("BadParallelizeInput")
+            bad_rows = [(code, json.dumps({"row": list(r) if isinstance(
+                r, tuple) else r}, default=str), "parallelize")
+                for r in bad]
+            parked = [self.spark.createDataFrame(
+                bad_rows, "code int, payload string, op string")]
+        return DataSet(self, df, cols, sample=good[:_SAMPLE_ROWS],
+                       parked=parked)
+
+    def _parallelize_lenient(self, data, sschema):
+        ok, bad = [], []
+        for r in data:
+            try:
+                self.spark.createDataFrame([r], sschema)
+                ok.append(r)
+            except Exception:
+                bad.append(r)
+        return self.spark.createDataFrame(ok, sschema), bad
+
+    def csv(self, pattern: str, columns=None, header=None, delimiter=None,
+            quotechar: str = '"', null_values=None, type_hints=None
+            ) -> DataSet:
+        """CSV scan with driver-side sampling inference (reference:
+        context.py:288, FileInputOperator.cc:195-313)."""
+        null_values = list(null_values or [""])
+        delim, has_header, det_cols, tags = CSV.detect(
+            pattern, delimiter, header, null_values, quotechar)
+        cols = list(columns) if columns else det_cols
+        fields = CSV.build_schema(cols, tags, type_hints)
+        schema = T.StructType(list(fields) + [
+            T.StructField("_corrupt_record", T.StringType(), True)])
+        reader = (self.spark.read
+                  .option("header", has_header)
+                  .option("sep", delim)
+                  .option("quote", quotechar)
+                  .option("nullValue", null_values[0])
+                  .option("mode", "PERMISSIVE")
+                  .option("columnNameOfCorruptRecord", "_corrupt_record")
+                  .schema(schema))
+        df = reader.csv(pattern)
+        if len(null_values) > 1:
+            for f in fields:
+                if isinstance(f.dataType, T.StringType) \
+                        and f.name != "_corrupt_record":
+                    df = df.withColumn(f.name, F.when(
+                        F.col(f.name).isin(null_values), None)
+                        .otherwise(F.col(f.name)))
+        exc = self._options.get("tuplex.exceptions", True)
+        names = [f.name for f in fields]
+        if exc:
+            bad = F.col("_corrupt_record").isNotNull()
+            df = df.select(
+                *names,
+                F.when(bad, code_for("BadParseInput")).otherwise(0)
+                 .cast("int").alias(EXC_CODE),
+                F.when(bad, F.col("_corrupt_record")).alias(EXC_PAYLOAD),
+                F.when(bad, F.lit("csv")).alias(EXC_OP))
+        else:
+            df = df.select(*names)
+        sample = self._sample_from_df(df.select(*names))
+        return DataSet(self, df, names, sample=sample)
+
+    def text(self, pattern: str, null_values=None) -> DataSet:
+        """One row per line, single str column (reference: context.py:367)."""
+        df = self.spark.read.text(pattern).withColumnRenamed(
+            "value", "column0")
+        if null_values:
+            df = df.withColumn("column0", F.when(
+                F.col("column0").isin(list(null_values)), None)
+                .otherwise(F.col("column0")))
+        return DataSet(self, df, ["column0"],
+                       sample=self._sample_from_df(df))
+
+    def orc(self, pattern: str, columns=None) -> DataSet:
+        """ORC scan (reference: context.py:389)."""
+        df = self.spark.read.orc(pattern)
+        if columns:
+            df = df.toDF(*columns)
+        return DataSet(self, df, df.columns,
+                       sample=self._sample_from_df(df))
+
+    def parquet(self, pattern: str, columns=None) -> DataSet:
+        """Parquet scan (Spark-native addition; same shape as orc())."""
+        df = self.spark.read.parquet(pattern)
+        if columns:
+            df = df.toDF(*columns)
+        return DataSet(self, df, df.columns,
+                       sample=self._sample_from_df(df))
+
+    def _sample_from_df(self, df):
+        rows = df.limit(_SAMPLE_ROWS).collect()
+        if len(df.columns) == 1:
+            return [r[0] for r in rows]
+        return [tuple(r) for r in rows]
+
+    def ls(self, pattern: str) -> list[str]:
+        import glob
+        return sorted(glob.glob(pattern))
+
+
+def build_session(name: str, options: dict | None = None) -> SparkSession:
+    """Engine-default SparkSession. ANSI off is load-bearing: the exception
+    model relies on NULL-on-error expression semantics plus explicit guard
+    predicates (udf/compiler.py) rather than JVM-side throws."""
+    options = options or {}
+    import os
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or "32"
+    shuffle = options.get("tuplex.shufflePartitions") or cpus
+    b = (SparkSession.builder
+         .master(f"local[{cpus}]")
+         .appName(name)
+         .config("spark.sql.ansi.enabled", "false")
+         .config("spark.sql.shuffle.partitions", str(shuffle))
+         .config("spark.sql.adaptive.enabled", "true")
+         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.sql.files.maxPartitionBytes",
+                 options.get("tuplex.inputSplitSize", "64MB"))
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory",
+                 os.environ.get("SPARK_DRIVER_MEMORY", "90g")))
+    return b.getOrCreate()

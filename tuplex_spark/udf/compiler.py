@@ -1,0 +1,1270 @@
+"""Python-UDF -> Catalyst Column compiler.
+
+The Spark-idiomatic replacement for the reference's LLVM codegen pipeline
+(reference analog: codegen/src/TypeAnnotatorVisitor.cc for typing,
+codegen/src/BlockGeneratorVisitor.cc + codegen/src/FunctionRegistry.cc for
+lowering, core/src/UDF.cc rewriteDictAccessInAST for x['col'] access).
+
+Instead of emitting LLVM IR we emit ``pyspark.sql.Column`` expression trees,
+so the whole operator pipeline stays inside Catalyst/Tungsten whole-stage
+codegen.  Python exception semantics are preserved via *guards*: for every
+sub-expression that could raise in CPython (int('abc'), x/0, math.sqrt(-1),
+comparison with None, ...), the compiler emits a boolean Column that is true
+exactly when CPython would have raised, tagged with the exception code.  The
+dataset layer turns guards into the __exc_code column that powers
+resolve()/ignore()/exception_counts (SURVEY.md §2.7).
+
+Anything outside the supported subset raises ``CompileError`` and the caller
+falls back to the Arrow/pickled-UDF ladder (fallback.py) — mirroring the
+reference's compiled-path / interpreter-path split, with CPython itself as
+the "general case".
+"""
+
+from __future__ import annotations
+
+import ast
+import math as _math
+import re as _re_mod
+import string as _string_mod
+import random as _random_mod
+
+from pyspark.sql import Column, functions as F, types as T
+
+from . import reflection
+from ..exceptions import code_for
+
+
+class CompileError(Exception):
+    """UDF not expressible as Column expressions -> use fallback ladder."""
+
+
+# ---------------------------------------------------------------- symbolic values
+
+class Sym:
+    tag = "any"
+    nullable = False
+
+
+class SCol(Sym):
+    def __init__(self, col: Column, tag: str, nullable: bool = False):
+        self.col, self.tag, self.nullable = col, tag, nullable
+
+    def __repr__(self):
+        return f"SCol({self.tag})"
+
+
+class SConst(Sym):
+    def __init__(self, value):
+        self.value = value
+        self.tag = _pytag(value)
+        self.nullable = value is None
+
+
+class STuple(Sym):
+    tag = "tuple"
+
+    def __init__(self, items):
+        self.items = list(items)
+
+
+class SDict(Sym):
+    tag = "dict"
+
+    def __init__(self, items):
+        self.items = dict(items)  # str key -> Sym
+
+
+class SRow(Sym):
+    """The row parameter of a multi-column UDF: x[0], x['name']."""
+    tag = "row"
+
+    def __init__(self, translator):
+        self.tr = translator
+
+
+class SModule(Sym):
+    tag = "module"
+
+    def __init__(self, mod):
+        self.mod = mod
+
+
+class SMatch(Sym):
+    """Result of re.search: truthy iff pattern matched."""
+    tag = "match"
+
+    def __init__(self, subject: Sym, pattern: str, translator):
+        self.subject, self.pattern, self.tr = subject, pattern, translator
+        self.nullable = True
+
+
+def _pytag(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (list, tuple)):
+        return "array"
+    if isinstance(v, dict):
+        return "map"
+    return "any"
+
+
+_SPARK_TAG = {
+    "boolean": "bool", "long": "int", "int": "int", "smallint": "int",
+    "tinyint": "int", "bigint": "int", "double": "float", "float": "float",
+    "string": "str", "date": "date", "timestamp": "timestamp",
+}
+
+
+def spark_tag(dt: T.DataType) -> str:
+    s = dt.simpleString()
+    if s in _SPARK_TAG:
+        return _SPARK_TAG[s]
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, T.MapType):
+        return "map"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    return "any"
+
+
+def tag_to_spark(tag: str) -> T.DataType:
+    return {
+        "bool": T.BooleanType(), "int": T.LongType(), "float": T.DoubleType(),
+        "str": T.StringType(), "null": T.NullType(), "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+    }.get(tag, T.StringType())
+
+
+# ---------------------------------------------------------------- result object
+
+class CompiledUDF:
+    """Result of compiling one UDF against an input schema."""
+
+    def __init__(self, result: Sym, guards, accessed, translator):
+        self.result = result            # Sym: SCol/SConst/STuple/SDict
+        self.guards = guards            # list[(Column cond, int code)]
+        self.accessed = accessed        # set[str] input columns actually read
+        self._tr = translator
+
+    # -- shaping helpers -------------------------------------------------
+    def as_scalar(self) -> tuple[Column, str]:
+        if isinstance(self.result, (STuple, SDict)):
+            raise CompileError("expected scalar result")
+        c = self._tr.to_col(self.result)
+        return c, self.result.tag
+
+    def as_predicate(self) -> Column:
+        return self._tr.truthy(self.result)
+
+    def as_columns(self) -> list[tuple[str | None, Column, str]]:
+        """[(name-or-None, column, tag)] — tuple fans out positionally,
+        dict by key, scalar is a single unnamed column."""
+        r = self.result
+        if isinstance(r, STuple):
+            return [(None, self._tr.to_col(i), i.tag) for i in r.items]
+        if isinstance(r, SDict):
+            return [(k, self._tr.to_col(v), v.tag) for k, v in r.items.items()]
+        return [(None, self._tr.to_col(r), r.tag)]
+
+
+# ---------------------------------------------------------------- translator
+
+_NUM_TAGS = {"bool", "int", "float"}
+
+
+class Translator:
+    def __init__(self, schema: T.StructType, env: dict,
+                 with_guards: bool = True):
+        self.schema = schema
+        self.env = env
+        self.with_guards = with_guards
+        self.guards: list[tuple[Column, int]] = []
+        self.accessed: set[str] = set()
+        self._locals: dict[str, Sym] = {}
+        self._returns: list[tuple[Column | None, Sym]] = []
+        self._tmp = 0
+
+    # -- public entry ----------------------------------------------------
+    def compile(self, fn) -> CompiledUDF:
+        try:
+            node = reflection.function_ast(fn)
+        except reflection.SourceExtractionError as e:
+            raise CompileError(str(e)) from e
+        self.env = {**reflection.closure_env(fn), **self.env}
+        params = [a.arg for a in node.args.args]
+        self._bind_params(params)
+        if isinstance(node, ast.Lambda):
+            result = self.eval(node.body)
+        else:
+            terminated = self.exec_block(node.body, None)
+            if not terminated:
+                self._returns.append((None, SConst(None)))
+            result = self._merge_returns()
+        return CompiledUDF(result, self.guards, self.accessed, self)
+
+    def _bind_params(self, params):
+        fields = self.schema.fields
+        if len(params) == 1:
+            if len(fields) == 1:
+                self._locals[params[0]] = self._field_sym(fields[0])
+            else:
+                self._locals[params[0]] = SRow(self)
+        elif len(params) == len(fields):
+            for p, f in zip(params, fields):
+                self._locals[p] = self._field_sym(f)
+                self.accessed.add(f.name)
+        else:
+            raise CompileError(
+                f"UDF arity {len(params)} vs {len(fields)} columns")
+
+    def _field_sym(self, f: T.StructField) -> SCol:
+        self.accessed.add(f.name)
+        return SCol(F.col(f.name), spark_tag(f.dataType), f.nullable)
+
+    # -- guard plumbing --------------------------------------------------
+    def guard(self, cond: Column, exc: str, path: Column | None = None):
+        if not self.with_guards:
+            return
+        if path is not None:
+            cond = path & cond
+        self.guards.append((cond, code_for(exc)))
+
+    # -- conversions -----------------------------------------------------
+    def to_col(self, s: Sym) -> Column:
+        if isinstance(s, SCol):
+            return s.col
+        if isinstance(s, SConst):
+            return F.lit(s.value)
+        if isinstance(s, STuple):
+            return F.struct(*[self.to_col(i).alias(f"_{n}")
+                              for n, i in enumerate(s.items)])
+        if isinstance(s, SDict):
+            return F.struct(*[self.to_col(v).alias(k)
+                              for k, v in s.items.items()])
+        if isinstance(s, SMatch):
+            return self.truthy(s)
+        raise CompileError(f"cannot materialize {type(s).__name__}")
+
+    def truthy(self, s: Sym) -> Column:
+        if isinstance(s, SConst):
+            return F.lit(bool(s.value))
+        if isinstance(s, SMatch):
+            return self.to_col(s.subject).rlike(s.pattern)
+        if isinstance(s, (STuple, SDict)):
+            return F.lit(bool(s.items))
+        t = s.tag
+        c = s.col if isinstance(s, SCol) else self.to_col(s)
+        if t == "bool":
+            return F.coalesce(c, F.lit(False)) if s.nullable else c
+        if t in ("int", "float"):
+            return F.coalesce(c != 0, F.lit(False))
+        if t == "str":
+            return F.coalesce(F.length(c) != 0, F.lit(False))
+        if t == "array":
+            return F.coalesce(F.size(c) != 0, F.lit(False))
+        if t == "map":
+            return F.coalesce(F.size(F.map_keys(c)) != 0, F.lit(False))
+        if t == "null":
+            return F.lit(False)
+        return c.isNotNull()
+
+    def num(self, s: Sym, ctx: str = "arithmetic") -> Sym:
+        """Coerce to numeric; guard None (CPython raises TypeError)."""
+        if isinstance(s, SConst):
+            if s.value is None:
+                self.guard(F.lit(True), "TypeError")
+                return SConst(0)
+            if isinstance(s.value, (bool, int, float)):
+                return s
+            raise CompileError(f"non-numeric constant in {ctx}")
+        if isinstance(s, SCol):
+            if s.tag == "bool":
+                out = SCol(s.col.cast("long"), "int", s.nullable)
+            elif s.tag in ("int", "float"):
+                out = s
+            elif s.tag in ("any", "null"):
+                out = SCol(s.col.cast("double"), "float", True)
+            else:
+                raise CompileError(f"{s.tag} value in {ctx}")
+            if s.nullable:
+                self.guard(s.col.isNull(), "TypeError")
+            return out
+        raise CompileError(f"cannot use {type(s).__name__} in {ctx}")
+
+    # ================================================================ statements
+    def exec_block(self, stmts, path: Column | None) -> bool:
+        """Execute statements symbolically. Returns True when every control
+        path has returned/raised."""
+        for i, st in enumerate(stmts):
+            if isinstance(st, ast.Return):
+                val = self.eval(st.value) if st.value is not None else SConst(None)
+                self._returns.append((path, val))
+                return True
+            if isinstance(st, ast.Raise):
+                exc_name = self._exc_name(st.exc)
+                self.guard(F.lit(True) if path is None else path, exc_name)
+                self._returns.append((path, SConst(None)))
+                return True
+            if isinstance(st, ast.Assert):
+                cond = self.truthy(self.eval(st.test))
+                g = ~cond
+                self.guard(g if path is None else (path & g), "AssertionError")
+                continue
+            if isinstance(st, (ast.Expr, ast.Pass)):
+                continue
+            if isinstance(st, ast.Assign):
+                val = self.eval(st.value)
+                for tgt in st.targets:
+                    self._assign(tgt, val)
+                continue
+            if isinstance(st, ast.AugAssign):
+                if not isinstance(st.target, ast.Name):
+                    raise CompileError("augmented assign target")
+                cur = self.eval(ast.Name(id=st.target.id, ctx=ast.Load()))
+                val = self._binop(st.op, cur, self.eval(st.value))
+                self._locals[st.target.id] = val
+                continue
+            if isinstance(st, ast.AnnAssign):
+                if st.value is not None:
+                    self._assign(st.target, self.eval(st.value))
+                continue
+            if isinstance(st, ast.If):
+                cond = self.truthy(self.eval(st.test))
+                saved = dict(self._locals)
+                t_path = cond if path is None else (path & cond)
+                f_path = ~cond if path is None else (path & ~cond)
+                t_term = self.exec_block(st.body, t_path)
+                t_env = self._locals
+                self._locals = dict(saved)
+                f_term = self.exec_block(st.orelse, f_path)
+                f_env = self._locals
+                if t_term and f_term:
+                    return True
+                if t_term:
+                    self._locals = f_env
+                    path = f_path
+                elif f_term:
+                    self._locals = t_env
+                    path = t_path
+                else:
+                    self._locals = self._merge_envs(cond, t_env, f_env, saved)
+                continue
+            raise CompileError(f"unsupported statement {type(st).__name__}")
+        return False
+
+    def _assign(self, tgt, val: Sym):
+        if isinstance(tgt, ast.Name):
+            self._locals[tgt.id] = val
+            return
+        if isinstance(tgt, ast.Tuple) and isinstance(val, STuple) \
+                and len(tgt.elts) == len(val.items):
+            for t, v in zip(tgt.elts, val.items):
+                self._assign(t, v)
+            return
+        raise CompileError("unsupported assignment target")
+
+    def _merge_envs(self, cond, t_env, f_env, saved):
+        out = {}
+        for k in set(t_env) | set(f_env):
+            tv, fv = t_env.get(k), f_env.get(k)
+            if tv is fv:
+                out[k] = tv
+            elif tv is None or fv is None:
+                # defined on one path only: usable only if not referenced later
+                out[k] = tv if tv is not None else fv
+            else:
+                out[k] = self._merge_vals(cond, tv, fv)
+        return out
+
+    def _merge_vals(self, cond: Column, a: Sym, b: Sym) -> Sym:
+        if isinstance(a, SConst) and isinstance(b, SConst) and a.value == b.value:
+            return a
+        if isinstance(a, STuple) and isinstance(b, STuple) \
+                and len(a.items) == len(b.items):
+            return STuple([self._merge_vals(cond, x, y)
+                           for x, y in zip(a.items, b.items)])
+        ca, cb = self.to_col(a), self.to_col(b)
+        tag = _unify_tags(a.tag, b.tag)
+        if tag == "float":
+            if a.tag in ("int", "bool"):
+                ca = ca.cast("double")
+            if b.tag in ("int", "bool"):
+                cb = cb.cast("double")
+        return SCol(F.when(cond, ca).otherwise(cb), tag,
+                    a.nullable or b.nullable)
+
+    def _merge_returns(self) -> Sym:
+        arms = self._returns
+        if not arms:
+            raise CompileError("no return value")
+        if len(arms) == 1:
+            return arms[0][1]
+        # tuple-shaped: merge element-wise
+        if all(isinstance(v, STuple) for _, v in arms):
+            n = len(arms[0][1].items)
+            if any(len(v.items) != n for _, v in arms):
+                raise CompileError("return tuples of different arity")
+            return STuple([
+                self._merge_returns_scalar([(c, v.items[i]) for c, v in arms])
+                for i in range(n)])
+        if all(isinstance(v, SDict) for _, v in arms):
+            keys = list(arms[0][1].items)
+            if any(list(v.items) != keys for _, v in arms):
+                raise CompileError("return dicts with different keys")
+            return SDict({k: self._merge_returns_scalar(
+                [(c, v.items[k]) for c, v in arms]) for k in keys})
+        return self._merge_returns_scalar(arms)
+
+    def _merge_returns_scalar(self, arms) -> Sym:
+        tag = "null"
+        nullable = any(v.nullable or v.tag == "null" for _, v in arms)
+        for _, v in arms:
+            tag = _unify_tags(tag, v.tag)
+        expr = None
+        for cond, val in arms:
+            c = self.to_col(val)
+            if tag == "float" and val.tag in ("int", "bool"):
+                c = c.cast("double")
+            if cond is None:
+                expr = c if expr is None else expr.otherwise(c)
+                break
+            expr = F.when(cond, c) if expr is None else expr.when(cond, c)
+        if expr is None:
+            expr = F.lit(None)
+        return SCol(expr, tag, nullable)
+
+    def _exc_name(self, exc_node) -> str:
+        if exc_node is None:
+            return "Exception"
+        if isinstance(exc_node, ast.Call):
+            exc_node = exc_node.func
+        if isinstance(exc_node, ast.Name):
+            return exc_node.id
+        return "Exception"
+
+    # ================================================================ expressions
+    def eval(self, node) -> Sym:
+        meth = getattr(self, f"_ev_{type(node).__name__}", None)
+        if meth is None:
+            raise CompileError(f"unsupported syntax {type(node).__name__}")
+        return meth(node)
+
+    def _ev_Constant(self, node):
+        if isinstance(node.value, (int, float, str, bool)) or node.value is None:
+            return SConst(node.value)
+        raise CompileError(f"constant {node.value!r}")
+
+    def _ev_Name(self, node):
+        if node.id in self._locals:
+            return self._locals[node.id]
+        if node.id in self.env:
+            v = self.env[node.id]
+            if v in (_math, _re_mod, _string_mod, _random_mod):
+                return SModule(v)
+            if isinstance(v, (int, float, str, bool, tuple, list, dict)) \
+                    or v is None:
+                return SConst(v)
+            raise CompileError(f"closure variable {node.id} of type {type(v)}")
+        raise CompileError(f"unknown name {node.id}")
+
+    def _ev_Tuple(self, node):
+        return STuple([self.eval(e) for e in node.elts])
+
+    def _ev_List(self, node):
+        return STuple([self.eval(e) for e in node.elts])  # array-like literal
+
+    def _ev_Dict(self, node):
+        items = {}
+        for k, v in zip(node.keys, node.values):
+            if not (isinstance(k, ast.Constant) and isinstance(k.value, str)):
+                raise CompileError("dict literal needs string-literal keys")
+            items[k.value] = self.eval(v)
+        return SDict(items)
+
+    def _ev_Attribute(self, node):
+        base = self.eval(node.value)
+        if isinstance(base, SModule):
+            if base.mod is _math and hasattr(_math, node.attr):
+                v = getattr(_math, node.attr)
+                if isinstance(v, float):
+                    return SConst(v)
+            return _BoundModuleFn(base.mod, node.attr)
+        if isinstance(base, SDict) and node.attr in base.items:
+            return base.items[node.attr]
+        return _BoundMethod(base, node.attr)
+
+    def _ev_Subscript(self, node):
+        base = self.eval(node.value)
+        if isinstance(node.slice, ast.Slice):
+            return self._slice(base, node.slice)
+        idx = self.eval(node.slice)
+        return self._subscript(base, idx)
+
+    def _subscript(self, base: Sym, idx: Sym) -> Sym:
+        fields = self.schema.fields
+        if isinstance(base, SRow):
+            if not isinstance(idx, SConst):
+                raise CompileError("row subscript must be constant")
+            if isinstance(idx.value, str):
+                names = [f.name for f in fields]
+                if idx.value not in names:
+                    raise CompileError(f"no column {idx.value!r}")
+                return self._field_sym(fields[names.index(idx.value)])
+            i = idx.value
+            if not isinstance(i, int):
+                raise CompileError("row index type")
+            if i < 0:
+                i += len(fields)
+            if not 0 <= i < len(fields):
+                raise CompileError("row index out of range")
+            return self._field_sym(fields[i])
+        if isinstance(base, STuple):
+            if isinstance(idx, SConst) and isinstance(idx.value, int):
+                try:
+                    return base.items[idx.value]
+                except IndexError:
+                    self.guard(F.lit(True), "IndexError")
+                    return SConst(None)
+            raise CompileError("tuple index must be int constant")
+        if isinstance(base, SDict):
+            if isinstance(idx, SConst) and isinstance(idx.value, str):
+                if idx.value in base.items:
+                    return base.items[idx.value]
+                self.guard(F.lit(True), "KeyError")
+                return SConst(None)
+            raise CompileError("dict subscript must be str constant")
+        if isinstance(base, SConst):
+            if isinstance(idx, SConst):
+                try:
+                    return SConst(base.value[idx.value])
+                except Exception as e:
+                    self.guard(F.lit(True), type(e).__name__)
+                    return SConst(None)
+            base = SCol(F.lit(base.value), base.tag, False)
+        if isinstance(base, SCol):
+            if base.tag == "str":
+                i = self.to_col(self.num(idx, "string index"))
+                L = F.length(base.col)
+                pos = F.when(i >= 0, i + 1).otherwise(L + i + 1)
+                self.guard((i >= L) | (i < -L), "IndexError")
+                return SCol(F.substring(base.col, pos, 1), "str", base.nullable)
+            if base.tag == "array":
+                i = self.to_col(self.num(idx, "list index"))
+                n = F.size(base.col)
+                self.guard((i >= n) | (i < -n), "IndexError")
+                pos = F.when(i >= 0, i + 1).otherwise(n + i + 1)
+                return SCol(F.element_at(base.col, pos.cast("int")), "any", True)
+            if base.tag == "map":
+                k = self.to_col(idx)
+                self.guard(~F.map_contains_key(base.col, k), "KeyError")
+                return SCol(F.element_at(base.col, k), "any", True)
+            if base.tag == "struct":
+                if isinstance(idx, SConst) and isinstance(idx.value, str):
+                    return SCol(base.col.getField(idx.value), "any", True)
+        raise CompileError(f"subscript on {base.tag}")
+
+    def _slice(self, base: Sym, sl: ast.Slice) -> Sym:
+        if isinstance(base, SConst):
+            base = SCol(F.lit(base.value), base.tag, False)
+        if isinstance(base, STuple):
+            lo = sl.lower.value if isinstance(sl.lower, ast.Constant) else None
+            hi = sl.upper.value if isinstance(sl.upper, ast.Constant) else None
+            if sl.step is None:
+                return STuple(base.items[lo:hi])
+            raise CompileError("tuple slice step")
+        if not isinstance(base, SCol) or base.tag not in ("str", "array"):
+            raise CompileError(f"slice on {base.tag}")
+        # step: only [::-1] reverse supported
+        if sl.step is not None:
+            if isinstance(sl.step, ast.Constant) and sl.step.value == -1 \
+                    and sl.lower is None and sl.upper is None:
+                return SCol(F.reverse(base.col), base.tag, base.nullable)
+            raise CompileError("slice step")
+        L = F.length(base.col) if base.tag == "str" else F.size(base.col)
+
+        def norm(node, default):
+            if node is None:
+                return default
+            v = self.to_col(self.num(self.eval(node), "slice bound"))
+            return F.greatest(F.least(F.when(v < 0, L + v).otherwise(v), L),
+                              F.lit(0))
+        lo = norm(sl.lower, F.lit(0))
+        hi = norm(sl.upper, L)
+        length = F.greatest(hi - lo, F.lit(0))
+        if base.tag == "str":
+            return SCol(F.substring(base.col, (lo + 1).cast("int"),
+                                    length.cast("int")), "str", base.nullable)
+        return SCol(F.slice(base.col, (lo + 1).cast("int"),
+                            length.cast("int")), "array", base.nullable)
+
+    # -- operators -------------------------------------------------------
+    def _ev_BinOp(self, node):
+        return self._binop(node.op, self.eval(node.left), self.eval(node.right))
+
+    def _binop(self, op, l: Sym, r: Sym) -> Sym:
+        import operator as _op
+        py = {ast.Add: _op.add, ast.Sub: _op.sub, ast.Mult: _op.mul,
+              ast.Div: _op.truediv, ast.FloorDiv: _op.floordiv,
+              ast.Mod: _op.mod, ast.Pow: _op.pow,
+              ast.BitAnd: _op.and_, ast.BitOr: _op.or_, ast.BitXor: _op.xor,
+              ast.LShift: _op.lshift, ast.RShift: _op.rshift}
+        if isinstance(l, SConst) and isinstance(r, SConst) \
+                and l.value is not None and r.value is not None:
+            try:
+                return SConst(py[type(op)](l.value, r.value))
+            except Exception as e:
+                self.guard(F.lit(True), type(e).__name__)
+                return SConst(None)
+        # string/array concatenation & repetition
+        if isinstance(op, ast.Add) and ("str" in (l.tag, r.tag)):
+            if l.tag != r.tag:
+                raise CompileError("str + non-str")
+            self._guard_nulls(l, r)
+            return SCol(F.concat(self.to_col(l), self.to_col(r)), "str",
+                        False)
+        if isinstance(op, ast.Add) and l.tag == "array" and r.tag == "array":
+            return SCol(F.concat(self.to_col(l), self.to_col(r)), "array", True)
+        if isinstance(op, ast.Mult) and "str" in (l.tag, r.tag):
+            s, n = (l, r) if l.tag == "str" else (r, l)
+            n = self.num(n, "str repeat")
+            self._guard_nulls(s)
+            return SCol(F.repeat(self.to_col(s),
+                                 self.to_col(n).cast("int")), "str", False)
+        ln, rn = self.num(l), self.num(r)
+        lc, rc = self.to_col(ln), self.to_col(rn)
+        both_int = ln.tag in ("int", "bool") and rn.tag in ("int", "bool")
+        if isinstance(op, ast.Add):
+            return SCol(lc + rc, "int" if both_int else "float")
+        if isinstance(op, ast.Sub):
+            return SCol(lc - rc, "int" if both_int else "float")
+        if isinstance(op, ast.Mult):
+            return SCol(lc * rc, "int" if both_int else "float")
+        if isinstance(op, ast.Div):
+            self.guard(rc == 0, "ZeroDivisionError")
+            return SCol(lc / rc, "float")
+        if isinstance(op, ast.FloorDiv):
+            self.guard(rc == 0, "ZeroDivisionError")
+            res = F.floor(lc / rc)
+            return SCol(res if both_int else res.cast("double"),
+                        "int" if both_int else "float")
+        if isinstance(op, ast.Mod):
+            self.guard(rc == 0, "ZeroDivisionError")
+            res = ((lc % rc) + rc) % rc  # CPython sign-of-divisor semantics
+            return SCol(res, "int" if both_int else "float")
+        if isinstance(op, ast.Pow):
+            res = F.pow(lc, rc)
+            if both_int and isinstance(r, SConst) and r.value >= 0:
+                return SCol(res.cast("long"), "int")
+            return SCol(res, "float")
+        if both_int and type(op) in (ast.BitAnd, ast.BitOr, ast.BitXor,
+                                     ast.LShift, ast.RShift):
+            expr = {ast.BitAnd: lc.bitwiseAND(rc), ast.BitOr: lc.bitwiseOR(rc),
+                    ast.BitXor: lc.bitwiseXOR(rc),
+                    ast.LShift: F.shiftleft(lc, rc.cast("int")),
+                    ast.RShift: F.shiftright(lc, rc.cast("int"))}[type(op)]
+            return SCol(expr, "int")
+        raise CompileError(f"operator {type(op).__name__}")
+
+    def _guard_nulls(self, *syms):
+        for s in syms:
+            if isinstance(s, SCol) and s.nullable:
+                self.guard(s.col.isNull(), "TypeError")
+
+    def _ev_UnaryOp(self, node):
+        v = self.eval(node.operand)
+        if isinstance(node.op, ast.Not):
+            return SCol(~self.truthy(v), "bool")
+        if isinstance(node.op, ast.USub):
+            if isinstance(v, SConst) and v.value is not None:
+                return SConst(-v.value)
+            n = self.num(v, "unary -")
+            return SCol(-self.to_col(n), n.tag)
+        if isinstance(node.op, ast.UAdd):
+            return self.num(v, "unary +")
+        if isinstance(node.op, ast.Invert):
+            n = self.num(v, "~")
+            return SCol(-self.to_col(n) - 1, "int")
+        raise CompileError("unary op")
+
+    def _ev_BoolOp(self, node):
+        vals = [self.eval(v) for v in node.values]
+        conds = [self.truthy(v) for v in vals]
+        if isinstance(node.op, ast.And):
+            out = conds[0]
+            for c in conds[1:]:
+                out = out & c
+        else:
+            out = conds[0]
+            for c in conds[1:]:
+                out = out | c
+        return SCol(out, "bool")
+
+    def _ev_Compare(self, node):
+        left = self.eval(node.left)
+        out: Column | None = None
+        for op, comp in zip(node.ops, node.comparators):
+            right = self.eval(comp)
+            c = self._compare(op, left, right)
+            out = c if out is None else (out & c)
+            left = right
+        return SCol(out, "bool")
+
+    def _compare(self, op, l: Sym, r: Sym) -> Column:
+        if isinstance(op, (ast.Is, ast.IsNot)):
+            if isinstance(r, SConst) and r.value is None:
+                c = self.to_col(l).isNull()
+                return c if isinstance(op, ast.Is) else ~c
+            if isinstance(l, SConst) and l.value is None:
+                c = self.to_col(r).isNull()
+                return c if isinstance(op, ast.Is) else ~c
+            op = ast.Eq() if isinstance(op, ast.Is) else ast.NotEq()
+        if isinstance(op, (ast.In, ast.NotIn)):
+            c = self._membership(l, r)
+            return c if isinstance(op, ast.In) else ~c
+        # None literal on either side of ==/!= -> null checks
+        if isinstance(op, (ast.Eq, ast.NotEq)):
+            if (isinstance(r, SConst) and r.value is None):
+                c = self.to_col(l).isNull()
+            elif (isinstance(l, SConst) and l.value is None):
+                c = self.to_col(r).isNull()
+            else:
+                c = self.to_col(l).eqNullSafe(self.to_col(r))
+            return c if isinstance(op, ast.Eq) else ~c
+        # ordering: CPython raises TypeError on None operands
+        self._guard_nulls(l, r)
+        lc, rc = self.to_col(l), self.to_col(r)
+        return {ast.Lt: lc < rc, ast.LtE: lc <= rc,
+                ast.Gt: lc > rc, ast.GtE: lc >= rc}[type(op)]
+
+    def _membership(self, item: Sym, container: Sym) -> Column:
+        if isinstance(container, SConst) and isinstance(container.value,
+                                                       (list, tuple, set)):
+            return self.to_col(item).isin(*container.value)
+        if isinstance(container, STuple):
+            consts = [i.value for i in container.items
+                      if isinstance(i, SConst)]
+            if len(consts) == len(container.items):
+                return self.to_col(item).isin(*consts)
+        if container.tag == "str":
+            return F.contains(self.to_col(container), self.to_col(item))
+        if container.tag == "array":
+            return F.array_contains(self.to_col(container), self.to_col(item))
+        if container.tag == "map":
+            return F.map_contains_key(self.to_col(container),
+                                      self.to_col(item))
+        raise CompileError("membership container")
+
+    def _ev_IfExp(self, node):
+        cond = self.truthy(self.eval(node.test))
+        t, f = self.eval(node.body), self.eval(node.orelse)
+        return self._merge_vals(cond, t, f)
+
+    def _ev_JoinedStr(self, node):
+        parts = []
+        for v in node.values:
+            if isinstance(v, ast.Constant):
+                parts.append(F.lit(v.value))
+            elif isinstance(v, ast.FormattedValue):
+                if v.format_spec is not None:
+                    raise CompileError("f-string format spec")
+                parts.append(self._to_str(self.eval(v.value)))
+            else:
+                raise CompileError("f-string part")
+        return SCol(F.concat(*parts), "str")
+
+    def _to_str(self, s: Sym) -> Column:
+        if isinstance(s, SConst):
+            return F.lit(str(s.value))
+        c = self.to_col(s)
+        if s.tag == "bool":
+            return F.when(c, "True").otherwise("False")
+        if s.tag == "float":
+            # CPython repr of floats: Spark double->string matches for
+            # common values (both shortest-roundtrip style)
+            return c.cast("string")
+        return c.cast("string")
+
+    # -- calls -----------------------------------------------------------
+    def _ev_Call(self, node):
+        if node.keywords:
+            raise CompileError("keyword arguments")
+        fn = node.func
+        args = [self.eval(a) for a in node.args]
+        if isinstance(fn, ast.Name):
+            return self._call_builtin(fn.id, args)
+        target = self.eval(fn)
+        if isinstance(target, _BoundModuleFn):
+            return self._call_module(target.mod, target.name, args)
+        if isinstance(target, _BoundMethod):
+            return self._call_method(target.base, target.name, args)
+        raise CompileError("call target")
+
+    def _call_builtin(self, name: str, args: list[Sym]) -> Sym:
+        if name in self.env and name not in _BUILTINS:
+            raise CompileError(f"call to user function {name}")
+        if name not in _BUILTINS:
+            raise CompileError(f"builtin {name}")
+        return getattr(self, f"_b_{name}")(args)
+
+    def _b_int(self, args):
+        if not args:
+            return SConst(0)
+        a = args[0]
+        if isinstance(a, SConst):
+            try:
+                return SConst(int(a.value))
+            except Exception as e:
+                self.guard(F.lit(True), type(e).__name__)
+                return SConst(None)
+        c = self.to_col(a)
+        if a.tag in ("int", "bool"):
+            self._guard_nulls(a)
+            return SCol(c.cast("long"), "int")
+        if a.tag == "float":
+            self._guard_nulls(a)
+            # CPython truncates toward zero; Spark double->long also truncates
+            return SCol(c.cast("long"), "int")
+        if a.tag == "str":
+            t = F.trim(c)
+            valid = t.rlike(r"^[+-]?[0-9]+$")
+            if a.nullable:
+                self.guard(c.isNull(), "TypeError")
+            self.guard(c.isNotNull() & ~valid, "ValueError")
+            return SCol(F.when(valid, t.cast("long")), "int", True)
+        raise CompileError(f"int({a.tag})")
+
+    def _b_float(self, args):
+        a = args[0]
+        if isinstance(a, SConst):
+            try:
+                return SConst(float(a.value))
+            except Exception as e:
+                self.guard(F.lit(True), type(e).__name__)
+                return SConst(None)
+        c = self.to_col(a)
+        if a.tag in ("int", "bool", "float"):
+            self._guard_nulls(a)
+            return SCol(c.cast("double"), "float")
+        if a.tag == "str":
+            self._guard_nulls(a)
+            casted = F.trim(c).cast("double")
+            self.guard(c.isNotNull() & casted.isNull(), "ValueError")
+            return SCol(casted, "float", True)
+        raise CompileError(f"float({a.tag})")
+
+    def _b_str(self, args):
+        if not args:
+            return SConst("")
+        a = args[0]
+        if isinstance(a, SConst):
+            return SConst(str(a.value))
+        return SCol(self._to_str(a), "str", a.nullable)
+
+    def _b_bool(self, args):
+        if not args:
+            return SConst(False)
+        return SCol(self.truthy(args[0]), "bool")
+
+    def _b_len(self, args):
+        a = args[0]
+        if isinstance(a, SConst):
+            return SConst(len(a.value))
+        if isinstance(a, (STuple, SDict)):
+            return SConst(len(a.items))
+        c = self.to_col(a)
+        self._guard_nulls(a)
+        if a.tag == "str":
+            return SCol(F.length(c).cast("long"), "int")
+        if a.tag in ("array", "map"):
+            return SCol(F.size(c).cast("long"), "int")
+        if a.tag == "struct":
+            n = len(a.col_schema.fields) if hasattr(a, "col_schema") else None
+            if n is not None:
+                return SConst(n)
+        raise CompileError(f"len({a.tag})")
+
+    def _b_abs(self, args):
+        a = self.num(args[0], "abs")
+        if isinstance(a, SConst):
+            return SConst(abs(a.value))
+        return SCol(F.abs(self.to_col(a)), a.tag)
+
+    def _b_round(self, args):
+        a = self.num(args[0], "round")
+        nd = 0
+        if len(args) > 1:
+            if not isinstance(args[1], SConst):
+                raise CompileError("round ndigits must be constant")
+            nd = args[1].value
+        c = F.bround(self.to_col(a), nd)  # banker's rounding = CPython
+        if len(args) == 1:
+            return SCol(c.cast("long"), "int")
+        return SCol(c, a.tag)
+
+    def _b_min(self, args):
+        return self._minmax(args, F.least, min)
+
+    def _b_max(self, args):
+        return self._minmax(args, F.greatest, max)
+
+    def _minmax(self, args, sf, pf):
+        if len(args) == 1:
+            a = args[0]
+            if a.tag == "array":
+                c = self.to_col(a)
+                self.guard(F.size(c) == 0, "ValueError")
+                return SCol(F.array_min(c) if pf is min else F.array_max(c),
+                            "any", True)
+            if isinstance(a, STuple):
+                args = a.items
+            else:
+                raise CompileError("min/max of non-sequence")
+        if all(isinstance(x, SConst) for x in args):
+            return SConst(pf(x.value for x in args))
+        syms = [self.num(x, "min/max") for x in args]
+        tag = "float" if any(s.tag == "float" for s in syms) else "int"
+        return SCol(sf(*[self.to_col(s) for s in syms]), tag)
+
+    # -- module calls ----------------------------------------------------
+    def _call_module(self, mod, name, args):
+        if mod is _math:
+            return self._call_math(name, args)
+        if mod is _re_mod:
+            return self._call_re(name, args)
+        if mod is _string_mod and name == "capwords":
+            s = self.to_col(args[0])
+            collapsed = F.regexp_replace(
+                F.regexp_replace(s, r"^\s+|\s+$", ""), r"\s+", " ")
+            return SCol(F.initcap(F.lower(collapsed)), "str",
+                        args[0].nullable)
+        if mod is _random_mod and name == "choice":
+            a = args[0]
+            if isinstance(a, SConst) and isinstance(a.value, (list, tuple)):
+                arr = F.array(*[F.lit(v) for v in a.value])
+                idx = (F.rand() * len(a.value) + 1).cast("int")
+                return SCol(F.element_at(arr, idx), _pytag(a.value[0]))
+        raise CompileError(f"module call {name}")
+
+    def _call_math(self, name, args):
+        if all(isinstance(a, SConst) for a in args) and hasattr(_math, name):
+            try:
+                return SConst(getattr(_math, name)(*[a.value for a in args]))
+            except Exception as e:
+                self.guard(F.lit(True), type(e).__name__)
+                return SConst(None)
+        simple = {"sin": F.sin, "cos": F.cos, "tan": F.tan, "atan": F.atan,
+                  "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
+                  "exp": F.exp, "expm1": F.expm1, "radians": F.radians,
+                  "degrees": F.degrees, "cbrt": F.cbrt, "fabs": F.abs,
+                  "asinh": F.asinh}
+        a = self.num(args[0], f"math.{name}") if args else None
+        c = self.to_col(a) if a is not None else None
+        if name in simple:
+            return SCol(simple[name](c), "float")
+        if name == "sqrt":
+            self.guard(c < 0, "ValueError")
+            return SCol(F.sqrt(c), "float")
+        if name in ("log", "log2", "log10"):
+            self.guard(c <= 0, "ValueError")
+            f = {"log": F.log, "log2": F.log2, "log10": F.log10}[name]
+            if name == "log" and len(args) == 2:
+                b = self.to_col(self.num(args[1]))
+                return SCol(F.log(c) / F.log(b), "float")
+            return SCol(f(c), "float")
+        if name == "log1p":
+            self.guard(c <= -1, "ValueError")
+            return SCol(F.log1p(c), "float")
+        if name in ("asin", "acos"):
+            self.guard((c < -1) | (c > 1), "ValueError")
+            return SCol((F.asin if name == "asin" else F.acos)(c), "float")
+        if name == "acosh":
+            self.guard(c < 1, "ValueError")
+            return SCol(F.acosh(c), "float")
+        if name == "atanh":
+            self.guard((c <= -1) | (c >= 1), "ValueError")
+            return SCol(F.atanh(c), "float")
+        if name == "floor":
+            return SCol(F.floor(c).cast("long"), "int")
+        if name == "ceil":
+            return SCol(F.ceil(c).cast("long"), "int")
+        if name == "pow":
+            b = self.to_col(self.num(args[1]))
+            return SCol(F.pow(c, b), "float")
+        if name == "atan2":
+            b = self.to_col(self.num(args[1]))
+            return SCol(F.atan2(c, b), "float")
+        if name == "isnan":
+            return SCol(F.isnan(c), "bool")
+        if name == "isinf":
+            return SCol(F.abs(c) == float("inf"), "bool")
+        if name == "isclose":
+            b = self.to_col(self.num(args[1]))
+            return SCol(F.abs(c - b) <= F.greatest(
+                F.lit(1e-09) * F.greatest(F.abs(c), F.abs(b)),
+                F.lit(0.0)), "bool")
+        raise CompileError(f"math.{name}")
+
+    def _call_re(self, name, args):
+        if name in ("search", "match", "fullmatch"):
+            pat, subj = args[0], args[1]
+            if not (isinstance(pat, SConst) and isinstance(pat.value, str)):
+                raise CompileError("re pattern must be constant")
+            p = pat.value
+            if name == "match":
+                p = f"^(?:{p})"
+            elif name == "fullmatch":
+                p = f"^(?:{p})$"
+            return SMatch(subj, p, self)
+        if name == "sub":
+            pat, repl, subj = args
+            if not all(isinstance(x, SConst) for x in (pat, repl)):
+                raise CompileError("re.sub needs constant pattern/replacement")
+            repl_j = _re_mod.sub(r"\\(\d+)", r"$\1", repl.value)
+            return SCol(F.regexp_replace(self.to_col(subj), pat.value, repl_j),
+                        "str", subj.nullable)
+        raise CompileError(f"re.{name}")
+
+    # -- method calls ----------------------------------------------------
+    def _call_method(self, base: Sym, name: str, args: list[Sym]) -> Sym:
+        if isinstance(base, SMatch):
+            return self._match_method(base, name, args)
+        if isinstance(base, SConst) and all(isinstance(a, SConst)
+                                            for a in args):
+            try:
+                return SConst(getattr(base.value, name)(
+                    *[a.value for a in args]))
+            except Exception as e:
+                self.guard(F.lit(True), type(e).__name__)
+                return SConst(None)
+        if base.tag == "str" or (isinstance(base, SConst)
+                                 and isinstance(base.value, str)):
+            return self._str_method(base, name, args)
+        if base.tag == "array":
+            return self._list_method(base, name, args)
+        if base.tag == "map" or isinstance(base, SDict):
+            return self._dict_method(base, name, args)
+        raise CompileError(f"method .{name} on {base.tag}")
+
+    def _match_method(self, m: SMatch, name, args):
+        if name == "group":
+            g = args[0].value if args else 0
+            self.guard(~self.truthy(m), "AttributeError")
+            return SCol(F.regexp_extract(self.to_col(m.subject),
+                                         m.pattern, g), "str", True)
+        raise CompileError(f"match.{name}")
+
+    def _str_method(self, base: Sym, name: str, args: list[Sym]) -> Sym:
+        c = self.to_col(base)
+        nullable = base.nullable
+        if nullable and self.with_guards:
+            self.guard(c.isNull(), "AttributeError")
+
+        def const_arg(i, types=(str,)):
+            if i >= len(args) or not isinstance(args[i], SConst) \
+                    or not isinstance(args[i].value, types):
+                raise CompileError(f"str.{name} arg {i} must be constant")
+            return args[i].value
+
+        if name == "lower":
+            return SCol(F.lower(c), "str", nullable)
+        if name == "upper":
+            return SCol(F.upper(c), "str", nullable)
+        if name == "capitalize":
+            return SCol(F.concat(F.upper(F.substring(c, 1, 1)),
+                                 F.lower(F.substring(c, 2, 2 ** 30))),
+                        "str", nullable)
+        if name in ("strip", "lstrip", "rstrip"):
+            if args:
+                chars = _re_mod.escape(const_arg(0))
+                pats = {"strip": f"^[{chars}]+|[{chars}]+$",
+                        "lstrip": f"^[{chars}]+", "rstrip": f"[{chars}]+$"}
+            else:
+                pats = {"strip": r"^\s+|\s+$", "lstrip": r"^\s+",
+                        "rstrip": r"\s+$"}
+            return SCol(F.regexp_replace(c, pats[name], ""), "str", nullable)
+        if name == "replace":
+            old, new = const_arg(0), const_arg(1)
+            return SCol(F.replace(c, F.lit(old), F.lit(new)), "str", nullable)
+        if name == "split":
+            if args:
+                sep = const_arg(0)
+                return SCol(F.split(c, _re_mod.escape(sep), -1), "array",
+                            nullable)
+            t = F.regexp_replace(c, r"^\s+|\s+$", "")
+            return SCol(F.when(F.length(t) == 0,
+                               F.array().cast("array<string>"))
+                        .otherwise(F.split(t, r"\s+")), "array", nullable)
+        if name in ("startswith", "endswith"):
+            a = self.to_col(args[0])
+            f = F.startswith if name == "startswith" else F.endswith
+            return SCol(f(c, a), "bool", nullable)
+        if name in ("find", "index"):
+            sub = self.to_col(args[0])
+            pos = F.locate if isinstance(args[0], SConst) else None
+            loc = F.instr(c, args[0].value) if isinstance(args[0], SConst) \
+                else F.expr("instr({}, {})")  # placeholder
+            if not isinstance(args[0], SConst):
+                raise CompileError("find needle must be constant")
+            res = loc - 1
+            if name == "index":
+                self.guard(loc == 0, "ValueError")
+                return SCol(res.cast("long"), "int", nullable)
+            return SCol(F.when(loc == 0, -1).otherwise(res).cast("long"),
+                        "int", nullable)
+        if name in ("rfind", "rindex"):
+            sub = const_arg(0)
+            L, m = F.length(c), len(sub)
+            lr = F.instr(F.reverse(c), sub[::-1])
+            res = L - lr + 1 - m
+            if name == "rindex":
+                self.guard(lr == 0, "ValueError")
+                return SCol(res.cast("long"), "int", nullable)
+            return SCol(F.when(lr == 0, -1).otherwise(res).cast("long"),
+                        "int", nullable)
+        if name == "count":
+            sub = const_arg(0)
+            if not sub:
+                return SCol((F.length(c) + 1).cast("long"), "int", nullable)
+            diff = F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit("")))
+            return SCol((diff / len(sub)).cast("long"), "int", nullable)
+        if name == "join":
+            a = args[0]
+            sep = base.value if isinstance(base, SConst) else None
+            if sep is None:
+                raise CompileError("join separator must be constant")
+            if isinstance(a, STuple):
+                return SCol(F.concat_ws(sep, *[self.to_col(i)
+                                               for i in a.items]), "str")
+            if a.tag == "array":
+                return SCol(F.array_join(self.to_col(a), sep), "str",
+                            a.nullable)
+            raise CompileError("join arg")
+        if name == "format":
+            if not isinstance(base, SConst):
+                raise CompileError("format pattern must be constant")
+            pat = base.value
+            if _re_mod.search(r"\{[^{}]*[^{}0-9][^{}]*\}", pat):
+                raise CompileError("format spec")
+            fmt = _re_mod.sub(r"\{\d*\}", "%s", pat)
+            return SCol(F.format_string(fmt, *[self._to_str(a)
+                                               for a in args]), "str")
+        if name in ("isdigit", "isdecimal"):
+            return SCol(c.rlike("^[0-9]+$"), "bool", nullable)
+        if name == "isalpha":
+            return SCol(c.rlike("^[A-Za-z]+$"), "bool", nullable)
+        if name == "isalnum":
+            return SCol(c.rlike("^[A-Za-z0-9]+$"), "bool", nullable)
+        if name == "isspace":
+            return SCol(c.rlike(r"^\s+$"), "bool", nullable)
+        if name == "islower":
+            return SCol(c.rlike("[a-z]") & ~c.rlike("[A-Z]"), "bool", nullable)
+        if name == "isupper":
+            return SCol(c.rlike("[A-Z]") & ~c.rlike("[a-z]"), "bool", nullable)
+        if name == "zfill":
+            w = const_arg(0, (int,))
+            has_sign = c.rlike(r"^[+-]")
+            body = F.when(has_sign, F.substring(c, 2, 2 ** 30)).otherwise(c)
+            sign = F.when(has_sign, F.substring(c, 1, 1)).otherwise(F.lit(""))
+            padded = F.concat(
+                sign, F.when(has_sign, F.lpad(body, w - 1, "0"))
+                       .otherwise(F.lpad(body, w, "0")))
+            return SCol(F.when(F.length(c) >= w, c).otherwise(padded),
+                        "str", nullable)
+        if name == "center":
+            w = const_arg(0, (int,))
+            fill = const_arg(1) if len(args) > 1 else " "
+            left = (F.lit(w) - F.length(c)) / 2
+            return SCol(F.rpad(F.lpad(c, (F.length(c) +
+                        F.floor(left)).cast("int"), fill), w, fill),
+                        "str", nullable)
+        if name == "title":
+            return SCol(F.initcap(F.lower(c)), "str", nullable)
+        if name == "casefold":
+            return SCol(F.lower(c), "str", nullable)
+        raise CompileError(f"str.{name}")
+
+    def _list_method(self, base, name, args):
+        c = self.to_col(base)
+        if name == "index":
+            v = self.to_col(args[0])
+            pos = F.array_position(c, v)
+            self.guard(pos == 0, "ValueError")
+            return SCol((pos - 1).cast("long"), "int", True)
+        if name == "count":
+            v = self.to_col(args[0])
+            return SCol(F.size(F.filter(c, lambda x: x == v)).cast("long"),
+                        "int", base.nullable)
+        raise CompileError(f"list.{name}")
+
+    def _dict_method(self, base, name, args):
+        if isinstance(base, SDict):
+            if name == "get":
+                k = args[0]
+                if isinstance(k, SConst) and k.value in base.items:
+                    return base.items[k.value]
+                return args[1] if len(args) > 1 else SConst(None)
+            if name == "keys":
+                return STuple([SConst(k) for k in base.items])
+            if name == "values":
+                return STuple(list(base.items.values()))
+        c = self.to_col(base)
+        if name == "get":
+            k = self.to_col(args[0])
+            v = F.element_at(c, k)
+            if len(args) > 1:
+                v = F.coalesce(v, self.to_col(args[1]))
+            return SCol(v, "any", True)
+        if name == "keys":
+            return SCol(F.map_keys(c), "array", base.nullable)
+        if name == "values":
+            return SCol(F.map_values(c), "array", base.nullable)
+        raise CompileError(f"dict.{name}")
+
+
+class _BoundModuleFn(Sym):
+    tag = "bound"
+
+    def __init__(self, mod, name):
+        self.mod, self.name = mod, name
+
+
+class _BoundMethod(Sym):
+    tag = "bound"
+
+    def __init__(self, base, name):
+        self.base, self.name = base, name
+
+
+_BUILTINS = {"int", "float", "str", "bool", "len", "abs", "round",
+             "min", "max"}
+
+
+def _unify_tags(a: str, b: str) -> str:
+    if a == b:
+        return a
+    if a == "null":
+        return b
+    if b == "null":
+        return a
+    if {a, b} <= _NUM_TAGS:
+        order = {"bool": 0, "int": 1, "float": 2}
+        return a if order[a] >= order[b] else b
+    if "any" in (a, b):
+        return a if b == "any" else b
+    return "str"
+
+
+def compile_udf(fn, schema: T.StructType, env: dict | None = None,
+                with_guards: bool = True) -> CompiledUDF:
+    """Compile ``fn`` against ``schema``; raises CompileError on failure."""
+    tr = Translator(schema, env or {}, with_guards)
+    return tr.compile(fn)

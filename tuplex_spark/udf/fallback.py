@@ -1,0 +1,171 @@
+"""Fallback UDF execution (the "general case" / interpreter path).
+
+Reference analog: the pure-Python pipeline fallback
+(core/src/physical/PythonPipelineBuilder.cc) that runs rows CPython can
+handle but the compiled path can't.  Here the fallback is an Arrow-batched
+``mapInPandas`` stage: the original function object is cloudpickled to the
+executors and applied row-at-a-time inside the batch loop with per-row
+try/except, producing the same (value, __exc_code) shape as the compiled
+path so resolve()/ignore() semantics are identical on both paths.
+
+Output types come from running the UDF over the plan-time sample
+(reference analog: tracing type inference, core/src/TraceVisitor.cc).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+from pyspark.sql import types as T
+
+from ..exceptions import code_for_instance
+from ..typeutils import infer_type, super_type
+
+EXC_CODE = "__exc_code"
+EXC_PAYLOAD = "__exc_payload"
+EXC_OP = "__exc_op"
+
+
+def infer_output_type(fn, sample_rows, arity: int):
+    """Run fn over sample python rows; widen result types.
+
+    Returns (result_type_per_output, out_kind) where out_kind is
+    'scalar' | 'tuple' | 'dict'.  Raises if no sample row succeeds.
+    """
+    results = []
+    for row in sample_rows:
+        try:
+            results.append(_apply(fn, row, arity))
+        except Exception:
+            continue
+    if not results:
+        raise ValueError("UDF failed on every sample row; cannot infer type")
+    kind = "scalar"
+    r0 = results[0]
+    if isinstance(r0, tuple):
+        kind = "tuple"
+    elif isinstance(r0, dict):
+        kind = "dict"
+    if kind == "scalar":
+        t, nullable = _widen(results)
+        return [(None, t, nullable)], kind
+    if kind == "tuple":
+        n = len(r0)
+        outs = []
+        for i in range(n):
+            t, nullable = _widen([r[i] for r in results])
+            outs.append((None, t, nullable))
+        return outs, kind
+    keys = list(r0.keys())
+    outs = []
+    for k in keys:
+        t, nullable = _widen([r[k] for r in results])
+        outs.append((k, t, nullable))
+    return outs, kind
+
+
+def _widen(values):
+    t = None
+    nullable = False
+    for v in values:
+        vt = infer_type(v)
+        if vt is None:
+            nullable = True
+        else:
+            t = vt if t is None else super_type(t, vt)
+    return (t or T.NullType()), nullable or t is None
+
+
+def _apply(fn, row, arity):
+    """Call fn the way the reference calls row UDFs: a single-column row is
+    passed as the bare value, a multi-column row as one tuple arg unless the
+    function declares matching arity."""
+    if isinstance(row, tuple):
+        if arity == len(row) and arity > 1:
+            return fn(*row)
+        return fn(row if len(row) > 1 else row[0])
+    return fn(row)
+
+
+def _clean(v):
+    """numpy / pandas scalars -> python scalars."""
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    item = getattr(v, "item", None)
+    if item is not None and not isinstance(v, (str, bytes)):
+        try:
+            return v.item()
+        except Exception:
+            return v
+    return v
+
+
+def make_map_in_pandas(fn, in_fields: list[str], out_specs, out_kind,
+                       op_name: str, keep_fields: list[str] | None = None,
+                       capture: bool = True, pass_through_code: bool = True):
+    """Build a mapInPandas function applying ``fn`` row-at-a-time.
+
+    in_fields:   input column names fed to the UDF (tuple order)
+    out_specs:   [(out_col_name, spark_type)] for UDF outputs
+    keep_fields: passthrough columns copied to the output unchanged
+    capture:     wrap per-row exceptions into (__exc_code, __exc_payload)
+    """
+    import pandas as pd  # noqa: F401  (executor-side)
+
+    arity = getattr(fn, "__code__", None).co_argcount if hasattr(fn, "__code__") else 1
+    keep_fields = keep_fields or []
+    out_names = [n for n, _ in out_specs]
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            n = len(pdf)
+            outs = {name: [None] * n for name in out_names}
+            codes = [0] * n
+            payloads = [None] * n
+            prev_codes = pdf[EXC_CODE].tolist() if EXC_CODE in pdf.columns \
+                else [0] * n
+            prev_payloads = pdf[EXC_PAYLOAD].tolist() \
+                if EXC_PAYLOAD in pdf.columns else [None] * n
+            prev_ops = pdf[EXC_OP].tolist() if EXC_OP in pdf.columns \
+                else [None] * n
+            in_cols = [pdf[f] for f in in_fields]
+            for i in range(n):
+                if capture and prev_codes[i]:
+                    codes[i] = prev_codes[i]
+                    payloads[i] = prev_payloads[i]
+                    continue
+                row = tuple(_clean(col.iloc[i]) for col in in_cols)
+                try:
+                    r = _apply(fn, row if len(row) != 1 else row[0], arity)
+                    if out_kind == "tuple":
+                        for j, name in enumerate(out_names):
+                            outs[name][i] = r[j]
+                    elif out_kind == "dict":
+                        for name in out_names:
+                            outs[name][i] = r[name]
+                    else:
+                        outs[out_names[0]][i] = r
+                except Exception as e:
+                    if not capture:
+                        raise
+                    codes[i] = code_for_instance(e)
+                    payloads[i] = json.dumps(
+                        dict(zip(in_fields, row)), default=str)
+            data = {}
+            for f in keep_fields:
+                data[f] = pdf[f]
+            for name in out_names:
+                data[name] = outs[name]
+            if capture:
+                data[EXC_CODE] = codes
+                data[EXC_PAYLOAD] = payloads
+                data[EXC_OP] = [op_name if c and not pc else po
+                                for c, pc, po in zip(codes, prev_codes,
+                                                     prev_ops)]
+            yield pd.DataFrame(data)
+
+    return run

@@ -1,0 +1,91 @@
+"""Extract the AST of a user UDF (lambda or def).
+
+Same job as the reference's python/tuplex/utils/reflection.py (source via
+inspect + backup), but we only need the ``ast`` tree: the compiler
+(compiler.py) translates it to Column expressions, and the fallback path
+calls the live function object directly (no source needed).
+"""
+
+from __future__ import annotations
+
+import ast
+import inspect
+import textwrap
+
+
+class SourceExtractionError(Exception):
+    pass
+
+
+def function_ast(fn) -> ast.Lambda | ast.FunctionDef:
+    """Return the Lambda or FunctionDef node for ``fn``."""
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError) as e:
+        raise SourceExtractionError(str(e)) from e
+    src = textwrap.dedent(src)
+    tree = _parse_lenient(src)
+    if tree is None:
+        raise SourceExtractionError("could not parse UDF source")
+    name = getattr(fn, "__name__", "<lambda>")
+    if name != "<lambda>":
+        for node in ast.walk(tree):
+            if isinstance(node, ast.FunctionDef) and node.name == name:
+                return node
+        raise SourceExtractionError(f"no def {name} in extracted source")
+    lambdas = [n for n in ast.walk(tree) if isinstance(n, ast.Lambda)]
+    if len(lambdas) == 1:
+        return lambdas[0]
+    if not lambdas:
+        raise SourceExtractionError("no lambda in extracted source")
+    # several lambdas on one line: pick by matching argument names
+    want = list(inspect.signature(fn).parameters)
+    matches = [l for l in lambdas if [a.arg for a in l.args.args] == want]
+    if len(matches) == 1:
+        return matches[0]
+    # ambiguous; compare compiled code constants as a tiebreak
+    for cand in matches or lambdas:
+        try:
+            code = compile(ast.Expression(cand), "<udf>", "eval")
+            if code.co_consts[0].co_code == fn.__code__.co_code:
+                return cand
+        except Exception:
+            continue
+    raise SourceExtractionError("ambiguous lambda source")
+
+
+def _parse_lenient(src: str):
+    """Parse source that may be an expression fragment like
+    ``df.map(lambda x: x + 1)`` or a multiline call continuation."""
+    for candidate in (src, src.rstrip().rstrip(",").rstrip()):
+        try:
+            return ast.parse(candidate)
+        except SyntaxError:
+            pass
+    # wrap in parens (handles dangling '.map(lambda...' fragments poorly,
+    # so also try slicing from the first 'lambda')
+    i = src.find("lambda")
+    if i >= 0:
+        frag = src[i:].rstrip()
+        while frag:
+            try:
+                return ast.parse(f"({frag})")
+            except SyntaxError:
+                frag = frag[:-1]
+    return None
+
+
+def closure_env(fn) -> dict:
+    """Name -> live object for names the UDF body may reference
+    (reference analog: dataset.py:77 get_globals / ClosureEnvironment)."""
+    env = {}
+    env.update(getattr(fn, "__globals__", {}))
+    code = getattr(fn, "__code__", None)
+    closure = getattr(fn, "__closure__", None)
+    if code is not None and closure:
+        for name, cell in zip(code.co_freevars, closure):
+            try:
+                env[name] = cell.cell_contents
+            except ValueError:
+                pass
+    return env
