@@ -1,38 +1,761 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs through the tuplex_spark engine (DataSet API
+where it exercises SURVEY.md §2 operators; DataFrame/SQL where the op is a
+scale extension) and has an exact ANSI-SQL twin in ``oracle_sql()`` that
+DuckDB executes on the same parquet — column names and rounding match on
+both sides so the driver's value-hash comparison is exact.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which the Spark reader
+        # rejects; read nanos as long and truncate to micros (DuckDB does
+        # the same truncation, so oracle values agree)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        return df
+    return spark.read.parquet(path)
+
+
+def _ctx(spark: SparkSession):
+    import tuplex_spark as tx
+    _prep(spark)
+    return tx.Context(spark=spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1 pricing summary at sf0.001."""
+    return q_tpch_q1(spark, _SF_DEFAULT)
 
+
+# ======================================================================
+# TPC-H-ish relational queries (DataFrame API, Catalyst-native)
+# ======================================================================
+
+def q_tpch_q1(spark, sf_dir):
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+def q_tpch_q3(spark, sf_dir):
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .select(F.col("l_orderkey"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate"), "revenue")
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+            .limit(10))
+
+
+def q_tpch_q4(spark, sf_dir):
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    exists = li.select("l_orderkey").distinct()
+    return (o.join(exists, o.o_orderkey == exists.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def q_tpch_q5(spark, sf_dir):
+    _prep(spark)
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(rev), 2).alias("revenue")))
+
+
+def q_tpch_q6(spark, sf_dir):
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                     4).alias("revenue")))
+
+
+def q_tpch_q10(spark, sf_dir):
+    _prep(spark)
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(20))
+
+
+def q_tpch_q14(spark, sf_dir):
+    _prep(spark)
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 6)
+                 .alias("promo_revenue")))
+
+
+def q_tpch_q18(spark, sf_dir):
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 150))
+    return (big.join(o, big.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("o_orderdate"),
+                    F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+                    "sum_qty"))
+
+
+def q_tpch_q19(spark, sf_dir):
+    _prep(spark)
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 15)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 25))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 25)
+           & (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 35))
+        | ((F.col("p_brand") == "Brand#16") & (F.col("p_size") <= 35)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 45)))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(cond)
+            .agg(F.round(F.sum(rev), 4).alias("revenue")))
+
+
+# ======================================================================
+# DataSet-API operator parity queries (SURVEY.md §2)
+# ======================================================================
+
+def q_ds_map_filter(spark, sf_dir):
+    """map/filter/selectColumns through the UDF->Column compiler."""
+    c = _ctx(spark)
+    ds = (c.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .selectColumns(["l_orderkey", "l_quantity", "l_extendedprice",
+                          "l_discount"])
+          .filter(lambda x: x["l_discount"] >= 0.05 and x["l_quantity"] < 10)
+          .map(lambda x: {"okey": x["l_orderkey"],
+                          "disc_price": x["l_extendedprice"]
+                          * (1.0 - x["l_discount"])}))
+    return ds.toDF().select("okey", F.round("disc_price", 4)
+                            .alias("disc_price"))
+
+
+def q_ds_withcolumn(spark, sf_dir):
+    """withColumn/mapColumn/string methods through the compiler."""
+    c = _ctx(spark)
+    ds = (c.parquet(os.path.join(sf_dir, "part.parquet"))
+          .mapColumn("p_type", lambda t: t.lower())
+          .withColumn("brand_num", lambda x: int(x["p_brand"].split("#")[1]))
+          .filter(lambda x: x["p_size"] >= 25)
+          .selectColumns(["p_partkey", "p_type", "brand_num"]))
+    return ds.toDF()
+
+
+def q_ds_resolve(spark, sf_dir):
+    """exception model: map that raises ZeroDivisionError + resolve."""
+    c = _ctx(spark)
+    ds = (c.parquet(os.path.join(sf_dir, "orders.parquet"))
+          .map(lambda x: {"okey": x["o_orderkey"],
+                          "val": x["o_totalprice"] / (x["o_custkey"] % 7)})
+          .resolve(ZeroDivisionError, lambda x: {"okey": x["o_orderkey"],
+                                                 "val": -1.0}))
+    return ds.toDF().select("okey", F.round("val", 4).alias("val"))
+
+
+def q_ds_ignore(spark, sf_dir):
+    """exception model: failing rows silently dropped via ignore()."""
+    c = _ctx(spark)
+    ds = (c.parquet(os.path.join(sf_dir, "orders.parquet"))
+          .map(lambda x: {"okey": x["o_orderkey"],
+                          "val": x["o_totalprice"] / (x["o_custkey"] % 7)})
+          .ignore(ZeroDivisionError))
+    return ds.toDF().select("okey", F.round("val", 4).alias("val"))
+
+
+def q_ds_join(spark, sf_dir):
+    """join with reference column-order semantics."""
+    c = _ctx(spark)
+    n = c.parquet(os.path.join(sf_dir, "nation.parquet"))
+    r = c.parquet(os.path.join(sf_dir, "region.parquet"))
+    return n.join(r, "n_regionkey", "r_regionkey").toDF()
+
+
+def q_ds_leftjoin(spark, sf_dir):
+    """leftJoin: customers with (possibly missing) order counts."""
+    c = _ctx(spark)
+    cust = (c.parquet(os.path.join(sf_dir, "customer.parquet"))
+            .selectColumns(["c_custkey", "c_nationkey"]))
+    ords = (c.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .filter(lambda x: x["o_totalprice"] > 400000.0)
+            .selectColumns(["o_custkey", "o_orderkey"]))
+    j = cust.leftJoin(ords, "c_custkey", "o_custkey")
+    return j.toDF()
+
+
+def q_ds_aggregate(spark, sf_dir):
+    """whole-dataset fold aggregate -> native sum."""
+    c = _ctx(spark)
+    ds = (c.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .selectColumns(["l_quantity", "l_extendedprice", "l_discount"])
+          .filter(lambda x: x["l_discount"] >= 0.05
+                  and x["l_discount"] <= 0.07 and x["l_quantity"] < 24)
+          .aggregate(lambda a, b: a + b,
+                     lambda a, x: a + x["l_extendedprice"] * x["l_discount"],
+                     0.0))
+    return ds.toDF().select(F.round(F.col("column0"), 4).alias("revenue"))
+
+
+def q_ds_agg_bykey(spark, sf_dir):
+    """aggregateByKey fold -> native partial aggregation."""
+    c = _ctx(spark)
+    ds = (c.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .selectColumns(["l_returnflag", "l_linestatus", "l_quantity"])
+          .aggregateByKey(lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                          lambda a, x: (a[0] + x["l_quantity"], a[1] + 1),
+                          (0.0, 0),
+                          ["l_returnflag", "l_linestatus"]))
+    return ds.toDF().select(
+        "l_returnflag", "l_linestatus",
+        F.round(F.col("column0"), 2).alias("sum_qty"),
+        F.col("column1").alias("n_rows"))
+
+
+def q_ds_unique(spark, sf_dir):
+    c = _ctx(spark)
+    ds = (c.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+          .selectColumns(["l_returnflag", "l_linestatus"])
+          .unique())
+    return ds.toDF()
+
+
+def q_ds_parallelize(spark, sf_dir):
+    """parallelize + compiled map on literal data (no table input)."""
+    c = _ctx(spark)
+    data = [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, "delta")]
+    ds = (c.parallelize(data, columns=["n", "s"])
+          .map(lambda x: {"n2": x["n"] * x["n"],
+                          "s_up": x["s"].upper(),
+                          "first": x["s"][0]}))
+    return ds.toDF()
+
+
+def q_ds_csv_roundtrip(spark, sf_dir):
+    """tocsv writer -> csv reader (sampling inference) -> aggregate."""
+    c = _ctx(spark)
+    out = f"/tmp/tuplex_spark_csv_{os.path.basename(sf_dir)}"
+    (c.parquet(os.path.join(sf_dir, "supplier.parquet"))
+       .selectColumns(["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+       .tocsv(out, num_parts=1))
+    ds = c.csv(out + "/part-*.csv")
+    agg = (ds.aggregateByKey(lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                             lambda a, x: (a[0] + x["s_acctbal"], a[1] + 1),
+                             (0.0, 0), ["s_nationkey"]))
+    return agg.toDF().select(
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        F.round(F.col("column0"), 2).alias("sum_bal"),
+        F.col("column1").alias("n"))
+
+
+# ======================================================================
+# Training-data pipeline ops (scale extensions; functions/)
+# ======================================================================
+
+def q_text_token_count(spark, sf_dir):
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark, sf_dir):
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark, sf_dir):
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                     n=2, threshold=0.2)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    return dedup.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"),
+                                     threshold=0.5)
+
+
+_QUERY_VEC = None
+
+
+def _query_vec(spark, sf_dir):
+    global _QUERY_VEC
+    if _QUERY_VEC is None or _QUERY_VEC[0] != sf_dir:
+        row = (_t(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") == 0).select("embedding").head())
+        _QUERY_VEC = (sf_dir, [float(x) for x in row[0]])
+    return _QUERY_VEC[1]
+
+
+def _centroids(spark, sf_dir, n=8):
+    rows = (_t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < n)
+            .select("vec_id", "embedding").collect())
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def q_ann_topk(spark, sf_dir):
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    qv = _query_vec(spark, sf_dir)
+    return similarity.cosine_topk(_t(spark, sf_dir, "embeddings"), qv, k=10)
+
+
+def q_ann_ivf(spark, sf_dir):
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    qv = _query_vec(spark, sf_dir)
+    cents = _centroids(spark, sf_dir)
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), qv, cents,
+                               k=10, nprobe=2)
+
+
+# ======================================================================
+# Event-stream ops (streaming module, batch-equivalent plans)
+# ======================================================================
+
+def q_events_windowed(spark, sf_dir):
+    from tuplex_spark.streaming import windowed_counts
+    _prep(spark)
+    out = windowed_counts(_t(spark, sf_dir, "events"), window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("window_start"),
+        "event_type", "n_events", "sum_value")
+
+
+def q_events_sessions(spark, sf_dir):
+    from tuplex_spark.streaming import sessionize
+    _prep(spark)
+    out = sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss")
+         .alias("session_start"),
+        "user_id", "n_events", "sum_value")
+
+
+def q_events_json(spark, sf_dir):
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(k).alias("sum_k"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q_events_top_users(spark, sf_dir):
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.round(F.sum("value"), 6).alias("total_value"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy(F.col("total_value").desc(), F.col("user_id"))
+            .limit(20))
+
+
+# ======================================================================
+# registry
+# ======================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q4": q_tpch_q4,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "tpch_q19": q_tpch_q19,
+        "ds_map_filter": q_ds_map_filter,
+        "ds_withcolumn": q_ds_withcolumn,
+        "ds_resolve": q_ds_resolve,
+        "ds_ignore": q_ds_ignore,
+        "ds_join": q_ds_join,
+        "ds_leftjoin": q_ds_leftjoin,
+        "ds_aggregate": q_ds_aggregate,
+        "ds_agg_bykey": q_ds_agg_bykey,
+        "ds_unique": q_ds_unique,
+        "ds_parallelize": q_ds_parallelize,
+        "ds_csv_roundtrip": q_ds_csv_roundtrip,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "ann_ivf": q_ann_ivf,
+        "events_windowed": q_events_windowed,
+        "events_sessions": q_events_sessions,
+        "events_json": q_events_json,
+        "events_top_users": q_events_top_users,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from tuplex_spark.functions import dedup, text
+
+    sqls = {
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+        "tpch_q3": """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
+        "tpch_q4": """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority""",
+        "tpch_q5": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
+        "tpch_q6": """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+        "tpch_q10": """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+        "tpch_q14": """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'""",
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 150
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey""",
+        "tpch_q19": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size <= 15
+       AND l_quantity >= 1 AND l_quantity <= 25)
+   OR (p_brand = 'Brand#22' AND p_size <= 25
+       AND l_quantity >= 5 AND l_quantity <= 35)
+   OR (p_brand = 'Brand#16' AND p_size <= 35
+       AND l_quantity >= 10 AND l_quantity <= 45)""",
+        "ds_map_filter": """
+SELECT l_orderkey AS okey,
+       round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_quantity < 10""",
+        "ds_withcolumn": """
+SELECT p_partkey, lower(p_type) AS p_type,
+       CAST(str_split(p_brand, '#')[2] AS BIGINT) AS brand_num
+FROM part WHERE p_size >= 25""",
+        "ds_resolve": """
+SELECT o_orderkey AS okey,
+       round(CASE WHEN o_custkey % 7 = 0 THEN -1.0
+             ELSE o_totalprice / (o_custkey % 7) END, 4) AS val
+FROM orders""",
+        "ds_ignore": """
+SELECT o_orderkey AS okey,
+       round(o_totalprice / (o_custkey % 7), 4) AS val
+FROM orders WHERE o_custkey % 7 <> 0""",
+        "ds_join": """
+SELECT n_nationkey, n_name, n_regionkey, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey""",
+        "ds_leftjoin": """
+SELECT c.c_nationkey, c.c_custkey, o.o_orderkey
+FROM customer c LEFT JOIN
+  (SELECT o_custkey, o_orderkey FROM orders
+   WHERE o_totalprice > 400000.0) o
+  ON c.c_custkey = o.o_custkey""",
+        "ds_aggregate": """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+        "ds_agg_bykey": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "ds_unique": """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem""",
+        "ds_parallelize": """
+SELECT n * n AS n2, upper(s) AS s_up, substr(s, 1, 1) AS first
+FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma'), (4, 'delta'))
+     t(n, s)""",
+        "ds_csv_roundtrip": """
+SELECT s_nationkey::INT AS s_nationkey,
+       round(sum(s_acctbal), 2) AS sum_bal,
+       count(*)::BIGINT AS n
+FROM supplier GROUP BY s_nationkey""",
+        "text_token_count": text.token_count_sql(),
+        "text_quality": text.quality_score_sql(),
+        "text_langid": text.language_id_sql(),
+        "text_fingerprint": text.doc_fingerprint_sql(),
+        "dedup_exact": dedup.dedup_exact_sql(),
+        "dedup_minhash": dedup.minhash_lsh_pairs_sql(),
+        "dedup_simhash": dedup.simhash_pairs_sql(),
+        "dedup_jaccard": dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2),
+        "dedup_embedding": dedup.embedding_dup_pairs_sql(threshold=0.5),
+        "events_windowed": """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2""",
+        "events_json": """
+SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type""",
+        "events_top_users": """
+SELECT user_id, round(sum(value), 6) AS total_value,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 20""",
+        "events_sessions": """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked
+)
+SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       user_id, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM numbered GROUP BY user_id, session_no""",
+    }
+    # ann_topk / ann_ivf need the query vector read at oracle-build time;
+    # the driver calls oracle_sql() without a spark session, so embed the
+    # vector via DuckDB scalar subqueries instead of literals.
+    sqls["ann_topk"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[],
+                                  embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10"""
+    sqls["ann_ivf"] = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = 0),
+cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+         FROM embeddings WHERE vec_id < 8),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY round(list_dot_product(cvec, q.qv)
+    / (sqrt(list_dot_product(cvec, cvec))
+       * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, cid
+  LIMIT 2
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         round(list_dot_product(e.embedding::DOUBLE[], c.cvec)
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS ccos
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+    FROM scored) WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                  a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM assigned a, q
+ORDER BY cosine DESC, a.vec_id
+LIMIT 10"""
+    return sqls

@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.  Each query runs through the same
+entry points the correctness driver uses (__spark_entry__.queries()), so
+benchmarked plans are exactly the graded plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q19",
+    "ds_map_filter", "ds_agg_bykey", "ds_resolve",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "ann_topk", "text_quality", "text_langid",
+    "events_windowed", "events_top_users",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from tuplex_spark import build_session
+    spark = build_session("bench", {})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    names = [n for n in (sys.argv[1:] or HEADLINE) if n in qs]
+
+    # JVM warmup: a parquet scan + shuffle so query 1 isn't charged
+    # reader/codegen/shuffle machinery init
+    warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    warm.groupBy("r_name").count().collect()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            times[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+        except Exception as e:
+            times[name] = -1.0
+            print(f"# {name}: FAILED {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

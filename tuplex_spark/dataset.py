@@ -92,7 +92,7 @@ class DataSet:
         arity = getattr(getattr(fn, "__code__", None), "co_argcount", 1)
         for row in self._sample:
             try:
-                r = fallback._apply(fn, row, arity)
+                r = fallback._apply(fn, row, arity, self._columns)
             except Exception:
                 continue
             if mode == "filter":
@@ -231,7 +231,7 @@ class DataSet:
                     vals[target_col] = r
                     out.append(tuple(vals[c] for c in cols))
                 else:  # withColumn
-                    r = fallback._apply(fn, tup, arity)
+                    r = fallback._apply(fn, tup, arity, cols)
                     vals[new_col] = r
                     names = cols if new_col in cols else cols + [new_col]
                     out.append(tuple(vals[c] for c in names))
@@ -252,7 +252,7 @@ class DataSet:
             out_kind = "scalar"
         else:
             specs, out_kind = fallback.infer_output_type(
-                fn, sample_in, len(in_cols))
+                fn, sample_in, len(in_cols), in_cols)
             if kind in ("withColumn", "mapColumn"):
                 name = new_col if kind == "withColumn" else target_col
                 out_specs = [(name, specs[0][1])]
@@ -389,32 +389,24 @@ class DataSet:
         payload = F.from_json(F.col(EXC_PAYLOAD), in_struct)
         match = (F.col(EXC_OP) == op.name) & F.col(EXC_CODE).isin(codes)
 
+        # bind the resolver's column references onto the parsed payload
+        # fields (materialized as __res_in_* columns) via col_map
+        names = [f.name for f in in_struct.fields]
+        remap = {n: f"__res_in_{n}" for n in names}
         res_compiled = None
         try:
             res_compiled = compiler.compile_udf(
-                ftor, in_struct, with_guards=self._exc_enabled)
+                ftor, in_struct, with_guards=self._exc_enabled,
+                col_map=remap)
         except CompileError:
             pass
 
         if res_compiled is None:
             return self._resolve_fallback(op, ftor, match, in_struct)
 
-        # rebind compiled expr columns onto the payload struct
-        names = [f.name for f in in_struct.fields]
         sub = self._df.select(
             *self._df.columns,
-            *[payload.getField(n).alias(f"__res_in_{n}") for n in names])
-        remap = {n: f"__res_in_{n}" for n in names}
-        tr = compiler.Translator(
-            T.StructType([T.StructField(remap[f.name], f.dataType, True)
-                          for f in in_struct.fields]),
-            {}, self._exc_enabled)
-        # recompile against prefixed schema by renaming fields
-        prefixed = T.StructType([
-            T.StructField(remap[f.name], f.dataType, True)
-            for f in in_struct.fields])
-        res_compiled = compiler.compile_udf(
-            ftor, prefixed, with_guards=self._exc_enabled)
+            *[payload.getField(n).alias(remap[n]) for n in names])
         outs = res_compiled.as_columns()
         res_guard = None
         for g, c in res_compiled.guards:
@@ -482,7 +474,8 @@ class DataSet:
                         arity = getattr(getattr(fn, "__code__", None),
                                         "co_argcount", 1)
                         r = fallback._apply(
-                            fn, vals if len(vals) != 1 else vals[0], arity)
+                            fn, vals if len(vals) != 1 else vals[0], arity,
+                            names)
                         if kind == "filter":
                             if not r:
                                 drop[i] = True

@@ -1,0 +1,351 @@
+"""Deduplication for training-data pipelines.
+
+Five strategies, all shuffle-aware and expressed in built-in Column
+functions (portable to the DuckDB oracle via the *_sql twins):
+
+- exact:        hash-groupBy on normalized text; keep min id.
+- minhash LSH:  word-shingles -> H minhashes -> B bands -> band-bucket
+                self-join.  The classic near-dup pipeline (Broder '97 /
+                Leskovec MMDS ch.3).  Hash = md5 hex (lexicographic min),
+                identical strings in any engine.
+- simhash:      16-bit Charikar simhash from per-token md5 bits; pairs
+                within Hamming distance k.
+- ngram jaccard: exact Jaccard on distinct word n-grams for candidate
+                pairs sharing >=1 shingle (inverted-index join, no O(n^2)).
+- embedding:    cosine >= threshold pairs over an embedding column.
+
+Scale notes (100 TB): every strategy avoids a cross join — candidates come
+from equality self-joins on bucket keys (band hash / shingle / simhash
+prefix), which Spark executes as shuffled hash joins partitioned by the
+bucket key.  Skewed buckets (stopword shingles) are capped via
+``max_bucket`` to bound the quadratic pair blow-up per bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import tokens
+
+
+def normalize_text(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text group.
+
+    Groups on md5 of the normalized text, not the text itself — at scale
+    the shuffle then moves 32-byte digests instead of documents."""
+    key = F.md5(normalize_text(text_col))
+    return (df.select(F.col(id_col), key.alias("__k"))
+              .groupBy("__k")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count(F.lit(1)).alias("n_copies"))
+              .select("keep_id", "n_copies"))
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the lowercased text.
+
+    Guarded for short docs: Spark's sequence(1, 0) DESCENDS instead of
+    returning [], so the when() keeps semantics aligned with DuckDB's
+    empty generate_series."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")) \
+        .otherwise(F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n),
+                                                    " "))))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", num_hashes: int = 12,
+                      bands: int = 4, shingle_n: int = 3,
+                      max_bucket: int = 50) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing >=1 LSH band.
+
+    rows = docs; bands columns -> explode -> self-join on (band, hash).
+
+    Staged projections matter here: shingles are materialized ONCE, then
+    the H minhash transforms read the stored array, then band hashes read
+    the stored signature columns.  Inlining the whole tree per column
+    (higher-order funcs are interpreted, no subexpression elimination)
+    recomputes tokenization H*B times — 40x slower at sf0.1.
+    """
+    rows_per_band = num_hashes // bands
+    toks = tokens(text_col)
+    sh_df = (df.filter(F.size(toks) >= shingle_n)
+               .select(F.col(id_col).alias("id"),
+                       word_shingles(text_col, shingle_n).alias("sh")))
+    sig_df = sh_df.select("id", *[
+        F.array_min(F.transform(
+            F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        .alias(f"m{i}")
+        for i in range(num_hashes)])
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"m{i}")
+                                 for i in range(b * rows_per_band,
+                                                (b + 1) * rows_per_band)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    base = sig_df.select("id", *band_cols)
+    buckets = base.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("h"))
+            for b in range(bands)])).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
+    # cap runaway buckets (skew guard); deterministic by id order
+    w = Window.partitionBy("band", "h").orderBy("id")
+    buckets = buckets.withColumn("rn", F.row_number().over(w)) \
+                     .filter(F.col("rn") <= max_bucket).drop("rn")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.h") == F.col("b.h"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """Charikar simhash over token md5s (first 4 hex chars -> 16 bits)."""
+    tok = F.explode(tokens(text_col)).alias("tok")
+    ex = df.select(F.col(id_col).alias("id"), tok)
+    v = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    ex = ex.select("id", v.alias("v"))
+    aggs = [
+        F.sum(F.when(F.shiftright(F.col("v"), j).bitwiseAND(1) == 1,
+                     1).otherwise(-1)).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    per_doc = ex.groupBy("id").agg(*aggs)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, 2 ** j).otherwise(0)
+        fp = term if fp is None else (fp + term)
+    return per_doc.select("id", fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance; blocked on the simhash top byte so
+    the self-join is an equality join, not a cross join."""
+    sh = simhash(df, text_col, id_col)
+    blocked = sh.withColumn("blk", F.shiftright(F.col("simhash"), 8))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .filter(ham <= max_hamming)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    ham.cast("long").alias("hamming")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5,
+                        max_bucket: int = 50) -> DataFrame:
+    """Exact Jaccard similarity on distinct word n-grams for pairs sharing
+    at least one shingle (inverted index join -> no cross join)."""
+    sh = word_shingles(text_col, n)
+    base = df.select(F.col(id_col).alias("id"), sh.alias("sh")) \
+             .filter(F.size("sh") > 0)
+    inv = base.select("id", F.explode("sh").alias("s"))
+    w = Window.partitionBy("s").orderBy("id")
+    inv = inv.withColumn("rn", F.row_number().over(w)) \
+             .filter(F.col("rn") <= max_bucket).drop("rn")
+    cand = (inv.alias("a").join(inv.alias("b"),
+                                (F.col("a.s") == F.col("b.s"))
+                                & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    sa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    jac = F.round(inter / union, 6)
+    return (joined.select("id_a", "id_b", jac.alias("jaccard"))
+                  .filter(F.col("jaccard") >= threshold))
+
+
+def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        threshold: float = 0.9,
+                        block_col: str | None = "label") -> DataFrame:
+    """Near-duplicate pairs by cosine similarity.  With ``block_col`` the
+    self-join is an equality join per block (at scale: replace with an
+    LSH/IVF bucket column); without it, a full cross join (small inputs
+    only)."""
+    from .similarity import cosine_sim
+    v = df.select(F.col(id_col).alias("id"),
+                  F.col(vec_col).alias("v"),
+                  *( [F.col(block_col).alias("blk")] if block_col else []))
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if block_col:
+        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    cos = cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (a.join(b, cond)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+# ---- SQL twins (DuckDB oracle) -------------------------------------------
+
+from .text import TOKENS_SQL
+
+SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len({toks}) - {nm1}, 0)), "
+    "i -> array_to_string(list_slice({toks}, i, i + {nm1}), ' ')))"
+)
+
+
+def _shingles_sql(text_col: str, n: int) -> str:
+    toks = TOKENS_SQL.format(c=text_col)
+    return SHINGLES_SQL.format(toks=toks, nm1=n - 1)
+
+
+def dedup_exact_sql(table="documents", text_col="text", id_col="doc_id"):
+    return f"""
+SELECT min({id_col}) AS keep_id, count(*)::BIGINT AS n_copies
+FROM {table}
+GROUP BY regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')"""
+
+
+def minhash_lsh_pairs_sql(table="documents", text_col="text",
+                          id_col="doc_id", num_hashes=12, bands=4,
+                          shingle_n=3, max_bucket=50):
+    r = num_hashes // bands
+    toks = TOKENS_SQL.format(c=text_col)
+    sh = _shingles_sql(text_col, shingle_n)
+    sig_cols = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS m{i}"
+        for i in range(num_hashes))
+    band_cols = ",\n    ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"m{i}" for i in range(b * r, (b + 1) * r))
+        + f")) AS band{b}"
+        for b in range(bands))
+    band_structs = ", ".join(
+        f"({b}, band{b})" for b in range(bands))
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sh} AS sh
+  FROM {table}
+  WHERE len({toks}) >= {shingle_n}
+), sig AS (
+  SELECT id,
+    {sig_cols}
+  FROM base
+), bnd AS (
+  SELECT id,
+    {band_cols}
+  FROM sig
+), buckets_all AS (
+  {" UNION ALL ".join(f"SELECT id, {b} AS band, band{b} AS h FROM bnd" for b in range(bands))}
+), buckets AS (
+  SELECT id, band, h FROM (
+    SELECT id, band, h,
+           row_number() OVER (PARTITION BY band, h ORDER BY id) AS rn
+    FROM buckets_all) WHERE rn <= {max_bucket}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.h = b.h AND a.id < b.id"""
+
+
+def simhash_sql(table="documents", text_col="text", id_col="doc_id",
+                bits=16):
+    toks = TOKENS_SQL.format(c=text_col)
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits))
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS id,
+         CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) AS v
+  FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table})
+), per_doc AS (
+  SELECT id,
+    {sums}
+  FROM ex GROUP BY id
+)
+SELECT id, CAST({fp} AS BIGINT) AS simhash FROM per_doc"""
+
+
+def simhash_pairs_sql(table="documents", text_col="text", id_col="doc_id",
+                      max_hamming=3, bits=16):
+    inner = simhash_sql(table, text_col, id_col, bits)
+    return f"""
+WITH sh AS ({inner}),
+blocked AS (SELECT id, simhash, simhash >> 8 AS blk FROM sh)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+def ngram_jaccard_pairs_sql(table="documents", text_col="text",
+                            id_col="doc_id", n=3, threshold=0.5,
+                            max_bucket=50):
+    sh = _shingles_sql(text_col, n)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {sh} AS sh FROM {table}
+  WHERE len({sh}) > 0
+), inv AS (
+  SELECT id, s FROM (
+    SELECT id, unnest(sh) AS s FROM base
+  )
+), capped AS (
+  SELECT id, s FROM (
+    SELECT id, s, row_number() OVER (PARTITION BY s ORDER BY id) AS rn
+    FROM inv) WHERE rn <= {max_bucket}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM capped a JOIN capped b ON a.s = b.s AND a.id < b.id
+), j AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)
+              - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)), 6)
+           AS jaccard
+  FROM cand c
+  JOIN base sa ON sa.id = c.id_a
+  JOIN base sb ON sb.id = c.id_b
+)
+SELECT * FROM j WHERE jaccard >= {threshold}"""
+
+
+def embedding_dup_pairs_sql(table="embeddings", vec_col="embedding",
+                            id_col="vec_id", threshold=0.9,
+                            block_col="label"):
+    blk = f"AND a.{block_col} = b.{block_col}" if block_col else ""
+    return f"""
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       round(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])
+         / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[],
+                                  a.{vec_col}::DOUBLE[]))
+            * sqrt(list_dot_product(b.{vec_col}::DOUBLE[],
+                                    b.{vec_col}::DOUBLE[]))), 6) AS cosine
+FROM {table} a JOIN {table} b
+  ON a.{id_col} < b.{id_col} {blk}
+WHERE round(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])
+       / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[], a.{vec_col}::DOUBLE[]))
+          * sqrt(list_dot_product(b.{vec_col}::DOUBLE[],
+                                  b.{vec_col}::DOUBLE[]))), 6)
+      >= {threshold}"""

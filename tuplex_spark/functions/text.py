@@ -1,0 +1,182 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language identification, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen; no UDFs): at 100 TB
+these run as a single projection over the scan with full predicate
+pushdown.  Each op's SQL twin (for the DuckDB oracle) lives in
+__spark_entry__.py; expressions are written with identical shapes and
+rounding on both sides so value hashes match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# shared tokenizer: lowercase, split on whitespace runs
+def tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+# BPE-ish subword proxy: alnum runs and single non-alnum glyphs, the common
+# pre-tokenization regex shape used by BPE vocabularies
+BPE_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu",
+           "den"],
+    "es": ["el", "los", "de", "y", "es", "un", "una", "en", "para", "por"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "qui",
+           "au"],
+}
+_LANG_ORDER = ["en", "de", "es", "fr"]  # deterministic tie-break priority
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count per document."""
+    t = F.col(text_col)
+    ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)) \
+        .otherwise(F.size(tokens(text_col))).cast("long")
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_REGEX), 0)).cast("long")
+    return df.select(F.col(id_col),
+                     ws.alias("n_tokens"),
+                     bpe.alias("n_subwords"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1] from length / punctuation /
+    stopword signals (the usual pretraining-corpus filters)."""
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks).cast("double")
+    n_char = F.length(t).cast("double")
+    punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), 0)) \
+        .cast("double")
+    punct_ratio = punct / F.greatest(n_char, F.lit(1.0))
+    dist = F.array_distinct(toks)
+    stop_hits = F.size(F.array_intersect(
+        dist, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))).cast("double")
+    stop_ratio = stop_hits / F.greatest(F.size(dist).cast("double"),
+                                        F.lit(1.0))
+    mean_tok_len = n_char / F.greatest(n_tok, F.lit(1.0))
+    score = (F.lit(0.3) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+             + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0),
+                                                  F.lit(1.0)))
+             + F.lit(0.2) * F.least(stop_ratio * F.lit(3.0), F.lit(1.0))
+             + F.lit(0.2) * F.least(mean_tok_len / F.lit(10.0), F.lit(1.0)))
+    return df.select(
+        F.col(id_col),
+        F.round(n_char, 6).alias("chars"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"))
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID (n-gram-free heuristic; deterministic
+    tie-break by fixed language priority)."""
+    dist = F.array_distinct(tokens(text_col))
+    hits = {}
+    for lang in _LANG_ORDER:
+        hits[lang] = F.size(F.array_intersect(
+            dist, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
+    best = F.greatest(*[hits[l] for l in _LANG_ORDER])
+    expr = F.when(best <= 0, F.lit("unknown"))
+    for lang in _LANG_ORDER:
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return df.select(F.col(id_col), expr.alias("detected_lang"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted distinct
+    token set (near-dup grouping key for normalized text)."""
+    dist = F.array_sort(F.array_distinct(tokens(text_col)))
+    fp = F.md5(F.array_join(dist, " "))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+# ---- SQL twins (DuckDB oracle) -------------------------------------------
+
+TOKENS_SQL = "str_split_regex(trim(lower({c})), '\\s+')"
+
+
+def token_count_sql(table="documents", text_col="text", id_col="doc_id"):
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+SELECT {id_col},
+       CASE WHEN length(trim({text_col})) = 0 THEN 0
+            ELSE len({toks}) END::BIGINT AS n_tokens,
+       len(regexp_extract_all({text_col},
+           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))::BIGINT AS n_subwords
+FROM {table}"""
+
+
+def quality_score_sql(table="documents", text_col="text", id_col="doc_id"):
+    toks = TOKENS_SQL.format(c=text_col)
+    stop = "', '".join(STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         CAST(len({toks}) AS DOUBLE) AS n_tok,
+         CAST(length({text_col}) AS DOUBLE) AS n_char,
+         CAST(len(regexp_extract_all({text_col}, '[^A-Za-z0-9\\s]'))
+              AS DOUBLE) AS punct,
+         list_distinct({toks}) AS dist
+  FROM {table}
+), m AS (
+  SELECT {id_col}, n_char,
+         punct / greatest(n_char, 1.0) AS punct_ratio,
+         CAST(len(list_intersect(dist, ['{stop}'])) AS DOUBLE)
+           / greatest(CAST(len(dist) AS DOUBLE), 1.0) AS stop_ratio,
+         n_char / greatest(n_tok, 1.0) AS mean_tok_len, n_tok
+  FROM base
+)
+SELECT {id_col},
+       round(n_char, 6) AS chars,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(stop_ratio, 6) AS stop_ratio,
+       round(0.3 * least(n_tok / 100.0, 1.0)
+           + 0.3 * (1.0 - least(punct_ratio * 5.0, 1.0))
+           + 0.2 * least(stop_ratio * 3.0, 1.0)
+           + 0.2 * least(mean_tok_len / 10.0, 1.0), 6) AS quality
+FROM m"""
+
+
+def language_id_sql(table="documents", text_col="text", id_col="doc_id"):
+    toks = TOKENS_SQL.format(c=text_col)
+    hit_cols = []
+    for lang in _LANG_ORDER:
+        words = "', '".join(STOPWORDS[lang])
+        hit_cols.append(
+            f"len(list_intersect(dist, ['{words}'])) AS hit_{lang}")
+    hits = ", ".join(hit_cols)
+    best = "greatest(" + ", ".join(f"hit_{l}" for l in _LANG_ORDER) + ")"
+    whens = "\n         ".join(
+        f"WHEN hit_{l} = best THEN '{l}'" for l in _LANG_ORDER)
+    return f"""
+WITH base AS (
+  SELECT {id_col}, list_distinct({toks}) AS dist FROM {table}
+), h AS (
+  SELECT {id_col}, {hits} FROM base
+), b AS (
+  SELECT *, {best} AS best FROM h
+)
+SELECT {id_col},
+       CASE WHEN best <= 0 THEN 'unknown'
+         {whens}
+       END AS detected_lang
+FROM b"""
+
+
+def doc_fingerprint_sql(table="documents", text_col="text", id_col="doc_id"):
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+SELECT {id_col},
+       md5(array_to_string(list_sort(list_distinct({toks})), ' '))
+         AS fingerprint
+FROM {table}"""

@@ -202,11 +202,14 @@ def aggregate_general(ds, combine, aggregate, initial_value, keys):
     if keys:
         return _fold_by_key(ds, df, parked, combine, aggregate,
                             initial_value, keys, schema, out_names)
+    cols0 = [f.name for f in schema.fields]
     vals = df.rdd.map(lambda r: tuple(r) if len(r) > 1 else r[0])
-    result = vals.treeAggregate(
-        initial_value,
-        lambda a, row: aggregate(a, row),
-        lambda a, b: combine(a, b))
+
+    def seq(a, row):
+        return aggregate(a, FB.UDFRow(row, cols0)
+                         if isinstance(row, tuple) else row)
+    result = vals.treeAggregate(initial_value, seq,
+                                lambda a, b: combine(a, b))
     rows = [result if isinstance(result, tuple) else (result,)]
     spark = ds._ctx.spark
     stypes = [infer_type(v) or T.NullType() for v in rows[0]]
@@ -228,7 +231,8 @@ def _fold_by_key(ds, df, parked, combine, aggregate, initial_value, keys,
     for row in ds._sample[:50]:
         r = row if isinstance(row, tuple) else (row,)
         try:
-            state = aggregate(state, r if len(r) != 1 else r[0])
+            state = aggregate(state,
+                              FB.UDFRow(r, cols) if len(r) != 1 else r[0])
         except Exception:
             continue
     outs = state if isinstance(state, tuple) else (state,)
@@ -246,7 +250,8 @@ def _fold_by_key(ds, df, parked, combine, aggregate, initial_value, keys,
         for row in pdf[cols].itertuples(index=False, name=None):
             cleaned = tuple(FB._clean(v) for v in row)
             state = aggregate(state,
-                              cleaned if len(cleaned) != 1 else cleaned[0])
+                              FB.UDFRow(cleaned, cols) if len(cleaned) != 1
+                              else cleaned[0])
         outs = state if isinstance(state, tuple) else (state,)
         data = {k: [pdf[k].iloc[0]] for k in keys}
         data.update({n: [v] for n, v in zip(out_names, outs)})

@@ -1,0 +1,1 @@
+from .inspect import explain_summary, assert_pushdown  # noqa: F401

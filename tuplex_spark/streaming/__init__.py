@@ -1,0 +1,1 @@
+from .events import windowed_counts, sessionize, stream_from_directory  # noqa: F401

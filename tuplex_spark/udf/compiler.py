@@ -46,8 +46,10 @@ class Sym:
 
 
 class SCol(Sym):
-    def __init__(self, col: Column, tag: str, nullable: bool = False):
+    def __init__(self, col: Column, tag: str, nullable: bool = False,
+                 elem: str | None = None):
         self.col, self.tag, self.nullable = col, tag, nullable
+        self.elem = elem  # element tag when tag == "array"
 
     def __repr__(self):
         return f"SCol({self.tag})"
@@ -183,9 +185,11 @@ _NUM_TAGS = {"bool", "int", "float"}
 
 class Translator:
     def __init__(self, schema: T.StructType, env: dict,
-                 with_guards: bool = True):
+                 with_guards: bool = True,
+                 col_map: dict[str, str] | None = None):
         self.schema = schema
         self.env = env
+        self.col_map = col_map or {}  # schema name -> physical df column
         self.with_guards = with_guards
         self.guards: list[tuple[Column, int]] = []
         self.accessed: set[str] = set()
@@ -228,7 +232,11 @@ class Translator:
 
     def _field_sym(self, f: T.StructField) -> SCol:
         self.accessed.add(f.name)
-        return SCol(F.col(f.name), spark_tag(f.dataType), f.nullable)
+        phys = self.col_map.get(f.name, f.name)
+        elem = None
+        if isinstance(f.dataType, T.ArrayType):
+            elem = spark_tag(f.dataType.elementType)
+        return SCol(F.col(phys), spark_tag(f.dataType), f.nullable, elem)
 
     # -- guard plumbing --------------------------------------------------
     def guard(self, cond: Column, exc: str, path: Column | None = None):
@@ -562,7 +570,8 @@ class Translator:
                 n = F.size(base.col)
                 self.guard((i >= n) | (i < -n), "IndexError")
                 pos = F.when(i >= 0, i + 1).otherwise(n + i + 1)
-                return SCol(F.element_at(base.col, pos.cast("int")), "any", True)
+                return SCol(F.element_at(base.col, pos.cast("int")),
+                            base.elem or "any", True)
             if base.tag == "map":
                 k = self.to_col(idx)
                 self.guard(~F.map_contains_key(base.col, k), "KeyError")
@@ -1098,11 +1107,12 @@ class Translator:
             if args:
                 sep = const_arg(0)
                 return SCol(F.split(c, _re_mod.escape(sep), -1), "array",
-                            nullable)
+                            nullable, elem="str")
             t = F.regexp_replace(c, r"^\s+|\s+$", "")
             return SCol(F.when(F.length(t) == 0,
                                F.array().cast("array<string>"))
-                        .otherwise(F.split(t, r"\s+")), "array", nullable)
+                        .otherwise(F.split(t, r"\s+")), "array", nullable,
+                        elem="str")
         if name in ("startswith", "endswith"):
             a = self.to_col(args[0])
             f = F.startswith if name == "startswith" else F.endswith
@@ -1264,7 +1274,11 @@ def _unify_tags(a: str, b: str) -> str:
 
 
 def compile_udf(fn, schema: T.StructType, env: dict | None = None,
-                with_guards: bool = True) -> CompiledUDF:
-    """Compile ``fn`` against ``schema``; raises CompileError on failure."""
-    tr = Translator(schema, env or {}, with_guards)
+                with_guards: bool = True,
+                col_map: dict | None = None) -> CompiledUDF:
+    """Compile ``fn`` against ``schema``; raises CompileError on failure.
+
+    ``col_map`` redirects schema field names to physical DataFrame column
+    names (used by resolve() to bind the resolver onto payload fields)."""
+    tr = Translator(schema, env or {}, with_guards, col_map)
     return tr.compile(fn)

@@ -27,7 +27,7 @@ EXC_PAYLOAD = "__exc_payload"
 EXC_OP = "__exc_op"
 
 
-def infer_output_type(fn, sample_rows, arity: int):
+def infer_output_type(fn, sample_rows, arity: int, names=None):
     """Run fn over sample python rows; widen result types.
 
     Returns (result_type_per_output, out_kind) where out_kind is
@@ -36,7 +36,7 @@ def infer_output_type(fn, sample_rows, arity: int):
     results = []
     for row in sample_rows:
         try:
-            results.append(_apply(fn, row, arity))
+            results.append(_apply(fn, row, arity, names))
         except Exception:
             continue
     if not results:
@@ -77,14 +77,46 @@ def _widen(values):
     return (t or T.NullType()), nullable or t is None
 
 
-def _apply(fn, row, arity):
+class UDFRow:
+    """Row passed to fallback UDFs: supports both positional (x[0]) and
+    column-name (x['col']) access, mirroring the reference's dict-access
+    rewriting (core/src/UDF.cc rewriteDictAccessInAST) at runtime."""
+    __slots__ = ("_v", "_names")
+
+    def __init__(self, values, names):
+        self._v = tuple(values)
+        self._names = names
+
+    def __getitem__(self, k):
+        if isinstance(k, str):
+            return self._v[self._names.index(k)]
+        return self._v[k]
+
+    def __len__(self):
+        return len(self._v)
+
+    def __iter__(self):
+        return iter(self._v)
+
+    def __eq__(self, other):
+        return tuple(self) == tuple(other)
+
+    def __repr__(self):
+        return repr(self._v)
+
+
+def _apply(fn, row, arity, names=None):
     """Call fn the way the reference calls row UDFs: a single-column row is
-    passed as the bare value, a multi-column row as one tuple arg unless the
-    function declares matching arity."""
-    if isinstance(row, tuple):
+    passed as the bare value, a multi-column row as one row arg (positional
+    + named access) unless the function declares matching arity."""
+    if isinstance(row, (tuple, UDFRow)):
         if arity == len(row) and arity > 1:
             return fn(*row)
-        return fn(row if len(row) > 1 else row[0])
+        if len(row) == 1:
+            return fn(tuple(row)[0])
+        if names is not None and not isinstance(row, UDFRow):
+            row = UDFRow(row, names)
+        return fn(row)
     return fn(row)
 
 
@@ -140,7 +172,8 @@ def make_map_in_pandas(fn, in_fields: list[str], out_specs, out_kind,
                     continue
                 row = tuple(_clean(col.iloc[i]) for col in in_cols)
                 try:
-                    r = _apply(fn, row if len(row) != 1 else row[0], arity)
+                    r = _apply(fn, row if len(row) != 1 else row[0], arity,
+                               in_fields)
                     if out_kind == "tuple":
                         for j, name in enumerate(out_names):
                             outs[name][i] = r[j]
