@@ -1,0 +1,270 @@
+"""Differential tests: compiled UDFs vs CPython on the same inputs.
+
+Mirrors the reference's per-feature python tests (test_arithmetic.py,
+test_strings.py, test_math.py, test_logical.py, ...) with the
+CPython-differential pattern of test_fallback.py.
+"""
+
+import math
+
+import pytest
+
+from conftest import run_diff
+
+
+NUMS = [1, 2, 3, -4, 10, 0, 7]
+FLOATS = [1.5, -2.25, 0.0, 3.75, 100.5]
+STRINGS = ["hello", "World", "  pad  ", "a,b,c", "", "MiXeD", "12345",
+           "3.75", "x"]
+PAIRS = [(1, 10.0), (2, -3.5), (3, 0.25), (0, 7.5)]
+
+
+class TestArithmetic:
+    def test_add_mul(self, ctx):
+        run_diff(ctx, NUMS, lambda x: x * 2 + 1)
+
+    def test_true_div(self, ctx):
+        run_diff(ctx, NUMS, lambda x: x / 2)
+
+    def test_floor_div_mod(self, ctx):
+        run_diff(ctx, NUMS, lambda x: (x // 3, x % 3))
+
+    def test_neg_mod_sign(self, ctx):
+        # CPython: sign follows divisor
+        run_diff(ctx, [-7, -1, 1, 7], lambda x: (x % 3, x % -3, x // -2))
+
+    def test_pow(self, ctx):
+        run_diff(ctx, [1, 2, 3, 4], lambda x: x ** 2)
+
+    def test_float_arith(self, ctx):
+        run_diff(ctx, FLOATS, lambda x: x * 0.5 - 1.25)
+
+    def test_div_by_zero_exceptions(self, ctx):
+        ds = run_diff(ctx, NUMS, lambda x: 10 // x)
+        assert ds.exception_counts == {"ZeroDivisionError": 1}
+
+    def test_unary(self, ctx):
+        run_diff(ctx, NUMS, lambda x: (-x, +x, abs(x)))
+
+    def test_bitwise(self, ctx):
+        run_diff(ctx, [1, 2, 3, 12], lambda x: (x & 3, x | 8, x ^ 5,
+                                                x << 2, x >> 1))
+
+    def test_chained_compare(self, ctx):
+        run_diff(ctx, NUMS, lambda x: 0 < x < 5, op="filter")
+
+    def test_ternary(self, ctx):
+        run_diff(ctx, NUMS, lambda x: x if x > 0 else -x)
+
+    def test_min_max_round(self, ctx):
+        run_diff(ctx, FLOATS, lambda x: (min(x, 2.0), max(x, 0.0),
+                                         round(x), round(x, 1)))
+
+
+class TestStrings:
+    def test_case_ops(self, ctx):
+        run_diff(ctx, STRINGS, lambda s: (s.lower(), s.upper(),
+                                          s.capitalize()))
+
+    def test_strip(self, ctx):
+        run_diff(ctx, STRINGS, lambda s: (s.strip(), s.lstrip(), s.rstrip()))
+
+    def test_strip_chars(self, ctx):
+        run_diff(ctx, ["xxhixx", "xhix", "hi"], lambda s: s.strip("x"))
+
+    def test_replace_concat_repeat(self, ctx):
+        run_diff(ctx, STRINGS, lambda s: (s.replace("l", "L") + "!", s * 2))
+
+    def test_find_index_count(self, ctx):
+        run_diff(ctx, STRINGS, lambda s: (s.find("l"), s.rfind("l"),
+                                          s.count("l")))
+
+    def test_startswith_contains(self, ctx):
+        run_diff(ctx, STRINGS,
+                 lambda s: s.startswith("h") or s.endswith("d") or "," in s,
+                 op="filter")
+
+    def test_split_join(self, ctx):
+        run_diff(ctx, ["a,b,c", "x,y", "solo"],
+                 lambda s: "-".join(s.split(",")))
+
+    def test_split_index(self, ctx):
+        run_diff(ctx, ["a,b,c", "x,y,z"], lambda s: s.split(",")[1])
+
+    def test_whitespace_split(self, ctx):
+        run_diff(ctx, ["a b  c", "  x ", ""], lambda s: len(s.split()))
+
+    def test_subscript_slice(self, ctx):
+        run_diff(ctx, ["hello", "world", "ab"],
+                 lambda s: (s[0], s[-1], s[1:3], s[:2], s[-2:], s[::-1]))
+
+    def test_is_predicates(self, ctx):
+        run_diff(ctx, STRINGS, lambda s: (s.isdigit(), s.isalpha(),
+                                          s.isalnum()))
+
+    def test_len_fstring(self, ctx):
+        run_diff(ctx, STRINGS, lambda s: f"<{s}:{len(s)}>")
+
+    def test_zfill_center(self, ctx):
+        run_diff(ctx, ["5", "42", "-7", "12345"], lambda s: s.zfill(4))
+
+    def test_format(self, ctx):
+        run_diff(ctx, NUMS, lambda x: "num={}!".format(x))
+
+    def test_str_cast(self, ctx):
+        run_diff(ctx, NUMS, lambda x: str(x))
+        run_diff(ctx, [True, False], lambda x: str(x))
+
+    def test_index_raises(self, ctx):
+        ds = run_diff(ctx, ["hello", "xyz"], lambda s: s.index("l"))
+        assert ds.exception_counts == {"ValueError": 1}
+
+
+class TestCasts:
+    def test_int_of_str(self, ctx):
+        ds = run_diff(ctx, ["12", " 34 ", "3.5", "abc", "-7"],
+                      lambda s: int(s))
+        assert ds.exception_counts == {"ValueError": 2}
+
+    def test_float_of_str(self, ctx):
+        ds = run_diff(ctx, ["1.5", "2", "abc", "-3.25"], lambda s: float(s))
+        assert ds.exception_counts == {"ValueError": 1}
+
+    def test_int_of_float_truncates(self, ctx):
+        run_diff(ctx, [1.9, -1.9, 0.5], lambda x: int(x))
+
+    def test_bool(self, ctx):
+        run_diff(ctx, NUMS, lambda x: bool(x))
+        run_diff(ctx, STRINGS, lambda s: bool(s))
+
+
+class TestMath:
+    def test_basic(self, ctx):
+        run_diff(ctx, [0.5, 1.0, 2.0],
+                 lambda x: (math.sin(x), math.cos(x), math.exp(x),
+                            math.sqrt(x)))
+
+    def test_log_domain(self, ctx):
+        ds = run_diff(ctx, [1.0, math.e, -1.0, 0.0], lambda x: math.log(x))
+        assert ds.exception_counts == {"ValueError": 2}
+
+    def test_floor_ceil(self, ctx):
+        run_diff(ctx, FLOATS, lambda x: (math.floor(x), math.ceil(x)))
+
+    def test_constants(self, ctx):
+        run_diff(ctx, FLOATS, lambda x: x * math.pi + math.e)
+
+    def test_pow_atan2(self, ctx):
+        run_diff(ctx, [1.0, 2.0, 3.0],
+                 lambda x: (math.pow(x, 2.5), math.atan2(x, 2.0)))
+
+
+class TestRegex:
+    def test_search_filter(self, ctx):
+        import re
+        run_diff(ctx, STRINGS, lambda s: bool(re.search("l+o", s)),
+                 op="filter")
+
+    def test_sub(self, ctx):
+        import re
+        run_diff(ctx, STRINGS, lambda s: re.sub("[aeiou]", "_", s))
+
+    def test_group(self, ctx):
+        import re
+        ds = run_diff(ctx, ["ab12cd", "xy99", "none"],
+                      lambda s: re.search(r"(\d+)", s).group(1))
+        assert ds.exception_counts == {"AttributeError": 1}
+
+
+class TestRows:
+    def test_positional_and_named(self, ctx):
+        run_diff(ctx, PAIRS, lambda x: x[0] + x[1], columns=["a", "b"])
+        run_diff(ctx, PAIRS, lambda x: x["a"] * x["b"], columns=["a", "b"])
+
+    def test_negative_index(self, ctx):
+        run_diff(ctx, PAIRS, lambda x: x[-1], columns=["a", "b"])
+
+    def test_tuple_out(self, ctx):
+        run_diff(ctx, PAIRS, lambda x: (x[1], x[0]), columns=["a", "b"])
+
+    def test_dict_out_names(self, ctx):
+        ds = ctx.parallelize(PAIRS, columns=["a", "b"]) \
+            .map(lambda x: {"s": x["a"] + x["b"], "d": x["a"] - x["b"]})
+        assert ds.columns == ["s", "d"]
+
+    def test_multi_arg(self, ctx):
+        run_diff(ctx, PAIRS, lambda a, b: a * 10 + b, columns=["a", "b"])
+
+
+class TestStatements:
+    def test_if_else_return(self, ctx):
+        def f(x):
+            if x > 2:
+                return x * 10
+            elif x > 0:
+                return x
+            else:
+                return -x
+        run_diff(ctx, NUMS, f)
+
+    def test_assign_chain(self, ctx):
+        def f(x):
+            y = x * 2
+            z = y + 1
+            y += z
+            return y
+        run_diff(ctx, NUMS, f)
+
+    def test_partial_return_fallthrough(self, ctx):
+        def f(x):
+            if x > 3:
+                return 99
+            y = x + 1
+            return y
+        run_diff(ctx, NUMS, f)
+
+    def test_raise_in_branch(self, ctx):
+        def f(x):
+            if x == 0:
+                raise ValueError("zero")
+            return 10 / x
+        ds = run_diff(ctx, NUMS, f)
+        assert ds.exception_counts == {"ValueError": 1}
+
+    def test_assert(self, ctx):
+        def f(x):
+            assert x != 0
+            return x + 1
+        ds = run_diff(ctx, NUMS, f)
+        assert ds.exception_counts == {"AssertionError": 1}
+
+    def test_tuple_destructure(self, ctx):
+        def f(x):
+            a, b = x[0], x[1]
+            return a + b
+        run_diff(ctx, PAIRS, f, columns=["a", "b"])
+
+
+class TestClosures:
+    def test_closure_constant(self, ctx):
+        k = 7
+        run_diff(ctx, NUMS, lambda x: x * k)
+
+    def test_closure_list_membership(self, ctx):
+        allowed = [1, 3, 10]
+        run_diff(ctx, NUMS, lambda x: x in allowed, op="filter")
+
+
+class TestFallbackLadder:
+    def test_loop_falls_back(self, ctx):
+        """UDFs with loops can't compile -> Arrow fallback, same results."""
+        def f(x):
+            total = 0
+            for i in range(x if x > 0 else 0):
+                total += i
+            return total
+        run_diff(ctx, [1, 2, 3, 5], f)
+
+    def test_none_handling(self, ctx):
+        ds = run_diff(ctx, [1, 2, None, 4], lambda x: x * 2)
+        assert ds.exception_counts == {"TypeError": 1}

@@ -1,0 +1,123 @@
+"""Exception-model semantics: implicit drop, resolve chains, ignore,
+in-order merge (reference: test_exceptions.py, test_resolve.py)."""
+
+
+class TestImplicitDrop:
+    def test_none_rows_dropped_and_counted(self, ctx):
+        ds = ctx.parallelize([1, 2, None, 4]).map(lambda x: x * 2)
+        assert ds.collect() == [2, 4, 8]
+        assert ds.exception_counts == {"TypeError": 1}
+
+    def test_order_preserved_across_drop(self, ctx):
+        ds = ctx.parallelize([3, 0, 5, 0, 7]).map(lambda x: 100 // x)
+        assert ds.collect() == [33, 20, 14]
+
+
+class TestResolve:
+    def test_basic(self, ctx):
+        ds = (ctx.parallelize([1, 2, 0, 4])
+              .map(lambda x: 10 // x)
+              .resolve(ZeroDivisionError, lambda x: -1))
+        assert ds.collect() == [10, 5, -1, 2]
+        assert ds.exception_counts == {}
+
+    def test_resolve_wrong_class_keeps_exception(self, ctx):
+        ds = (ctx.parallelize([1, 0, 2])
+              .map(lambda x: 10 // x)
+              .resolve(ValueError, lambda x: -1))
+        assert ds.collect() == [10, 5]
+        assert ds.exception_counts == {"ZeroDivisionError": 1}
+
+    def test_resolver_chain(self, ctx):
+        def second(x):
+            return -99
+
+        def first(x):
+            if x == 0:
+                raise ValueError("pass along")
+            return 0
+        ds = (ctx.parallelize([4, 0, 2])
+              .map(lambda x: 8 // x)
+              .resolve(ZeroDivisionError, first)
+              .resolve(ValueError, second))
+        assert ds.collect() == [2, -99, 4]
+
+    def test_resolve_base_class_catches_subclass(self, ctx):
+        ds = (ctx.parallelize([1, 0, 2])
+              .map(lambda x: 10 // x)
+              .resolve(Exception, lambda x: 0))
+        assert ds.collect() == [10, 0, 5]
+
+    def test_resolve_on_filter(self, ctx):
+        ds = (ctx.parallelize(["1", "x", "3"])
+              .filter(lambda s: int(s) > 1)
+              .resolve(ValueError, lambda s: True))
+        assert ds.collect() == ["x", "3"]
+
+    def test_resolve_fallback_resolver(self, ctx):
+        """Resolver that can't compile (loop) goes through Python path."""
+        def fix(x):
+            t = 0
+            for i in range(3):
+                t += i
+            return t
+        ds = (ctx.parallelize([1, 0, 5])
+              .map(lambda x: 10 // x)
+              .resolve(ZeroDivisionError, fix))
+        assert ds.collect() == [10, 3, 2]
+
+
+class TestIgnore:
+    def test_ignore_drops_silently(self, ctx):
+        ds = (ctx.parallelize([1, 2, 0, 4])
+              .map(lambda x: 10 // x)
+              .ignore(ZeroDivisionError))
+        assert ds.collect() == [10, 5, 2]
+        assert ds.exception_counts == {}
+
+    def test_ignore_specific_class_only(self, ctx):
+        def f(x):
+            if x < 0:
+                raise ValueError("neg")
+            return 10 // x
+        ds = (ctx.parallelize([1, -1, 0, 2])
+              .map(f)
+              .ignore(ValueError))
+        assert ds.collect() == [10, 5]
+        assert ds.exception_counts == {"ZeroDivisionError": 1}
+
+
+class TestAcrossOperators:
+    def test_exceptions_survive_downstream_ops(self, ctx):
+        ds = (ctx.parallelize([1, 0, 4])
+              .map(lambda x: 10 // x)
+              .map(lambda x: x + 1))
+        assert ds.collect() == [11, 3]
+        assert ds.exception_counts == {"ZeroDivisionError": 1}
+
+    def test_exceptions_parked_at_join(self, ctx):
+        left = ctx.parallelize([(1, 2), (2, 0), (3, 4)], ["k", "d"]) \
+            .withColumn("q", lambda x: 10 // x["d"])
+        right = ctx.parallelize([(1, "a"), (3, "b")], ["k", "v"])
+        j = left.join(right, "k", "k")
+        rows = j.collect()
+        assert sorted(rows) == [(2, 5, 1, "a"), (4, 2, 3, "b")]
+        assert j.exception_counts == {"ZeroDivisionError": 1}
+
+    def test_exception_counts_with_multiple_classes(self, ctx):
+        def f(x):
+            if x == "a":
+                raise ValueError("a")
+            return 10 // int(x)
+        ds = ctx.parallelize(["2", "a", "0", "5"]).map(f)
+        assert ds.collect() == [5, 2]
+        assert ds.exception_counts == {"ValueError": 1,
+                                       "ZeroDivisionError": 1}
+
+    def test_disable_exceptions_option(self):
+        import tuplex_spark as tx
+        c = tx.Context(conf={"tuplex.exceptions": False}, name="tests")
+        ds = c.parallelize([1, 2, 4]).map(lambda x: x * 2)
+        assert ds.collect() == [2, 4, 8]
+        from tuplex_spark.udf.fallback import EXC_CODE
+        assert EXC_CODE not in ds._df.columns

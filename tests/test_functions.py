@@ -1,0 +1,105 @@
+"""Scale ops vs DuckDB oracles at sf0.001 (dedup / similarity / text).
+The full sf0.01 battery runs via scripts/selfcheck.py; these are the
+fast in-suite versions."""
+
+import os
+
+import duckdb
+import pytest
+
+from conftest import SF_DIR
+
+DOC = os.path.join(SF_DIR, "documents.parquet")
+EMB = os.path.join(SF_DIR, "embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOC}')")
+    c.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{EMB}')")
+    return c
+
+
+def assert_matches(df, con, sql):
+    got_cols = sorted(df.columns)
+    got = sorted(tuple(r[c] for c in got_cols) for r in
+                 (row.asDict() for row in df.collect()))
+    rel = con.execute(sql)
+    cols = [d[0] for d in rel.description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    want = sorted(tuple(r[i] for i in order) for r in rel.fetchall())
+    assert sorted(cols) == got_cols
+    assert got == want
+
+
+class TestText:
+    def test_token_count(self, spark, con):
+        from tuplex_spark.functions import text
+        df = text.token_count(spark.read.parquet(DOC))
+        assert_matches(df, con, text.token_count_sql())
+
+    def test_quality(self, spark, con):
+        from tuplex_spark.functions import text
+        df = text.quality_score(spark.read.parquet(DOC))
+        assert_matches(df, con, text.quality_score_sql())
+
+    def test_langid(self, spark, con):
+        from tuplex_spark.functions import text
+        df = text.language_id(spark.read.parquet(DOC))
+        assert_matches(df, con, text.language_id_sql())
+
+    def test_fingerprint(self, spark, con):
+        from tuplex_spark.functions import text
+        df = text.doc_fingerprint(spark.read.parquet(DOC))
+        assert_matches(df, con, text.doc_fingerprint_sql())
+
+
+class TestDedup:
+    def test_exact(self, spark, con):
+        from tuplex_spark.functions import dedup
+        df = dedup.dedup_exact(spark.read.parquet(DOC))
+        assert_matches(df, con, dedup.dedup_exact_sql())
+
+    def test_minhash(self, spark, con):
+        from tuplex_spark.functions import dedup
+        df = dedup.minhash_lsh_pairs(spark.read.parquet(DOC))
+        assert_matches(df, con, dedup.minhash_lsh_pairs_sql())
+
+    def test_simhash(self, spark, con):
+        from tuplex_spark.functions import dedup
+        df = dedup.simhash_pairs(spark.read.parquet(DOC))
+        assert_matches(df, con, dedup.simhash_pairs_sql())
+
+    def test_exact_dedup_finds_planted_dup(self, ctx):
+        from tuplex_spark.functions import dedup
+        df = ctx.spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "unrelated")],
+            "doc_id long, text string")
+        out = {r["keep_id"]: r["n_copies"]
+               for r in dedup.dedup_exact(df).collect()}
+        assert out == {1: 2, 3: 1}
+
+
+class TestSimilarity:
+    def test_cosine_topk_self_is_first(self, spark):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+        top = similarity.cosine_topk(emb, qv, k=5).collect()
+        assert top[0]["vec_id"] == 0
+        assert abs(top[0]["cosine"] - 1.0) < 1e-6
+        cosines = [r["cosine"] for r in top]
+        assert cosines == sorted(cosines, reverse=True)
+
+    def test_ivf_probes_subset(self, spark):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+        cents = [(int(r[0]), [float(x) for x in r[1]])
+                 for r in emb.filter("vec_id < 4")
+                 .select("vec_id", "embedding").collect()]
+        approx = similarity.ivf_topk(emb, qv, cents, k=5, nprobe=2).collect()
+        assert approx[0]["vec_id"] == 0  # query's own bucket always probed

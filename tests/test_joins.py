@@ -1,0 +1,54 @@
+"""Join semantics: column order, prefixes/suffixes, left join nulls
+(reference: JoinOperator.cc output layout, test/core/JoinTest.cc)."""
+
+
+LEFT = [(1, "a"), (2, "b"), (3, "c")]
+RIGHT = [(1, 10.0), (1, 11.0), (3, 30.0), (4, 40.0)]
+
+
+class TestInnerJoin:
+    def test_column_order(self, ctx):
+        l = ctx.parallelize(LEFT, ["k", "v"])
+        r = ctx.parallelize(RIGHT, ["rk", "amt"])
+        j = l.join(r, "k", "rk")
+        # left non-key, key, right non-key
+        assert j.columns == ["v", "k", "amt"]
+        assert sorted(j.collect()) == [("a", 1, 10.0), ("a", 1, 11.0),
+                                       ("c", 3, 30.0)]
+
+    def test_prefixes(self, ctx):
+        l = ctx.parallelize(LEFT, ["k", "v"])
+        r = ctx.parallelize(RIGHT, ["rk", "v"])
+        j = l.join(r, "k", "rk", prefixes=("l_", "r_"))
+        assert j.columns == ["l_v", "l_k", "r_v"]
+
+    def test_suffixes(self, ctx):
+        l = ctx.parallelize(LEFT, ["k", "v"])
+        r = ctx.parallelize(RIGHT, ["rk", "v"])
+        j = l.join(r, "k", "rk", suffixes=("_l", "_r"))
+        assert j.columns == ["v_l", "k_l", "v_r"]
+
+    def test_null_keys_never_match(self, ctx):
+        l = ctx.parallelize([(1, "a"), (None, "n")], ["k", "v"])
+        r = ctx.parallelize([(1, "x"), (None, "y")], ["rk", "w"])
+        j = l.join(r, "k", "rk")
+        assert j.collect() == [("a", 1, "x")]
+
+
+class TestLeftJoin:
+    def test_unmatched_left_rows_null(self, ctx):
+        l = ctx.parallelize(LEFT, ["k", "v"])
+        r = ctx.parallelize([(1, 10.0)], ["rk", "amt"])
+        j = l.leftJoin(r, "k", "rk")
+        assert sorted(j.collect(), key=lambda t: t[1]) == [
+            ("a", 1, 10.0), ("b", 2, None), ("c", 3, None)]
+
+
+class TestJoinAfterUDF:
+    def test_compiled_pipeline_feeds_join(self, ctx):
+        l = (ctx.parallelize(LEFT, ["k", "v"])
+             .withColumn("k2", lambda x: x["k"] * 10))
+        r = ctx.parallelize([(10, "ten"), (30, "thirty")], ["rk", "name"])
+        j = l.join(r, "k2", "rk")
+        assert sorted(j.collect()) == [(1, "a", 10, "ten"),
+                                       (3, "c", 30, "thirty")]

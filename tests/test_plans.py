@@ -1,0 +1,75 @@
+"""Physical-plan discipline: pushdown, codegen, broadcast — the
+100-TB-scale assertions (SURVEY.md §4)."""
+
+import os
+
+import pytest
+
+from conftest import SF_DIR
+
+LI = os.path.join(SF_DIR, "lineitem.parquet")
+
+
+class TestPushdown:
+    def test_compiled_filter_pushes_to_scan(self, ctx):
+        """A compiled UDF filter must reach the parquet scan as a pushed
+        filter — the whole point of the AST->Column compiler."""
+        from tuplex_spark.plans import explain_summary
+        ds = (ctx.parquet(LI)
+              .filter(lambda x: x["l_quantity"] < 10.0))
+        s = explain_summary(ds.toDF())
+        assert s["pushed_filters"], s["plan"]
+        assert not s["python_eval"], "compiled filter must not hit Python"
+
+    def test_column_pruning_through_select(self, ctx):
+        from tuplex_spark.plans import explain_summary
+        ds = (ctx.parquet(LI)
+              .selectColumns(["l_orderkey", "l_quantity"]))
+        plan = explain_summary(ds.toDF())["plan"]
+        assert "l_extendedprice" not in plan.split("ReadSchema")[1][:400]
+
+    def test_compiled_map_stays_in_codegen(self, ctx):
+        from tuplex_spark.plans import explain_summary
+        ds = (ctx.parquet(LI)
+              .map(lambda x: {"k": x["l_orderkey"],
+                              "v": x["l_extendedprice"] * 0.9}))
+        s = explain_summary(ds.toDF())
+        assert s["wholestage_codegen"]
+        assert not s["python_eval"]
+
+    def test_fallback_map_uses_arrow_not_rowpickle(self, ctx):
+        from tuplex_spark.plans import explain_summary
+
+        def f(x):
+            t = 0
+            for i in range(3):
+                t += i
+            return x + t
+        ds = ctx.parquet(LI).selectColumns(["l_linenumber"]).mapColumn(
+            "l_linenumber", f)
+        s = explain_summary(ds._df)
+        assert s["python_eval"]  # fallback engaged, Arrow-batched
+
+
+class TestJoins:
+    def test_small_dim_join_broadcasts(self, spark):
+        """AQE/planner should broadcast nation against lineitem-scale."""
+        from tuplex_spark.plans import explain_summary
+        import __spark_entry__ as em
+        df = em.q_tpch_q5(spark, SF_DIR)
+        s = explain_summary(df)
+        assert s["broadcast_join"], s["plan"]
+
+
+class TestAggregates:
+    def test_recognized_fold_is_native_partial_agg(self, ctx):
+        from tuplex_spark.plans import explain_summary
+        ds = (ctx.parquet(LI)
+              .selectColumns(["l_returnflag", "l_quantity"])
+              .aggregateByKey(lambda a, b: a + b,
+                              lambda a, x: a + x["l_quantity"], 0.0,
+                              ["l_returnflag"]))
+        s = explain_summary(ds._df)
+        assert not s["python_eval"], \
+            "recognized fold must lower to native aggregates"
+        assert "partial" in s["plan"].lower() or "HashAggregate" in s["plan"]

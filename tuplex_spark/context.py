@@ -119,8 +119,13 @@ class Context:
         context.py:288, FileInputOperator.cc:195-313)."""
         null_values = list(null_values or [""])
         delim, has_header, det_cols, tags = CSV.detect(
-            pattern, delimiter, header, null_values, quotechar)
+            pattern, delimiter, header, null_values, quotechar,
+            float(self._options.get("tuplex.normalcaseThreshold", 0.9)))
         cols = list(columns) if columns else det_cols
+        if not cols:
+            raise ValueError(
+                f"could not detect any columns in {pattern!r} "
+                "(empty file?); pass columns= explicitly")
         fields = CSV.build_schema(cols, tags, type_hints)
         schema = T.StructType(list(fields) + [
             T.StructField("_corrupt_record", T.StringType(), True)])
@@ -144,10 +149,16 @@ class Context:
         names = [f.name for f in fields]
         if exc:
             bad = F.col("_corrupt_record").isNotNull()
+            # the `+ coalesce(col0*0, 0)` term keeps a real data column in
+            # the scan's required schema: Spark rejects queries whose scan
+            # references ONLY _corrupt_record (QUERY_ONLY_CORRUPT_RECORD_
+            # COLUMN), which exception-count queries would otherwise be
+            anchor = F.coalesce(
+                F.col(names[0]).cast("double") * 0, F.lit(0.0)).cast("int")
             df = df.select(
                 *names,
-                F.when(bad, code_for("BadParseInput")).otherwise(0)
-                 .cast("int").alias(EXC_CODE),
+                (F.when(bad, code_for("BadParseInput")).otherwise(0)
+                 + anchor).cast("int").alias(EXC_CODE),
                 F.when(bad, F.col("_corrupt_record")).alias(EXC_PAYLOAD),
                 F.when(bad, F.lit("csv")).alias(EXC_OP))
         else:

@@ -408,17 +408,25 @@ class DataSet:
             *self._df.columns,
             *[payload.getField(n).alias(remap[n]) for n in names])
         outs = res_compiled.as_columns()
-        res_guard = None
-        for g, c in res_compiled.guards:
-            res_guard = g if res_guard is None else (res_guard | g)
-        resolved_ok = match if res_guard is None else (match & ~res_guard)
+        # if the resolver itself raises, the row's exception class becomes
+        # the resolver's exception (resolvable by later resolvers) —
+        # reference semantics, ResolveOperator.cc
+        res_code = None
+        for g, cd in res_compiled.guards:
+            res_code = F.when(g, cd) if res_code is None \
+                else res_code.when(g, cd)
+        res_code = res_code.otherwise(0) if res_code is not None else F.lit(0)
+        resolved_ok = match & (res_code == 0)
+        new_code = F.when(~match, F.col(EXC_CODE)) \
+            .when(res_code == 0, 0).otherwise(res_code).cast("int")
 
         if op.kind == "filter":
             pred = res_compiled.as_predicate()
-            out = sub.withColumn(
-                EXC_CODE, F.when(resolved_ok, 0).otherwise(F.col(EXC_CODE)))
-            out = out.filter((F.col(EXC_CODE) != 0) | ~match |
-                             F.coalesce(pred, F.lit(False)))
+            keep = F.when(resolved_ok, F.coalesce(pred, F.lit(False))) \
+                .otherwise(F.lit(True))
+            out = (sub.withColumn("__keep", keep)
+                   .withColumn(EXC_CODE, new_code)
+                   .filter(F.col("__keep")).drop("__keep"))
             out = out.select(*self._columns, *_present(out, _HIDDEN))
             return self._spawn(out, last_op=op)
 
@@ -439,8 +447,7 @@ class DataSet:
                            .otherwise(F.col(v)).alias(v))
             else:
                 sel.append(F.col(v))
-        sel.append(F.when(resolved_ok, 0).otherwise(F.col(EXC_CODE))
-                   .cast("int").alias(EXC_CODE))
+        sel.append(new_code.alias(EXC_CODE))
         sel.append(F.when(resolved_ok, F.lit(None))
                    .otherwise(F.col(EXC_PAYLOAD)).alias(EXC_PAYLOAD))
         sel.append(F.when(resolved_ok, F.lit(None))

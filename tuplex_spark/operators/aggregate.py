@@ -76,6 +76,10 @@ def recognize(aggregate_fn, combine_fn, initial_value, schema: T.StructType):
 
     inits = list(initial_value) if isinstance(initial_value, tuple) \
         else [initial_value]
+    # native lowering only for numeric scalar state slots
+    if not all(isinstance(i, (int, float)) and not isinstance(i, bool)
+               for i in inits):
+        return None
     slots_ast = list(body.elts) if isinstance(body, ast.Tuple) else [body]
     if isinstance(body, ast.Tuple) != isinstance(initial_value, tuple) \
             or len(slots_ast) != len(inits):
@@ -124,6 +128,8 @@ def _match_slot(sl, agg_name, row_name, want, env, schema):
         sym = tr.eval(expr_ast)
         col = tr.to_col(sym)
     except CompileError:
+        return None
+    if sym.tag not in ("bool", "int", "float"):
         return None
     return _Slot(op, col, sym.tag, None)
 

@@ -24,7 +24,8 @@ def explain_summary(df: DataFrame) -> dict:
                           and "PushedFilters: []" not in plan,
         "broadcast_join": "BroadcastHashJoin" in plan,
         "sortmerge_join": "SortMergeJoin" in plan,
-        "wholestage_codegen": "WholeStageCodegen" in plan,
+        "wholestage_codegen": ("WholeStageCodegen" in plan
+                               or "codegen id" in plan),
         "python_eval": ("BatchEvalPython" in plan
                         or "ArrowEvalPython" in plan
                         or "MapInPandas" in plan),

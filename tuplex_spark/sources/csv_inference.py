@@ -84,8 +84,15 @@ def _widen(a: str | None, b: str) -> str:
 
 
 def detect(pattern: str, delimiter: str | None, header: bool | None,
-           null_values, quotechar: str = '"'):
-    """Returns (delimiter, has_header, columns, tag-per-column)."""
+           null_values, quotechar: str = '"',
+           normalcase_threshold: float = 0.9):
+    """Returns (delimiter, has_header, columns, tag-per-column).
+
+    Per-column typing is *normal-case majority* typing (reference:
+    FileInputOperator.cc:229-299, tuplex.normalcaseThreshold): the most
+    specific type covering >= threshold of non-null sampled cells wins;
+    cells outside it surface as BadParseInput exception rows at scan time.
+    Falls back to the widened type when no candidate reaches threshold."""
     text = sample_bytes(pattern)
     delim = delimiter or detect_delimiter(text)
     rows = list(_csv.reader(io.StringIO(text), delimiter=delim,
@@ -106,27 +113,50 @@ def detect(pattern: str, delimiter: str | None, header: bool | None,
         # majority tags (reference: CSVStatistic header estimation)
         first = row_tags(rows[0])
         body = rows[1:] or rows
-        body_majority = _majority_tags(body, null_values)
+        body_majority = _majority_tags(body, null_values,
+                                       normalcase_threshold)
         has_header = (all(t == "str" for t in first)
                       and first != body_majority and len(rows) > 1)
     if has_header:
         body_from = 1
     columns = rows[0] if has_header else \
         [f"column{i}" for i in range(width)]
-    tags = _majority_tags(rows[body_from:] or rows, null_values)
+    tags = _majority_tags(rows[body_from:] or rows, null_values,
+                          normalcase_threshold)
     return delim, bool(has_header), columns, tags
 
 
-def _majority_tags(rows, null_values):
+# which tags a cell of a given tag can be parsed as (specific -> general)
+_COMPAT = {"bool": {"bool"}, "int": {"int", "float"},
+           "float": {"float"}, "str": {"str"}}
+
+
+def _majority_tags(rows, null_values, threshold: float = 0.9):
     if not rows:
         return []
     width = len(rows[0])
     out = []
     for i in range(width):
-        t = None
+        counts: dict[str, int] = {}
+        widened = None
+        n = 0
         for r in rows:
-            t = _widen(t, _cell_type(r[i], null_values))
-        out.append(t or "str")
+            t = _cell_type(r[i], null_values)
+            widened = _widen(widened, t)
+            if t != "null":
+                counts[t] = counts.get(t, 0) + 1
+                n += 1
+        if not n:
+            out.append("str")
+            continue
+        chosen = None
+        for cand in ("bool", "int", "float"):
+            covered = sum(c for t, c in counts.items()
+                          if cand in _COMPAT.get(t, {"str"}))
+            if covered / n >= threshold:
+                chosen = cand
+                break
+        out.append(chosen or widened or "str")
     return out
 
 

@@ -1,1 +1,2 @@
-from .events import windowed_counts, sessionize, stream_from_directory  # noqa: F401
+from .events import (windowed_counts, sessionize, stream_from_directory,  # noqa: F401
+                     run_stream_to_memory)

@@ -676,10 +676,16 @@ class Translator:
             return SCol(res, "float")
         if both_int and type(op) in (ast.BitAnd, ast.BitOr, ast.BitXor,
                                      ast.LShift, ast.RShift):
-            expr = {ast.BitAnd: lc.bitwiseAND(rc), ast.BitOr: lc.bitwiseOR(rc),
-                    ast.BitXor: lc.bitwiseXOR(rc),
-                    ast.LShift: F.shiftleft(lc, rc.cast("int")),
-                    ast.RShift: F.shiftright(lc, rc.cast("int"))}[type(op)]
+            if type(op) in (ast.LShift, ast.RShift):
+                # shift amount as column: arithmetic construction (matches
+                # CPython's arbitrary-width semantics for in-range longs)
+                p2 = F.pow(F.lit(2.0), rc).cast("long")
+                expr = (lc * p2) if isinstance(op, ast.LShift) \
+                    else F.floor(lc / p2).cast("long")
+            else:
+                expr = {ast.BitAnd: lc.bitwiseAND(rc),
+                        ast.BitOr: lc.bitwiseOR(rc),
+                        ast.BitXor: lc.bitwiseXOR(rc)}[type(op)]
             return SCol(expr, "int")
         raise CompileError(f"operator {type(op).__name__}")
 
