@@ -113,3 +113,35 @@ class TestParquetOrc:
         ctx.parallelize([(1, "a"), (2, "b")], ["n", "s"]).toorc(out)
         back = ctx.orc(out)
         assert sorted(back.collect()) == [(1, "a"), (2, "b")]
+
+
+class TestWriterExtras:
+    def test_part_name_generator(self, ctx, tmp_path):
+        out = str(tmp_path / "named")
+        ds = ctx.parallelize([(1, "a"), (2, "b")], ["n", "s"])
+        ds.tocsv(out, num_parts=1,
+                 part_name_generator=lambda i: f"chunk_{i}.csv")
+        import os
+        files = sorted(os.listdir(out))
+        assert "chunk_0.csv" in files
+
+    def test_num_rows_limit(self, ctx, tmp_path):
+        out = str(tmp_path / "limited")
+        ds = ctx.parallelize([(i,) for i in range(10)], ["n"])
+        ds.tocsv(out, num_parts=1, num_rows=3)
+        back = ctx.csv(out + "/part-*.csv")
+        assert len(back.collect()) == 3
+
+
+class TestMetrics:
+    def test_metrics_populated(self):
+        import tuplex_spark as tx
+        c = tx.Context(name="metrics_test")
+        ds = c.parallelize([1, 2, 0, 4]).map(lambda x: 10 // x)
+        ds.collect()
+        m = c.metrics
+        assert m.compiledUDFs >= 1
+        assert m.numActions == 1
+        assert m.totalExceptionCount == 1
+        assert m.totalRunTime > 0
+        assert m.lastActionRowCount == 3

@@ -42,6 +42,13 @@ class Context:
         if spark is None:
             spark = build_session(name, self._options)
         self.spark = spark
+        from .metrics import Metrics
+        self._metrics = Metrics()
+
+    @property
+    def metrics(self):
+        """Engine metrics (reference: python/tuplex/metrics.py surface)."""
+        return self._metrics
 
     # ------------------------------------------------------------ options
     def options(self) -> dict:

@@ -117,11 +117,21 @@ class DataSet:
 
         compiled = None
         if self._ctx._options.get("tuplex.useCompiledUDFs", True):
+            import time as _time
+            t0 = _time.time()
             try:
                 compiled = compiler.compile_udf(
                     fn, in_schema, with_guards=self._exc_enabled)
             except CompileError:
                 compiled = None
+            m = self._ctx._metrics
+            m.totalCompilationTime += _time.time() - t0
+            if compiled is not None:
+                m.compiledUDFs += 1
+            else:
+                m.fallbackUDFs += 1
+        else:
+            self._ctx._metrics.fallbackUDFs += 1
 
         if compiled is not None:
             return self._apply_compiled(compiled, fn, kind, op_name,
@@ -252,7 +262,7 @@ class DataSet:
             out_kind = "scalar"
         else:
             specs, out_kind = fallback.infer_output_type(
-                fn, sample_in, len(in_cols), in_cols)
+                fn, sample_in, in_cols)
             if kind in ("withColumn", "mapColumn"):
                 name = new_col if kind == "withColumn" else target_col
                 out_specs = [(name, specs[0][1])]
@@ -590,10 +600,17 @@ class DataSet:
         return self.take(-1)
 
     def take(self, nmax: int = 5) -> list:
+        import time as _time
+        t0 = _time.time()
         df, parked = self._split_exceptions()
         self._parked_for_counts = parked
         rows = df.collect() if nmax is None or nmax < 0 else df.take(nmax)
         self._collect_exception_counts()
+        m = self._ctx._metrics
+        m.totalRunTime += _time.time() - t0
+        m.numActions += 1
+        m.lastActionRowCount = len(rows)
+        m.totalExceptionCount += sum(self._exception_counts.values())
         if len(self._columns) == 1:
             return [r[0] for r in rows]
         return [tuple(r) for r in rows]
@@ -603,16 +620,34 @@ class DataSet:
         df.show(nrows if nrows else 20)
 
     def tocsv(self, path: str, header: bool = True, null_value: str = "",
-              **kwargs):
-        """Write CSV (reference: dataset.py:500). part controls via
-        num_parts -> repartition."""
+              part_name_generator=None, **kwargs):
+        """Write CSV (reference: dataset.py:500).
+
+        num_parts -> repartition; num_rows -> limit;
+        part_name_generator(part_no) -> custom part file names applied by
+        post-hoc rename (Spark has no naming hook; same caveat as the
+        reference's callback, which names parts by output task)."""
         df, _ = self._split_exceptions()
+        if kwargs.get("num_rows"):
+            df = df.limit(int(kwargs["num_rows"]))
         n = kwargs.get("num_parts")
         if n:
             df = df.repartition(n)
         (df.write.mode("overwrite")
            .option("header", header).option("nullValue", null_value)
            .csv(path))
+        if part_name_generator is not None:
+            import glob as _glob
+            import os as _os
+            parts = sorted(_glob.glob(_os.path.join(path, "part-*")))
+            for i, p in enumerate(parts):
+                new = _os.path.join(path, part_name_generator(i))
+                _os.rename(p, new)
+                # drop the stale Hadoop checksum for the old name
+                crc = _os.path.join(_os.path.dirname(p),
+                                    f".{_os.path.basename(p)}.crc")
+                if _os.path.exists(crc):
+                    _os.remove(crc)
 
     def toorc(self, path: str, **kwargs):
         df, _ = self._split_exceptions()

@@ -27,12 +27,13 @@ EXC_PAYLOAD = "__exc_payload"
 EXC_OP = "__exc_op"
 
 
-def infer_output_type(fn, sample_rows, arity: int, names=None):
+def infer_output_type(fn, sample_rows, names=None):
     """Run fn over sample python rows; widen result types.
 
     Returns (result_type_per_output, out_kind) where out_kind is
     'scalar' | 'tuple' | 'dict'.  Raises if no sample row succeeds.
     """
+    arity = getattr(getattr(fn, "__code__", None), "co_argcount", 1)
     results = []
     for row in sample_rows:
         try:
