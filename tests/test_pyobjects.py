@@ -1,0 +1,45 @@
+"""PYOBJECT fallback path: arbitrary Python objects through the pipeline
+(reference: TypeSystem.h PYOBJECT, test_fallback.py:25-47 numpy flows)."""
+
+import numpy as np
+import pytest
+
+
+class TestPyObjects:
+    def test_numpy_map_promotes_to_structured(self, ctx):
+        data = [np.array([1, 2]), np.array([3, 4]), np.array([5, 6])]
+        ds = ctx.parallelize(data).map(lambda a: int(a.sum()))
+        assert ds.collect() == [3, 7, 11]
+
+    def test_map_keeps_objects_when_unrepresentable(self, ctx):
+        data = [np.array([1.0, 2.0]), np.array([3.0, 4.0])]
+        ds = ctx.parallelize(data).map(lambda a: a * 2)
+        out = ds.collect()
+        assert [list(o) for o in out] == [[2.0, 4.0], [6.0, 8.0]]
+
+    def test_filter_on_objects(self, ctx):
+        data = [np.array([1, 2]), np.array([10, 20]), np.array([3, 3])]
+        ds = ctx.parallelize(data).filter(lambda a: a.sum() > 5)
+        out = ds.collect()
+        assert [list(o) for o in out] == [[10, 20], [3, 3]]
+
+    def test_exceptions_counted_on_pyobj_path(self, ctx):
+        data = [np.array([1, 2]), "not-an-array", np.array([3, 4])]
+        ds = ctx.parallelize(data).map(lambda a: int(a.sum()))
+        assert ds.collect() == [3, 7]
+        assert ds.exception_counts == {"AttributeError": 1}
+
+    def test_differential_vs_plain_python(self, ctx):
+        """Reference pattern (test_fallback.py): same lambdas through the
+        engine and through builtins must agree."""
+        data = [np.array([i, i * 2]) for i in range(5)]
+        f = lambda a: float(a.mean())
+        got = ctx.parallelize(data).map(f).collect()
+        want = [f(a) for a in data]
+        assert got == want
+
+    def test_unsupported_op_raises_cleanly(self, ctx):
+        data = [np.array([1, 2])]
+        ds = ctx.parallelize(data)
+        with pytest.raises(NotImplementedError):
+            ds.withColumn("x", lambda a: 1)

@@ -75,6 +75,14 @@ class Context:
             columns = columns or keys
             rows = [tuple(r.get(k) for k in keys) for r in rows]
 
+        # PYOBJECT escape hatch (reference TypeSystem.h PYOBJECT +
+        # python-object fallback datasets): values with no Spark type
+        # (numpy arrays, user classes, ...) go to a pickled-binary column;
+        # map/filter still work, and a map producing representable values
+        # promotes back to the structured path.
+        if self._has_unrepresentable(rows):
+            return self._parallelize_pyobjects(rows)
+
         norm = [r if isinstance(r, tuple) else r for r in rows]
         # split conforming vs bad rows by width
         widths = {}
@@ -108,6 +116,26 @@ class Context:
                 bad_rows, "code int, payload string, op string")]
         return DataSet(self, df, cols, sample=good[:_SAMPLE_ROWS],
                        parked=parked)
+
+    @staticmethod
+    def _has_unrepresentable(rows) -> bool:
+        from .typeutils import infer_type
+        for r in rows[:500]:
+            vals = r if isinstance(r, tuple) else (r,)
+            for v in vals:
+                if v is not None and infer_type(v) is None:
+                    return True
+        return False
+
+    def _parallelize_pyobjects(self, rows) -> DataSet:
+        import pickle
+        from .dataset import PYOBJ_COL
+        data = [(pickle.dumps(r),) for r in rows]
+        schema = T.StructType([T.StructField(PYOBJ_COL, T.BinaryType(),
+                                             True)])
+        df = self.spark.createDataFrame(data, schema)
+        return DataSet(self, df, [PYOBJ_COL], sample=rows[:_SAMPLE_ROWS],
+                       pyobj=True)
 
     def _parallelize_lenient(self, data, sschema):
         ok, bad = [], []
@@ -193,12 +221,44 @@ class Context:
                        sample=self._sample_from_df(df))
 
     def parquet(self, pattern: str, columns=None) -> DataSet:
-        """Parquet scan (Spark-native addition; same shape as orc())."""
-        df = self.spark.read.parquet(pattern)
+        """Parquet scan (Spark-native addition; same shape as orc()).
+
+        Files with TIMESTAMP(NANOS) columns (which Spark's reader rejects)
+        are read with nanos-as-long and truncated to micros, matching what
+        DuckDB/Arrow do."""
+        df = self._read_parquet_nanos_safe(pattern)
         if columns:
             df = df.toDF(*columns)
         return DataSet(self, df, df.columns,
                        sample=self._sample_from_df(df))
+
+    def _read_parquet_nanos_safe(self, pattern: str):
+        from pyspark.sql import functions as F  # noqa: F811
+        try:
+            df = self.spark.read.parquet(pattern)
+            df.schema  # force analysis
+            return df
+        except Exception as e:
+            if "PARQUET_TYPE_ILLEGAL" not in str(e) and "NANOS" not in str(e):
+                raise
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = self.spark.read.parquet(pattern)
+        import pyarrow.parquet as pq
+        import glob as _glob
+        import os as _os
+        p = (sorted(_glob.glob(pattern)) or [pattern])[0]
+        if _os.path.isdir(p):
+            inner = sorted(_glob.glob(_os.path.join(p, "*.parquet"))) \
+                or sorted(_glob.glob(_os.path.join(p, "part-*")))
+            if inner:
+                p = inner[0]
+        meta = pq.read_schema(p)
+        df = raw
+        for field in meta:
+            if str(field.type) == "timestamp[ns]":
+                df = df.withColumn(field.name, F.timestamp_micros(
+                    (F.col(field.name) / 1000).cast("long")))
+        return df
 
     def _sample_from_df(self, df):
         rows = df.limit(_SAMPLE_ROWS).collect()
@@ -217,7 +277,8 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
     predicates (udf/compiler.py) rather than JVM-side throws."""
     options = options or {}
     import os
-    cpus = os.environ.get("SPARK_GRAFT_CPUS") or "32"
+    cpus = str(options.get("tuplex.executorCount")
+               or os.environ.get("SPARK_GRAFT_CPUS") or "32")
     shuffle = options.get("tuplex.shufflePartitions") or cpus
     b = (SparkSession.builder
          .master(f"local[{cpus}]")
@@ -232,5 +293,8 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
                  options.get("tuplex.inputSplitSize", "64MB"))
          .config("spark.ui.enabled", "false")
          .config("spark.driver.memory",
-                 os.environ.get("SPARK_DRIVER_MEMORY", "90g")))
+                 options.get("tuplex.driverMemory")
+                 or os.environ.get("SPARK_DRIVER_MEMORY", "90g")))
+    if options.get("tuplex.scratchDir"):
+        b = b.config("spark.local.dir", options["tuplex.scratchDir"])
     return b.getOrCreate()

@@ -46,13 +46,17 @@ class UDFOpInfo:
         self.in_schema, self.out_cols, self.extra = in_schema, out_cols, extra
 
 
+PYOBJ_COL = "__pyobj"
+
+
 class DataSet:
     def __init__(self, ctx, df: DataFrame, columns: list[str],
                  sample: list | None = None, parked=None, last_op=None,
-                 op_seq: int = 0):
+                 op_seq: int = 0, pyobj: bool = False):
         self._ctx = ctx
         self._df = df
         self._columns = list(columns)
+        self._pyobj = pyobj  # PYOBJECT mode: rows are pickled objects
         self._sample = sample if sample is not None else []
         # quarantined exception rows cut off at relational boundaries
         # (join/aggregate/unique): list of DataFrames (code, payload, op)
@@ -106,6 +110,13 @@ class DataSet:
     def _apply_udf(self, fn, kind: str, target_col: str | None = None,
                    new_col: str | None = None):
         """Shared implementation of map/filter/withColumn/mapColumn."""
+        if self._pyobj:
+            if kind not in ("map", "filter"):
+                raise NotImplementedError(
+                    f"{kind} is not available on PYOBJECT datasets "
+                    "(reference parity: fallback datasets support "
+                    "map/filter)")
+            return self._apply_pyobj(fn, kind)
         op_name = self._next_op(kind)
         if kind == "mapColumn":
             in_schema = T.StructType(
@@ -309,6 +320,91 @@ class DataSet:
                            if kind != "filter"
                            else self._sample_apply(fn, "filter"),
                            last_op=info)
+
+    # ------------------------------------------------------- PYOBJECT mode
+    def _apply_pyobj(self, fn, kind: str):
+        """map/filter over arbitrary pickled Python objects (reference:
+        PYOBJECT type + interpreter fallback, test_fallback.py behavior).
+
+        A map whose sampled outputs are representable as Spark types
+        promotes the dataset back onto the structured path."""
+        import pickle
+        from .typeutils import infer_schema_from_rows, infer_type
+
+        op_name = self._next_op(kind)
+        sample_out = self._sample_apply(fn, "filter" if kind == "filter"
+                                        else "map")
+        promote_schema = None
+        if kind == "map" and sample_out:
+            try:
+                sch = infer_schema_from_rows(sample_out)
+                if all(not isinstance(f.dataType, T.NullType)
+                       for f in sch.fields):
+                    promote_schema = sch
+            except Exception:
+                promote_schema = None
+
+        capture = self._exc_enabled
+        if promote_schema is not None:
+            names = [f.name for f in promote_schema.fields]
+            # nullable: exception rows materialize as nulls in data cols
+            out_fields = [T.StructField(f.name, f.dataType, True)
+                          for f in promote_schema.fields]
+        else:
+            names = [PYOBJ_COL]
+            out_fields = [T.StructField(PYOBJ_COL, T.BinaryType(), True)]
+        schema_fields = list(out_fields)
+        if capture:
+            schema_fields += [T.StructField(EXC_CODE, T.IntegerType(), False),
+                              T.StructField(EXC_PAYLOAD, T.StringType(), True),
+                              T.StructField(EXC_OP, T.StringType(), True)]
+        out_schema = T.StructType(schema_fields)
+        is_filter = kind == "filter"
+        promote = promote_schema is not None
+
+        def run(batches):
+            import pandas as pd
+            for pdf in batches:
+                rows = {n: [] for n in names}
+                codes, payloads, ops = [], [], []
+                for b in pdf[PYOBJ_COL]:
+                    try:
+                        obj = pickle.loads(bytes(b))
+                        r = fn(obj)
+                        if is_filter:
+                            if not r:
+                                continue
+                            rows[PYOBJ_COL].append(bytes(b))
+                        elif promote:
+                            vals = r if isinstance(r, tuple) else (r,)
+                            for n, v in zip(names, vals):
+                                rows[n].append(v)
+                        else:
+                            rows[PYOBJ_COL].append(pickle.dumps(r))
+                        if capture:
+                            codes.append(0)
+                            payloads.append(None)
+                            ops.append(None)
+                    except Exception as e:
+                        if not capture:
+                            raise
+                        for n in names:
+                            rows[n].append(None)
+                        codes.append(E.code_for_instance(e))
+                        payloads.append(None)
+                        ops.append(op_name)
+                data = dict(rows)
+                if capture:
+                    data[EXC_CODE] = codes
+                    data[EXC_PAYLOAD] = payloads
+                    data[EXC_OP] = ops
+                yield pd.DataFrame(data)
+
+        out = self._df.mapInPandas(run, schema=out_schema)
+        stays_pyobj = True if is_filter else not promote
+        return DataSet(self._ctx, out, names, sample=sample_out,
+                       parked=list(self._parked), op_seq=self._op_seq + 1,
+                       pyobj=stays_pyobj)
 
     # ---------------------------------------------------------- transforms
     def map(self, ftor) -> "DataSet":
@@ -611,6 +707,9 @@ class DataSet:
         m.numActions += 1
         m.lastActionRowCount = len(rows)
         m.totalExceptionCount += sum(self._exception_counts.values())
+        if self._pyobj:
+            import pickle
+            return [pickle.loads(bytes(r[0])) for r in rows]
         if len(self._columns) == 1:
             return [r[0] for r in rows]
         return [tuple(r) for r in rows]
