@@ -292,6 +292,16 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
          .config("spark.sql.files.maxPartitionBytes",
                  options.get("tuplex.inputSplitSize", "64MB"))
          .config("spark.ui.enabled", "false")
+         # InferFiltersFromGenerate synthesizes size(gen_input) > 0 and
+         # predicate pushdown then INLINES the generator's whole input
+         # expression into the filter.  For explode(expensive-HOF) —
+         # every dedup/shingle pipeline here — that re-evaluates the
+         # array per row below the stage that was deliberately staged to
+         # compute it once (measured 6-10x slowdown at sf0.1).  The
+         # inferred filter only skips empty arrays; never worth it.
+         .config("spark.sql.optimizer.excludedRules",
+                 "org.apache.spark.sql.catalyst.optimizer."
+                 "InferFiltersFromGenerate")
          .config("spark.driver.memory",
                  options.get("tuplex.driverMemory")
                  or os.environ.get("SPARK_DRIVER_MEMORY", "90g")))

@@ -47,18 +47,59 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
               .select("keep_id", "n_copies"))
 
 
-def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the lowercased text.
+def word_shingles_from(toks, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED token-array
+    column (a bound attribute, not an expression).
+
+    This matters enormously: higher-order functions are interpreted and
+    do no common-subexpression elimination, so if ``toks`` is the split()
+    expression itself, the regex split re-runs for EVERY element_at
+    reference — O(n·k) splits per row.  Callers must stage the token
+    array in its own projection first (Catalyst keeps the boundary —
+    CollapseProject refuses to duplicate non-cheap expressions).
+    Measured at sf0.1: staged 0.6s vs inlined 8-9s for the shingle
+    explode.
 
     Guarded for short docs: Spark's sequence(1, 0) DESCENDS instead of
     returning [], so the when() keeps semantics aligned with DuckDB's
     empty generate_series."""
-    toks = tokens(text_col)
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+
+    def shingle(i):
+        return F.concat_ws(" ", *[F.element_at(toks, i + k)
+                                  for k in range(n)])
+
     return F.when(F.size(toks) < n, F.array().cast("array<string>")) \
-        .otherwise(F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n),
-                                                    " "))))
+        .otherwise(F.array_distinct(F.transform(idx, shingle)))
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Shingles straight from a text column.  Prefer the staged
+    ``_staged_shingles`` dataframe helper in pipelines — inlining this
+    into further array transforms recomputes the tokenization per
+    element (see word_shingles_from)."""
+    return word_shingles_from(tokens(text_col), n)
+
+
+def _staged_shingles(df: DataFrame, text_col: str, id_col: str,
+                     n: int) -> DataFrame:
+    """(id, sh) with the token array materialized in its own projection
+    so the split() runs once per row."""
+    return (df.select(F.col(id_col).alias("id"),
+                      tokens(text_col).alias("__toks"))
+              .filter(F.size("__toks") >= n)
+              .select("id",
+                      word_shingles_from(F.col("__toks"), n).alias("sh")))
+
+
+_MINHASH_P = 1_000_000_007  # universal-hash modulus (fits 64-bit products)
+
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) for h_i(x) = (a_i*x + b_i) mod P.
+    a_i < 1e5 keeps a_i * (32-bit x) < 2^49 — no 64-bit overflow in any
+    engine."""
+    return [(2 * i + 3, 7919 * i + 1) for i in range(num_hashes)]
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
@@ -67,26 +108,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       max_bucket: int = 50) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing >=1 LSH band.
 
-    rows = docs; bands columns -> explode -> self-join on (band, hash).
-
-    Staged projections matter here: shingles are materialized ONCE, then
-    the H minhash transforms read the stored array, then band hashes read
-    the stored signature columns.  Inlining the whole tree per column
-    (higher-order funcs are interpreted, no subexpression elimination)
-    recomputes tokenization H*B times — 40x slower at sf0.1.
+    Signature computation is explode -> one md5 per shingle -> H cheap
+    universal hashes -> groupBy(id).agg(H mins).  Everything after the
+    split is whole-stage-codegen'd and the shuffle carries one row per
+    doc (map-side partial min).  The earlier formulation (H interpreted
+    ``transform`` calls, each computing md5 per element) evaluated H
+    md5s per shingle in Catalyst's interpreted higher-order-function
+    path — ~10x slower at sf0.1 and worse at scale.
     """
     rows_per_band = num_hashes // bands
-    toks = tokens(text_col)
-    sh_df = (df.filter(F.size(toks) >= shingle_n)
-               .select(F.col(id_col).alias("id"),
-                       word_shingles(text_col, shingle_n).alias("sh")))
-    sig_df = sh_df.select("id", *[
-        F.array_min(F.transform(
-            F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
-        .alias(f"m{i}")
-        for i in range(num_hashes)])
+    ex = _staged_shingles(df, text_col, id_col, shingle_n) \
+        .select("id", F.explode("sh").alias("s"))
+    # one md5 per distinct shingle occurrence -> 32-bit int
+    h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
+    ex = ex.select("id", h.alias("h"))
+    sig_df = ex.groupBy("id").agg(*[
+        F.min((F.col("h") * a + b) % _MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))])
     band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"m{i}")
+        F.md5(F.concat_ws("|", *[F.col(f"m{i}").cast("string")
                                  for i in range(b * rows_per_band,
                                                 (b + 1) * rows_per_band)]))
         .alias(f"band{b}")
@@ -154,26 +194,40 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         threshold: float = 0.5,
                         max_bucket: int = 50) -> DataFrame:
-    """Exact Jaccard similarity on distinct word n-grams for pairs sharing
-    at least one shingle (inverted index join -> no cross join)."""
-    sh = word_shingles(text_col, n)
-    base = df.select(F.col(id_col).alias("id"), sh.alias("sh")) \
-             .filter(F.size("sh") > 0)
+    """Exact Jaccard similarity on distinct word n-grams, computed from
+    the inverted index alone.
+
+    Shingles occurring in more than ``max_bucket`` documents are dropped
+    up front (stop-shingle removal — the standard guard against the
+    quadratic hot-bucket blow-up); Jaccard is then EXACT over the
+    remaining shingles: the self-join on shingle yields one row per
+    co-occurring shingle, so |A∩B| is a count aggregation and
+    |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts.  No array
+    materialization, no array_intersect over candidate pairs — the
+    earlier formulation (candidates -> join arrays back -> set
+    intersection) re-shuffled the documents twice and evaluated ~1M
+    interpreted array ops at sf0.1."""
+    base = _staged_shingles(df, text_col, id_col, n)
     inv = base.select("id", F.explode("sh").alias("s"))
-    w = Window.partitionBy("s").orderBy("id")
-    inv = inv.withColumn("rn", F.row_number().over(w)) \
-             .filter(F.col("rn") <= max_bucket).drop("rn")
-    cand = (inv.alias("a").join(inv.alias("b"),
-                                (F.col("a.s") == F.col("b.s"))
-                                & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
-    sa = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = cand.join(sa, "id_a").join(sb, "id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    jac = F.round(inter / union, 6)
+    # stop-shingle removal: one count per shingle, no ordering needed
+    w = Window.partitionBy("s")
+    inv = inv.withColumn("df_s", F.count(F.lit(1)).over(w)) \
+             .filter(F.col("df_s") <= max_bucket).drop("df_s")
+    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (inv.alias("a").join(inv.alias("b"),
+                                 (F.col("a.s") == F.col("b.s"))
+                                 & (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    joined = (inter
+              .join(sizes.select(F.col("id").alias("id_a"),
+                                 F.col("sz").alias("sz_a")), "id_a")
+              .join(sizes.select(F.col("id").alias("id_b"),
+                                 F.col("sz").alias("sz_b")), "id_b"))
+    i = F.col("inter").cast("double")
+    union = (F.col("sz_a") + F.col("sz_b")).cast("double") - i
+    jac = F.round(i / union, 6)
     return (joined.select("id_a", "id_b", jac.alias("jaccard"))
                   .filter(F.col("jaccard") >= threshold))
 
@@ -231,24 +285,25 @@ def minhash_lsh_pairs_sql(table="documents", text_col="text",
     toks = TOKENS_SQL.format(c=text_col)
     sh = _shingles_sql(text_col, shingle_n)
     sig_cols = ",\n    ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS m{i}"
-        for i in range(num_hashes))
+        f"min((h * {a} + {b}) % {_MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes)))
     band_cols = ",\n    ".join(
         "md5(concat_ws('|', "
-        + ", ".join(f"m{i}" for i in range(b * r, (b + 1) * r))
+        + ", ".join(f"m{i}::VARCHAR" for i in range(b * r, (b + 1) * r))
         + f")) AS band{b}"
         for b in range(bands))
-    band_structs = ", ".join(
-        f"({b}, band{b})" for b in range(bands))
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {sh} AS sh
   FROM {table}
   WHERE len({toks}) >= {shingle_n}
+), ex AS (
+  SELECT id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT id, unnest(sh) AS s FROM base)
 ), sig AS (
   SELECT id,
     {sig_cols}
-  FROM base
+  FROM ex GROUP BY id
 ), bnd AS (
   SELECT id,
     {band_cols}
@@ -302,31 +357,32 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 def ngram_jaccard_pairs_sql(table="documents", text_col="text",
                             id_col="doc_id", n=3, threshold=0.5,
                             max_bucket=50):
+    toks = TOKENS_SQL.format(c=text_col)
     sh = _shingles_sql(text_col, n)
     return f"""
 WITH base AS (
   SELECT {id_col} AS id, {sh} AS sh FROM {table}
-  WHERE len({sh}) > 0
+  WHERE len({toks}) >= {n}
+), inv_all AS (
+  SELECT id, unnest(sh) AS s FROM base
 ), inv AS (
   SELECT id, s FROM (
-    SELECT id, unnest(sh) AS s FROM base
-  )
-), capped AS (
-  SELECT id, s FROM (
-    SELECT id, s, row_number() OVER (PARTITION BY s ORDER BY id) AS rn
-    FROM inv) WHERE rn <= {max_bucket}
-), cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM capped a JOIN capped b ON a.s = b.s AND a.id < b.id
+    SELECT id, s, count(*) OVER (PARTITION BY s) AS df_s FROM inv_all
+  ) WHERE df_s <= {max_bucket}
+), sizes AS (
+  SELECT id, count(*) AS sz FROM inv GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+  GROUP BY a.id, b.id
 ), j AS (
-  SELECT c.id_a, c.id_b,
-         round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-           / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)
-              - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)), 6)
+  SELECT i.id_a, i.id_b,
+         round(CAST(i.inter AS DOUBLE)
+           / (CAST(sa.sz + sb.sz AS DOUBLE) - CAST(i.inter AS DOUBLE)), 6)
            AS jaccard
-  FROM cand c
-  JOIN base sa ON sa.id = c.id_a
-  JOIN base sb ON sb.id = c.id_b
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
 )
 SELECT * FROM j WHERE jaccard >= {threshold}"""
 
