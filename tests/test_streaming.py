@@ -36,3 +36,49 @@ class TestBatchEquivalence:
         assert len(out) > 0
         # sessions are disjoint per user and ordered
         assert all(r["session_start"] <= r["session_end"] for r in out)
+
+    def test_stream_dedup(self, spark, tmp_path):
+        from tuplex_spark.streaming import (stream_from_directory,
+                                            stream_dedup,
+                                            run_stream_to_memory)
+        import __spark_entry__ as em
+        ev = em._t(spark, SF_DIR, "events").limit(500)
+        doubled = ev.union(ev)  # every event twice
+        src = str(tmp_path / "dedup_src")
+        doubled.write.mode("overwrite").parquet(src)
+
+        # batch path
+        assert stream_dedup(doubled).count() == 500
+
+        sdf = stream_from_directory(spark, src, ev.schema)
+        q = run_stream_to_memory(stream_dedup(sdf), "dedup_test",
+                                 output_mode="append")
+        got = spark.sql("SELECT count(*) FROM dedup_test").head()[0]
+        assert got == 500
+
+    def test_running_user_stats_stateful(self, spark, tmp_path):
+        from tuplex_spark.streaming import (stream_from_directory,
+                                            running_user_stats,
+                                            run_stream_to_memory)
+        import __spark_entry__ as em
+        ev = em._t(spark, SF_DIR, "events").limit(2000)
+        src = str(tmp_path / "stats_src")
+        # several files so availableNow produces multiple micro-batches
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+
+        batch = {(r["user_id"], r["n_events"], round(r["sum_value"], 6))
+                 for r in running_user_stats(ev).collect()}
+
+        sdf = stream_from_directory(spark, src, ev.schema)
+        q = run_stream_to_memory(running_user_stats(sdf), "stats_test",
+                                 output_mode="update", timeout_s=60)
+        # update mode re-emits per micro-batch: the LAST row per user is
+        # the final running state
+        rows = spark.sql("SELECT * FROM stats_test").collect()
+        final = {}
+        for r in rows:
+            prev = final.get(r["user_id"])
+            if prev is None or r["n_events"] >= prev[1]:
+                final[r["user_id"]] = (r["user_id"], r["n_events"],
+                                       round(r["sum_value"], 6))
+        assert set(final.values()) == batch

