@@ -6,6 +6,7 @@ CPython-differential pattern of test_fallback.py.
 """
 
 import math
+import random
 
 import pytest
 
@@ -268,3 +269,85 @@ class TestFallbackLadder:
     def test_none_handling(self, ctx):
         ds = run_diff(ctx, [1, 2, None, 4], lambda x: x * 2)
         assert ds.exception_counts == {"TypeError": 1}
+
+
+class TestExtendedStrings:
+    """New §2.6 surface: swapcase/partition/ljust/rjust/remove*/splitlines."""
+    EDGE = ["hello world", "MiXeD Case", "", "abXab", "x", "a,b,c",
+            "  sp  ", "line1\nline2\n", "multi\n\nblank"]
+
+    def test_swapcase(self, ctx):
+        run_diff(ctx, self.EDGE, lambda x: x.swapcase())
+
+    def test_partition(self, ctx):
+        run_diff(ctx, self.EDGE, lambda x: x.partition(","))
+
+    def test_rpartition(self, ctx):
+        run_diff(ctx, self.EDGE, lambda x: x.rpartition("a"))
+
+    def test_ljust_rjust(self, ctx):
+        run_diff(ctx, self.EDGE, lambda x: (x.ljust(8, "."), x.rjust(8)))
+
+    def test_removeprefix_suffix(self, ctx):
+        run_diff(ctx, self.EDGE, lambda x: (x.removeprefix("ab"),
+                                            x.removesuffix("ab")))
+
+    def test_splitlines(self, ctx):
+        run_diff(ctx, self.EDGE, lambda x: x.splitlines())
+
+    def test_reverse_slice(self, ctx):
+        run_diff(ctx, self.EDGE, lambda x: x[::-1])
+
+
+class TestExtendedMath:
+    PAIRS2 = [(3, 4.0), (-7, 3.0), (0, -2.5), (5, 0.5), (-1, -1.5)]
+
+    def test_hypot(self, ctx):
+        run_diff(ctx, self.PAIRS2, lambda x: math.hypot(x["a"], x["b"]),
+                 columns=["a", "b"])
+
+    def test_trunc(self, ctx):
+        run_diff(ctx, self.PAIRS2, lambda x: math.trunc(x["b"]),
+                 columns=["a", "b"])
+
+    def test_copysign(self, ctx):
+        run_diff(ctx, self.PAIRS2, lambda x: math.copysign(x["a"], x["b"]),
+                 columns=["a", "b"])
+
+    def test_fmod(self, ctx):
+        run_diff(ctx, [(3, 4.0), (-7, 3.0), (5, 0.5), (-1, -1.5)],
+                 lambda x: math.fmod(x["a"], x["b"]), columns=["a", "b"])
+
+    def test_fmod_zero_divisor_raises(self, ctx):
+        ds = run_diff(ctx, [(3, 4.0), (1, 0.0)],
+                      lambda x: math.fmod(x["a"], x["b"]),
+                      columns=["a", "b"])
+        assert ds.exception_counts == {"ValueError": 1}
+
+
+class TestComprehensions:
+    DATA = ["alpha beta gamma", "one", "", "longword tiny it"]
+
+    def test_listcomp_transform(self, ctx):
+        run_diff(ctx, self.DATA, lambda x: [t.upper()
+                                            for t in x.split(" ")])
+
+    def test_listcomp_with_filter(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda x: [t for t in x.split(" ") if len(t) > 3])
+
+    def test_sum_listcomp(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda x: sum([len(t) for t in x.split(" ")]))
+
+    def test_sum_genexp_start(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda x: sum((len(t) for t in x.split(" ")), 100))
+
+    def test_sorted_split(self, ctx):
+        run_diff(ctx, self.DATA, lambda x: sorted(x.split(" ")))
+
+    def test_random_choice_membership(self, ctx):
+        ds = ctx.parallelize([1, 2, 3, 4]).map(
+            lambda x: random.choice("ab"))
+        assert set(ds.collect()) <= {"a", "b"}

@@ -498,6 +498,55 @@ class Translator:
             items[k.value] = self.eval(v)
         return SDict(items)
 
+    def _ev_ListComp(self, node):
+        """[expr for v in arr (if cond)*] -> F.filter + F.transform.
+
+        Only single-generator comprehensions over array-typed values;
+        bodies that would need exception guards abort compilation (the
+        guard predicate can't reference the HOF lambda variable at row
+        scope), falling back to the interpreted path."""
+        if len(node.generators) != 1:
+            raise CompileError("multiple comprehension generators")
+        gen = node.generators[0]
+        if gen.is_async or not isinstance(gen.target, ast.Name):
+            raise CompileError("comprehension target")
+        it = self.eval(gen.iter)
+        if isinstance(it, SConst) and isinstance(it.value, (list, tuple)):
+            it = SCol(F.array(*[F.lit(v) for v in it.value]), "array",
+                      False, elem=_pytag(it.value[0]) if it.value else "str")
+        if not (isinstance(it, SCol) and it.tag == "array"):
+            raise CompileError(f"comprehension over {it.tag}")
+        var = gen.target.id
+        elem = it.elem or "str"
+        out_tag = [elem]
+
+        def bind_eval(xcol, expr_node):
+            saved = self._locals.get(var)
+            n_guards = len(self.guards)
+            self._locals[var] = SCol(xcol, elem, False)
+            try:
+                res = self.eval(expr_node)
+                if len(self.guards) != n_guards:
+                    raise CompileError("guarded comprehension body")
+                col = self.to_col(res)
+                out_tag[0] = res.tag
+                return col
+            finally:
+                if saved is None:
+                    self._locals.pop(var, None)
+                else:
+                    self._locals[var] = saved
+
+        arr = it.col
+        for cond in gen.ifs:
+            arr = F.filter(arr, lambda x, c=cond: bind_eval(x, c))
+        out = F.transform(arr, lambda x: bind_eval(x, node.elt))
+        return SCol(out, "array", it.nullable, elem=out_tag[0])
+
+    def _ev_GeneratorExp(self, node):
+        # sum(f(v) for v in arr) — same translation as a list comp
+        return self._ev_ListComp(node)
+
     def _ev_Attribute(self, node):
         base = self.eval(node.value)
         if isinstance(base, SModule):
@@ -594,10 +643,14 @@ class Translator:
             raise CompileError(f"slice on {base.tag}")
         # step: only [::-1] reverse supported
         if sl.step is not None:
-            if isinstance(sl.step, ast.Constant) and sl.step.value == -1 \
+            step = self.eval(sl.step)
+            if isinstance(step, SConst) and step.value == -1 \
                     and sl.lower is None and sl.upper is None:
                 return SCol(F.reverse(base.col), base.tag, base.nullable)
-            raise CompileError("slice step")
+            if isinstance(step, SConst) and step.value == 1:
+                pass  # explicit step 1 == no step
+            else:
+                raise CompileError("slice step")
         L = F.length(base.col) if base.tag == "str" else F.size(base.col)
 
         def norm(node, default):
@@ -925,6 +978,33 @@ class Translator:
             return SCol(c.cast("long"), "int")
         return SCol(c, a.tag)
 
+    def _b_sorted(self, args):
+        a = args[0]
+        if isinstance(a, SConst):
+            return SConst(sorted(a.value))
+        if isinstance(a, SCol) and a.tag == "array":
+            return SCol(F.sort_array(a.col), "array", a.nullable,
+                        elem=a.elem)
+        raise CompileError(f"sorted({a.tag})")
+
+    def _b_sum(self, args):
+        a = args[0]
+        start = args[1] if len(args) > 1 else SConst(0)
+        if not isinstance(start, SConst):
+            raise CompileError("sum start must be constant")
+        if isinstance(a, SConst):
+            return SConst(sum(a.value, start.value))
+        if isinstance(a, SCol) and a.tag == "array":
+            elem = a.elem or "int"
+            if elem not in _NUM_TAGS:
+                raise CompileError(f"sum over {elem} elements")
+            isf = elem == "float" or isinstance(start.value, float)
+            zero = F.lit(float(start.value)).cast("double") if isf \
+                else F.lit(int(start.value)).cast("long")
+            out = F.aggregate(a.col, zero, lambda acc, x: acc + x)
+            return SCol(out, "float" if isf else "int", a.nullable)
+        raise CompileError(f"sum({a.tag})")
+
     def _b_min(self, args):
         return self._minmax(args, F.least, min)
 
@@ -963,6 +1043,9 @@ class Translator:
                         args[0].nullable)
         if mod is _random_mod and name == "choice":
             a = args[0]
+            if isinstance(a, SConst) and isinstance(a.value, str) \
+                    and a.value:
+                a = SConst(list(a.value))  # choice over a string's chars
             if isinstance(a, SConst) and isinstance(a.value, (list, tuple)):
                 arr = F.array(*[F.lit(v) for v in a.value])
                 idx = (F.rand() * len(a.value) + 1).cast("int")
@@ -1017,6 +1100,23 @@ class Translator:
         if name == "atan2":
             b = self.to_col(self.num(args[1]))
             return SCol(F.atan2(c, b), "float")
+        if name == "hypot":
+            b = self.to_col(self.num(args[1]))
+            return SCol(F.hypot(c, b), "float")
+        if name == "trunc":
+            # CPython truncates toward zero; double->long cast matches
+            return SCol(c.cast("long"), "int")
+        if name == "copysign":
+            b = self.to_col(self.num(args[1])).cast("double")
+            # sign of b incl. -0.0: 1.0/-0.0 == -inf (doubles are IEEE)
+            neg = (b < 0) | ((b == 0.0) & (F.lit(1.0) / b < 0))
+            return SCol(F.when(neg, -F.abs(c)).otherwise(F.abs(c))
+                        .cast("double"), "float")
+        if name == "fmod":
+            b = self.to_col(self.num(args[1])).cast("double")
+            self.guard(b == 0.0, "ValueError")
+            # C fmod: result sign follows the dividend — same as Spark %
+            return SCol(c.cast("double") % b, "float")
         if name == "isnan":
             return SCol(F.isnan(c), "bool")
         if name == "isinf":
@@ -1206,6 +1306,52 @@ class Translator:
             return SCol(F.initcap(F.lower(c)), "str", nullable)
         if name == "casefold":
             return SCol(F.lower(c), "str", nullable)
+        if name == "swapcase":
+            lo = "abcdefghijklmnopqrstuvwxyz"
+            return SCol(F.translate(c, lo + lo.upper(), lo.upper() + lo),
+                        "str", nullable)
+        if name in ("partition", "rpartition"):
+            sep = const_arg(0)
+            if not sep:
+                self.guard(F.lit(True), "ValueError")
+            loc = F.instr(c, sep) if name == "partition" else \
+                (F.length(c) - F.instr(F.reverse(c), sep[::-1])
+                 - len(sep) + 2)
+            found = (F.instr(c, sep) > 0) if name == "partition" else \
+                (F.instr(F.reverse(c), sep[::-1]) > 0)
+            before = F.when(found, F.substring(c, 1, (loc - 1).cast("int"))) \
+                .otherwise(c if name == "partition" else F.lit(""))
+            mid = F.when(found, F.lit(sep)).otherwise(F.lit(""))
+            after = F.when(found, F.substring(
+                c, (loc + len(sep)).cast("int"), 2 ** 30)) \
+                .otherwise(F.lit("") if name == "partition" else c)
+            return STuple([SCol(before, "str", nullable),
+                           SCol(mid, "str", nullable),
+                           SCol(after, "str", nullable)])
+        if name in ("ljust", "rjust"):
+            w = const_arg(0, (int,))
+            fill = const_arg(1) if len(args) > 1 else " "
+            pad = F.rpad if name == "ljust" else F.lpad
+            # CPython never truncates; lpad/rpad do — guard with length
+            return SCol(F.when(F.length(c) >= w, c)
+                        .otherwise(pad(c, w, fill)), "str", nullable)
+        if name in ("removeprefix", "removesuffix"):
+            p = const_arg(0)
+            if name == "removeprefix":
+                hit = F.startswith(c, F.lit(p))
+                cut = F.substring(c, len(p) + 1, 2 ** 30)
+            else:
+                hit = F.endswith(c, F.lit(p))
+                cut = F.when(F.length(c) == len(p), F.lit("")).otherwise(
+                    F.substring(c, 1, F.length(c) - len(p)))
+            return SCol(F.when(hit, cut).otherwise(c), "str", nullable)
+        if name == "splitlines":
+            # CPython: '' -> []; trailing newline yields no empty element
+            t = F.regexp_replace(c, r"(\r\n|\r|\n)$", "")
+            return SCol(F.when(F.length(t) == 0,
+                               F.array().cast("array<string>"))
+                        .otherwise(F.split(t, r"\r\n|\r|\n")),
+                        "array", nullable, elem="str")
         raise CompileError(f"str.{name}")
 
     def _list_method(self, base, name, args):
@@ -1261,7 +1407,7 @@ class _BoundMethod(Sym):
 
 
 _BUILTINS = {"int", "float", "str", "bool", "len", "abs", "round",
-             "min", "max"}
+             "min", "max", "sorted", "sum"}
 
 
 def _unify_tags(a: str, b: str) -> str:
