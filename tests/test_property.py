@@ -1,0 +1,94 @@
+"""Randomized differential testing: seeded generator builds arithmetic /
+string / conditional expressions, runs them through the engine and plain
+CPython on the same rows, and compares results + exception counts.
+
+Mirrors the reference's pervasive differential-vs-CPython pattern
+(python/tests/*) with generated rather than hand-picked expressions.
+Deterministic (fixed seed) so failures reproduce.
+"""
+
+import os
+import random
+import tempfile
+
+from conftest import run_diff
+
+NUM_ATOMS = ["x['a']", "x['b']", "2", "3", "-1", "10"]
+NUM_OPS = ["+", "-", "*", "//", "%"]
+FLT_OPS = ["+", "-", "*", "/"]
+STR_ATOMS = ["x['s']", "'abc'", "'Zw '"]
+STR_METHODS = ["lower()", "upper()", "strip()", "swapcase()",
+               "replace('a','X')", "zfill(6)", "title()"]
+
+NUM_ROWS = [(3, 1.5, "hello"), (-7, 0.25, "Wor ld"), (0, -2.0, ""),
+            (12, 100.0, "aAbB"), (5, 0.0, "  pad  "), (-1, -0.5, "x,y")]
+
+
+def gen_num_expr(rng, depth=0):
+    if depth >= 2 or rng.random() < 0.35:
+        return rng.choice(NUM_ATOMS)
+    a = gen_num_expr(rng, depth + 1)
+    b = gen_num_expr(rng, depth + 1)
+    return f"({a} {rng.choice(NUM_OPS)} {b})"
+
+
+def gen_flt_expr(rng, depth=0):
+    if depth >= 2 or rng.random() < 0.35:
+        return rng.choice(["x['b']", "0.5", "2.0", "-1.5"])
+    a = gen_flt_expr(rng, depth + 1)
+    b = gen_flt_expr(rng, depth + 1)
+    return f"({a} {rng.choice(FLT_OPS)} {b})"
+
+
+def gen_str_expr(rng):
+    base = rng.choice(STR_ATOMS)
+    n = rng.randint(1, 3)
+    for _ in range(n):
+        base = f"{base}.{rng.choice(STR_METHODS)}"
+    return base
+
+
+def gen_cond_expr(rng):
+    num = gen_num_expr(rng)
+    s = gen_str_expr(rng)
+    cmp_ = rng.choice(["x['a'] > 2", "x['b'] < 1.0", "len(x['s']) > 3",
+                       "x['a'] % 2 == 0"])
+    return f"({num} if {cmp_} else len({s}))"
+
+
+def _build_fn(exprs):
+    """Write the generated lambda to a real file (source extraction)."""
+    src = "fn = lambda x: (" + ", ".join(exprs) + ",)\n"
+    f = tempfile.NamedTemporaryFile("w", suffix=".py", delete=False)
+    f.write(src)
+    f.close()
+    ns = {}
+    exec(compile(src, f.name, "exec"), ns)
+    os.unlink(f.name)
+    return ns["fn"]
+
+
+class TestGeneratedExpressions:
+    def test_integer_arithmetic_batch(self, ctx):
+        rng = random.Random(1234)
+        exprs = [gen_num_expr(rng) for _ in range(15)]
+        fn = _build_fn(exprs)
+        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
+
+    def test_float_arithmetic_batch(self, ctx):
+        rng = random.Random(99)
+        exprs = [gen_flt_expr(rng) for _ in range(15)]
+        fn = _build_fn(exprs)
+        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
+
+    def test_string_chain_batch(self, ctx):
+        rng = random.Random(7)
+        exprs = [gen_str_expr(rng) for _ in range(12)]
+        fn = _build_fn(exprs)
+        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
+
+    def test_conditional_batch(self, ctx):
+        rng = random.Random(2025)
+        exprs = [gen_cond_expr(rng) for _ in range(10)]
+        fn = _build_fn(exprs)
+        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
