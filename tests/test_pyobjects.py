@@ -43,3 +43,61 @@ class TestPyObjects:
         ds = ctx.parallelize(data)
         with pytest.raises(NotImplementedError):
             ds.withColumn("x", lambda a: 1)
+
+
+class TestTypeUnstableOutputs:
+    """Reference dual-mode parity: UDF outputs with no common Spark type
+    demote to PYOBJECT rows (exact heterogeneous values); runtime rows
+    that deviate from a stable sampled type become NormalCaseViolation
+    exception rows instead of crashing the stage."""
+
+    def test_map_heterogeneous_promotes_to_pyobj(self, ctx):
+        def f(x):
+            # str for odd, int for even -> no common type; loop blocks
+            # compilation so this exercises the fallback path
+            v = 0
+            for i in range(1):
+                v = x
+            return "odd" if v % 2 else v * 10
+
+        ds = ctx.parallelize([1, 2, 3, 4]).map(f)
+        assert ds.collect() == ["odd", 20, "odd", 40]
+
+    def test_pyobj_filter_then_map(self, ctx):
+        def f(x):
+            v = 0
+            for i in range(1):
+                v = x
+            return "odd" if v % 2 else v * 10
+
+        ds = (ctx.parallelize([1, 2, 3, 4]).map(f)
+              .filter(lambda r: isinstance(r, int))
+              .map(lambda r: r + 1))
+        assert ds.collect() == [21, 41]
+
+    def test_runtime_deviation_is_exception_row(self, ctx):
+        # sample (first 100 rows) is all-int; row 150 returns a string
+        def f(x):
+            v = 0
+            for i in range(1):
+                v = x
+            return "surprise" if v == 150 else v
+
+        data = list(range(200))
+        ds = ctx.parallelize(data).map(f)
+        got = ds.collect()
+        assert got == [v for v in data if v != 150]
+        assert ds.exception_counts == {"NormalCaseViolation": 1}
+
+    def test_runtime_deviation_resolvable(self, ctx):
+        def f(x):
+            v = 0
+            for i in range(1):
+                v = x
+            return "surprise" if v == 150 else v
+
+        data = list(range(200))
+        ds = (ctx.parallelize(data).map(f)
+              .resolve(Exception, lambda x: -1))
+        got = ds.collect()
+        assert got == [v if v != 150 else -1 for v in data]

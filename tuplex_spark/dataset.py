@@ -272,8 +272,16 @@ class DataSet:
             out_specs = [("__pred", T.BooleanType())]
             out_kind = "scalar"
         else:
-            specs, out_kind = fallback.infer_output_type(
-                fn, sample_in, in_cols)
+            try:
+                specs, out_kind = fallback.infer_output_type(
+                    fn, sample_in, in_cols)
+            except fallback.TypeUnstableError:
+                if kind != "map":
+                    raise
+                # heterogeneous outputs: no Spark schema can hold them —
+                # demote to PYOBJECT rows (reference dual-mode: rows keep
+                # their own types on the fallback path)
+                return self._apply_structured_pyobj(fn, op_name, in_cols)
             if kind in ("withColumn", "mapColumn"):
                 name = new_col if kind == "withColumn" else target_col
                 out_specs = [(name, specs[0][1])]
@@ -322,6 +330,64 @@ class DataSet:
                            last_op=info)
 
     # ------------------------------------------------------- PYOBJECT mode
+    def _apply_structured_pyobj(self, fn, op_name: str, in_cols):
+        """map over structured rows whose sampled outputs have no common
+        Spark type: results are pickled into a PYOBJ column and the
+        dataset continues in PYOBJECT mode (map/filter; collect returns
+        the exact heterogeneous Python values)."""
+        import pickle
+        from .udf.fallback import UDFRow, _apply, _clean
+
+        arity = getattr(getattr(fn, "__code__", None), "co_argcount", 1)
+        capture = self._exc_enabled
+        names = list(in_cols)
+        schema_fields = [T.StructField(PYOBJ_COL, T.BinaryType(), True)]
+        if capture:
+            schema_fields += [T.StructField(EXC_CODE, T.IntegerType(), False),
+                              T.StructField(EXC_PAYLOAD, T.StringType(), True),
+                              T.StructField(EXC_OP, T.StringType(), True)]
+        out_schema = T.StructType(schema_fields)
+
+        def run(batches):
+            import json
+            import pandas as pd
+            for pdf in batches:
+                n = len(pdf)
+                blobs, codes, payloads = [None] * n, [0] * n, [None] * n
+                cols = [pdf[f] for f in names]
+                prev_codes = pdf[EXC_CODE].tolist() \
+                    if EXC_CODE in pdf.columns else [0] * n
+                prev_payloads = pdf[EXC_PAYLOAD].tolist() \
+                    if EXC_PAYLOAD in pdf.columns else [None] * n
+                for i in range(n):
+                    if capture and prev_codes[i]:
+                        codes[i] = prev_codes[i]
+                        payloads[i] = prev_payloads[i]
+                        continue
+                    row = tuple(_clean(c.iloc[i]) for c in cols)
+                    try:
+                        r = _apply(fn, row if len(row) != 1 else row[0],
+                                   arity, names)
+                        blobs[i] = pickle.dumps(r)
+                    except Exception as e:
+                        if not capture:
+                            raise
+                        codes[i] = E.code_for_instance(e)
+                        payloads[i] = json.dumps(dict(zip(names, row)),
+                                                 default=str)
+                data = {PYOBJ_COL: blobs}
+                if capture:
+                    data[EXC_CODE] = codes
+                    data[EXC_PAYLOAD] = payloads
+                    data[EXC_OP] = [op_name if c else None for c in codes]
+                yield pd.DataFrame(data)
+
+        out = self._df.mapInPandas(run, schema=out_schema)
+        return DataSet(self._ctx, out, [PYOBJ_COL],
+                       sample=self._sample_apply(fn, "map"),
+                       parked=list(self._parked), op_seq=self._op_seq + 1,
+                       pyobj=True)
+
     def _apply_pyobj(self, fn, kind: str):
         """map/filter over arbitrary pickled Python objects (reference:
         PYOBJECT type + interpreter fallback, test_fallback.py behavior).

@@ -36,6 +36,9 @@ _CODES: dict[str, int] = {
     "BadParseInput": 300,
     # row rejected by parallelize() schema unification, reference PYTHON_PARALLELIZE
     "BadParallelizeInput": 310,
+    # runtime UDF output doesn't fit the sample-inferred normal-case type
+    # (reference: normal-case violation routed to the general-case path)
+    "NormalCaseViolation": 320,
 }
 
 # Python class hierarchy for resolve(ExcClass) matching: a resolver for a

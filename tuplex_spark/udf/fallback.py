@@ -19,19 +19,30 @@ import math
 
 from pyspark.sql import types as T
 
-from ..exceptions import code_for_instance
+from ..exceptions import code_for, code_for_instance
 from ..typeutils import infer_type, super_type
+
+_NCV_CODE = code_for("NormalCaseViolation")
 
 EXC_CODE = "__exc_code"
 EXC_PAYLOAD = "__exc_payload"
 EXC_OP = "__exc_op"
 
 
+class TypeUnstableError(Exception):
+    """Sampled UDF outputs have no common Spark type (e.g. int on some
+    rows, str on others, or tuple vs scalar).  Reference analog: rows
+    that violate the normal case go to the dual-mode fallback path; here
+    the caller promotes the dataset to PYOBJECT (pickled) rows so the
+    heterogeneous values round-trip exactly."""
+
+
 def infer_output_type(fn, sample_rows, names=None):
     """Run fn over sample python rows; widen result types.
 
     Returns (result_type_per_output, out_kind) where out_kind is
-    'scalar' | 'tuple' | 'dict'.  Raises if no sample row succeeds.
+    'scalar' | 'tuple' | 'dict'.  Raises if no sample row succeeds;
+    raises TypeUnstableError on heterogeneous result shapes/types.
     """
     arity = getattr(getattr(fn, "__code__", None), "co_argcount", 1)
     results = []
@@ -48,6 +59,12 @@ def infer_output_type(fn, sample_rows, names=None):
         kind = "tuple"
     elif isinstance(r0, dict):
         kind = "dict"
+    for r in results:
+        rk = "tuple" if isinstance(r, tuple) else \
+            "dict" if isinstance(r, dict) else "scalar"
+        if rk != kind or (kind == "tuple" and len(r) != len(r0)) \
+                or (kind == "dict" and list(r.keys()) != list(r0.keys())):
+            raise TypeUnstableError(f"result shape {rk} vs {kind}")
     if kind == "scalar":
         t, nullable = _widen(results)
         return [(None, t, nullable)], kind
@@ -74,7 +91,19 @@ def _widen(values):
         if vt is None:
             nullable = True
         else:
-            t = vt if t is None else super_type(t, vt)
+            if t is not None:
+                merged = super_type(t, vt)
+                # super_type's universal-string fallback means the mix
+                # had no real common type — that's instability, not a
+                # stringly-typed column
+                if isinstance(merged, T.StringType) and not (
+                        isinstance(t, T.StringType)
+                        and isinstance(vt, T.StringType)):
+                    raise TypeUnstableError(
+                        f"{t.simpleString()} vs {vt.simpleString()}")
+                t = merged
+            else:
+                t = vt
     return (t or T.NullType()), nullable or t is None
 
 
@@ -119,6 +148,33 @@ def _apply(fn, row, arity, names=None):
             row = UDFRow(row, names)
         return fn(row)
     return fn(row)
+
+
+def _conforms(v, t: T.DataType) -> bool:
+    """Shallow runtime check that a produced Python value fits the
+    declared (sample-inferred) Spark type.  Rows that fail become
+    NormalCaseViolation exception rows rather than crashing the Arrow
+    serializer for the whole batch — at scale one odd row must never
+    kill a stage."""
+    if v is None:
+        return True
+    if isinstance(t, T.BooleanType):
+        return isinstance(v, bool)
+    if isinstance(t, (T.LongType, T.IntegerType)):
+        return isinstance(v, int) and not isinstance(v, bool)
+    if isinstance(t, T.DoubleType):
+        return isinstance(v, (int, float)) and not isinstance(v, bool)
+    if isinstance(t, T.StringType):
+        return isinstance(v, str)
+    if isinstance(t, T.BinaryType):
+        return isinstance(v, (bytes, bytearray))
+    if isinstance(t, T.ArrayType):
+        return isinstance(v, list)
+    if isinstance(t, T.MapType):
+        return isinstance(v, dict)
+    if isinstance(t, T.StructType):
+        return isinstance(v, (tuple, dict))
+    return True
 
 
 def _clean(v):
@@ -176,13 +232,23 @@ def make_map_in_pandas(fn, in_fields: list[str], out_specs, out_kind,
                     r = _apply(fn, row if len(row) != 1 else row[0], arity,
                                in_fields)
                     if out_kind == "tuple":
-                        for j, name in enumerate(out_names):
-                            outs[name][i] = r[j]
+                        vals = [r[j] for j in range(len(out_names))]
                     elif out_kind == "dict":
-                        for name in out_names:
-                            outs[name][i] = r[name]
+                        vals = [r[name] for name in out_names]
                     else:
-                        outs[out_names[0]][i] = r
+                        vals = [r]
+                    if not all(_conforms(v, t)
+                               for v, (_, t) in zip(vals, out_specs)):
+                        if not capture:
+                            raise TypeError(
+                                f"UDF output {vals!r} does not fit the "
+                                "sample-inferred schema")
+                        codes[i] = _NCV_CODE
+                        payloads[i] = json.dumps(
+                            dict(zip(in_fields, row)), default=str)
+                        continue
+                    for name, v in zip(out_names, vals):
+                        outs[name][i] = v
                 except Exception as e:
                     if not capture:
                         raise
