@@ -73,3 +73,42 @@ class TestAggregates:
         assert not s["python_eval"], \
             "recognized fold must lower to native aggregates"
         assert "partial" in s["plan"].lower() or "HashAggregate" in s["plan"]
+
+
+class TestScaleOps:
+    def test_minhash_no_cartesian_and_partial_agg(self, spark):
+        """LSH must be equality-join + partial-min agg, never cross join
+        and never an inlined generator filter (InferFiltersFromGenerate
+        is excluded in build_session)."""
+        from tuplex_spark.functions import dedup
+        df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        plan = dedup.minhash_lsh_pairs(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "partial_min" in plan or "HashAggregate" in plan
+        # the staged token split must appear ONCE per scan branch, not
+        # inside a pushed-down generator filter
+        opt = dedup.minhash_lsh_pairs(df) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        for line in opt.splitlines():
+            if line.strip().startswith("+- Filter") or \
+                    line.strip().startswith("Filter"):
+                assert "transform(" not in line, \
+                    "generator expression inlined into a Filter"
+
+    def test_jaccard_no_cartesian(self, spark):
+        from tuplex_spark.functions import dedup
+        df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        plan = dedup.ngram_jaccard_pairs(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_mm_decode_is_single_narrow_python_stage(self, spark):
+        """Multimodal decode: exactly one Arrow python stage, no shuffle."""
+        import __spark_entry__ as em
+        df = em.q_mm_decode(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1
+        assert "Exchange" not in plan

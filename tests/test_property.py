@@ -56,16 +56,29 @@ def gen_cond_expr(rng):
     return f"({num} if {cmp_} else len({s}))"
 
 
+_TMPFILES = []
+
+
 def _build_fn(exprs):
-    """Write the generated lambda to a real file (source extraction)."""
+    """Write the generated lambda to a real file that OUTLIVES the call —
+    inspect.getsource reads it lazily at compile time, so deleting it
+    immediately would silently push every case onto the fallback path."""
     src = "fn = lambda x: (" + ", ".join(exprs) + ",)\n"
     f = tempfile.NamedTemporaryFile("w", suffix=".py", delete=False)
     f.write(src)
     f.close()
+    _TMPFILES.append(f.name)
     ns = {}
     exec(compile(src, f.name, "exec"), ns)
-    os.unlink(f.name)
     return ns["fn"]
+
+
+def teardown_module():
+    for p in _TMPFILES:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
 
 
 class TestGeneratedExpressions:
@@ -92,3 +105,32 @@ class TestGeneratedExpressions:
         exprs = [gen_cond_expr(rng) for _ in range(10)]
         fn = _build_fn(exprs)
         run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
+
+    def test_exception_heavy_batch(self, ctx):
+        """Division-shaped expressions: engine exception rows must match
+        CPython raise-counts exactly (one failing component poisons the
+        whole row on both sides)."""
+        rng = random.Random(77)
+        exprs = [f"(10 {rng.choice(['//', '%'])} {gen_num_expr(rng)})"
+                 for _ in range(8)]
+        fn = _build_fn(exprs)
+        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
+
+    def test_string_edge_inputs(self, ctx):
+        rng = random.Random(4242)
+        exprs = [gen_str_expr(rng) for _ in range(10)]
+        fn = _build_fn(exprs)
+        edge_rows = [(1, 0.0, ""), (2, 1.0, " "), (3, 2.0, "\t a \n"),
+                     (4, 3.0, "ALL CAPS"), (5, 4.0, "123"),
+                     (6, 5.0, "a" * 300), (7, 6.0, "mIxEd CaSe WoRdS")]
+        run_diff(ctx, edge_rows, fn, columns=["a", "b", "s"])
+
+    def test_deep_seeds_sweep(self, ctx):
+        """Five more seeds over the mixed grammar — cheap breadth."""
+        for seed in (11, 222, 3333, 44444, 5):
+            rng = random.Random(seed)
+            exprs = ([gen_num_expr(rng) for _ in range(4)]
+                     + [gen_flt_expr(rng) for _ in range(4)]
+                     + [gen_cond_expr(rng) for _ in range(4)])
+            fn = _build_fn(exprs)
+            run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])

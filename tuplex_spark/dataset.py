@@ -275,13 +275,23 @@ class DataSet:
             try:
                 specs, out_kind = fallback.infer_output_type(
                     fn, sample_in, in_cols)
-            except fallback.TypeUnstableError:
-                if kind != "map":
+            except (fallback.TypeUnstableError,
+                    fallback.AllSampleRowsFailed) as e:
+                if kind == "map":
+                    # heterogeneous/unknown outputs: no Spark schema can
+                    # hold them — demote to PYOBJECT rows (reference
+                    # dual-mode: rows keep their own types on the
+                    # fallback path)
+                    return self._apply_structured_pyobj(fn, op_name,
+                                                        in_cols)
+                if isinstance(e, fallback.AllSampleRowsFailed):
+                    # every sampled row raised: expect all-exception
+                    # output; declare a string column, runtime successes
+                    # that aren't strings become NormalCaseViolation
+                    specs = [(None, T.StringType(), True)]
+                    out_kind = "scalar"
+                else:
                     raise
-                # heterogeneous outputs: no Spark schema can hold them —
-                # demote to PYOBJECT rows (reference dual-mode: rows keep
-                # their own types on the fallback path)
-                return self._apply_structured_pyobj(fn, op_name, in_cols)
             if kind in ("withColumn", "mapColumn"):
                 name = new_col if kind == "withColumn" else target_col
                 out_specs = [(name, specs[0][1])]

@@ -1302,10 +1302,11 @@ class Translator:
             return SCol(F.rpad(F.lpad(c, (F.length(c) +
                         F.floor(left)).cast("int"), fill), w, fill),
                         "str", nullable)
-        if name == "title":
-            return SCol(F.initcap(F.lower(c)), "str", nullable)
-        if name == "casefold":
-            return SCol(F.lower(c), "str", nullable)
+        # NOT compiled on purpose (divergent semantics -> CPython fallback):
+        # - title(): Python capitalizes after ANY non-alpha ('x,y'->'X,Y');
+        #   initcap only after whitespace. Caught by the fuzz battery.
+        # - casefold(): full Unicode case folding (ß->ss) != lower().
+        # The reference compiles neither (SymbolTable.cc:366-419).
         if name == "swapcase":
             lo = "abcdefghijklmnopqrstuvwxyz"
             return SCol(F.translate(c, lo + lo.upper(), lo.upper() + lo),

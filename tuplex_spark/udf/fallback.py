@@ -29,6 +29,13 @@ EXC_PAYLOAD = "__exc_payload"
 EXC_OP = "__exc_op"
 
 
+class AllSampleRowsFailed(Exception):
+    """The UDF raised on every plan-time sample row — nothing to infer
+    from.  map() demotes to PYOBJECT (any runtime successes keep exact
+    types); withColumn/mapColumn declare a string column with runtime
+    conformance (non-string successes become NormalCaseViolation)."""
+
+
 class TypeUnstableError(Exception):
     """Sampled UDF outputs have no common Spark type (e.g. int on some
     rows, str on others, or tuple vs scalar).  Reference analog: rows
@@ -52,7 +59,8 @@ def infer_output_type(fn, sample_rows, names=None):
         except Exception:
             continue
     if not results:
-        raise ValueError("UDF failed on every sample row; cannot infer type")
+        raise AllSampleRowsFailed(
+            "UDF raised on every sample row; output type unknown")
     kind = "scalar"
     r0 = results[0]
     if isinstance(r0, tuple):
