@@ -58,9 +58,17 @@ def _approx_eq(a, b, rel=1e-12):
 
 
 def run_diff(ctx, data, fn, columns=None, op="map", expect_compiled=None):
-    """Differential check: engine vs CPython on the same data + UDF."""
+    """Differential check: engine vs CPython on the same data + UDF.
+    ``expect_compiled=True`` additionally asserts the UDF took the
+    compiled Column path (guards against silent fallback)."""
     ds = ctx.parallelize(data, columns=columns)
+    before = ctx.metrics.compiledUDFs
     out_ds = getattr(ds, op)(fn)
+    if expect_compiled is True:
+        assert ctx.metrics.compiledUDFs == before + 1, \
+            "UDF silently fell back to the interpreted path"
+    elif expect_compiled is False:
+        assert ctx.metrics.compiledUDFs == before
     got = out_ds.collect()
     want, n_exc = cpython_reference(data, fn, columns, op)
     norm = [tuple(w) if isinstance(w, (list, tuple)) else w for w in want]

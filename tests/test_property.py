@@ -86,13 +86,15 @@ class TestGeneratedExpressions:
         rng = random.Random(1234)
         exprs = [gen_num_expr(rng) for _ in range(15)]
         fn = _build_fn(exprs)
-        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
+        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
+                 expect_compiled=True)
 
     def test_float_arithmetic_batch(self, ctx):
         rng = random.Random(99)
         exprs = [gen_flt_expr(rng) for _ in range(15)]
         fn = _build_fn(exprs)
-        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
+        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
+                 expect_compiled=True)
 
     def test_string_chain_batch(self, ctx):
         rng = random.Random(7)
@@ -101,6 +103,8 @@ class TestGeneratedExpressions:
         run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
 
     def test_conditional_batch(self, ctx):
+        # no expect_compiled: embedded string chains may draw title(),
+        # which deliberately falls back
         rng = random.Random(2025)
         exprs = [gen_cond_expr(rng) for _ in range(10)]
         fn = _build_fn(exprs)
@@ -114,7 +118,8 @@ class TestGeneratedExpressions:
         exprs = [f"(10 {rng.choice(['//', '%'])} {gen_num_expr(rng)})"
                  for _ in range(8)]
         fn = _build_fn(exprs)
-        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
+        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
+                 expect_compiled=True)
 
     def test_string_edge_inputs(self, ctx):
         rng = random.Random(4242)
