@@ -214,6 +214,80 @@ def q_tpch_q19(spark, sf_dir):
             .agg(F.round(F.sum(rev), 4).alias("revenue")))
 
 
+def q_tpch_q7(spark, sf_dir):
+    """Nation-pair trade volume (Q7-shaped for the synthetic schema):
+    supplier nation -> customer nation revenue in one year."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(cu, o.o_custkey == cu.c_custkey)
+         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+         .join(F.broadcast(n1), su.s_nationkey == F.col("sn_key"))
+         .join(F.broadcast(n2), cu.c_nationkey == F.col("cn_key"))
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(),
+                     "supp_nation", "cust_nation")
+            .limit(15))
+
+
+def q_tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (Q13): left join + two aggs."""
+    _prep(spark)
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (cu.join(o, cu.c_custkey == o.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Top supplier(s) by quarter revenue (Q15): agg + max subquery."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+    su = _t(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return (rev.join(F.broadcast(mx),
+                     rev.total_revenue == F.col("m"))
+            .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
+            .select(F.col("s_suppkey"), F.col("s_name"),
+                    F.col("total_revenue")))
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (Q17): per-part avg correlated agg."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    avg_q = (li.groupBy(F.col("l_partkey").alias("ap_key"))
+             .agg((F.avg("l_quantity") * 0.8).alias("avg_lim")))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(avg_q, li.l_partkey == F.col("ap_key"))
+            .filter(F.col("l_quantity") < F.col("avg_lim"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
+                 .alias("avg_yearly")))
+
+
 # ======================================================================
 # DataSet-API operator parity queries (SURVEY.md §2)
 # ======================================================================
@@ -611,6 +685,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q15": q_tpch_q15,
+        "tpch_q17": q_tpch_q17,
         "tpch_q10": q_tpch_q10,
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
@@ -710,6 +788,50 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24""",
+        "tpch_q7": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY supp_nation, cust_nation
+ORDER BY revenue DESC, supp_nation, cust_nation
+LIMIT 15""",
+        "tpch_q13": """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count""",
+        "tpch_q15": """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+        "tpch_q17": """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.8 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)""",
         "tpch_q10": """
 SELECT c_custkey, c_name, n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
