@@ -17,7 +17,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
-    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q19",
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q13",
+    "tpch_q19",
     "ds_map_filter", "ds_agg_bykey", "ds_resolve",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "ann_topk", "text_quality", "text_langid", "mm_decode",
