@@ -145,3 +145,46 @@ class TestMetrics:
         assert m.totalExceptionCount == 1
         assert m.totalRunTime > 0
         assert m.lastActionRowCount == 3
+
+
+class TestContextUtilities:
+    """Reference Context surface: options(nested)/optionsToYAML/ls/cp/rm
+    (reference context.py:407-479)."""
+
+    def test_options_nested(self, ctx):
+        flat = ctx.options()
+        assert flat["tuplex.exceptions"] is True
+        nested = ctx.options(nested=True)
+        assert nested["tuplex"]["exceptions"] is True
+        assert nested["tuplex"]["csv"]["maxDetectionMemory"] > 0
+
+    def test_options_to_yaml(self, ctx, tmp_path):
+        p = str(tmp_path / "config.yaml")
+        ctx.optionsToYAML(p)
+        text = open(p).read()
+        assert "tuplex:" in text and "exceptions: true" in text
+
+    def test_ls_cp_rm(self, ctx, tmp_path):
+        src = tmp_path / "src"
+        src.mkdir()
+        for i in range(3):
+            (src / f"f{i}.txt").write_text(str(i))
+        got = ctx.ls(str(src / "*.txt"))
+        assert len(got) == 3
+        dst = tmp_path / "dst"
+        ctx.cp(str(src / "*.txt"), str(dst))
+        assert len(ctx.ls(str(dst / "*.txt"))) == 3
+        ctx.rm(str(dst / "*.txt"))
+        assert ctx.ls(str(dst / "*.txt")) == []
+
+
+class TestQuoting:
+    def test_quoted_delimiter_and_escaped_quotes(self, ctx, tmp_path):
+        p = tmp_path / "q.csv"
+        p.write_text('name,desc,n\n'
+                     '"smith, john","said ""hi""",1\n'
+                     'plain,nothing,2\n')
+        ds = ctx.csv(str(p))
+        rows = ds.collect()
+        assert rows[0] == ("smith, john", 'said "hi"', 1)
+        assert rows[1] == ("plain", "nothing", 2)

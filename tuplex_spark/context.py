@@ -51,11 +51,77 @@ class Context:
         return self._metrics
 
     # ------------------------------------------------------------ options
-    def options(self) -> dict:
-        return dict(self._options)
+    def options(self, nested: bool = False) -> dict:
+        """Current option dict (reference: context.py:407); ``nested``
+        splits dotted keys into sub-dicts."""
+        flat = dict(self._options)
+        if not nested:
+            return flat
+        out: dict = {}
+        for k, v in flat.items():
+            parts = k.split(".")
+            cur = out
+            for p in parts[:-1]:
+                cur = cur.setdefault(p, {})
+            cur[parts[-1]] = v
+        return out
+
+    def optionsToYAML(self, file_path: str = "config.yaml") -> None:
+        """Write options as YAML (reference: context.py:428).  Hand-rolled
+        emitter — flat scalar values only — to avoid a yaml dependency."""
+        def emit(d, indent=0):
+            lines = []
+            for k in sorted(d):
+                v = d[k]
+                pad = "  " * indent
+                if isinstance(v, dict):
+                    lines.append(f"{pad}{k}:")
+                    lines.extend(emit(v, indent + 1))
+                else:
+                    sv = "null" if v is None else \
+                        ("true" if v is True else
+                         "false" if v is False else
+                         json.dumps(v) if isinstance(v, str) else str(v))
+                    lines.append(f"{pad}{k}: {sv}")
+            return lines
+        with open(file_path, "w") as f:
+            f.write("\n".join(emit(self.options(nested=True))) + "\n")
 
     def getOption(self, key):
         return self._options.get(key)
+
+    # ------------------------------------------------- file-system helpers
+    def ls(self, pattern: str) -> list:
+        """List files matching a glob pattern (reference: context.py:437;
+        local paths — distributed storage globbing comes from Spark's
+        readers directly)."""
+        import glob as _glob
+        return sorted(_glob.glob(pattern.removeprefix("file://")))
+
+    def cp(self, pattern: str, target_uri: str) -> None:
+        """Copy matching files to target dir (reference: context.py:450)."""
+        import os as _os
+        import shutil as _shutil
+        target = target_uri.removeprefix("file://")
+        _os.makedirs(target, exist_ok=True)
+        for p in self.ls(pattern):
+            _shutil.copy(p, target)
+
+    def rm(self, pattern: str) -> None:
+        """Remove matching files/dirs (reference: context.py:465)."""
+        import os as _os
+        import shutil as _shutil
+        for p in self.ls(pattern):
+            if _os.path.isdir(p):
+                _shutil.rmtree(p)
+            else:
+                _os.remove(p)
+
+    @property
+    def uiWebURL(self) -> str:
+        """Spark UI URL (reference WebUI analog: context.py:479).  Empty
+        when the UI is disabled (the engine default for benchmarks)."""
+        return self.spark.sparkContext.uiWebUrl or ""
 
     # ------------------------------------------------------------ sources
     def parallelize(self, value_list, columns=None, schema=None,
@@ -168,6 +234,9 @@ class Context:
                   .option("header", has_header)
                   .option("sep", delim)
                   .option("quote", quotechar)
+                  # RFC-4180 doubled-quote escaping ("" inside a quoted
+                  # field); Spark's default escape is backslash
+                  .option("escape", quotechar)
                   .option("nullValue", null_values[0])
                   .option("mode", "PERMISSIVE")
                   .option("columnNameOfCorruptRecord", "_corrupt_record")
