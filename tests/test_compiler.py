@@ -351,3 +351,18 @@ class TestComprehensions:
         ds = ctx.parallelize([1, 2, 3, 4]).map(
             lambda x: random.choice("ab"))
         assert set(ds.collect()) <= {"a", "b"}
+
+
+class TestPositionalColumns:
+    def test_mapcolumn_by_index(self, ctx):
+        ds = ctx.parallelize([(1, "a"), (2, "b")], columns=["n", "s"])
+        assert ds.mapColumn(0, lambda v: v * 10).collect() == \
+            [(10, "a"), (20, "b")]
+        assert ds.mapColumn(-1, lambda v: v.upper()).collect() == \
+            [(1, "A"), (2, "B")]
+
+    def test_mapcolumn_bad_index(self, ctx):
+        ds = ctx.parallelize([(1, "a")], columns=["n", "s"])
+        import pytest as _pytest
+        with _pytest.raises(KeyError):
+            ds.mapColumn(5, lambda v: v)

@@ -496,8 +496,13 @@ class DataSet:
         (reference: dataset.py:201, WithColumnOperator.cc)."""
         return self._apply_udf(ftor, "withColumn", new_col=column)
 
-    def mapColumn(self, column: str, ftor) -> "DataSet":
-        """Transform a single column's value (reference: dataset.py:231)."""
+    def mapColumn(self, column, ftor) -> "DataSet":
+        """Transform a single column's value; addressed by name or
+        (negative-ok) index (reference: dataset.py:231 Union[int, str])."""
+        if isinstance(column, int):
+            if not -len(self._columns) <= column < len(self._columns):
+                raise KeyError(f"no column {column!r}")
+            column = self._columns[column]
         if column not in self._columns:
             raise KeyError(f"no column {column!r}")
         return self._apply_udf(ftor, "mapColumn", target_col=column)
