@@ -188,3 +188,56 @@ class TestQuoting:
         rows = ds.collect()
         assert rows[0] == ("smith, john", 'said "hi"', 1)
         assert rows[1] == ("plain", "nothing", 2)
+
+
+class Test311Pipeline:
+    """Port of the reference's 311-data pipeline (test_aggregates.py
+    test_311): csv with null_values + index-keyed typing.Optional hints,
+    mapColumn with a def UDF, unique, tocsv."""
+
+    DATA = (
+        "UniqueKey,CreatedDate,Agency,ComplaintType,Descriptor,"
+        "IncidentZip,StreetName\n"
+        "46688741,06/30/2020 07:24:41 PM,NYPD,Noise - Residential,"
+        "Loud Music/Party,10037.0,MADISON AVENUE\n"
+        "53493739,02/28/2022 07:30:31 PM,NYPD,Illegal Parking,"
+        "Double Parked Blocking Traffic,11203.0,EAST   56 STREET\n"
+        "48262955,11/27/2020 12:00:00 PM,DSNY,Derelict Vehicles,"
+        "Derelict Vehicles,11203.0,CLARKSON AVENUE\n"
+        "48262956,11/27/2020 12:00:00 PM,DSNY,Derelict Vehicles,"
+        "Derelict Vehicles,11208.0,SHEPHERD AVENUE\n"
+        "48262973,11/27/2020 03:46:00 PM,DEP,Water Quality,"
+        "unknown odor/taste in drinking water (QA6),10021.0,"
+        "EAST   70 STREET\n"
+        "53493766,02/28/2022 05:28:38 AM,NYPD,Noise - Vehicle,"
+        "Car/Truck Horn,00000.0,PARSONS BOULEVARD\n"
+    )
+
+    def test_311_fix_zip_unique_tocsv(self, ctx, tmp_path):
+        import typing
+        p = tmp_path / "t311.csv"
+        p.write_text(self.DATA)
+
+        def fix_zip_codes(zips):
+            if not zips:
+                return None
+            s = zips[:5]
+            if s == "00000":
+                return None
+            else:
+                return s
+
+        df = ctx.csv(str(p),
+                     null_values=["Unspecified", "NO CLUE", "NA", "N/A",
+                                  "0", ""],
+                     type_hints={i: typing.Optional[str]
+                                 for i in range(6)})
+        ds = df.mapColumn("IncidentZip", fix_zip_codes).unique()
+        out = tmp_path / "out311"
+        ds.tocsv(str(out), num_parts=1)
+        rows = ds.collect()
+        assert len(rows) == 6
+        zips = sorted(r[5] or "" for r in rows)
+        assert zips == ["", "10021", "10037", "11203", "11203", "11208"]
+        import glob
+        assert glob.glob(str(out) + "/part-*.csv")

@@ -180,6 +180,14 @@ def build_schema(columns, tags, type_hints=None) -> T.StructType:
 def _hint_to_spark(hint) -> T.DataType:
     if isinstance(hint, T.DataType):
         return hint
+    # typing.Optional[X] / Union[X, None] (reference type_hints style,
+    # e.g. test_aggregates.py test_311): nullability is universal in
+    # Spark, so unwrap to X
+    import typing
+    if typing.get_origin(hint) is typing.Union:
+        args = [a for a in typing.get_args(hint) if a is not type(None)]
+        if len(args) == 1:
+            return _hint_to_spark(args[0])
     m = {int: T.LongType(), float: T.DoubleType(), str: T.StringType(),
          bool: T.BooleanType(),
          "int": T.LongType(), "i64": T.LongType(),
