@@ -15,13 +15,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    # withWatermark requires TIMESTAMP (LTZ); parquet sources often carry
+    # TIMESTAMP_NTZ. The cast is wall-clock-preserving under the UTC
+    # session timezone the engine pins.
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_counts(df: DataFrame, ts_col: str = "ts",
                     key_col: str = "event_type",
                     window: str = "1 hour",
                     watermark: str | None = None) -> DataFrame:
     """Tumbling-window event counts + value sums per key."""
     if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     return (df.groupBy(F.window(F.col(ts_col), window).alias("w"),
                        F.col(key_col))
               .agg(F.count(F.lit(1)).alias("n_events"),
@@ -36,7 +45,7 @@ def sessionize(df: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
     """Session windows per user: events closer than ``gap`` merge into one
     session (session_window — Spark's native stateful sessionization)."""
     if watermark and df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     return (df.groupBy(F.session_window(F.col(ts_col), gap).alias("s"),
                        F.col(key_col))
               .agg(F.count(F.lit(1)).alias("n_events"),
@@ -58,7 +67,7 @@ def stream_dedup(df: DataFrame, key_cols: list[str] | None = None,
     makes 100 TB/day feasible."""
     key_cols = key_cols or ["event_id"]
     if df.isStreaming:
-        return (df.withWatermark(ts_col, watermark)
+        return (_watermarkable(df, ts_col).withWatermark(ts_col, watermark)
                   .dropDuplicatesWithinWatermark(key_cols))
     return df.dropDuplicates(key_cols)
 
@@ -95,7 +104,7 @@ def running_user_stats(df: DataFrame, key_col: str = "user_id",
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
                             "sum_value": [s]})
 
-    return (df.withWatermark(ts_col, watermark)
+    return (_watermarkable(df, ts_col).withWatermark(ts_col, watermark)
               .groupBy(key_col)
               .applyInPandasWithState(
                   update, outputStructType=_USER_STATS_SCHEMA,
