@@ -288,6 +288,204 @@ def q_tpch_q17(spark, sf_dir):
                  .alias("avg_yearly")))
 
 
+def q_tpch_q2(spark, sf_dir):
+    """Min-cost supplier (Q2-shaped; no partsupp in the synthetic schema,
+    so the offer relation is derived from lineitem: each (part, supplier)
+    pair's unit cost = min(l_extendedprice / l_quantity)).  Exercises the
+    correlated-min subquery pattern: per-part min over a region-filtered
+    offer set, joined back on equality."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "LARGE"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    offers = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+                   .alias("unit_cost")))
+    # region-restricted offers (the inner and outer sets must match)
+    eu = (offers.join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
+          .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    best = (eu.groupBy(F.col("l_partkey").alias("bp_key"))
+            .agg(F.min("unit_cost").alias("min_cost")))
+    return (eu.join(F.broadcast(p), eu.l_partkey == p.p_partkey)
+            .join(best, (eu.l_partkey == F.col("bp_key"))
+                  & (eu.unit_cost == F.col("min_cost")))
+            .select(F.round("s_acctbal", 2).alias("s_acctbal"),
+                    "s_name", "n_name", "p_partkey",
+                    F.round("unit_cost", 4).alias("unit_cost")))
+
+
+def q_tpch_q8(spark, sf_dir):
+    """National market share: NATION_3's share of EUROPE-customer revenue
+    for ECONOMY parts, by order year."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"))
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"))
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(cu, o.o_custkey == cu.c_custkey)
+         .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+         .join(F.broadcast(n1), cu.c_nationkey == F.col("cn_key"))
+         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+         .join(F.broadcast(n2), su.s_nationkey == F.col("sn_key")))
+    return (j.select(F.year("o_orderdate").cast("long").alias("o_year"),
+                     vol.alias("volume"), F.col("supp_nation"))
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.col("volume")).otherwise(0.0))
+                / F.sum("volume"), 6).alias("mkt_share")))
+
+
+def q_tpch_q9(spark, sf_dir):
+    """Product-type profit by nation and year (Q9-shaped; the synthetic
+    schema has no ps_supplycost, so profit = discounted revenue)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    n = _t(spark, sf_dir, "nation")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+            .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("long").alias("o_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_profit")))
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Important stock (Q11-shaped via lineitem as the supply relation):
+    per-part shipped value from NATION_7 suppliers exceeding 0.1% of that
+    nation's total — group-over-total scalar subquery."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    val = (li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+           .join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+           .groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                .alias("v")))
+    total = val.agg((F.sum("v") * 0.001).alias("thresh"))
+    return (val.join(F.broadcast(total), val.v > F.col("thresh"))
+            .select(F.col("l_partkey").alias("p_key"),
+                    F.round("v", 2).alias("value")))
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Shipping-priority split (Q12-shaped; no l_shipmode/receiptdate —
+    'late' = shipped >90 days after order date, classes = linestatus)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+            .groupBy(F.col("l_linestatus").alias("ship_class"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Supplier count by part attributes (Q16-shaped via lineitem; the
+    complaints exclusion becomes s_acctbal < 0): anti-join + count
+    distinct."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#11")
+        & F.col("p_size").isin(1, 14, 23, 45))
+    bad = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                  "left_anti")
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Potential part promotion (Q20-shaped via lineitem): NATION_1
+    suppliers who shipped >400 units of 'red' parts in 1996 — semi-join
+    on an aggregated subquery."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    su = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    heavy = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+             .groupBy("l_suppkey")
+             .agg(F.sum("l_quantity").alias("qty"))
+             .filter(F.col("qty") > 400))
+    return (su.join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
+            .join(heavy, su.s_suppkey == heavy.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Suppliers who kept orders waiting (Q21-shaped; no receipt/commit
+    dates — the 'blocking' supplier is the one whose shipment is latest
+    on a multi-supplier order with status F)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    su = _t(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    per_order = (lo.groupBy(F.col("l_orderkey").alias("g_okey"))
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.max("l_shipdate").alias("max_ship"))
+                 .filter(F.col("n_supp") > 1))
+    late = (lo.join(per_order, (lo.l_orderkey == F.col("g_okey"))
+                    & (lo.l_shipdate == F.col("max_ship")))
+            .select("l_orderkey", "l_suppkey").distinct())
+    return (late.join(F.broadcast(su), late.l_suppkey == su.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Global sales opportunity (Q22-shaped; country code = c_nationkey
+    since the synthetic schema has no c_phone): above-average-balance
+    customers with no orders — anti-join + scalar-average subquery."""
+    _prep(spark)
+    keys = [1, 3, 5, 7, 9, 11, 13]
+    cu = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(keys))
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = (cu.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    return (cu.join(F.broadcast(avg_bal), cu.c_acctbal > F.col("ab"))
+            .join(o, cu.c_custkey == o.o_custkey, "left_anti")
+            .groupBy(F.col("c_nationkey").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
 # ======================================================================
 # DataSet-API operator parity queries (SURVEY.md §2)
 # ======================================================================
@@ -693,6 +891,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
+        "tpch_q2": q_tpch_q2,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q9": q_tpch_q9,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q22": q_tpch_q22,
         "ds_map_filter": q_ds_map_filter,
         "ds_withcolumn": q_ds_withcolumn,
         "ds_resolve": q_ds_resolve,
@@ -873,6 +1080,128 @@ WHERE (p_brand = 'Brand#11' AND p_size <= 15
        AND l_quantity >= 5 AND l_quantity <= 35)
    OR (p_brand = 'Brand#16' AND p_size <= 35
        AND l_quantity >= 10 AND l_quantity <= 45)""",
+        "tpch_q2": """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), eu AS (
+  SELECT o.l_partkey, o.unit_cost, s_acctbal, s_name, n_name
+  FROM offers o
+  JOIN supplier ON o.l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       round(unit_cost, 4) AS unit_cost
+FROM eu
+JOIN part ON eu.l_partkey = p_partkey
+WHERE p_size = 25 AND p_type = 'LARGE'
+  AND unit_cost = (SELECT min(e2.unit_cost) FROM eu e2
+                   WHERE e2.l_partkey = eu.l_partkey)""",
+        "tpch_q8": """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                 ELSE 0.0 END) / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate)::BIGINT AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY o_year""",
+        "tpch_q9": """
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE contains(p_name, 'red')
+GROUP BY n_name, year(o_orderdate)""",
+        "tpch_q11": """
+WITH val AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_key, round(v, 2) AS value
+FROM val WHERE v > (SELECT sum(v) * 0.001 FROM val)""",
+        "tpch_q12": """
+SELECT l_linestatus AS ship_class,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_linestatus""",
+        "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11' AND p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size""",
+        "tpch_q20": """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE contains(p_name, 'red')
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 400)""",
+        "tpch_q21": """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship
+  FROM lo GROUP BY l_orderkey
+  HAVING count(DISTINCT l_suppkey) > 1
+)
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM (
+  SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+  FROM lo JOIN per_order
+    ON lo.l_orderkey = per_order.l_orderkey
+   AND lo.l_shipdate = per_order.max_ship
+)
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name""",
+        "tpch_q22": """
+SELECT c_nationkey AS cntrycode, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0
+                     AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey""",
         "ds_map_filter": """
 SELECT l_orderkey AS okey,
        round(l_extendedprice * (1.0 - l_discount), 4) AS disc_price
