@@ -110,7 +110,9 @@ def q_tpch_q4(spark, sf_dir):
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
     li = _t(spark, sf_dir, "lineitem")
-    exists = li.select("l_orderkey").distinct()
+    # no distinct(): left_semi already dedups the build side, and the
+    # extra distinct would be a redundant full shuffle of lineitem keys
+    exists = li.select("l_orderkey")
     return (o.join(exists, o.o_orderkey == exists.l_orderkey, "left_semi")
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("order_count")))
@@ -279,10 +281,14 @@ def q_tpch_q17(spark, sf_dir):
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    avg_q = (li.groupBy(F.col("l_partkey").alias("ap_key"))
+    # semi-join lineitem down to the ~1/25 Brand#13 part subset BEFORE
+    # the per-part average — at 100x scale the unfiltered groupBy would
+    # shuffle all of lineitem for keys that are then discarded
+    li_b = li.join(F.broadcast(p.select("p_partkey")),
+                   li.l_partkey == F.col("p_partkey"), "left_semi")
+    avg_q = (li_b.groupBy(F.col("l_partkey").alias("ap_key"))
              .agg((F.avg("l_quantity") * 0.8).alias("avg_lim")))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .join(avg_q, li.l_partkey == F.col("ap_key"))
+    return (li_b.join(avg_q, li_b.l_partkey == F.col("ap_key"))
             .filter(F.col("l_quantity") < F.col("avg_lim"))
             .agg(F.round(F.sum("l_extendedprice") / 7.0, 4)
                  .alias("avg_yearly")))
@@ -304,15 +310,19 @@ def q_tpch_q2(spark, sf_dir):
     offers = (li.groupBy("l_partkey", "l_suppkey")
               .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
                    .alias("unit_cost")))
-    # region-restricted offers (the inner and outer sets must match)
+    # region-restricted offers (the inner and outer sets must match).
+    # per-part min comes from a window over the same shuffle instead of
+    # a groupBy + join back onto eu, which would execute the whole
+    # offers->supplier->nation->region subplan twice.
+    from pyspark.sql import Window
     eu = (offers.join(F.broadcast(s), offers.l_suppkey == s.s_suppkey)
           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
-    best = (eu.groupBy(F.col("l_partkey").alias("bp_key"))
-            .agg(F.min("unit_cost").alias("min_cost")))
-    return (eu.join(F.broadcast(p), eu.l_partkey == p.p_partkey)
-            .join(best, (eu.l_partkey == F.col("bp_key"))
-                  & (eu.unit_cost == F.col("min_cost")))
+          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+          .withColumn("min_cost",
+                      F.min("unit_cost").over(
+                          Window.partitionBy("l_partkey"))))
+    return (eu.filter(F.col("unit_cost") == F.col("min_cost"))
+            .join(F.broadcast(p), eu.l_partkey == p.p_partkey)
             .select(F.round("s_acctbal", 2).alias("s_acctbal"),
                     "s_name", "n_name", "p_partkey",
                     F.round("unit_cost", 4).alias("unit_cost")))
@@ -427,21 +437,26 @@ def q_tpch_q16(spark, sf_dir):
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
 
 
+_Q20_NATIONS = ("NATION_3", "NATION_8", "NATION_13", "NATION_19")
+
+
 def q_tpch_q20(spark, sf_dir):
-    """Potential part promotion (Q20-shaped via lineitem): NATION_1
-    suppliers who shipped >400 units of 'red' parts in 1996 — semi-join
-    on an aggregated subquery."""
+    """Potential part promotion (Q20-shaped via lineitem): suppliers from
+    a nation set who shipped >200 units of 'red' parts in 1996 — semi-join
+    on an aggregated subquery.  Constants chosen so the result is
+    non-empty at sf0.001 and sf0.01 (a 0=0 hash match is vacuous)."""
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
     su = _t(spark, sf_dir, "supplier")
-    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q20_NATIONS))
     heavy = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
              .groupBy("l_suppkey")
              .agg(F.sum("l_quantity").alias("qty"))
-             .filter(F.col("qty") > 400))
+             .filter(F.col("qty") > 200))
     return (su.join(F.broadcast(n), su.s_nationkey == n.n_nationkey)
             .join(heavy, su.s_suppkey == heavy.l_suppkey, "left_semi")
             .select("s_suppkey", "s_name"))
@@ -455,13 +470,18 @@ def q_tpch_q21(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     su = _t(spark, sf_dir, "supplier")
-    lo = li.join(o, li.l_orderkey == o.o_orderkey)
-    per_order = (lo.groupBy(F.col("l_orderkey").alias("g_okey"))
-                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                      F.max("l_shipdate").alias("max_ship"))
-                 .filter(F.col("n_supp") > 1))
-    late = (lo.join(per_order, (lo.l_orderkey == F.col("g_okey"))
-                    & (lo.l_shipdate == F.col("max_ship")))
+    # window functions over the single lineitem⋈orders pass replace the
+    # groupBy + join-back-on-itself shape: the heavy fact-fact join now
+    # executes once and the per-order max/ndistinct ride on one shuffle
+    from pyspark.sql import Window
+    w = Window.partitionBy("l_orderkey")
+    lo = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .withColumn("max_ship", F.max("l_shipdate").over(w))
+          .withColumn("n_supp",
+                      F.size(F.collect_set("l_suppkey").over(w))))
+    late = (lo.filter((F.col("n_supp") > 1)
+                      & (F.col("l_shipdate") == F.col("max_ship")))
             .select("l_orderkey", "l_suppkey").distinct())
     return (late.join(F.broadcast(su), late.l_suppkey == su.s_suppkey)
             .groupBy("s_name")
@@ -471,12 +491,19 @@ def q_tpch_q21(spark, sf_dir):
 def q_tpch_q22(spark, sf_dir):
     """Global sales opportunity (Q22-shaped; country code = c_nationkey
     since the synthetic schema has no c_phone): above-average-balance
-    customers with no orders — anti-join + scalar-average subquery."""
+    customers with no recent urgent order — anti-join + scalar-average
+    subquery.  The anti-join side is a filtered order subset (at small SF
+    every customer has *some* order, which made the original 'no orders'
+    variant vacuously empty)."""
     _prep(spark)
     keys = [1, 3, 5, 7, 9, 11, 13]
     cu = _t(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(keys))
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (_t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderpriority") == "1-URGENT")
+                 & (F.col("o_orderdate")
+                    >= F.lit("1996-06-01").cast("timestamp")))
+         .select("o_custkey"))
     avg_bal = (cu.filter(F.col("c_acctbal") > 0.0)
                .agg(F.avg("c_acctbal").alias("ab")))
     return (cu.join(F.broadcast(avg_bal), cu.c_acctbal > F.col("ab"))
@@ -725,13 +752,22 @@ def q_ds_text_read(spark, sf_dir):
 
 def q_mm_decode(spark, sf_dir):
     """multimodal: binary payload -> Arrow-batched decode/featurize
-    (deterministic fake decoder; see functions/multimodal.py)."""
+    (deterministic fake decoder; see functions/multimodal.py).
+
+    The feature vector is flattened to 16 scalar double columns so the
+    driver's canonicalizer (pandas sort + hash) sees only hashable
+    scalars — an array<double> column is unhashable there."""
     from tuplex_spark.functions import multimodal
     _prep(spark)
     assets = (_t(spark, sf_dir, "documents")
               .select(F.col("doc_id").alias("asset_id"),
                       F.encode(F.col("text"), "UTF-8").alias("payload")))
-    return multimodal.extract_features(assets)
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id", "width", "height",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}")
+          for i in range(multimodal.FEATURE_DIM)],
+        "decode_error")
 
 
 # ======================================================================
@@ -1158,13 +1194,13 @@ SELECT p_brand, p_type, p_size,
        count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#11' AND p_size IN (1, 14, 23, 45)
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                        WHERE s_acctbal < 0)
+  AND NOT EXISTS (SELECT 1 FROM supplier
+                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
 GROUP BY p_brand, p_type, p_size""",
         "tpch_q20": """
 SELECT s_suppkey, s_name
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
-WHERE n_name = 'NATION_1'
+WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_13', 'NATION_19')
   AND s_suppkey IN (
     SELECT l_suppkey
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1172,7 +1208,7 @@ WHERE n_name = 'NATION_1'
       AND l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY l_suppkey
-    HAVING sum(l_quantity) > 400)""",
+    HAVING sum(l_quantity) > 200)""",
         "tpch_q21": """
 WITH lo AS (
   SELECT l_orderkey, l_suppkey, l_shipdate
@@ -1200,7 +1236,10 @@ WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
   AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
                    WHERE c_acctbal > 0.0
                      AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT'
+                    AND o_orderdate >= TIMESTAMP '1996-06-01')
 GROUP BY c_nationkey""",
         "ds_map_filter": """
 SELECT l_orderkey AS okey,
@@ -1298,9 +1337,9 @@ SELECT asset_id,
          AS width,
        CAST(64 + CAST(('0x' || substr(hx, 3, 2)) AS INT) % 192 AS INT)
          AS height,
-       list_transform(generate_series(0, 15),
-         i -> round(CAST(('0x' || substr(hx, 1 + 4 * i, 4)) AS BIGINT)
-                    / 65535.0, 6)) AS features,
+""" + ",\n".join(
+            f"       round(CAST(('0x' || substr(hx, {1 + 4 * i}, 4)) "
+            f"AS BIGINT) / 65535.0, 6) AS f{i}" for i in range(16)) + """,
        NULL::VARCHAR AS decode_error
 FROM h""",
         "text_token_count": text.token_count_sql(),

@@ -105,6 +105,40 @@ class TestScaleOps:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_q21_single_fact_join_pass(self, spark):
+        """q21's per-order max/ndistinct must ride a window over ONE
+        lineitem⋈orders pass — the old groupBy+join-back shape scanned
+        both fact tables twice (5 scans instead of 3)."""
+        import __spark_entry__ as em
+        plan = em.q_tpch_q21(spark, SF_DIR) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 3, plan
+
+    def test_q2_single_offer_subplan(self, spark):
+        """q2's per-part min must come from a window, not a second
+        evaluation of the offers->supplier->nation->region subplan."""
+        import __spark_entry__ as em
+        plan = em.q_tpch_q2(spark, SF_DIR) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 5, plan
+
+    def test_q17_prefilters_before_avg(self, spark):
+        """q17's per-part average must aggregate only the Brand#13 part
+        subset (semi-join before the groupBy), not all of lineitem."""
+        import __spark_entry__ as em
+        df = em.q_tpch_q17(spark, SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in plan
+
+    def test_q4_no_redundant_distinct(self, spark):
+        """left_semi dedups its build side; an explicit distinct() adds
+        a useless extra shuffle of all lineitem keys."""
+        import __spark_entry__ as em
+        df = em.q_tpch_q4(spark, SF_DIR)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        # one Aggregate: the final groupBy.  A distinct would add another.
+        assert opt.count("Aggregate [") == 1, opt
+
     def test_mm_decode_is_single_narrow_python_stage(self, spark):
         """Multimodal decode: exactly one Arrow python stage, no shuffle."""
         import __spark_entry__ as em

@@ -698,7 +698,10 @@ class DataSet:
 
     def ignore(self, exc_class) -> "DataSet":
         """Silently drop rows that raised ``exc_class`` in the preceding
-        operator (reference: dataset.py:319, IgnoreOperator.h)."""
+        operator (reference: dataset.py:319, IgnoreOperator.h).  Like the
+        reference's compiled ignore path (PipelineBuilder.cc:172 addIgnore
+        exits "without writing the row"), ignored rows do NOT appear in
+        ``exception_counts``."""
         if not self._has_exc:
             return self
         codes = sorted(E.codes_caught_by(exc_class))

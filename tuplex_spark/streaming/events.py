@@ -29,8 +29,11 @@ def windowed_counts(df: DataFrame, ts_col: str = "ts",
                     window: str = "1 hour",
                     watermark: str | None = None) -> DataFrame:
     """Tumbling-window event counts + value sums per key."""
+    # normalize NTZ->LTZ unconditionally (no-op otherwise) so batch and
+    # streaming emit the same window_start timestamp type
+    df = _watermarkable(df, ts_col)
     if watermark and df.isStreaming:
-        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
+        df = df.withWatermark(ts_col, watermark)
     return (df.groupBy(F.window(F.col(ts_col), window).alias("w"),
                        F.col(key_col))
               .agg(F.count(F.lit(1)).alias("n_events"),
@@ -44,8 +47,9 @@ def sessionize(df: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
                watermark: str | None = None) -> DataFrame:
     """Session windows per user: events closer than ``gap`` merge into one
     session (session_window — Spark's native stateful sessionization)."""
+    df = _watermarkable(df, ts_col)
     if watermark and df.isStreaming:
-        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
+        df = df.withWatermark(ts_col, watermark)
     return (df.groupBy(F.session_window(F.col(ts_col), gap).alias("s"),
                        F.col(key_col))
               .agg(F.count(F.lit(1)).alias("n_events"),
