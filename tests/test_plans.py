@@ -105,6 +105,57 @@ class TestScaleOps:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_simhash_band_blocking_covers_hamming_ball(self):
+        """(k+1)-band pigeonhole property: any two fingerprints within
+        Hamming distance k agree exactly on >=1 of the k+1 bands — the
+        scale-safe replacement for the old fixed 256-bucket top-byte
+        block (whose per-bucket self-join went quadratic at corpus
+        scale)."""
+        import random
+        from tuplex_spark.functions.dedup import _SIMHASH_BITS
+        k = 3
+        nb, w = k + 1, _SIMHASH_BITS // (k + 1)
+        mask = (1 << w) - 1
+        rng = random.Random(7)
+        for _ in range(500):
+            a = rng.getrandbits(_SIMHASH_BITS)
+            flip = rng.sample(range(_SIMHASH_BITS), rng.randint(0, k))
+            b = a
+            for bit in flip:
+                b ^= 1 << bit
+            shared = any((a >> (i * w)) & mask == (b >> (i * w)) & mask
+                         for i in range(nb))
+            assert shared, (a, b, flip)
+
+    def test_simhash_no_cartesian_fine_buckets(self, spark):
+        from tuplex_spark.functions import dedup
+        df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        plan = dedup.simhash_pairs(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # band key space: 4 bands x 2^15 values — granularity grows with
+        # the corpus instead of pinning at 256 blocks
+        from tuplex_spark.functions.dedup import _SIMHASH_BITS
+        assert _SIMHASH_BITS // 4 >= 15
+
+    def test_embedding_dedup_no_label_blocking(self, spark):
+        """Buckets must come from vector geometry (SRP signatures), not a
+        metadata column — label blocking has luck-based recall and
+        per-class quadratic joins."""
+        from tuplex_spark.functions import dedup
+        df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        out = dedup.embedding_dup_pairs(df, threshold=0.45)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # column pruning proves no label dependence: the parquet scan
+        # must read only the id + vector columns
+        from tuplex_spark.plans import formatted_plan
+        fp = formatted_plan(out)
+        for part in fp.split("ReadSchema: ")[1:]:
+            assert "label" not in part.split("\n")[0], part.split("\n")[0]
+
     def test_q21_single_fact_join_pass(self, spark):
         """q21's per-order max/ndistinct must ride a window over ONE
         lineitem⋈orders pass — the old groupBy+join-back shape scanned

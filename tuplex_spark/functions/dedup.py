@@ -154,12 +154,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     return pairs
 
 
+_SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed 64-bit long in
+                    # both Spark and DuckDB (16 chars could exceed 2^63)
+
+
 def simhash(df: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", bits: int = 16) -> DataFrame:
-    """Charikar simhash over token md5s (first 4 hex chars -> 16 bits)."""
+            id_col: str = "doc_id",
+            bits: int = _SIMHASH_BITS) -> DataFrame:
+    """Charikar simhash over token md5s (first 15 hex chars -> 60 bits).
+
+    One shuffle: explode tokens, then a groupBy(id) with ``bits`` partial
+    sum aggregates (map-side combined) — the shuffle carries one row per
+    doc regardless of document length."""
     tok = F.explode(tokens(text_col)).alias("tok")
     ex = df.select(F.col(id_col).alias("id"), tok)
-    v = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("long")
+    v = F.conv(F.substring(F.md5(F.col("tok")), 1, (bits + 3) // 4),
+               16, 10).cast("long")
     ex = ex.select("id", v.alias("v"))
     aggs = [
         F.sum(F.when(F.shiftright(F.col("v"), j).bitwiseAND(1) == 1,
@@ -174,20 +184,56 @@ def simhash(df: DataFrame, text_col: str = "text",
     return per_doc.select("id", fp.cast("long").alias("simhash"))
 
 
+def simhash_bands(fp: Column, max_hamming: int = 3,
+                  bits: int = _SIMHASH_BITS) -> list[Column]:
+    """(k+1)-table Hamming-ball blocking keys: split the fingerprint into
+    ``max_hamming + 1`` bit-bands.  Pigeonhole: two fingerprints within
+    Hamming distance k differ in at most k bands, so they agree EXACTLY
+    on >=1 of the k+1 bands — candidate recall is 100%, and each band key
+    has ~2^(bits/(k+1)) values, so bucket granularity GROWS with corpus
+    size instead of being pinned at 256 like a fixed top-byte block."""
+    nb = max_hamming + 1
+    w = bits // nb
+    mask = (1 << w) - 1
+    return [F.shiftright(fp, b * w).bitwiseAND(mask).alias(f"band{b}")
+            for b in range(nb)]
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Pairs within Hamming distance; blocked on the simhash top byte so
-    the self-join is an equality join, not a cross join."""
-    sh = simhash(df, text_col, id_col)
-    blocked = sh.withColumn("blk", F.shiftright(F.col("simhash"), 8))
-    a, b = blocked.alias("a"), blocked.alias("b")
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  bits: int = _SIMHASH_BITS,
+                  max_bucket: int = 200) -> DataFrame:
+    """Pairs within Hamming distance k via (k+1)-band blocking.
+
+    Each doc lands in k+1 buckets (one per band); candidates come from
+    equality self-joins on (band index, band value) — shuffled hash
+    joins, never a cross join.  ``max_bucket`` caps pathological buckets
+    (huge exact-duplicate clusters — run dedup_exact first) with a
+    deterministic row_number cut so the oracle twin can reproduce it."""
+    nb = max_hamming + 1
+    sh = simhash(df, text_col, id_col, bits)
+    buckets = sh.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), bc.alias("h"))
+            for b, bc in enumerate(
+                simhash_bands(F.col("simhash"), max_hamming, bits))
+        ])).alias("bk")
+    ).select("id", "simhash",
+             F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
+    w = Window.partitionBy("band", "h").orderBy("id")
+    buckets = buckets.withColumn("rn", F.row_number().over(w)) \
+                     .filter(F.col("rn") <= max_bucket).drop("rn")
+    a, b = buckets.alias("a"), buckets.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.h") == F.col("b.h"))
                    & (F.col("a.id") < F.col("b.id")))
             .filter(ham <= max_hamming)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
-                    ham.cast("long").alias("hamming")))
+                    ham.cast("long").alias("hamming"))
+            .distinct())
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -232,27 +278,84 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   .filter(F.col("jaccard") >= threshold))
 
 
+def _srp_signs(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[int]]:
+    """Deterministic ±1 (Rademacher) hyperplane matrix via an LCG — the
+    same literal signs are embedded in the Column expressions and the SQL
+    twin, so Spark and DuckDB compute bitwise-identical signatures."""
+    state = seed
+    out = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(1 if (state >> 16) & 1 else -1)
+        out.append(row)
+    return out
+
+
+def srp_band_keys(vec: Column, dim: int, nbits: int, bands: int,
+                  seed: int = 0x5EED) -> list[Column]:
+    """Signed-random-projection band keys: bit i of band b is the sign of
+    dot(v, w_{b*nbits+i}) for a fixed ±1 hyperplane w.  Each key has
+    2^nbits values, so bucket granularity is tunable and independent of
+    any metadata column.  The dot product is an explicit left-to-right
+    sum chain (identical FP evaluation order in any engine)."""
+    signs = _srp_signs(bands * nbits, dim, seed)
+    v = vec.cast("array<double>")
+    keys = []
+    for b in range(bands):
+        key = None
+        for i in range(nbits):
+            row = signs[b * nbits + i]
+            dotv = None
+            for d, s in enumerate(row):
+                term = F.element_at(v, d + 1) * F.lit(float(s))
+                dotv = term if dotv is None else dotv + term
+            bit = F.when(dotv >= 0, 2 ** i).otherwise(0)
+            key = bit if key is None else key + bit
+        keys.append(key.cast("long").alias(f"srp{b}"))
+    return keys
+
+
 def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         threshold: float = 0.9,
-                        block_col: str | None = "label") -> DataFrame:
-    """Near-duplicate pairs by cosine similarity.  With ``block_col`` the
-    self-join is an equality join per block (at scale: replace with an
-    LSH/IVF bucket column); without it, a full cross join (small inputs
-    only)."""
+                        dim: int = 64, nbits: int = 6, bands: int = 8,
+                        max_bucket: int = 200,
+                        seed: int = 0x5EED) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity, SRP-LSH blocked.
+
+    Candidates come from equality self-joins on (band, signature-key)
+    buckets — the same linear-ish shape as MinHash LSH — then exact
+    cosine verifies each candidate.  Buckets reflect actual vector
+    geometry (sign patterns of random projections), unlike blocking on a
+    metadata label, which degrades to a per-class quadratic join and has
+    recall only by luck.  With nbits=6/bands=8: P(candidate) ≈ 98% at
+    cosine 0.9, and each band key has 64 values per band whose occupancy
+    spreads with corpus size; ``max_bucket`` caps degenerate clusters
+    deterministically."""
     from .similarity import cosine_sim
-    v = df.select(F.col(id_col).alias("id"),
-                  F.col(vec_col).alias("v"),
-                  *( [F.col(block_col).alias("blk")] if block_col else []))
-    a, b = v.alias("a"), v.alias("b")
-    cond = F.col("a.id") < F.col("b.id")
-    if block_col:
-        cond = cond & (F.col("a.blk") == F.col("b.blk"))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     *srp_band_keys(F.col(vec_col), dim, nbits, bands, seed))
+    buckets = base.select(
+        "id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"srp{b}").alias("h"))
+            for b in range(bands)])).alias("bk")
+    ).select("id", "v", F.col("bk.band").alias("band"),
+             F.col("bk.h").alias("h"))
+    w = Window.partitionBy("band", "h").orderBy("id")
+    buckets = buckets.withColumn("rn", F.row_number().over(w)) \
+                     .filter(F.col("rn") <= max_bucket).drop("rn")
+    a, b = buckets.alias("a"), buckets.alias("b")
     cos = cosine_sim(F.col("a.v"), F.col("b.v"))
-    return (a.join(b, cond)
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.h") == F.col("b.h"))
+                   & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                     F.round(cos, 6).alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+            .filter(F.col("cosine") >= threshold)
+            .distinct())
 
 
 # ---- SQL twins (DuckDB oracle) -------------------------------------------
@@ -322,7 +425,7 @@ FROM buckets a JOIN buckets b
 
 
 def simhash_sql(table="documents", text_col="text", id_col="doc_id",
-                bits=16):
+                bits=_SIMHASH_BITS):
     toks = TOKENS_SQL.format(c=text_col)
     sums = ",\n    ".join(
         f"sum(CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
@@ -332,7 +435,8 @@ def simhash_sql(table="documents", text_col="text", id_col="doc_id",
     return f"""
 WITH ex AS (
   SELECT {id_col} AS id,
-         CAST(('0x' || substr(md5(tok), 1, 4)) AS BIGINT) AS v
+         CAST(('0x' || substr(md5(tok), 1, {(bits + 3) // 4})) AS BIGINT)
+           AS v
   FROM (SELECT {id_col}, unnest({toks}) AS tok FROM {table})
 ), per_doc AS (
   SELECT id,
@@ -343,14 +447,29 @@ SELECT id, CAST({fp} AS BIGINT) AS simhash FROM per_doc"""
 
 
 def simhash_pairs_sql(table="documents", text_col="text", id_col="doc_id",
-                      max_hamming=3, bits=16):
+                      max_hamming=3, bits=_SIMHASH_BITS, max_bucket=200):
     inner = simhash_sql(table, text_col, id_col, bits)
+    nb = max_hamming + 1
+    w = bits // nb
+    mask = (1 << w) - 1
+    bands_union = " UNION ALL ".join(
+        f"SELECT id, simhash, {b} AS band, "
+        f"(simhash >> {b * w}) & {mask} AS h FROM sh"
+        for b in range(nb))
     return f"""
 WITH sh AS ({inner}),
-blocked AS (SELECT id, simhash, simhash >> 8 AS blk FROM sh)
-SELECT a.id AS id_a, b.id AS id_b,
+buckets_all AS (
+  {bands_union}
+), buckets AS (
+  SELECT id, simhash, band, h FROM (
+    SELECT id, simhash, band, h,
+           row_number() OVER (PARTITION BY band, h ORDER BY id) AS rn
+    FROM buckets_all) WHERE rn <= {max_bucket}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.h = b.h AND a.id < b.id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
 
 
@@ -389,19 +508,40 @@ SELECT * FROM j WHERE jaccard >= {threshold}"""
 
 def embedding_dup_pairs_sql(table="embeddings", vec_col="embedding",
                             id_col="vec_id", threshold=0.9,
-                            block_col="label"):
-    blk = f"AND a.{block_col} = b.{block_col}" if block_col else ""
+                            dim=64, nbits=6, bands=8, max_bucket=200,
+                            seed=0x5EED):
+    signs = _srp_signs(bands * nbits, dim, seed)
+
+    def band_key(b):
+        bits = []
+        for i in range(nbits):
+            row = signs[b * nbits + i]
+            dot = " + ".join(
+                f"v[{d + 1}] * {float(s)!r}" for d, s in enumerate(row))
+            bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {2 ** i} ELSE 0 END)")
+        return " + ".join(bits)
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT id, v, {b} AS band, CAST({band_key(b)} AS BIGINT) AS h "
+        "FROM base"
+        for b in range(bands))
     return f"""
-SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
-       round(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])
-         / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[],
-                                  a.{vec_col}::DOUBLE[]))
-            * sqrt(list_dot_product(b.{vec_col}::DOUBLE[],
-                                    b.{vec_col}::DOUBLE[]))), 6) AS cosine
-FROM {table} a JOIN {table} b
-  ON a.{id_col} < b.{id_col} {blk}
-WHERE round(list_dot_product(a.{vec_col}::DOUBLE[], b.{vec_col}::DOUBLE[])
-       / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[], a.{vec_col}::DOUBLE[]))
-          * sqrt(list_dot_product(b.{vec_col}::DOUBLE[],
-                                  b.{vec_col}::DOUBLE[]))), 6)
-      >= {threshold}"""
+WITH base AS (
+  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}
+), buckets_all AS (
+  {bands_union}
+), buckets AS (
+  SELECT id, v, band, h FROM (
+    SELECT id, v, band, h,
+           row_number() OVER (PARTITION BY band, h ORDER BY id) AS rn
+    FROM buckets_all) WHERE rn <= {max_bucket}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       round(list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.h = b.h AND a.id < b.id
+WHERE round(list_dot_product(a.v, b.v)
+       / (sqrt(list_dot_product(a.v, a.v))
+          * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}"""

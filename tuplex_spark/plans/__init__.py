@@ -1,1 +1,2 @@
-from .inspect import explain_summary, assert_pushdown  # noqa: F401
+from .inspect import (explain_summary, assert_pushdown,  # noqa: F401
+                      formatted_plan)
