@@ -750,6 +750,29 @@ def q_ds_text_read(spark, sf_dir):
     return ds.toDF()
 
 
+def q_ds_loops(spark, sf_dir):
+    """compiled for-loops: F.aggregate fold over split() tokens plus a
+    statically-unrolled range loop — entirely Column expressions, no
+    Python in the executed plan (reference compiles loops natively,
+    SymbolTable.cc:150-364; tests/test_plans.py asserts the plan)."""
+    c = _ctx(spark)
+
+    def f(x):
+        total = 0
+        n = 0
+        for t in x["p_name"].split(" "):
+            if len(t) > 3:
+                total += len(t)
+            n += 1
+        w = 0
+        for i in range(1, 4):
+            w += i * x["p_size"]
+        return {"p_partkey": x["p_partkey"], "long_len": total,
+                "n_toks": n, "wsize": w}
+
+    return c.parquet(os.path.join(sf_dir, "part.parquet")).map(f).toDF()
+
+
 def q_mm_decode(spark, sf_dir):
     """multimodal: binary payload -> Arrow-batched decode/featurize
     (deterministic fake decoder; see functions/multimodal.py).
@@ -943,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_orc_roundtrip": q_ds_orc_roundtrip,
         "ds_cache": q_ds_cache,
         "ds_text_read": q_ds_text_read,
+        "ds_loops": q_ds_loops,
         # -- training-data pipeline ops --
         "mm_decode": q_mm_decode,
         "text_token_count": q_text_token_count,
@@ -1346,6 +1370,14 @@ FROM lineitem WHERE l_discount < 0.03 GROUP BY l_returnflag""",
 SELECT upper(s_name) AS name_up,
        CAST(str_split(s_name, '#')[2] AS BIGINT) AS num
 FROM supplier""",
+        "ds_loops": """
+SELECT p_partkey,
+       COALESCE(list_sum(list_transform(
+         list_filter(str_split(p_name, ' '), t -> length(t) > 3),
+         t -> length(t))), 0)::BIGINT AS long_len,
+       len(str_split(p_name, ' '))::BIGINT AS n_toks,
+       (6 * p_size)::BIGINT AS wsize
+FROM part""",
         "mm_decode": """
 WITH h AS (
   SELECT doc_id AS asset_id, sha256(text) AS hx FROM documents

@@ -366,3 +366,162 @@ class TestPositionalColumns:
         import pytest as _pytest
         with _pytest.raises(KeyError):
             ds.mapColumn(5, lambda v: v)
+
+
+class TestLoops:
+    """Compiled for-loops: static unroll + F.aggregate fold translation
+    (reference compiles loops natively — SymbolTable.cc:150-364; here the
+    compiled path must stay in Catalyst, asserted via expect_compiled)."""
+
+    TEXTS = ["the quick brown fox", "a b", "", "jumps over lazy dogs now",
+             "single"]
+
+    def test_fold_sum_over_split(self, ctx):
+        def f(x):
+            total = 0
+            for t in x.split(" "):
+                total += len(t)
+            return total
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_fold_with_branch(self, ctx):
+        def f(x):
+            long_len = 0
+            n = 0
+            for t in x.split(" "):
+                if len(t) > 3:
+                    long_len += len(t)
+                n += 1
+            return (long_len, n)
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_fold_with_temp_var(self, ctx):
+        def f(x):
+            acc = 0
+            for t in x.split(" "):
+                w = len(t) * 2
+                acc += w
+            return acc
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_fold_int_widens_to_float(self, ctx):
+        def f(x):
+            acc = 0
+            for t in x.split(" "):
+                acc += len(t) * 0.5
+            return acc
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_fold_string_accumulator(self, ctx):
+        def f(x):
+            out = ""
+            for t in x.split(" "):
+                out += t.upper()
+            return out
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_enumerate_fold(self, ctx):
+        def f(x):
+            weighted = 0
+            for i, t in enumerate(x.split(" ")):
+                weighted += i * len(t)
+            return weighted
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_zip_fold_truncates_like_python(self, ctx):
+        def f(x):
+            acc = 0
+            for a, b in zip(x.split(" "), x.split("o")):
+                acc += len(a) * len(b)
+            return acc
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_static_range_unroll(self, ctx):
+        def f(x):
+            s = 0
+            for i in range(5):
+                s += i * x
+            return s
+        run_diff(ctx, [1, 2, 3, 10], f, expect_compiled=True)
+
+    def test_static_range_start_stop_step(self, ctx):
+        def f(x):
+            s = 0
+            for i in range(10, 0, -2):
+                s += i + x
+            return s
+        run_diff(ctx, [1, 2, 3], f, expect_compiled=True)
+
+    def test_static_list_literal(self, ctx):
+        def f(x):
+            best = ""
+            for sep in ["#", " ", "-"]:
+                if len(x.split(sep)) > len(best.split(sep)):
+                    best = sep
+            return best
+        run_diff(ctx, ["a#b c-d", "x y z"], f, expect_compiled=True)
+
+    def test_static_zip_enumerate(self, ctx):
+        def f(x):
+            s = 0
+            for i, (a, b) in enumerate(zip([1, 2, 3], [4, 5, 6])):
+                s += i * a * b + x
+            return s
+        run_diff(ctx, [1, 2], f, expect_compiled=True)
+
+    def test_conditional_return_in_static_loop(self, ctx):
+        def f(x):
+            for i in range(4):
+                if x % 7 == i:
+                    return i * 100
+            return -1
+        run_diff(ctx, [0, 1, 7, 8, 15, 3, 20], f, expect_compiled=True)
+
+    def test_guard_inside_static_loop(self, ctx):
+        def f(x):
+            s = 0
+            for i in range(3):
+                s += 10 // (x - i)
+            return s
+        # x in {0,1,2} raises ZeroDivisionError at some iteration
+        run_diff(ctx, [5, 7, 1, 10], f, expect_compiled=True)
+
+    def test_loop_var_leaks_after_static_loop(self, ctx):
+        def f(x):
+            for i in range(3):
+                pass
+            return i + x
+        run_diff(ctx, [1, 2], f, expect_compiled=True)
+
+    def test_while_falls_back(self, ctx):
+        def f(x):
+            n = 0
+            while n < 3:
+                n += 1
+            return n + x
+        run_diff(ctx, [1, 2], f, expect_compiled=False)
+
+    def test_return_inside_dynamic_loop_falls_back(self, ctx):
+        def f(x):
+            for t in x.split(" "):
+                if len(t) > 3:
+                    return t
+            return ""
+        run_diff(ctx, self.TEXTS, f, expect_compiled=False)
+
+    def test_guarded_fold_body_falls_back(self, ctx):
+        def f(x):
+            acc = 0
+            for t in x.split(" "):
+                acc += 10 // len(t)  # ZeroDivisionError on empty token
+            return acc
+        run_diff(ctx, ["a bb", "ccc dddd"], f, expect_compiled=False)
+
+    def test_empty_array_fold(self, ctx):
+        def f(x):
+            n = 0
+            for t in x.split("|"):
+                n += 1
+            return n
+        # split never yields [] for these, but "" yields [""] -> n == 1
+        run_diff(ctx, ["", "a|b", "c"], f, expect_compiled=True)

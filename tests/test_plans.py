@@ -42,8 +42,8 @@ class TestPushdown:
 
         def f(x):
             t = 0
-            for i in range(3):
-                t += i
+            while t < 3:  # while-loops stay on the Arrow fallback
+                t += 1
             return x + t
         ds = ctx.parquet(LI).selectColumns(["l_linenumber"]).mapColumn(
             "l_linenumber", f)
@@ -104,6 +104,16 @@ class TestScaleOps:
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_loop_udf_stays_native(self, spark):
+        """ds_loops (fold + static unroll) must compile to Column exprs:
+        no MapInPandas/ArrowEvalPython anywhere in the plan."""
+        import __spark_entry__ as em
+        plan = em.q_ds_loops(spark, SF_DIR) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
 
     def test_simhash_band_blocking_covers_hamming_ball(self):
         """(k+1)-band pigeonhole property: any two fingerprints within

@@ -38,6 +38,54 @@ class CompileError(Exception):
     """UDF not expressible as Column expressions -> use fallback ladder."""
 
 
+class _SymExpr(ast.expr):
+    """Synthetic AST node carrying a pre-evaluated Sym — used to inject
+    per-iteration loop-variable bindings when unrolling static loops."""
+    _fields = ()
+
+    def __init__(self, sym):
+        self.sym = sym
+
+
+def _target_names(t) -> list[str]:
+    if isinstance(t, ast.Name):
+        return [t.id]
+    if isinstance(t, ast.Tuple):
+        out = []
+        for e in t.elts:
+            out.extend(_target_names(e))
+        return out
+    raise CompileError("assignment target shape")
+
+
+def _loop_assigned_names(stmts) -> list[str]:
+    """Names assigned anywhere in a fold-loop body (order-preserving).
+    Statements other than Assign/AugAssign/If/Expr/Pass make the body
+    non-foldable."""
+    names: list[str] = []
+
+    def add(ns):
+        for n in ns:
+            if n not in names:
+                names.append(n)
+
+    for st in stmts:
+        if isinstance(st, ast.Assign):
+            for t in st.targets:
+                add(_target_names(t))
+        elif isinstance(st, ast.AugAssign):
+            add(_target_names(st.target))
+        elif isinstance(st, ast.If):
+            add(_loop_assigned_names(st.body))
+            add(_loop_assigned_names(st.orelse))
+        elif isinstance(st, (ast.Expr, ast.Pass)):
+            continue
+        else:
+            raise CompileError(
+                f"fold loop body statement {type(st).__name__}")
+    return names
+
+
 # ---------------------------------------------------------------- symbolic values
 
 class Sym:
@@ -345,6 +393,10 @@ class Translator:
                 if st.value is not None:
                     self._assign(st.target, self.eval(st.value))
                 continue
+            if isinstance(st, ast.For):
+                if self._exec_for(st, path):
+                    return True
+                continue
             if isinstance(st, ast.If):
                 cond = self.truthy(self.eval(st.test))
                 saved = dict(self._locals)
@@ -379,6 +431,238 @@ class Translator:
                 self._assign(t, v)
             return
         raise CompileError("unsupported assignment target")
+
+    # ---------------------------------------------------------------- loops
+    # The reference compiles for/while + iterator builtins natively
+    # (SymbolTable.cc:150-364, ASTNodes.h NFor/NWhile/NRange).  Here the
+    # Spark-idiomatic split is:
+    #   * statically-known iterables (range/list literals/enumerate/zip of
+    #     constants) UNROLL into a flat statement list, so the existing
+    #     If/Return path machinery handles control flow across iterations;
+    #   * accumulation loops over DYNAMIC array expressions (the
+    #     tokenize-in-a-loop shape) lower to one F.aggregate with a struct
+    #     accumulator — a single JVM higher-order function, no Python.
+    # Anything else (while, break/continue, returns inside dynamic loops,
+    # guard-raising fold bodies) falls back to the Arrow path.
+
+    _MAX_UNROLL = 32
+
+    def _exec_for(self, st: ast.For, path: Column | None) -> bool:
+        if st.orelse:
+            raise CompileError("for-else")
+        vals = self._static_iter(st.iter)
+        if vals is not None:
+            if len(vals) > self._MAX_UNROLL:
+                raise CompileError(f"static loop longer than "
+                                   f"{self._MAX_UNROLL} iterations")
+            stmts = []
+            for v in vals:
+                stmts.append(ast.Assign(targets=[st.target],
+                                        value=_SymExpr(v)))
+                stmts.extend(st.body)
+            return self.exec_block(stmts, path)
+        self._exec_for_fold(st, path)
+        return False
+
+    def _static_iter(self, node) -> list[Sym] | None:
+        """Per-iteration Syms when the iterable is statically known, else
+        None (only evaluates nodes that cannot emit guards)."""
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
+                and node.func.id not in self._locals and not node.keywords:
+            fname = node.func.id
+            if fname == "range":
+                cargs = []
+                for a in node.args:
+                    if not isinstance(a, (ast.Constant, ast.Name,
+                                          ast.UnaryOp)):
+                        return None
+                    s = self.eval(a)
+                    if not (isinstance(s, SConst)
+                            and isinstance(s.value, int)):
+                        return None
+                    cargs.append(s.value)
+                try:
+                    return [SConst(v) for v in range(*cargs)]
+                except (TypeError, ValueError):
+                    return None
+            if fname == "enumerate" and node.args:
+                inner = self._static_iter(node.args[0])
+                if inner is None:
+                    return None
+                start = 0
+                if len(node.args) > 1:
+                    s = self.eval(node.args[1])
+                    if not (isinstance(s, SConst)
+                            and isinstance(s.value, int)):
+                        return None
+                    start = s.value
+                return [STuple([SConst(i + start), v])
+                        for i, v in enumerate(inner)]
+            if fname == "zip" and node.args:
+                inners = [self._static_iter(a) for a in node.args]
+                if any(i is None for i in inners):
+                    return None
+                return [STuple(list(t)) for t in zip(*inners)]
+            if fname == "reversed" and node.args:
+                inner = self._static_iter(node.args[0])
+                return None if inner is None else inner[::-1]
+            return None
+        if isinstance(node, (ast.List, ast.Tuple)):
+            return [self.eval(e) for e in node.elts]
+        if isinstance(node, (ast.Constant, ast.Name)):
+            try:
+                s = self.eval(node)
+            except CompileError:
+                return None
+            if isinstance(s, SConst) and isinstance(s.value, (list, tuple)):
+                return [SConst(v) for v in s.value]
+            if isinstance(s, STuple):
+                return list(s.items)
+        return None
+
+    def _iter_array(self, node):
+        """Lower a dynamic iterable to (array Column, [element tags],
+        is_struct, nullable).  zip/enumerate/range over columns become
+        JVM array constructions."""
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
+                and node.func.id not in self._locals and not node.keywords:
+            fname = node.func.id
+            if fname == "zip" and len(node.args) == 2:
+                a, b = (self.eval(x) for x in node.args)
+                if not (isinstance(a, SCol) and a.tag == "array"
+                        and isinstance(b, SCol) and b.tag == "array"):
+                    raise CompileError("zip over non-arrays")
+                zipped = F.zip_with(
+                    a.col, b.col,
+                    lambda x, y: F.struct(x.alias("e0"), y.alias("e1")))
+                # Python zip TRUNCATES to the shorter input; zip_with pads
+                # the shorter side with nulls — slice them off
+                n = F.least(F.size(a.col), F.size(b.col))
+                zipped = F.slice(zipped, 1, n)
+                return (zipped, [a.elem or "any", b.elem or "any"], True,
+                        a.nullable or b.nullable)
+            if fname == "enumerate" and len(node.args) == 1:
+                a = self.eval(node.args[0])
+                if not (isinstance(a, SCol) and a.tag == "array"):
+                    raise CompileError("enumerate over non-array")
+                arr = F.transform(
+                    a.col,
+                    lambda x, i: F.struct(i.cast("long").alias("e0"),
+                                          x.alias("e1")))
+                return arr, ["int", a.elem or "any"], True, a.nullable
+            if fname == "range" and 1 <= len(node.args) <= 2:
+                args = [self.num(self.eval(x), "range") for x in node.args]
+                lo = F.lit(0) if len(args) == 1 else self.to_col(args[0])
+                hi = self.to_col(args[-1])
+                arr = F.when(hi > lo, F.sequence(lo.cast("long"),
+                                                 hi.cast("long") - 1)) \
+                    .otherwise(F.array().cast("array<bigint>"))
+                return arr, ["int"], False, False
+        it = self.eval(node)
+        if isinstance(it, SCol) and it.tag == "array":
+            return it.col, [it.elem or "any"], False, it.nullable
+        raise CompileError(f"loop over {it.tag}")
+
+    def _bind_loop_target(self, target, x: Column, tags, is_struct):
+        if is_struct:
+            elems = [SCol(x.getField(f"e{i}"), t, False)
+                     for i, t in enumerate(tags)]
+            if isinstance(target, ast.Name):
+                self._locals[target.id] = STuple(elems)
+                return [target.id]
+            if isinstance(target, ast.Tuple) \
+                    and len(target.elts) == len(elems) \
+                    and all(isinstance(e, ast.Name) for e in target.elts):
+                for e, s in zip(target.elts, elems):
+                    self._locals[e.id] = s
+                return [e.id for e in target.elts]
+            raise CompileError("loop target shape")
+        if isinstance(target, ast.Name):
+            self._locals[target.id] = SCol(x, tags[0], False)
+            return [target.id]
+        raise CompileError("loop target shape")
+
+    def _exec_for_fold(self, st: ast.For, path: Column | None):
+        arr, tags, is_struct, arr_nullable = self._iter_array(st.iter)
+        assigned = _loop_assigned_names(st.body)
+        accs = [n for n in assigned if n in self._locals]
+        if not accs:
+            raise CompileError("dynamic loop with no accumulators")
+        init = {n: self._locals[n] for n in accs}
+        for s in init.values():
+            if s.tag not in ("int", "float", "bool", "str"):
+                raise CompileError(f"fold accumulator of tag {s.tag}")
+
+        def run_body(acc_syms, x):
+            """Execute the loop body under acc/element bindings; returns
+            {acc: Sym-after}.  Guards or returns inside abort."""
+            saved_locals = dict(self._locals)
+            saved_returns = list(self._returns)
+            n_guards = len(self.guards)
+            try:
+                for n, s in acc_syms.items():
+                    self._locals[n] = s
+                self._bind_loop_target(st.target, x, tags, is_struct)
+                if self.exec_block(st.body, None) \
+                        or len(self._returns) != len(saved_returns):
+                    raise CompileError("return/raise inside dynamic loop")
+                if len(self.guards) != n_guards:
+                    del self.guards[n_guards:]
+                    raise CompileError("guard-raising dynamic loop body")
+                return {n: self._locals[n] for n in accs}
+            finally:
+                self._locals = saved_locals
+                self._returns = saved_returns
+
+        # pass 1 (dry): discover post-body tags to fix the struct schema
+        dummy = F.lit(0)
+        out = run_body({n: SCol(dummy, s.tag, s.nullable)
+                        for n, s in init.items()}, dummy)
+        final = {}
+        for n in accs:
+            t = _unify_tags(init[n].tag, out[n].tag)
+            if t not in ("int", "float", "bool", "str"):
+                raise CompileError(f"fold accumulator widens to {t}")
+            final[n] = t
+        out2 = run_body({n: SCol(dummy, final[n], init[n].nullable)
+                         for n in accs}, dummy)
+        for n in accs:
+            if _unify_tags(final[n], out2[n].tag) != final[n]:
+                raise CompileError("fold accumulator type oscillates")
+        nullable = {n: init[n].nullable or out2[n].nullable for n in accs}
+
+        def cast_to(col: Column, tag: str) -> Column:
+            return col.cast(tag_to_spark(tag).simpleString())
+
+        zero = F.struct(*[
+            cast_to(self.to_col(init[n]), final[n]).alias(f"f{i}")
+            for i, n in enumerate(accs)])
+
+        def merge(acc, x):
+            res = run_body(
+                {n: SCol(acc.getField(f"f{i}"), final[n], nullable[n])
+                 for i, n in enumerate(accs)}, x)
+            return F.struct(*[
+                cast_to(self.to_col(res[n]), final[n]).alias(f"f{i}")
+                for i, n in enumerate(accs)])
+
+        result = F.aggregate(arr, zero, merge)
+        tmp = f"__fold_{self._tmp}"
+        self._tmp += 1
+        res_sym = SCol(result, "struct", arr_nullable)
+        self._locals[tmp] = res_sym
+        for i, n in enumerate(accs):
+            self._locals[n] = SCol(result.getField(f"f{i}"), final[n],
+                                   nullable[n] or arr_nullable)
+        # Python leaves the loop var bound to the last element; that is
+        # not cheaply expressible here, so drop the binding — a later
+        # reference becomes CompileError -> Arrow fallback (never wrong
+        # results).  Same for per-iteration temps.
+        for n in assigned:
+            if n not in accs:
+                self._locals.pop(n, None)
+        for n in _target_names(st.target):
+            self._locals.pop(n, None)
 
     def _merge_envs(self, cond, t_env, f_env, saved):
         out = {}
@@ -465,6 +749,9 @@ class Translator:
         if meth is None:
             raise CompileError(f"unsupported syntax {type(node).__name__}")
         return meth(node)
+
+    def _ev__SymExpr(self, node):
+        return node.sym
 
     def _ev_Constant(self, node):
         if isinstance(node.value, (int, float, str, bool)) or node.value is None:
@@ -1423,7 +1710,10 @@ def _unify_tags(a: str, b: str) -> str:
         return a if order[a] >= order[b] else b
     if "any" in (a, b):
         return a if b == "any" else b
-    return "str"
+    # genuinely incompatible (str vs int, array vs scalar, ...): refusing
+    # to compile keeps CPython semantics — silently coercing to string
+    # turned `return "odd" if n % 2 else n * 10` into '20'/'40'
+    raise CompileError(f"incompatible result types {a} and {b}")
 
 
 def compile_udf(fn, schema: T.StructType, env: dict | None = None,
