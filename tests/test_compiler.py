@@ -525,3 +525,128 @@ class TestLoops:
             return n
         # split never yields [] for these, but "" yields [""] -> n == 1
         run_diff(ctx, ["", "a|b", "c"], f, expect_compiled=True)
+
+
+class TestDictPopAndMatchObject:
+    """Compiled dict.pop/popitem and match groups()/span()/start()/end()
+    (reference: SymbolTable.cc:430-492, StandardModules.cc:136-149)."""
+
+    def test_dict_pop(self, ctx):
+        def f(x):
+            d = {"a": x * 2, "b": x + 1}
+            v = d.pop("a")
+            return v + len(d)
+        run_diff(ctx, [1, 2, 3], f, expect_compiled=True)
+
+    def test_dict_pop_default(self, ctx):
+        def f(x):
+            d = {"a": x}
+            return d.pop("zz", -5)
+        run_diff(ctx, [1, 2], f, expect_compiled=True)
+
+    def test_dict_pop_missing_raises(self, ctx):
+        def f(x):
+            d = {"a": x}
+            return d.pop("zz")
+        ds = ctx.parallelize([1, 2]).map(f)
+        assert ds.collect() == []
+        assert ds.exception_counts == {"KeyError": 2}
+
+    def test_dict_popitem_lifo(self, ctx):
+        def f(x):
+            d = {"a": x, "b": x * 10}
+            k, v = d.popitem()
+            return (k, v, len(d))
+        run_diff(ctx, [1, 2], f, expect_compiled=True)
+
+    def test_dict_pop_in_branch_falls_back(self, ctx):
+        def f(x):
+            d = {"a": x, "b": 2}
+            if x > 1:
+                d.pop("a")
+            return len(d)
+        run_diff(ctx, [1, 2], f, expect_compiled=False)
+
+    def test_match_groups(self, ctx):
+        import re as _re
+
+        def f(x):
+            m = _re.search(r"([A-Za-z]+)#([0-9]+)", x)
+            if m:
+                a, b = m.groups()
+                return a + ":" + b
+            return "none"
+        run_diff(ctx, ["Supplier#42", "nohash", "Cust#7 x"], f,
+                 expect_compiled=True)
+
+    def test_match_span_start_end(self, ctx):
+        import re as _re
+
+        def f(x):
+            m = _re.search(r"[0-9]+", x)
+            if m:
+                s, e = m.span()
+                return (s, e, m.start(), m.end())
+            return (-1, -1, -1, -1)
+        run_diff(ctx, ["ab123cd", "7", "none", "xy99"], f,
+                 expect_compiled=True)
+
+    def test_match_groups_optional_falls_back(self, ctx):
+        import re as _re
+
+        def f(x):
+            m = _re.search(r"(a)(b)?", x)
+            if m:
+                return str(m.groups()[1])
+            return "none"
+        run_diff(ctx, ["ab", "a", "zz"], f, expect_compiled=False)
+
+
+class TestPathConditionedGuards:
+    """Guards must fire only where CPython would actually evaluate the
+    raising expression — branch bodies, ternary arms, and short-circuited
+    and/or operands are conditioned on their control-flow path."""
+
+    def test_guarded_branch_not_taken(self, ctx):
+        def f(x):
+            if x != 0:
+                return 10 // x
+            return -1
+        run_diff(ctx, [5, 0, 2], f, expect_compiled=True)
+
+    def test_ternary_guard_conditioned(self, ctx):
+        def f(x):
+            return 100 // x if x != 0 else -1
+        run_diff(ctx, [4, 0, 10], f, expect_compiled=True)
+
+    def test_and_short_circuit_guard(self, ctx):
+        run_diff(ctx, [3, 0, 7], lambda x: x != 0 and 10 // x > 2,
+                 expect_compiled=True)
+
+    def test_or_short_circuit_guard(self, ctx):
+        run_diff(ctx, [3, 0, 7], lambda x: x == 0 or 10 // x > 2,
+                 expect_compiled=True)
+
+    def test_nested_branch_guards(self, ctx):
+        def f(x):
+            if x > 0:
+                if x != 5:
+                    return 10 // (x - 5)
+                return 0
+            return 10 // x  # raises only for x == 0
+        run_diff(ctx, [7, 5, 3, 0, -2], f, expect_compiled=True)
+
+    def test_guard_actually_fires_on_taken_path(self, ctx):
+        def f(x):
+            if x < 10:
+                return 100 // x
+            return 0
+        ds = ctx.parallelize([2, 0, 20]).map(f)
+        assert ds.collect() == [50, 0]
+        assert ds.exception_counts == {"ZeroDivisionError": 1}
+
+    def test_bare_expr_statement_raises(self, ctx):
+        def f(x):
+            10 // x  # CPython evaluates (and raises for 0) despite no use
+            return x + 1
+        run_diff(ctx, [5, 0, 3], f, expect_compiled=True)

@@ -244,6 +244,16 @@ class Translator:
         self._locals: dict[str, Sym] = {}
         self._returns: list[tuple[Column | None, Sym]] = []
         self._tmp = 0
+        # >0 while symbolically executing a conditional branch or a fold
+        # body: blocks dict mutation (pop/popitem), whose in-place
+        # aliasing is only Python-correct on the straight-line path
+        self._branch_depth = 0
+        # the control-flow condition under which code is currently being
+        # evaluated: every guard is conjoined with it, so an expression
+        # that would raise inside `if c: ...` / `a if c else b` / the
+        # short-circuited arm of and/or only marks rows where CPython
+        # actually evaluates it
+        self._path: Column | None = None
 
     # -- public entry ----------------------------------------------------
     def compile(self, fn) -> CompiledUDF:
@@ -292,6 +302,8 @@ class Translator:
             return
         if path is not None:
             cond = path & cond
+        if self._path is not None:
+            cond = self._path & cond
         self.guards.append((cond, code_for(exc)))
 
     # -- conversions -----------------------------------------------------
@@ -360,22 +372,35 @@ class Translator:
     def exec_block(self, stmts, path: Column | None) -> bool:
         """Execute statements symbolically. Returns True when every control
         path has returned/raised."""
+        prev_path = self._path
+        try:
+            return self._exec_block_inner(stmts, path)
+        finally:
+            self._path = prev_path
+
+    def _exec_block_inner(self, stmts, path: Column | None) -> bool:
+        self._path = path
         for i, st in enumerate(stmts):
             if isinstance(st, ast.Return):
                 val = self.eval(st.value) if st.value is not None else SConst(None)
                 self._returns.append((path, val))
                 return True
             if isinstance(st, ast.Raise):
+                # self._path == path here, so guard() conditions the raise
                 exc_name = self._exc_name(st.exc)
-                self.guard(F.lit(True) if path is None else path, exc_name)
+                self.guard(F.lit(True), exc_name)
                 self._returns.append((path, SConst(None)))
                 return True
             if isinstance(st, ast.Assert):
                 cond = self.truthy(self.eval(st.test))
-                g = ~cond
-                self.guard(g if path is None else (path & g), "AssertionError")
+                self.guard(~cond, "AssertionError")
                 continue
-            if isinstance(st, (ast.Expr, ast.Pass)):
+            if isinstance(st, ast.Pass):
+                continue
+            if isinstance(st, ast.Expr):
+                # bare expression statements must still evaluate: they can
+                # raise (guards) or mutate (dict.pop) exactly like CPython
+                self.eval(st.value)
                 continue
             if isinstance(st, ast.Assign):
                 val = self.eval(st.value)
@@ -402,19 +427,25 @@ class Translator:
                 saved = dict(self._locals)
                 t_path = cond if path is None else (path & cond)
                 f_path = ~cond if path is None else (path & ~cond)
-                t_term = self.exec_block(st.body, t_path)
-                t_env = self._locals
-                self._locals = dict(saved)
-                f_term = self.exec_block(st.orelse, f_path)
-                f_env = self._locals
+                self._branch_depth += 1
+                try:
+                    t_term = self.exec_block(st.body, t_path)
+                    t_env = self._locals
+                    self._locals = dict(saved)
+                    f_term = self.exec_block(st.orelse, f_path)
+                    f_env = self._locals
+                finally:
+                    self._branch_depth -= 1
                 if t_term and f_term:
                     return True
                 if t_term:
                     self._locals = f_env
                     path = f_path
+                    self._path = path
                 elif f_term:
                     self._locals = t_env
                     path = t_path
+                    self._path = path
                 else:
                     self._locals = self._merge_envs(cond, t_env, f_env, saved)
                 continue
@@ -599,6 +630,7 @@ class Translator:
             saved_locals = dict(self._locals)
             saved_returns = list(self._returns)
             n_guards = len(self.guards)
+            self._branch_depth += 1
             try:
                 for n, s in acc_syms.items():
                     self._locals[n] = s
@@ -611,6 +643,7 @@ class Translator:
                     raise CompileError("guard-raising dynamic loop body")
                 return {n: self._locals[n] for n in accs}
             finally:
+                self._branch_depth -= 1
                 self._locals = saved_locals
                 self._returns = saved_returns
 
@@ -1050,17 +1083,39 @@ class Translator:
             return SCol(-self.to_col(n) - 1, "int")
         raise CompileError("unary op")
 
+    def _under_path(self, cond: Column):
+        """Context for evaluating an expression CPython would only reach
+        when ``cond`` holds (short-circuit arms, ternary branches)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            prev = self._path
+            self._path = cond if prev is None else (prev & cond)
+            try:
+                yield
+            finally:
+                self._path = prev
+        return cm()
+
     def _ev_BoolOp(self, node):
-        vals = [self.eval(v) for v in node.values]
-        conds = [self.truthy(v) for v in vals]
-        if isinstance(node.op, ast.And):
-            out = conds[0]
-            for c in conds[1:]:
-                out = out & c
-        else:
-            out = conds[0]
-            for c in conds[1:]:
-                out = out | c
+        # guards in later operands are conditioned on the short-circuit:
+        # `x != 0 and 1 // x > 0` must not mark x == 0 rows
+        is_and = isinstance(node.op, ast.And)
+        conds: list[Column] = []
+        out = None
+        for i, v in enumerate(node.values):
+            if conds:
+                gate = conds[0] if is_and else ~conds[0]
+                for c in conds[1:]:
+                    gate = (gate & c) if is_and else (gate & ~c)
+                with self._under_path(gate):
+                    val = self.eval(v)
+            else:
+                val = self.eval(v)
+            c = self.truthy(val)
+            conds.append(c)
+            out = c if out is None else ((out & c) if is_and else (out | c))
         return SCol(out, "bool")
 
     def _ev_Compare(self, node):
@@ -1120,7 +1175,10 @@ class Translator:
 
     def _ev_IfExp(self, node):
         cond = self.truthy(self.eval(node.test))
-        t, f = self.eval(node.body), self.eval(node.orelse)
+        with self._under_path(cond):
+            t = self.eval(node.body)
+        with self._under_path(~cond):
+            f = self.eval(node.orelse)
         return self._merge_vals(cond, t, f)
 
     def _ev_JoinedStr(self, node):
@@ -1457,11 +1515,35 @@ class Translator:
         raise CompileError(f"method .{name} on {base.tag}")
 
     def _match_method(self, m: SMatch, name, args):
+        subj = self.to_col(m.subject)
         if name == "group":
             g = args[0].value if args else 0
             self.guard(~self.truthy(m), "AttributeError")
-            return SCol(F.regexp_extract(self.to_col(m.subject),
-                                         m.pattern, g), "str", True)
+            return SCol(F.regexp_extract(subj, m.pattern, g), "str", True)
+        if name == "groups":
+            # regexp_extract yields '' for a non-participating group where
+            # CPython yields None — only compile patterns whose groups
+            # always participate (no optional/alternated groups)
+            if _re_mod.search(r"\)[*?]|\|", m.pattern):
+                raise CompileError(
+                    "match.groups with optional/alternated groups")
+            n = _re_mod.compile(m.pattern).groups
+            self.guard(~self.truthy(m), "AttributeError")
+            return STuple([
+                SCol(F.regexp_extract(subj, m.pattern, i + 1), "str", True)
+                for i in range(n)])
+        if name in ("span", "start", "end"):
+            if args:
+                raise CompileError(f"match.{name} with group argument")
+            self.guard(~self.truthy(m), "AttributeError")
+            start = (F.regexp_instr(subj, F.lit(m.pattern)) - 1) \
+                .cast("long")
+            end = start + F.length(
+                F.regexp_extract(subj, m.pattern, 0)).cast("long")
+            if name == "span":
+                return STuple([SCol(start, "int", True),
+                               SCol(end, "int", True)])
+            return SCol(start if name == "start" else end, "int", True)
         raise CompileError(f"match.{name}")
 
     def _str_method(self, base: Sym, name: str, args: list[Sym]) -> Sym:
@@ -1666,6 +1748,33 @@ class Translator:
                 return STuple([SConst(k) for k in base.items])
             if name == "values":
                 return STuple(list(base.items.values()))
+            if name in ("pop", "popitem"):
+                # in-place mutation of the symbolic dict matches CPython
+                # aliasing ONLY on the straight-line path: inside a
+                # conditional branch both arms would see the pop, and a
+                # previously captured conditional return would observe a
+                # later mutation — reference compiles these via
+                # SymbolTable.cc:430-492; we compile the safe subset
+                if self._branch_depth > 0 or self._returns:
+                    raise CompileError(
+                        f"dict.{name} under conditional control flow")
+                if name == "popitem":
+                    if args:
+                        raise CompileError("popitem takes no arguments")
+                    if not base.items:
+                        self.guard(F.lit(True), "KeyError")
+                        return SConst(None)
+                    k = next(reversed(base.items))  # LIFO like CPython
+                    return STuple([SConst(k), base.items.pop(k)])
+                k = args[0]
+                if not (isinstance(k, SConst) and isinstance(k.value, str)):
+                    raise CompileError("dict.pop key must be str constant")
+                if k.value in base.items:
+                    return base.items.pop(k.value)
+                if len(args) > 1:
+                    return args[1]
+                self.guard(F.lit(True), "KeyError")
+                return SConst(None)
         c = self.to_col(base)
         if name == "get":
             k = self.to_col(args[0])
