@@ -1,6 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
+Protocol (mirrors the reference's sigmod21 runner shape: warmup + N
+measured runs): per query, 1 unmeasured warmup + SPARK_GRAFT_BENCH_ITERS
+(default 3) measured iterations; the reported per-query number is the
+median, with min/max recorded so round-over-round regressions are
+distinguishable from job-launch noise.
+
+The measured action is a write to the `noop` sink — count() lets Catalyst
+prune the projection and undercounts per-query work.
+
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.  Each query runs through the same
 entry points the correctness driver uses (__spark_entry__.queries()), so
@@ -11,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,15 +29,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 HEADLINE = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q7", "tpch_q13",
     "tpch_q19",
-    "ds_map_filter", "ds_agg_bykey", "ds_resolve",
+    "ds_map_filter", "ds_agg_bykey", "ds_resolve", "ds_loops",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "ann_topk", "text_quality", "text_langid", "mm_decode",
     "events_windowed", "events_top_users",
 ]
 
 
+def run_once(qs, name, spark, sf_dir) -> float:
+    t0 = time.time()
+    df = qs[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     import __spark_entry__ as entrymod
@@ -45,13 +63,18 @@ def main():
     spark.range(1000).selectExpr("sum(id)").collect()
 
     times: dict[str, float] = {}
+    spread: dict[str, dict] = {}
     for name in names:
-        t0 = time.time()
         try:
-            df = qs[name](spark, sf_dir)
-            n = df.count()
-            times[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {times[name]}s rows={n}", file=sys.stderr)
+            run_once(qs, name, spark, sf_dir)  # per-query warmup
+            samples = [run_once(qs, name, spark, sf_dir)
+                       for _ in range(iters)]
+            times[name] = round(statistics.median(samples), 3)
+            spread[name] = {"min": round(min(samples), 3),
+                            "max": round(max(samples), 3)}
+            print(f"# {name}: median={times[name]}s "
+                  f"min={spread[name]['min']} max={spread[name]['max']}",
+                  file=sys.stderr)
         except Exception as e:
             times[name] = -1.0
             print(f"# {name}: FAILED {type(e).__name__}: {e}",
@@ -63,6 +86,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spread,
+        "iters": iters,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 
