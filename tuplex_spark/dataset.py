@@ -49,10 +49,24 @@ class UDFOpInfo:
 PYOBJ_COL = "__pyobj"
 
 
+def _py_value(v):
+    """Spark row values -> Python values: struct Rows become tuples
+    (the engine's tuple convention), recursively through arrays/maps."""
+    from pyspark.sql import Row as _Row
+    if isinstance(v, _Row):
+        return tuple(_py_value(x) for x in v)
+    if isinstance(v, list):
+        return [_py_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _py_value(x) for k, x in v.items()}
+    return v
+
+
 class DataSet:
     def __init__(self, ctx, df: DataFrame, columns: list[str],
                  sample: list | None = None, parked=None, last_op=None,
-                 op_seq: int = 0, pyobj: bool = False):
+                 op_seq: int = 0, pyobj: bool = False,
+                 tuple1: bool = False):
         self._ctx = ctx
         self._df = df
         self._columns = list(columns)
@@ -64,6 +78,9 @@ class DataSet:
         self._last_op = last_op  # UDFOpInfo of the last resolvable op
         self._op_seq = op_seq
         self._exception_counts: dict[str, int] = {}
+        # single visible column that is semantically a 1-TUPLE row
+        # (UDF returned `(v,)`): collect yields (v,) instead of v
+        self._tuple1 = tuple1
 
     # ------------------------------------------------------------- helpers
     @property
@@ -79,13 +96,14 @@ class DataSet:
         return T.StructType([fields[c] for c in self._columns])
 
     def _spawn(self, df, columns=None, sample=None, parked=None,
-               last_op=None, bump=True):
+               last_op=None, bump=True, tuple1=None):
         return DataSet(self._ctx, df,
                        self._columns if columns is None else columns,
                        self._sample if sample is None else sample,
                        self._parked if parked is None else parked,
                        last_op,
-                       self._op_seq + (1 if bump else 0))
+                       self._op_seq + (1 if bump else 0),
+                       tuple1=self._tuple1 if tuple1 is None else tuple1)
 
     def _next_op(self, kind: str) -> str:
         return f"{kind}_{self._op_seq}"
@@ -226,10 +244,14 @@ class DataSet:
         out = df.select(*sel)
         info = UDFOpInfo(op_name, kind, fn, in_schema, list(produced),
                          extra={"target": target_col, "new": new_col})
+        tup1 = None
+        if kind == "map":
+            tup1 = isinstance(compiled.result, compiler.STuple) \
+                and len(compiled.result.items) == 1
         return self._spawn(out, columns=vis,
                            sample=self._sample_apply_kind(fn, kind,
                                                           target_col, new_col),
-                           last_op=info)
+                           last_op=info, tuple1=tup1)
 
     def _out_names(self, outs):
         if len(outs) == 1 and outs[0][0] is None:
@@ -322,7 +344,8 @@ class DataSet:
         out_schema = T.StructType(schema_fields)
         runner = fallback.make_map_in_pandas(
             fn, in_cols, out_specs, out_kind, op_name,
-            keep_fields=keep, capture=capture)
+            keep_fields=keep, capture=capture,
+            in_types=[self._df.schema[c].dataType for c in in_cols])
         out = self._df.mapInPandas(runner, schema=out_schema)
         if kind == "filter":
             cond = F.coalesce(F.col("__pred"), F.lit(False))
@@ -332,12 +355,15 @@ class DataSet:
         info = UDFOpInfo(op_name, kind, fn, in_schema,
                          [n for n, _ in out_specs],
                          extra={"target": target_col, "new": new_col})
+        tup1 = None
+        if kind == "map":
+            tup1 = out_kind == "tuple" and len(out_specs) == 1
         return self._spawn(out, columns=vis,
                            sample=self._sample_apply_kind(
                                fn, kind, target_col, new_col)
                            if kind != "filter"
                            else self._sample_apply(fn, "filter"),
-                           last_op=info)
+                           last_op=info, tuple1=tup1)
 
     # ------------------------------------------------------- PYOBJECT mode
     def _apply_structured_pyobj(self, fn, op_name: str, in_cols):
@@ -795,8 +821,9 @@ class DataSet:
             import pickle
             return [pickle.loads(bytes(r[0])) for r in rows]
         if len(self._columns) == 1:
-            return [r[0] for r in rows]
-        return [tuple(r) for r in rows]
+            vals = [_py_value(r[0]) for r in rows]
+            return [(v,) for v in vals] if self._tuple1 else vals
+        return [tuple(_py_value(v) for v in r) for r in rows]
 
     def show(self, nrows: int = None):
         df, _ = self._split_exceptions()

@@ -29,10 +29,19 @@ def infer_type(value) -> T.DataType | None:
     if isinstance(value, (bytes, bytearray)):
         return T.BinaryType()
     if isinstance(value, tuple):
-        return T.StructType([
-            T.StructField(f"_{i}", infer_type(v) or T.NullType(), v is None)
-            for i, v in enumerate(value)
-        ])
+        if not value:
+            # unit type: Spark has no empty struct — callers treat None
+            # for a non-None value as "unrepresentable" and promote the
+            # row set to PYOBJECT (reference: TypeSystem EMPTYTUPLE)
+            return None
+        fields = []
+        for i, v in enumerate(value):
+            t = infer_type(v)
+            if t is None and v is not None:
+                return None  # nested unrepresentable value
+            fields.append(T.StructField(f"_{i}", t or T.NullType(),
+                                        v is None))
+        return T.StructType(fields)
     if isinstance(value, list):
         elem: T.DataType | None = None
         nullable = False

@@ -271,7 +271,25 @@ class Translator:
             if not terminated:
                 self._returns.append((None, SConst(None)))
             result = self._merge_returns()
+        if isinstance(result, SRow):
+            result = self._row_tuple()  # identity map: fan the row out
+        self._check_materializable(result)
         return CompiledUDF(result, self.guards, self.accessed, self)
+
+    def _check_materializable(self, s: Sym):
+        """Fail compilation (inside the caught region) for result shapes
+        the column layer cannot hold — e.g. empty tuples anywhere."""
+        if isinstance(s, STuple):
+            if not s.items:
+                raise CompileError("empty tuple value (no Spark struct)")
+            for i in s.items:
+                self._check_materializable(i)
+        elif isinstance(s, SDict):
+            for v in s.items.values():
+                self._check_materializable(v)
+        elif isinstance(s, SConst) and isinstance(s.value, tuple) \
+                and not s.value:
+            raise CompileError("empty tuple constant")
 
     def _bind_params(self, params):
         fields = self.schema.fields
@@ -284,17 +302,43 @@ class Translator:
             for p, f in zip(params, fields):
                 self._locals[p] = self._field_sym(f)
                 self.accessed.add(f.name)
+        elif len(fields) == 1:
+            # multi-param UDF over one tuple-typed column: auto-unpack
+            # (reference passes the row tuple as *args when arity fits)
+            sym = self._field_sym(fields[0])
+            if isinstance(sym, STuple) and len(sym.items) == len(params):
+                for p, s in zip(params, sym.items):
+                    self._locals[p] = s
+            else:
+                raise CompileError(
+                    f"UDF arity {len(params)} vs 1 column")
         else:
             raise CompileError(
                 f"UDF arity {len(params)} vs {len(fields)} columns")
 
-    def _field_sym(self, f: T.StructField) -> SCol:
+    def _field_sym(self, f: T.StructField) -> Sym:
         self.accessed.add(f.name)
         phys = self.col_map.get(f.name, f.name)
+        return self._col_sym(F.col(phys), f.dataType, f.nullable)
+
+    def _col_sym(self, col: Column, dt: T.DataType, nullable: bool) -> Sym:
+        # struct columns following the engine's tuple convention
+        # (_0.._n field names) ARE tuples: expose them as STuple so
+        # indexing/unpacking/fan-out keep Python tuple semantics
+        if isinstance(dt, T.StructType) and dt.fields and \
+                all(_re_mod.fullmatch(r"_\d+", x.name) for x in dt.fields):
+            return STuple([
+                self._col_sym(col.getField(x.name), x.dataType,
+                              x.nullable or nullable)
+                for x in dt.fields])
         elem = None
-        if isinstance(f.dataType, T.ArrayType):
-            elem = spark_tag(f.dataType.elementType)
-        return SCol(F.col(phys), spark_tag(f.dataType), f.nullable, elem)
+        if isinstance(dt, T.ArrayType):
+            elem = spark_tag(dt.elementType)
+        return SCol(col, spark_tag(dt), nullable, elem)
+
+    def _row_tuple(self) -> "STuple":
+        """The whole input row as a tuple value (x used as a value)."""
+        return STuple([self._field_sym(f) for f in self.schema.fields])
 
     # -- guard plumbing --------------------------------------------------
     def guard(self, cond: Column, exc: str, path: Column | None = None):
@@ -312,7 +356,11 @@ class Translator:
             return s.col
         if isinstance(s, SConst):
             return F.lit(s.value)
+        if isinstance(s, SRow):
+            return self.to_col(self._row_tuple())
         if isinstance(s, STuple):
+            if not s.items:
+                raise CompileError("empty tuple value (no Spark struct)")
             return F.struct(*[self.to_col(i).alias(f"_{n}")
                               for n, i in enumerate(s.items)])
         if isinstance(s, SDict):
@@ -456,11 +504,16 @@ class Translator:
         if isinstance(tgt, ast.Name):
             self._locals[tgt.id] = val
             return
-        if isinstance(tgt, ast.Tuple) and isinstance(val, STuple) \
-                and len(tgt.elts) == len(val.items):
-            for t, v in zip(tgt.elts, val.items):
-                self._assign(t, v)
-            return
+        if isinstance(tgt, ast.Tuple):
+            if isinstance(val, SRow):
+                val = self._row_tuple()
+            if isinstance(val, SConst) and isinstance(val.value,
+                                                      (list, tuple)):
+                val = STuple([SConst(v) for v in val.value])
+            if isinstance(val, STuple) and len(tgt.elts) == len(val.items):
+                for t, v in zip(tgt.elts, val.items):
+                    self._assign(t, v)
+                return
         raise CompileError("unsupported assignment target")
 
     # ---------------------------------------------------------------- loops

@@ -97,6 +97,11 @@ def _widen(values):
     for v in values:
         vt = infer_type(v)
         if vt is None:
+            if v is not None:
+                # non-None value with no Spark type (empty tuple, user
+                # object): only the pickled PYOBJECT path can hold it
+                raise TypeUnstableError(
+                    f"unrepresentable value of type {type(v).__name__}")
             nullable = True
         else:
             if t is not None:
@@ -146,12 +151,17 @@ class UDFRow:
 def _apply(fn, row, arity, names=None):
     """Call fn the way the reference calls row UDFs: a single-column row is
     passed as the bare value, a multi-column row as one row arg (positional
-    + named access) unless the function declares matching arity."""
+    + named access) unless the function declares matching arity.  A single
+    tuple-typed column auto-unpacks into a matching multi-param UDF."""
     if isinstance(row, (tuple, UDFRow)):
         if arity == len(row) and arity > 1:
             return fn(*row)
         if len(row) == 1:
-            return fn(tuple(row)[0])
+            inner = tuple(row)[0]
+            if isinstance(inner, tuple) and arity == len(inner) \
+                    and arity > 1:
+                return fn(*inner)
+            return fn(inner)
         if names is not None and not isinstance(row, UDFRow):
             row = UDFRow(row, names)
         return fn(row)
@@ -200,21 +210,40 @@ def _clean(v):
     return v
 
 
+def _struct_to_tuple(v, t: T.DataType):
+    """Arrow hands struct columns to pandas as dicts; the engine's tuple
+    convention (_0.._n fields) must surface as Python tuples in UDFs."""
+    if v is None:
+        return None
+    if isinstance(t, T.StructType) and isinstance(v, dict):
+        return tuple(_struct_to_tuple(v.get(f.name), f.dataType)
+                     for f in t.fields)
+    if isinstance(t, T.ArrayType) and isinstance(v, list):
+        return [_struct_to_tuple(x, t.elementType) for x in v]
+    return v
+
+
 def make_map_in_pandas(fn, in_fields: list[str], out_specs, out_kind,
                        op_name: str, keep_fields: list[str] | None = None,
-                       capture: bool = True, pass_through_code: bool = True):
+                       capture: bool = True, pass_through_code: bool = True,
+                       in_types: list | None = None):
     """Build a mapInPandas function applying ``fn`` row-at-a-time.
 
     in_fields:   input column names fed to the UDF (tuple order)
     out_specs:   [(out_col_name, spark_type)] for UDF outputs
     keep_fields: passthrough columns copied to the output unchanged
     capture:     wrap per-row exceptions into (__exc_code, __exc_payload)
+    in_types:    Spark types of in_fields (struct inputs -> tuples)
     """
     import pandas as pd  # noqa: F401  (executor-side)
 
     arity = getattr(fn, "__code__", None).co_argcount if hasattr(fn, "__code__") else 1
     keep_fields = keep_fields or []
     out_names = [n for n, _ in out_specs]
+    conv_types = None
+    if in_types is not None and any(
+            isinstance(t, (T.StructType, T.ArrayType)) for t in in_types):
+        conv_types = list(in_types)
 
     def run(batches):
         import pandas as pd
@@ -236,6 +265,9 @@ def make_map_in_pandas(fn, in_fields: list[str], out_specs, out_kind,
                     payloads[i] = prev_payloads[i]
                     continue
                 row = tuple(_clean(col.iloc[i]) for col in in_cols)
+                if conv_types is not None:
+                    row = tuple(_struct_to_tuple(v, t)
+                                for v, t in zip(row, conv_types))
                 try:
                     r = _apply(fn, row if len(row) != 1 else row[0], arity,
                                in_fields)
