@@ -225,3 +225,178 @@ class TestNullsPort:
         res = ctx.parallelize([None, None]).map(lambda x: x != 42) \
             .collect()
         assert res == [True, True]
+
+
+class TestListsPort:
+    """reference test_lists.py"""
+
+    TYPED = {
+        "strings": [("hello", "world", "hi"), ("foo", "bar", "baz"),
+                    ("blank", "", "not")],
+        "ints": [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+        "floats": [(1.2, 3.4, -100.2), (5.6, 7.8, -1.234), (9.0, 0.1, 2.3)],
+        "bools": [(True, False, False), (False, True, True),
+                  (False, True, False)],
+    }
+
+    def test_roundtrip_through_list(self, ctx):
+        for name, data in self.TYPED.items():
+            res = ctx.parallelize(data) \
+                .map(lambda x, y, z: [x, y, z]) \
+                .map(lambda x: (x[0], x[1], x[2])).collect()
+            assert res == data, name
+
+    def test_list_return(self, ctx):
+        for name, data in self.TYPED.items():
+            res = ctx.parallelize(data) \
+                .map(lambda x, y, z: [x, y, z]).collect()
+            assert res == [[x, y, z] for x, y, z in data], name
+
+    def test_multiple_list_return(self, ctx):
+        data = self.TYPED["ints"]
+        res = ctx.parallelize(data) \
+            .map(lambda x, y, z: ([x, y], [z], [z, y])).collect()
+        assert res == [([x, y], [z], [z, y]) for x, y, z in data]
+
+    def test_empty_list_return(self, ctx):
+        res = ctx.parallelize([1, 2, 3]).map(lambda x: []).collect()
+        assert res == [[], [], []]
+
+    def test_parallelize_list_columns(self, ctx):
+        data = self.TYPED["ints"]
+        ll = [(list(x[:2]), list(x)) for x in data]
+        res = ctx.parallelize(ll).map(lambda x, y: [x[0], y[0], x[1]]) \
+            .collect()
+        assert res == [[x[0][0], x[1][0], x[0][1]] for x in ll]
+
+    def test_range_comprehension(self, ctx):
+        ints = [0, 1, 2, 5]
+        res = ctx.parallelize(ints) \
+            .map(lambda x: [t for t in range(x)]).collect()
+        assert res == [[t for t in range(x)] for x in ints]
+
+    def test_string_iteration_comprehension(self, ctx):
+        strings = ["this", "is", "a", "test"]
+        res = ctx.parallelize(strings) \
+            .map(lambda x: [2 * t for t in x]).collect()
+        assert res == [[2 * t for t in x] for x in strings]
+
+    def test_list_elementwise_comprehension(self, ctx):
+        lists = [[1, 2, 3], [4, 5, 6], [7, 8, 9]]
+        res = ctx.parallelize(lists) \
+            .map(lambda x: [t * t for t in x]).collect()
+        assert res == [[t * t for t in x] for x in lists]
+
+
+class TestIsPort:
+    """reference test_is.py"""
+
+    def test_bool_is_bool(self, ctx):
+        data = [False, True, False, False, True]
+        res = ctx.parallelize(data).map(lambda x: x is False).collect()
+        assert res == [x is False for x in data]
+
+    def test_bool_is_not_bool(self, ctx):
+        data = [True, False, True, False, True]
+        res = ctx.parallelize(data).map(lambda x: x is not False).collect()
+        assert res == [x is not False for x in data]
+
+    def test_bool_is_none(self, ctx):
+        data = [True, False, False, True]
+        res = ctx.parallelize(data).map(lambda x: x is None).collect()
+        assert res == [False] * 4
+
+    def test_none_is_not_none(self, ctx):
+        res = ctx.parallelize([None, None, None]) \
+            .map(lambda x: x is not None).collect()
+        assert res == [False, False, False]
+
+    def test_mixed_none_bool(self, ctx):
+        res = ctx.parallelize([None, True, False]) \
+            .map(lambda x: x is not None).collect()
+        assert res == [False, True, True]
+
+
+class TestLogicalPort:
+    """reference test_logical.py (bool-typed and/or + bitwise)."""
+
+    def test_and_or_constants(self, ctx):
+        data = [True, False]
+        for fn in [lambda x: x and True, lambda x: x and False,
+                   lambda x: x or True, lambda x: x or False,
+                   lambda x: x and True or True,
+                   lambda x: x and True or False,
+                   lambda x: x and False or True,
+                   lambda x: x and False or False,
+                   lambda x: x or True and True,
+                   lambda x: x or True and False,
+                   lambda x: x or False and True,
+                   lambda x: x or False and False]:
+            res = ctx.parallelize(data).map(fn).collect()
+            assert res == [bool(fn(x)) for x in data], fn.__code__.co_code
+
+    def test_bitwise_bools(self, ctx):
+        data = [(False, False), (False, True), (True, False), (True, True)]
+        for fn in [lambda a, b: a & b, lambda a, b: a | b,
+                   lambda a, b: a ^ b]:
+            res = ctx.parallelize(data).map(fn).collect()
+            ref = [fn(a, b) for a, b in data]
+            assert [bool(r) for r in res] == [bool(r) for r in ref]
+
+
+class TestArithmeticPort:
+    """reference test_arithmetic.py (spot ports; run_diff handles both
+    paths)."""
+
+    def test_add_sub_mixed(self, ctx):
+        data = [(1, 2.5), (3, -4.0), (-7, 0.5)]
+        run_diff(ctx, data, lambda a, b: a + b)
+        run_diff(ctx, data, lambda a, b: a - b)
+
+    def test_div_and_idiv(self, ctx):
+        data = [10, 7, -3, 4]
+        run_diff(ctx, data, lambda x: x / 4)
+        run_diff(ctx, data, lambda x: x // 4)
+        run_diff(ctx, data, lambda x: x % 3)
+
+    def test_power(self, ctx):
+        run_diff(ctx, [1, 2, 3, 4], lambda x: x ** 2)
+        run_diff(ctx, [1.5, 2.5], lambda x: x ** 0.5)
+
+    def test_shifts(self, ctx):
+        run_diff(ctx, [1, 2, 8, 1024], lambda x: x << 3)
+        run_diff(ctx, [1, 2, 8, 1024], lambda x: x >> 2)
+
+    def test_unary_negation(self, ctx):
+        run_diff(ctx, [1, -2, 0], lambda x: -x)
+        run_diff(ctx, [True, False], lambda x: not x)
+
+    def test_float_bool_casts(self, ctx):
+        run_diff(ctx, [1, 0, -3], lambda x: float(x))
+        run_diff(ctx, [1, 0, -3], lambda x: bool(x))
+
+
+class TestIndexPort:
+    """reference test_index.py"""
+
+    def test_positional_index(self, ctx):
+        data = [(1, 2), (2, 4), (4, 8)]
+        assert ctx.parallelize(data).map(lambda x: x[0]).collect() == \
+            [1, 2, 4]
+        assert ctx.parallelize(data).map(lambda x: x[1]).collect() == \
+            [2, 4, 8]
+
+    def test_negative_index(self, ctx):
+        data = [(1, 2), (2, 4), (4, 8)]
+        assert ctx.parallelize(data).map(lambda x: x[-1]).collect() == \
+            [2, 4, 8]
+        assert ctx.parallelize(data).map(lambda x: x[-2]).collect() == \
+            [1, 2, 4]
+
+    def test_dynamic_intra_tuple_index(self, ctx):
+        # same-typed tuple indexed by its own first element — the
+        # reference resolves this at compile time; here the fallback
+        # path must still produce CPython results
+        data = [(0, 1, 2, 3), (1, 1, 2, 3), (2, 1, 2, 3), (3, 1, 2, 3)]
+        res = ctx.parallelize(data).map(lambda x: x[x[0]]).collect()
+        assert res == [0, 1, 2, 3]

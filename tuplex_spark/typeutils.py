@@ -48,10 +48,15 @@ def infer_type(value) -> T.DataType | None:
         for v in value:
             t = infer_type(v)
             if t is None:
+                if v is not None:
+                    return None  # nested unrepresentable value
                 nullable = True
             else:
                 elem = t if elem is None else super_type(elem, t)
-        return T.ArrayType(elem or T.NullType(), containsNull=nullable)
+        # a NullType element must be declared nullable — Arrow rejects
+        # non-nullable null fields (empty lists hit this)
+        return T.ArrayType(elem or T.NullType(),
+                           containsNull=nullable or elem is None)
     if isinstance(value, dict):
         kt: T.DataType | None = None
         vt: T.DataType | None = None

@@ -861,7 +861,26 @@ class Translator:
         return STuple([self.eval(e) for e in node.elts])
 
     def _ev_List(self, node):
-        return STuple([self.eval(e) for e in node.elts])  # array-like literal
+        """List literals are ARRAYS (collect as Python lists), not tuple
+        structs — `[x, y]` must round-trip as [x, y].  Elements need a
+        common Spark type; heterogeneous lists fall back to CPython."""
+        items = [self.eval(e) for e in node.elts]
+        if not items:
+            raise CompileError("empty list literal (element type unknown)")
+        if all(isinstance(i, SConst) for i in items):
+            return SConst([i.value for i in items])
+        tag = "null"
+        for i in items:
+            if isinstance(i, (STuple, SDict, SRow)):
+                raise CompileError("list of composite values")
+            tag = _unify_tags(tag, i.tag)
+        cols = []
+        for i in items:
+            c = self.to_col(i)
+            if tag == "float" and i.tag in ("int", "bool"):
+                c = c.cast("double")
+            cols.append(c)
+        return SCol(F.array(*cols), "array", False, elem=tag)
 
     def _ev_Dict(self, node):
         items = {}

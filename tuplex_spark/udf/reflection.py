@@ -43,15 +43,32 @@ def function_ast(fn) -> ast.Lambda | ast.FunctionDef:
     matches = [l for l in lambdas if [a.arg for a in l.args.args] == want]
     if len(matches) == 1:
         return matches[0]
-    # ambiguous; compare compiled code constants as a tiebreak
+    # ambiguous; compare compiled code as a tiebreak.  The fingerprint
+    # must include constants and names, not just co_code: lambdas like
+    # `x and True` vs `x and False` share identical bytecode and differ
+    # only in co_consts — matching on co_code alone silently compiled
+    # the WRONG lambda.  Still ambiguous -> refuse; the fallback path
+    # calls the live function object and is always correct.
+    want_fp = _code_fingerprint(fn.__code__)
+    fp_matches = []
     for cand in matches or lambdas:
         try:
-            code = compile(ast.Expression(cand), "<udf>", "eval")
-            if code.co_consts[0].co_code == fn.__code__.co_code:
-                return cand
+            code = compile(ast.Expression(body=cand), "<udf>", "eval")
+            if _code_fingerprint(code.co_consts[0]) == want_fp:
+                fp_matches.append(cand)
         except Exception:
             continue
+    if len(fp_matches) == 1 or (fp_matches and all(
+            ast.dump(c) == ast.dump(fp_matches[0]) for c in fp_matches)):
+        return fp_matches[0]
     raise SourceExtractionError("ambiguous lambda source")
+
+
+def _code_fingerprint(code):
+    consts = tuple(
+        _code_fingerprint(c) if hasattr(c, "co_code") else (type(c), c)
+        for c in code.co_consts)
+    return (code.co_code, consts, code.co_names, code.co_varnames)
 
 
 def _parse_lenient(src: str):
