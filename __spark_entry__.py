@@ -750,6 +750,19 @@ def q_ds_text_read(spark, sf_dir):
     return ds.toDF()
 
 
+def q_ds_rightjoin(spark, sf_dir):
+    """rightJoin: all customers kept, big-order columns null-padded
+    (parity-plus: the reference declares JoinType::RIGHT but never
+    implemented it — JoinOperator.h:62-69)."""
+    c = _ctx(spark)
+    ords = (c.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .filter(lambda x: x["o_totalprice"] > 400000.0)
+            .selectColumns(["o_orderkey", "o_custkey"]))
+    cust = (c.parquet(os.path.join(sf_dir, "customer.parquet"))
+            .selectColumns(["c_custkey", "c_nationkey"]))
+    return ords.rightJoin(cust, "o_custkey", "c_custkey").toDF()
+
+
 def q_ds_loops(spark, sf_dir):
     """compiled for-loops: F.aggregate fold over split() tokens plus a
     statically-unrolled range loop — entirely Column expressions, no
@@ -967,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_cache": q_ds_cache,
         "ds_text_read": q_ds_text_read,
         "ds_loops": q_ds_loops,
+        "ds_rightjoin": q_ds_rightjoin,
         # -- training-data pipeline ops --
         "mm_decode": q_mm_decode,
         "text_token_count": q_text_token_count,
@@ -1370,6 +1384,11 @@ FROM lineitem WHERE l_discount < 0.03 GROUP BY l_returnflag""",
 SELECT upper(s_name) AS name_up,
        CAST(str_split(s_name, '#')[2] AS BIGINT) AS num
 FROM supplier""",
+        "ds_rightjoin": """
+SELECT o.o_orderkey, c.c_custkey AS o_custkey, c.c_nationkey
+FROM (SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_totalprice > 400000.0) o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey""",
         "ds_loops": """
 SELECT p_partkey,
        COALESCE(list_sum(list_transform(

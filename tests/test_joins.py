@@ -52,3 +52,21 @@ class TestJoinAfterUDF:
         j = l.join(r, "k2", "rk")
         assert sorted(j.collect()) == [(1, "a", 10, "ten"),
                                        (3, "c", 30, "thirty")]
+
+
+class TestRightJoin:
+    def test_rightjoin_keeps_unmatched_right(self, ctx):
+        left = ctx.parallelize([(1, "a"), (2, "b")], columns=["k", "lv"])
+        right = ctx.parallelize([(2, "x"), (3, "y")], columns=["rk", "rv"])
+        j = left.rightJoin(right, "k", "rk")
+        assert j.columns == ["lv", "k", "rv"]
+        rows = sorted(j.collect(), key=lambda r: r[1])
+        assert rows == [("b", 2, "x"), (None, 3, "y")]
+
+    def test_rightjoin_prefixes(self, ctx):
+        left = ctx.parallelize([(1, "a")], columns=["k", "v"])
+        right = ctx.parallelize([(1, "b"), (9, "z")], columns=["k2", "v"])
+        j = left.rightJoin(right, "k", "k2", prefixes=("L_", "R_"))
+        assert j.columns == ["L_v", "L_k", "R_v"]
+        rows = sorted(j.collect(), key=lambda r: (r[1] is None, r[1]))
+        assert rows == [("a", 1, "b"), (None, 9, "z")]

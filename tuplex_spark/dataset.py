@@ -764,6 +764,16 @@ class DataSet:
         return join_datasets(self, right, leftKeyColumn, rightKeyColumn,
                              "inner", prefixes, suffixes)
 
+    def rightJoin(self, right: "DataSet", leftKeyColumn: str,
+                  rightKeyColumn: str, prefixes=None,
+                  suffixes=None) -> "DataSet":
+        """Right outer equi-join — parity-plus: the reference declares
+        JoinType::RIGHT (JoinOperator.h:62-69) but never implements it;
+        on Spark it is the same shuffled/broadcast hash join as left."""
+        from .operators.join import join_datasets
+        return join_datasets(self, right, leftKeyColumn, rightKeyColumn,
+                             "right", prefixes, suffixes)
+
     def leftJoin(self, right: "DataSet", leftKeyColumn: str,
                  rightKeyColumn: str, prefixes=None, suffixes=None
                  ) -> "DataSet":

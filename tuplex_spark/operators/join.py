@@ -52,10 +52,16 @@ def join_datasets(left, right, lkey: str, rkey: str, how: str,
     cond = l["__jkey_l"] == r["__jkey_r"]
     joined = l.join(r, cond, how)
 
+    # the key column survives from whichever side is preserved: left for
+    # inner/left joins; for right joins unmatched rows only carry the
+    # right key (reference declares RIGHT in JoinOperator.h:62-69 but
+    # never implemented it — 'parity-plus' here)
+    key_src = F.coalesce(F.col("__jkey_l"), F.col("__jkey_r")) \
+        if how == "right" else F.col("__jkey_l")
     out_cols = [_decorate(c, lpre, lsuf) for c in lcols] + [key_out] + \
                [_decorate(c, rpre, rsuf) for c in rcols]
     sel = [F.col(_decorate(c, lpre, lsuf)) for c in lcols] + \
-          [F.col("__jkey_l").alias(key_out)] + \
+          [key_src.alias(key_out)] + \
           [F.col(_decorate(c, rpre, rsuf)) for c in rcols]
     out = joined.select(*sel)
 
