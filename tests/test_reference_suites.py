@@ -400,3 +400,121 @@ class TestIndexPort:
         data = [(0, 1, 2, 3), (1, 1, 2, 3), (2, 1, 2, 3), (3, 1, 2, 3)]
         res = ctx.parallelize(data).map(lambda x: x[x[0]]).collect()
         assert res == [0, 1, 2, 3]
+
+
+class TestStringsPort:
+    """reference test_strings.py"""
+
+    def test_concat(self, ctx):
+        data = [("hello", "world"), ("foo", "bar"), ("blank", ""),
+                ("", "another"), ("", "")]
+        res = ctx.parallelize(data).map(lambda a, b: a + b).collect()
+        assert res == ["helloworld", "foobar", "blank", "another", ""]
+
+    def test_str_int_duplication(self, ctx):
+        res = ctx.parallelize([("negative", -2), ("zero", 0),
+                               ("hello", 1), ("goodbye", 5)]) \
+            .map(lambda a, b: a * b).collect()
+        assert res == ["", "", "hello", "goodbye" * 5]
+        res = ctx.parallelize([(-2, "negative"), (0, "zero"),
+                               (1, "hello"), (6, "foo")]) \
+            .map(lambda a, b: a * b).collect()
+        assert res == ["", "", "hello", "foo" * 6]
+
+    def test_str_bool_duplication(self, ctx):
+        res = ctx.parallelize([(True, "true"), (False, "false")]) \
+            .map(lambda a, b: a * b).collect()
+        assert res == ["true", ""]
+        res = ctx.parallelize([("false", False), ("true", True)]) \
+            .map(lambda a, b: a * b).collect()
+        assert res == ["", "true"]
+
+    def test_str_slices(self, ctx):
+        s = "hello"
+        indices = [-10, -2, 3, 1, 10]
+        singles = [(s, i) for i in indices]
+        run_diff(ctx, singles, lambda a, b: a[b:])
+        run_diff(ctx, singles, lambda a, b: a[:b])
+        pairs = [(s, x, y) for x in indices for y in indices]
+        run_diff(ctx, pairs, lambda a, x, y: a[x:y])
+
+    def test_bool_ordering_strcast(self, ctx):
+        # reference notes a bug that occurred only with (False, True)
+        test = [(False, True)]
+        assert ctx.parallelize(test).map(
+            lambda x: (x[0], x[1])).collect() == [(False, True)]
+        assert ctx.parallelize(test).map(
+            lambda x, y: (str(x), str(y))).collect() == [("False", "True")]
+        assert ctx.parallelize(test).map(
+            lambda x: (str(x[0]), str(x[1]))).collect() == \
+            [("False", "True")]
+
+    def test_strcast_typed_sets(self, ctx):
+        for testset in [[-10, 0, 20],
+                        ["-10", "hello", "", "   bye   ", "7.123"],
+                        [True, False]]:
+            res = ctx.parallelize(testset).map(lambda x: str(x)).collect()
+            assert res == [str(x) for x in testset], testset
+
+
+class TestFilterPort:
+    """reference test_filter.py"""
+
+    def test_filter_chain(self, ctx):
+        ds = ctx.parallelize([1, 2, 3, 4, 5])
+        assert ds.map(lambda x: x * x).filter(lambda x: x > 10) \
+            .collect() == [16, 25]
+        assert ds.filter(lambda x: x == 2 or x == 3 or x == 5) \
+            .map(lambda x: x * x * x).collect() == [8, 27, 125]
+        assert ds.filter(lambda x: 2 < x <= 4).collect() == [3, 4]
+
+    def test_filter_all(self, ctx):
+        assert ctx.parallelize([1, 2, 3, 4, 5]) \
+            .filter(lambda x: x > 10).collect() == []
+
+
+class TestClosurePort:
+    """reference test_closure.py"""
+
+    def test_global_capture(self, ctx):
+        g = 20
+
+        def f(x):
+            return x + g
+        assert ctx.parallelize([1, 2, 3]).map(f).collect() == [21, 22, 23]
+        assert ctx.parallelize([1, 2, 3]).map(lambda x: x * g).collect() \
+            == [20, 40, 60]
+
+
+class TestResolvePort:
+    """reference test_resolve.py"""
+
+    def test_lambda_resolve_scalar(self, ctx):
+        ds = ctx.parallelize([0, 1, 2, 3, 4]).map(lambda x: 1. / x)
+        assert ds.collect() == [1. / 1, 1. / 2, 1. / 3, 1. / 4]
+        assert ds.resolve(ZeroDivisionError, lambda x: 42).collect() == \
+            [42, 1. / 1, 1. / 2, 1. / 3, 1. / 4]
+
+    def test_lambda_resolve_tuple(self, ctx):
+        ds = ctx.parallelize([(1, 0), (2, 1), (3, 0), (4, 1)]) \
+            .map(lambda x: x[0] / x[1])
+        assert ds.collect() == [2.0, 4.0]
+        assert ds.resolve(ZeroDivisionError, lambda x: 42).collect() == \
+            [42, 2.0, 42, 4.0]
+
+    def test_exception_counts_by_class(self, ctx):
+        def f(x):
+            if x % 2 == 0:
+                raise FileNotFoundError
+            if x % 3 == 0:
+                raise LookupError
+            if x % 5 == 0:
+                raise IndexError
+            return x * x
+
+        ds = ctx.parallelize([1, 2, 3, 4, 5]).map(f)
+        assert ds.collect() == [1]
+        d = ds.exception_counts
+        assert d["FileNotFoundError"] == 2
+        assert d["LookupError"] == 1
+        assert d["IndexError"] == 1

@@ -26,12 +26,44 @@ _CODES: dict[str, int] = {
     "IndexError": 121,
     "KeyError": 122,
     "ValueError": 130,
+    "UnicodeError": 131,
+    "UnicodeDecodeError": 132,
+    "UnicodeEncodeError": 133,
     "TypeError": 140,
     "AttributeError": 150,
     "AssertionError": 160,
     "StopIteration": 170,
+    "StopAsyncIteration": 171,
     "RuntimeError": 180,
+    "NotImplementedError": 181,
+    "RecursionError": 182,
     "NameError": 190,
+    "UnboundLocalError": 191,
+    # OSError family (reference ExceptionCodes.h covers the full builtin
+    # taxonomy: FILENOTFOUNDERROR, PERMISSIONERROR, ...)
+    "OSError": 200,
+    "FileNotFoundError": 201,
+    "FileExistsError": 202,
+    "PermissionError": 203,
+    "IsADirectoryError": 204,
+    "NotADirectoryError": 205,
+    "InterruptedError": 206,
+    "ProcessLookupError": 207,
+    "ChildProcessError": 208,
+    "BlockingIOError": 209,
+    "ConnectionError": 210,
+    "ConnectionAbortedError": 211,
+    "ConnectionRefusedError": 212,
+    "ConnectionResetError": 213,
+    "BrokenPipeError": 214,
+    "TimeoutError": 215,
+    "EOFError": 220,
+    "BufferError": 221,
+    "MemoryError": 222,
+    "ReferenceError": 223,
+    "SystemError": 224,
+    "ImportError": 225,
+    "ModuleNotFoundError": 226,
     # input malformation (CSV bad cell etc.), reference BADPARSE_STRING_INPUT
     "BadParseInput": 300,
     # row rejected by parallelize() schema unification, reference PYTHON_PARALLELIZE
@@ -41,14 +73,18 @@ _CODES: dict[str, int] = {
     "NormalCaseViolation": 320,
 }
 
-# Python class hierarchy for resolve(ExcClass) matching: a resolver for a
-# base class catches codes of all subclasses.
-_SUBCLASSES: dict[str, set[str]] = {
-    "Exception": set(_CODES) - {"BadParseInput", "BadParallelizeInput"},
-    "ArithmeticError": {"ArithmeticError", "ZeroDivisionError", "OverflowError",
-                        "FloatingPointError"},
-    "LookupError": {"LookupError", "IndexError", "KeyError"},
-}
+import builtins as _builtins
+
+# live class objects for every coded name that is a Python builtin — the
+# class hierarchy for resolve(ExcClass) matching comes from Python itself
+_CODES_CLASSES = [
+    getattr(_builtins, n) for n in _CODES
+    if isinstance(getattr(_builtins, n, None), type)
+]
+
+# engine-internal codes with no Python class: caught only by Exception
+# (NormalCaseViolation) or only explicitly (the input-malformation codes)
+_EXC_ONLY = {"NormalCaseViolation"}
 
 
 def code_for(exc: type | str) -> int:
@@ -60,24 +96,19 @@ def code_for(exc: type | str) -> int:
 
 
 def codes_caught_by(exc: type | str) -> set[int]:
-    """All codes that ``resolve(exc, ...)`` / ``ignore(exc)`` should catch."""
-    name = exc if isinstance(exc, str) else exc.__name__
-    names = _SUBCLASSES.get(name, {name} if name in _CODES else set())
-    if not names and not isinstance(exc, str):
-        # walk the real class hierarchy for user classes
-        names = {c.__name__ for c in _CODES_CLASSES if issubclass(c, exc)} \
-            if isinstance(exc, type) else set()
+    """All codes that ``resolve(exc, ...)`` / ``ignore(exc)`` should catch:
+    the class itself plus every coded subclass (real Python hierarchy)."""
+    cls = exc
+    if isinstance(exc, str):
+        cls = getattr(_builtins, exc, None)
+        if not isinstance(cls, type):
+            return {_CODES[exc]} if exc in _CODES else {_CODES["Exception"]}
+    names = {c.__name__ for c in _CODES_CLASSES if issubclass(c, cls)}
+    if cls is Exception:
+        names |= _EXC_ONLY
     if not names:
-        names = {name} if name in _CODES else {"Exception"}
+        names = {"Exception"}
     return {_CODES[n] for n in names if n in _CODES}
-
-
-_CODES_CLASSES = [
-    Exception, ArithmeticError, ZeroDivisionError, OverflowError,
-    FloatingPointError, LookupError, IndexError, KeyError, ValueError,
-    TypeError, AttributeError, AssertionError, StopIteration, RuntimeError,
-    NameError,
-]
 
 
 def code_for_instance(e: BaseException) -> int:
