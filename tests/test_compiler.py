@@ -650,3 +650,52 @@ class TestPathConditionedGuards:
             10 // x  # CPython evaluates (and raises for 0) despite no use
             return x + 1
         run_diff(ctx, [5, 0, 3], f, expect_compiled=True)
+
+
+class TestIteratorBuiltins:
+    """Compiled iterator builtins as values (reference SymbolTable.cc:150-364):
+    list/tuple/any/all/iter/next/reversed/range."""
+
+    def test_list_of_split(self, ctx):
+        run_diff(ctx, ["a b c", "x", ""],
+                 lambda s: list(s.split(" ")), expect_compiled=True)
+
+    def test_tuple_identity(self, ctx):
+        run_diff(ctx, [(1, 2), (3, 4)],
+                 lambda a, b: tuple((a, b)), expect_compiled=True)
+
+    def test_any_all_over_comprehension(self, ctx):
+        data = ["the fox", "a b", "wordy sentences only"]
+        run_diff(ctx, data,
+                 lambda s: any(len(t) > 4 for t in s.split(" ")),
+                 expect_compiled=True)
+        run_diff(ctx, data,
+                 lambda s: all(len(t) > 1 for t in s.split(" ")),
+                 expect_compiled=True)
+
+    def test_next_iter_first_token(self, ctx):
+        run_diff(ctx, ["hello world", "one"],
+                 lambda s: next(iter(s.split(" "))), expect_compiled=True)
+
+    def test_next_iter_default(self, ctx):
+        run_diff(ctx, ["a,b", "nocomma"],
+                 lambda s: next(iter(s.split(",")), "dflt"),
+                 expect_compiled=True)
+
+    def test_reversed_array_value(self, ctx):
+        run_diff(ctx, ["a b c", "x y"],
+                 lambda s: list(reversed(s.split(" "))),
+                 expect_compiled=True)
+
+    def test_reversed_tuple_value(self, ctx):
+        run_diff(ctx, [(1, 2, 3)],
+                 lambda a, b, c: tuple(reversed((a, b, c))),
+                 expect_compiled=True)
+
+    def test_range_value_sum(self, ctx):
+        run_diff(ctx, [0, 1, 5, 10],
+                 lambda x: sum(range(x)), expect_compiled=True)
+
+    def test_range_two_args(self, ctx):
+        run_diff(ctx, [3, 7],
+                 lambda x: sum(range(2, x)), expect_compiled=True)

@@ -1422,6 +1422,136 @@ class Translator:
             return SCol(out, "float" if isf else "int", a.nullable)
         raise CompileError(f"sum({a.tag})")
 
+    def _array_from(self, a: Sym, ctx: str) -> Sym:
+        """Coerce tuple-like / constant-list values to an array SCol."""
+        if isinstance(a, SCol) and a.tag == "array":
+            return a
+        if isinstance(a, SConst) and isinstance(a.value, (list, tuple)):
+            return SConst(list(a.value))
+        if isinstance(a, STuple):
+            tag = "null"
+            for i in a.items:
+                if isinstance(i, (STuple, SDict, SRow)):
+                    raise CompileError(f"{ctx} of composite values")
+                tag = _unify_tags(tag, i.tag)
+            cols = []
+            for i in a.items:
+                c = self.to_col(i)
+                if tag == "float" and i.tag in ("int", "bool"):
+                    c = c.cast("double")
+                cols.append(c)
+            return SCol(F.array(*cols), "array", False, elem=tag)
+        raise CompileError(f"{ctx}({a.tag})")
+
+    def _b_list(self, args):
+        if not args:
+            raise CompileError("empty list() (element type unknown)")
+        return self._array_from(args[0], "list")
+
+    def _b_tuple(self, args):
+        if not args:
+            raise CompileError("empty tuple()")
+        a = args[0]
+        if isinstance(a, STuple):
+            return a
+        if isinstance(a, SConst) and isinstance(a.value, (list, tuple)):
+            return STuple([SConst(v) for v in a.value])
+        if isinstance(a, SRow):
+            return self._row_tuple()
+        raise CompileError(f"tuple({a.tag})")
+
+    def _b_any(self, args):
+        return self._any_all(args[0], is_any=True)
+
+    def _b_all(self, args):
+        return self._any_all(args[0], is_any=False)
+
+    def _any_all(self, a: Sym, is_any: bool):
+        if isinstance(a, SConst):
+            return SConst((any if is_any else all)(a.value))
+        if isinstance(a, STuple):
+            out = None
+            for i in a.items:
+                c = self.truthy(i)
+                out = c if out is None else ((out | c) if is_any
+                                             else (out & c))
+            return SCol(out if out is not None else F.lit(not is_any),
+                        "bool")
+        if isinstance(a, SCol) and a.tag == "array":
+            hof = F.exists if is_any else F.forall
+            return SCol(hof(a.col, lambda x: self._elem_truthy(
+                x, a.elem or "bool")), "bool", a.nullable)
+        raise CompileError(f"{'any' if is_any else 'all'}({a.tag})")
+
+    def _elem_truthy(self, x: Column, elem: str) -> Column:
+        return self.truthy(SCol(x, elem, False))
+
+    def _b_iter(self, args):
+        # iterator state can't be modeled; only the `next(iter(x))`
+        # first-element idiom compiles, so iter() passes through
+        a = args[0]
+        if isinstance(a, (STuple, SConst)) or \
+                (isinstance(a, SCol) and a.tag == "array"):
+            return _SIter(a)
+        raise CompileError(f"iter({a.tag})")
+
+    def _b_next(self, args):
+        a = args[0]
+        if not isinstance(a, _SIter):
+            raise CompileError("next over non-iter")
+        base = a.base
+        default = args[1] if len(args) > 1 else None
+        if isinstance(base, SConst):
+            seq = list(base.value)
+            if seq:
+                return SConst(seq[0])
+            if default is not None:
+                return default
+            self.guard(F.lit(True), "StopIteration")
+            return SConst(None)
+        if isinstance(base, STuple):
+            if base.items:
+                return base.items[0]
+            if default is not None:
+                return default
+            self.guard(F.lit(True), "StopIteration")
+            return SConst(None)
+        empty = F.size(base.col) == 0
+        first = F.element_at(base.col, 1)
+        if default is not None:
+            d = self.to_col(default)
+            return SCol(F.when(empty, d).otherwise(first),
+                        base.elem or "any", True)
+        self.guard(empty, "StopIteration")
+        return SCol(first, base.elem or "any", True)
+
+    def _b_reversed(self, args):
+        a = args[0]
+        if isinstance(a, SConst) and isinstance(a.value, (list, tuple)):
+            return SConst(list(reversed(a.value)))
+        if isinstance(a, STuple):
+            return STuple(list(reversed(a.items)))
+        if isinstance(a, SCol) and a.tag in ("array", "str"):
+            return SCol(F.reverse(a.col), a.tag, a.nullable, elem=a.elem)
+        raise CompileError(f"reversed({a.tag})")
+
+    def _b_range(self, args):
+        if all(isinstance(a, SConst) for a in args):
+            try:
+                return SConst(list(range(*[a.value for a in args])))
+            except (TypeError, ValueError) as e:
+                self.guard(F.lit(True), type(e).__name__)
+                return SConst(None)
+        if len(args) > 2:
+            raise CompileError("range with dynamic step")
+        nums = [self.num(a, "range") for a in args]
+        lo = F.lit(0) if len(nums) == 1 else self.to_col(nums[0])
+        hi = self.to_col(nums[-1])
+        arr = F.when(hi > lo,
+                     F.sequence(lo.cast("long"), hi.cast("long") - 1)) \
+            .otherwise(F.array().cast("array<bigint>"))
+        return SCol(arr, "array", False, elem="int")
+
     def _b_min(self, args):
         return self._minmax(args, F.least, min)
 
@@ -1861,6 +1991,14 @@ class Translator:
         raise CompileError(f"dict.{name}")
 
 
+class _SIter(Sym):
+    """Result of iter(x): supports only next() (first element)."""
+    tag = "iter"
+
+    def __init__(self, base):
+        self.base = base
+
+
 class _BoundModuleFn(Sym):
     tag = "bound"
 
@@ -1876,7 +2014,8 @@ class _BoundMethod(Sym):
 
 
 _BUILTINS = {"int", "float", "str", "bool", "len", "abs", "round",
-             "min", "max", "sorted", "sum"}
+             "min", "max", "sorted", "sum", "list", "tuple", "any", "all",
+             "iter", "next", "reversed", "range"}
 
 
 def _unify_tags(a: str, b: str) -> str:
