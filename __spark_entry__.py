@@ -937,6 +937,20 @@ def q_events_json(spark, sf_dir):
                  F.count(F.lit(1)).alias("n")))
 
 
+def q_events_stats(spark, sf_dir):
+    """Statistical aggregates the reference lacks entirely (SURVEY §2.4
+    notes no stddev/percentile/distinct-count anywhere): exact stddev,
+    exact interpolated median, and distinct users per event type."""
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+                 F.round(F.percentile("value", F.lit(0.5)), 6)
+                  .alias("median_value"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 def q_events_top_users(spark, sf_dir):
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
@@ -999,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_json": q_events_json,
         "events_top_users": q_events_top_users,
+        "events_stats": q_events_stats,
         # -- TPC-H distinct shapes --
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
@@ -1437,6 +1452,13 @@ SELECT user_id, round(sum(value), 6) AS total_value,
 FROM events GROUP BY user_id
 ORDER BY total_value DESC, user_id
 LIMIT 20""",
+        "events_stats": """
+SELECT event_type,
+       round(stddev_samp(value), 6) AS sd_value,
+       round(quantile_cont(value, 0.5), 6) AS median_value,
+       count(DISTINCT user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type""",
         "events_sessions": """
 WITH ordered AS (
   SELECT user_id, ts, value,

@@ -139,3 +139,63 @@ class TestGeneratedExpressions:
                      + [gen_cond_expr(rng) for _ in range(4)])
             fn = _build_fn(exprs)
             run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
+
+
+LOOP_ELEM_EXPRS = ["len(t)", "t.count('a')", "len(t) * 2", "len(t) % 3",
+                   "1"]
+LOOP_SEPS = ["' '", "','", "'a'"]
+LOOP_CONDS = ["len(t) > 2", "len(t) % 2 == 0", "t.startswith('a')"]
+
+
+def _build_def_fn(body_lines):
+    src = "def fn(x):\n" + "\n".join("    " + ln for ln in body_lines) + "\n"
+    f = tempfile.NamedTemporaryFile("w", suffix=".py", delete=False)
+    f.write(src)
+    f.close()
+    _TMPFILES.append(f.name)
+    ns = {}
+    exec(compile(src, f.name, "exec"), ns)
+    return ns["fn"]
+
+
+def gen_fold_loop(rng):
+    sep = rng.choice(LOOP_SEPS)
+    lines = ["acc = 0", "n = 0", f"for t in x['s'].split({sep}):"]
+    if rng.random() < 0.5:
+        lines.append(f"    if {rng.choice(LOOP_CONDS)}:")
+        lines.append(f"        acc += {rng.choice(LOOP_ELEM_EXPRS)}")
+    else:
+        lines.append(f"    acc += {rng.choice(LOOP_ELEM_EXPRS)}")
+    lines.append("    n += 1")
+    lines.append("return (acc, n)")
+    return lines
+
+
+def gen_static_loop(rng):
+    lo, hi = sorted(rng.sample(range(-3, 8), 2))
+    lines = ["s = 0",
+             f"for i in range({lo}, {hi}):",
+             f"    s += i * x['a'] + {rng.randint(-2, 5)}",
+             "return s"]
+    return lines
+
+
+class TestGeneratedLoops:
+    """Seeded fold/unroll loop fuzzing — loops must match CPython whether
+    they compile (F.aggregate / unroll) or fall back."""
+
+    def test_fold_loops_sweep(self, ctx):
+        for seed in (1, 17, 404, 9001):
+            rng = random.Random(seed)
+            for _ in range(3):
+                fn = _build_def_fn(gen_fold_loop(rng))
+                run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)
+
+    def test_static_loops_sweep(self, ctx):
+        for seed in (2, 42, 777):
+            rng = random.Random(seed)
+            for _ in range(3):
+                fn = _build_def_fn(gen_static_loop(rng))
+                run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)

@@ -1096,6 +1096,13 @@ class Translator:
         ln, rn = self.num(l), self.num(r)
         lc, rc = self.to_col(ln), self.to_col(rn)
         both_int = ln.tag in ("int", "bool") and rn.tag in ("int", "bool")
+        # a constant nonzero divisor can never raise — emitting the dead
+        # guard would also needlessly abort fold-loop compilation
+        div_safe = isinstance(rn, SConst) and rn.value not in (0, 0.0)
+
+        def div_guard():
+            if not div_safe:
+                self.guard(rc == 0, "ZeroDivisionError")
         if isinstance(op, ast.Add):
             return SCol(lc + rc, "int" if both_int else "float")
         if isinstance(op, ast.Sub):
@@ -1103,15 +1110,15 @@ class Translator:
         if isinstance(op, ast.Mult):
             return SCol(lc * rc, "int" if both_int else "float")
         if isinstance(op, ast.Div):
-            self.guard(rc == 0, "ZeroDivisionError")
+            div_guard()
             return SCol(lc / rc, "float")
         if isinstance(op, ast.FloorDiv):
-            self.guard(rc == 0, "ZeroDivisionError")
+            div_guard()
             res = F.floor(lc / rc)
             return SCol(res if both_int else res.cast("double"),
                         "int" if both_int else "float")
         if isinstance(op, ast.Mod):
-            self.guard(rc == 0, "ZeroDivisionError")
+            div_guard()
             res = ((lc % rc) + rc) % rc  # CPython sign-of-divisor semantics
             return SCol(res, "int" if both_int else "float")
         if isinstance(op, ast.Pow):
