@@ -699,3 +699,26 @@ class TestIteratorBuiltins:
     def test_range_two_args(self, ctx):
         run_diff(ctx, [3, 7],
                  lambda x: sum(range(2, x)), expect_compiled=True)
+
+
+class TestPercentFormat:
+    """%-formatting compiles onto format_string for an audited specifier
+    subset (zero-pad %0Nd, %s, %f) where Java and CPython agree."""
+
+    def test_zero_pad_int(self, ctx):
+        run_diff(ctx, ["42", "7", "02125"],
+                 lambda s: "%05d" % int(s), expect_compiled=True)
+
+    def test_mixed_tuple_args(self, ctx):
+        run_diff(ctx, [(1, "a"), (42, "zz")],
+                 lambda a, b: "%s-%03d!" % (b, a), expect_compiled=True)
+
+    def test_float_default_precision(self, ctx):
+        run_diff(ctx, [1.5, 0.125, 3.0],
+                 lambda x: "%f" % x, expect_compiled=True)
+
+    def test_literal_percent(self, ctx):
+        run_diff(ctx, [30, 55], lambda x: "%d%%" % x, expect_compiled=True)
+
+    def test_unsupported_spec_falls_back(self, ctx):
+        run_diff(ctx, [255, 16], lambda x: "%x" % x, expect_compiled=False)

@@ -368,6 +368,12 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
          # array per row below the stage that was deliberately staged to
          # compute it once (measured 6-10x slowdown at sf0.1).  The
          # inferred filter only skips empty arrays; never worth it.
+         # InferFiltersFromGenerate: inlines whole generator expressions
+         # into synthesized filters (re-runs the tokenizer per row below
+         # the staged projection — measured 6-10x at sf0.1).  Predicate
+         # pushdown through HEAVY compiled-UDF projections is blocked
+         # per-operator instead (dataset.py: nondeterministic identity
+         # wrapper), so plain scan pushdown keeps working.
          .config("spark.sql.optimizer.excludedRules",
                  "org.apache.spark.sql.catalyst.optimizer."
                  "InferFiltersFromGenerate")

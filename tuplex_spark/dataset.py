@@ -193,6 +193,12 @@ class DataSet:
     def _apply_compiled(self, compiled, fn, kind, op_name, in_schema,
                         target_col, new_col):
         df = self._df
+        # apply the compiler's CSE layers: each staged local becomes a
+        # real projection column, so the op's output/guard expressions
+        # reference it instead of re-inlining its tree (the final select
+        # below never lists __t columns, so they don't escape the op)
+        for tmp_name, tmp_col in compiled.staged:
+            df = df.select("*", tmp_col.alias(tmp_name))
         guards = compiled.guards
         fallible = bool(guards) and self._exc_enabled
         ok = None
@@ -202,14 +208,19 @@ class DataSet:
         if kind == "filter":
             pred = compiled.as_predicate()
             if ok is not None:
-                sel = [F.col(c) for c in self._columns] + [
-                    code_e.alias(EXC_CODE), payload_e.alias(EXC_PAYLOAD),
-                    op_e.alias(EXC_OP)]
-                out = df.select(*sel).filter(
-                    (F.col(EXC_CODE) != 0) |
-                    F.coalesce(pred, F.lit(False)))
+                # filter BEFORE the projection that drops __t columns —
+                # the predicate may reference staged locals
+                out = df.filter((code_e != 0)
+                                | F.coalesce(pred, F.lit(False)))
+                out = out.select(*self._columns,
+                                 code_e.alias(EXC_CODE),
+                                 payload_e.alias(EXC_PAYLOAD),
+                                 op_e.alias(EXC_OP))
             else:
                 out = df.filter(F.coalesce(pred, F.lit(False)))
+                if compiled.staged:
+                    out = out.select(*self._columns,
+                                     *_present(out, _HIDDEN))
             info = UDFOpInfo(op_name, kind, fn, in_schema, list(self._columns))
             return self._spawn(out, sample=self._sample_apply(fn, "filter"),
                                last_op=info)
@@ -230,12 +241,29 @@ class DataSet:
             new_cols = [(target_col, c)]
 
         produced = {n for n, _ in new_cols}
+        first_computed = True
         sel: list[Column] = []
         for v in vis:
             if v in produced:
                 expr = dict(new_cols)[v]
-                sel.append((F.when(ok, expr) if ok is not None else expr)
-                           .alias(v))
+                if ok is not None:
+                    expr = F.when(ok, expr)
+                if compiled.staged and first_computed:
+                    # pushdown barrier: wrapping one computed column in a
+                    # nondeterministic IDENTITY (shuffle of a 1-element
+                    # array) makes this Project pushdown- and
+                    # collapse-opaque.  Without it, a later filter's
+                    # predicate gets rewritten by substituting the
+                    # computed columns' expression trees through every
+                    # staged layer — a 10-op find/rfind/slice pipeline's
+                    # plan grew exponentially (multi-MB, minutes in the
+                    # optimizer).  Losing pushdown through a heavy UDF
+                    # projection costs one linear stage, never
+                    # correctness; plain scan pushdown (filters over
+                    # cheap projections) is unaffected.
+                    expr = F.element_at(F.shuffle(F.array(expr)), 1)
+                    first_computed = False
+                sel.append(expr.alias(v))
             else:
                 sel.append(F.col(v))
         if ok is not None:
@@ -613,6 +641,10 @@ class DataSet:
                 col_map=remap)
         except CompileError:
             pass
+        if res_compiled is not None and res_compiled.staged:
+            # resolver bodies with staged CSE layers would need their own
+            # projection chain; resolvers are small — use the fallback
+            res_compiled = None
 
         if res_compiled is None:
             return self._resolve_fallback(op, ftor, match, in_struct)

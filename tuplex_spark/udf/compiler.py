@@ -203,6 +203,7 @@ class CompiledUDF:
         self.result = result            # Sym: SCol/SConst/STuple/SDict
         self.guards = guards            # list[(Column cond, int code)]
         self.accessed = accessed        # set[str] input columns actually read
+        self.staged = translator.staged  # [(tmp_name, Column)] CSE layers
         self._tr = translator
 
     # -- shaping helpers -------------------------------------------------
@@ -254,6 +255,18 @@ class Translator:
         # short-circuited arm of and/or only marks rows where CPython
         # actually evaluates it
         self._path: Column | None = None
+        # common-subexpression staging: local assignments of non-trivial
+        # expressions become real projection columns ((name, Column)
+        # layers the dataset applies in order), so later references are
+        # cheap col() lookups.  Without this, every use of a local
+        # re-inlines its whole defining tree — a chained find/rfind/slice
+        # UDF exploded to a ~300 KB plan per operator and a 10-op
+        # pipeline grew exponentially.  Staging is valid inside If
+        # branches too (Column exprs are pure; guards carry their own
+        # path condition) but NOT inside HOF lambda scopes, where no
+        # projection exists — tracked by _hof_depth.
+        self.staged: list[tuple[str, Column]] = []
+        self._hof_depth = 0
 
     # -- public entry ----------------------------------------------------
     def compile(self, fn) -> CompiledUDF:
@@ -451,7 +464,7 @@ class Translator:
                 self.eval(st.value)
                 continue
             if isinstance(st, ast.Assign):
-                val = self.eval(st.value)
+                val = self._maybe_stage(st.value, self.eval(st.value))
                 for tgt in st.targets:
                     self._assign(tgt, val)
                 continue
@@ -460,7 +473,7 @@ class Translator:
                     raise CompileError("augmented assign target")
                 cur = self.eval(ast.Name(id=st.target.id, ctx=ast.Load()))
                 val = self._binop(st.op, cur, self.eval(st.value))
-                self._locals[st.target.id] = val
+                self._locals[st.target.id] = self._maybe_stage(st, val)
                 continue
             if isinstance(st, ast.AnnAssign):
                 if st.value is not None:
@@ -499,6 +512,21 @@ class Translator:
                 continue
             raise CompileError(f"unsupported statement {type(st).__name__}")
         return False
+
+    def _maybe_stage(self, value_node, val: Sym) -> Sym:
+        """Replace a non-trivial assignment value with a staged
+        projection column (computed for every row regardless of branch —
+        safe because Column exprs never raise under non-ANSI; guards are
+        path-conditioned separately)."""
+        if self._hof_depth > 0:
+            return val
+        if not isinstance(val, SCol):
+            return val
+        if sum(1 for _ in ast.walk(value_node)) < 4:
+            return val  # bare refs/tiny exprs: staging buys nothing
+        name = f"__t{len(self.staged)}"
+        self.staged.append((name, val.col))
+        return SCol(F.col(name), val.tag, val.nullable, val.elem)
 
     def _assign(self, tgt, val: Sym):
         if isinstance(tgt, ast.Name):
@@ -684,6 +712,7 @@ class Translator:
             saved_returns = list(self._returns)
             n_guards = len(self.guards)
             self._branch_depth += 1
+            self._hof_depth += 1
             try:
                 for n, s in acc_syms.items():
                     self._locals[n] = s
@@ -697,6 +726,7 @@ class Translator:
                 return {n: self._locals[n] for n in accs}
             finally:
                 self._branch_depth -= 1
+                self._hof_depth -= 1
                 self._locals = saved_locals
                 self._returns = saved_returns
 
@@ -916,6 +946,7 @@ class Translator:
             saved = self._locals.get(var)
             n_guards = len(self.guards)
             self._locals[var] = SCol(xcol, elem, False)
+            self._hof_depth += 1
             try:
                 res = self.eval(expr_node)
                 if len(self.guards) != n_guards:
@@ -924,6 +955,7 @@ class Translator:
                 out_tag[0] = res.tag
                 return col
             finally:
+                self._hof_depth -= 1
                 if saved is None:
                     self._locals.pop(var, None)
                 else:
@@ -1087,6 +1119,8 @@ class Translator:
                         False)
         if isinstance(op, ast.Add) and l.tag == "array" and r.tag == "array":
             return SCol(F.concat(self.to_col(l), self.to_col(r)), "array", True)
+        if isinstance(op, ast.Mod) and l.tag == "str":
+            return self._percent_format(l, r)
         if isinstance(op, ast.Mult) and "str" in (l.tag, r.tag):
             s, n = (l, r) if l.tag == "str" else (r, l)
             n = self.num(n, "str repeat")
@@ -1140,6 +1174,49 @@ class Translator:
                         ast.BitXor: lc.bitwiseXOR(rc)}[type(op)]
             return SCol(expr, "int")
         raise CompileError(f"operator {type(op).__name__}")
+
+    def _percent_format(self, l: Sym, r: Sym) -> Sym:
+        """Old-style %-formatting -> F.format_string.  Only constant
+        format strings with an audited specifier subset where
+        java.util.Formatter output is identical to CPython's."""
+        if not isinstance(l, SConst):
+            raise CompileError("dynamic %-format string")
+        fmt = l.value
+        spec = _re_mod.compile(r"%(?:%|[-+0 ]*\d*(?:\.\d+)?[sdif])")
+        specs = [m for m in spec.findall(fmt) if m != "%%"]
+        # every % must belong to a recognized specifier
+        if spec.sub("", fmt).count("%"):
+            raise CompileError(f"unsupported %-format {fmt!r}")
+        args = list(r.items) if isinstance(r, STuple) else [r]
+        if len(specs) != len(args):
+            self.guard(F.lit(True), "TypeError")
+            return SConst(None)
+        parts = spec.split(fmt)
+        matches = spec.findall(fmt)
+        out = ""
+        cols = []
+        ai = 0
+        for j, part in enumerate(parts):
+            out += part
+            if j < len(matches):
+                m = matches[j]
+                if m == "%%":
+                    out += "%%"
+                    continue
+                a = args[ai]
+                ai += 1
+                if m.endswith(("d", "i")):
+                    a = self.num(a, "%-format")
+                    cols.append(self.to_col(a).cast("long"))
+                    out += m[:-1] + "d"
+                elif m.endswith("f"):
+                    a = self.num(a, "%-format")
+                    cols.append(self.to_col(a).cast("double"))
+                    out += m
+                else:
+                    cols.append(self._to_str(a))
+                    out += m
+        return SCol(F.format_string(out, *cols), "str")
 
     def _guard_nulls(self, *syms):
         for s in syms:
