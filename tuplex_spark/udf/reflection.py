@@ -35,7 +35,19 @@ def function_ast(fn) -> ast.Lambda | ast.FunctionDef:
         raise SourceExtractionError(f"no def {name} in extracted source")
     lambdas = [n for n in ast.walk(tree) if isinstance(n, ast.Lambda)]
     if len(lambdas) == 1:
-        return lambdas[0]
+        # even a single candidate must match the live code object:
+        # inspect.getblock TRUNCATES a multiline lambda whose first line
+        # parses standalone (`lambda x: x["col"]` + `[...]` continuation),
+        # which silently compiled a different function
+        try:
+            code = compile(ast.Expression(body=lambdas[0]), "<udf>", "eval")
+            if _code_fingerprint(code.co_consts[0]) == \
+                    _code_fingerprint(fn.__code__):
+                return lambdas[0]
+        except SyntaxError:
+            pass
+        raise SourceExtractionError("extracted lambda does not match "
+                                    "the live function")
     if not lambdas:
         raise SourceExtractionError("no lambda in extracted source")
     # several lambdas on one line: pick by matching argument names
@@ -65,10 +77,33 @@ def function_ast(fn) -> ast.Lambda | ast.FunctionDef:
 
 
 def _code_fingerprint(code):
-    consts = tuple(
-        _code_fingerprint(c) if hasattr(c, "co_code") else (type(c), c)
-        for c in code.co_consts)
-    return (code.co_code, consts, code.co_names, code.co_varnames)
+    """Semantic bytecode fingerprint.  Raw co_code comparison is both too
+    weak (`x and True` vs `x and False` share bytecode, differing only in
+    constants) and too strict (a closure-captured name compiles to
+    LOAD_DEREF in the live function but LOAD_GLOBAL when the extracted
+    source is recompiled standalone).  Normalize: all variable loads
+    compare by name, constants by (type, value), cell/scope setup noise
+    is dropped."""
+    import dis
+    _noise = {"COPY_FREE_VARS", "MAKE_CELL", "RESUME", "NOP", "CACHE",
+              "PRECALL", "PUSH_NULL"}
+    _loads = {"LOAD_GLOBAL", "LOAD_DEREF", "LOAD_NAME", "LOAD_CLASSDEREF",
+              "LOAD_FAST", "LOAD_FAST_CHECK"}
+    ops = []
+    for ins in dis.get_instructions(code):
+        name, arg = ins.opname, ins.argval
+        if name in _noise:
+            continue
+        if name in _loads:
+            ops.append(("LOAD_VAR", arg))
+            continue
+        if hasattr(arg, "co_code"):
+            arg = _code_fingerprint(arg)
+        elif name == "LOAD_CONST":
+            arg = (type(arg).__name__, arg if not isinstance(arg, bytes)
+                   else arg)
+        ops.append((name, arg))
+    return tuple(ops)
 
 
 def _parse_lenient(src: str):
