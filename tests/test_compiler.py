@@ -722,3 +722,18 @@ class TestPercentFormat:
 
     def test_unsupported_spec_falls_back(self, ctx):
         run_diff(ctx, [255, 16], lambda x: "%x" % x, expect_compiled=False)
+
+
+class TestFallbackFilterTruthiness:
+    def test_filter_returning_match_object(self, ctx):
+        """A filter UDF may return any object; its TRUTHINESS decides
+        (CPython semantics) — a regex match must not be treated as a
+        schema violation on the fallback path."""
+        import re as _re
+
+        def f(x):
+            s = set()  # force fallback (sets are uncompilable)
+            return _re.search(r"[0-9]$", x)
+        data = ["row1", "rowx", "row2"]
+        res = ctx.parallelize(data).filter(f).collect()
+        assert res == ["row1", "row2"]

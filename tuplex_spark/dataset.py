@@ -373,7 +373,8 @@ class DataSet:
         runner = fallback.make_map_in_pandas(
             fn, in_cols, out_specs, out_kind, op_name,
             keep_fields=keep, capture=capture,
-            in_types=[self._df.schema[c].dataType for c in in_cols])
+            in_types=[self._df.schema[c].dataType for c in in_cols],
+            coerce_bool=(kind == "filter"))
         out = self._df.mapInPandas(runner, schema=out_schema)
         if kind == "filter":
             cond = F.coalesce(F.col("__pred"), F.lit(False))

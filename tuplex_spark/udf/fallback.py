@@ -226,7 +226,8 @@ def _struct_to_tuple(v, t: T.DataType):
 def make_map_in_pandas(fn, in_fields: list[str], out_specs, out_kind,
                        op_name: str, keep_fields: list[str] | None = None,
                        capture: bool = True, pass_through_code: bool = True,
-                       in_types: list | None = None):
+                       in_types: list | None = None,
+                       coerce_bool: bool = False):
     """Build a mapInPandas function applying ``fn`` row-at-a-time.
 
     in_fields:   input column names fed to the UDF (tuple order)
@@ -234,6 +235,9 @@ def make_map_in_pandas(fn, in_fields: list[str], out_specs, out_kind,
     keep_fields: passthrough columns copied to the output unchanged
     capture:     wrap per-row exceptions into (__exc_code, __exc_payload)
     in_types:    Spark types of in_fields (struct inputs -> tuples)
+    coerce_bool: filter predicates use Python TRUTHINESS — a UDF may
+                 return any object (e.g. a regex match); bool() it
+                 instead of failing schema conformance
     """
     import pandas as pd  # noqa: F401  (executor-side)
 
@@ -275,6 +279,8 @@ def make_map_in_pandas(fn, in_fields: list[str], out_specs, out_kind,
                         vals = [r[j] for j in range(len(out_names))]
                     elif out_kind == "dict":
                         vals = [r[name] for name in out_names]
+                    elif coerce_bool:
+                        vals = [bool(r)]
                     else:
                         vals = [r]
                     if not all(_conforms(v, t)

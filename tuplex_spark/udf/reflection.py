@@ -97,6 +97,11 @@ def _code_fingerprint(code):
         if name in _loads:
             ops.append(("LOAD_VAR", arg))
             continue
+        if name in ("LOAD_METHOD", "LOAD_ATTR"):
+            # AST-based recompilation may emit LOAD_ATTR where the
+            # original compiler fused LOAD_METHOD — same semantics
+            ops.append(("LOAD_ATTR", arg))
+            continue
         if hasattr(arg, "co_code"):
             arg = _code_fingerprint(arg)
         elif name == "LOAD_CONST":
