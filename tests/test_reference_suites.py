@@ -518,3 +518,53 @@ class TestResolvePort:
         assert d["FileNotFoundError"] == 2
         assert d["LookupError"] == 1
         assert d["IndexError"] == 1
+
+
+class TestColumnsPort:
+    """reference test_columns.py"""
+
+    def test_withcolumn_new_on_scalar(self, ctx):
+        res = ctx.parallelize([10, 20, 3, 4]) \
+            .withColumn("newcol", lambda x: 2 * x).collect()
+        assert res == [(10, 20), (20, 40), (3, 6), (4, 8)]
+
+    def test_withcolumn_overwrite_named(self, ctx):
+        res = ctx.parallelize([(1, "Hello"), (2, "world")],
+                              ["count", "word"]) \
+            .withColumn("word", lambda x: x["word"][-1] * x["count"]) \
+            .collect()
+        assert res == [(1, "o"), (2, "dd")]
+
+    def test_withcolumn_overwrite_positional(self, ctx):
+        res = ctx.parallelize([(1, "Hello"), (2, "world")],
+                              ["count", "word"]) \
+            .withColumn("word", lambda x: x[1][-1] * x[0]).collect()
+        assert res == [(1, "o"), (2, "dd")]
+
+    def test_mapcolumn_single_column(self, ctx):
+        res = ctx.parallelize([1, 2, 3], columns=["A"]) \
+            .mapColumn("A", lambda x: x + 1).collect()
+        assert res == [2, 3, 4]
+
+    def test_select_columns_subsets(self, ctx):
+        ds = ctx.parallelize([(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+                             columns=["abc", "def", "ghi"])
+        assert ds.selectColumns(["abc", "ghi"]).collect() == \
+            [(1, 3), (4, 6), (7, 9)]
+        assert ds.selectColumns(["abc"]).collect() == [1, 4, 7]
+        assert ds.selectColumns(["def"]).collect() == [2, 5, 8]
+        assert ds.selectColumns(["abc", "def", "ghi"]).collect() == \
+            [(1, 2, 3), (4, 5, 6), (7, 8, 9)]
+
+    def test_select_columns_indices_and_mixed(self, ctx):
+        ds = ctx.parallelize([(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+                             columns=["abc", "def", "ghi"])
+        assert ds.selectColumns("abc").collect() == [1, 4, 7]
+        assert ds.selectColumns(2).collect() == [3, 6, 9]
+        assert ds.selectColumns(-2).collect() == [2, 5, 8]
+        assert ds.selectColumns(["abc", "abc"]).collect() == \
+            [(1, 1), (4, 4), (7, 7)]
+        assert ds.selectColumns([1, 0]).collect() == \
+            [(2, 1), (5, 4), (8, 7)]
+        assert ds.selectColumns([-1, "def", "ghi"]).collect() == \
+            [(3, 2, 3), (6, 5, 6), (9, 8, 9)]
