@@ -737,3 +737,11 @@ class TestFallbackFilterTruthiness:
         data = ["row1", "rowx", "row2"]
         res = ctx.parallelize(data).filter(f).collect()
         assert res == ["row1", "row2"]
+
+
+class TestDictMembership:
+    def test_in_dict_literal_tests_keys(self, ctx):
+        run_diff(ctx, ["a", "b", "z"],
+                 lambda s: s in {"a": 1, "b": 2}, expect_compiled=True)
+        run_diff(ctx, ["a", "q"],
+                 lambda s: s not in {"a": 0}, expect_compiled=True)

@@ -568,3 +568,55 @@ class TestColumnsPort:
             [(2, 1), (5, 4), (8, 7)]
         assert ds.selectColumns([-1, "def", "ghi"]).collect() == \
             [(3, 2, 3), (6, 5, 6), (9, 8, 9)]
+
+
+SOME_CONSTANT_TO_EXTRACT = 42
+
+
+class TestSrcExtractPort:
+    """reference test_srcextract.py — source-extraction edge cases.
+    Where the reference (unpatched interpreter) RAISES on ambiguous
+    multi-lambda lines, this engine must instead refuse to compile and
+    fall back to the live function object — same results, never an
+    error."""
+
+    def test_single_lambda(self, ctx):
+        res = ctx.parallelize([1, 2, 3, 4]).map(lambda x: x * x).collect()
+        assert res == [1, 4, 9, 16]
+
+    def test_chained_lambdas_one_per_call(self, ctx):
+        res = ctx.parallelize([1, 2, 3, 4]).map(lambda x: x * x) \
+            .map(lambda x: x - 1).collect()
+        assert res == [0, 3, 8, 15]
+
+    def test_lambda_with_global(self, ctx):
+        res = ctx.parallelize([1, 2, 3, 4]) \
+            .map(lambda x: x + SOME_CONSTANT_TO_EXTRACT).collect()
+        assert res == [43, 44, 45, 46]
+
+    def test_chained_globals_with_continuation(self, ctx):
+        res = ctx.parallelize([1, 2, 3, 4]) \
+            .map(lambda x: x + SOME_CONSTANT_TO_EXTRACT) \
+            .map(lambda x: -1 * (SOME_CONSTANT_TO_EXTRACT - x)).collect()
+        assert res == [1, 2, 3, 4]
+
+    def test_two_lambdas_same_line(self, ctx):
+        # the reference needs a patched interpreter for this; here the
+        # fallback runs the live function objects — results still exact
+        res = ctx.parallelize([1, 2, 3, 4]).map(lambda x: x + SOME_CONSTANT_TO_EXTRACT).map(lambda x: -1 * (SOME_CONSTANT_TO_EXTRACT - x)).collect()
+        assert res == [1, 2, 3, 4]
+
+    def test_multiline_lambda_body(self, ctx):
+        # DO NOT REFORMAT (the continuation lines are the test)
+        res = ctx.parallelize([1, 2, 3, 4]).map(lambda x: x +
+                                                SOME_CONSTANT_TO_EXTRACT +
+                                                3) \
+            .map(lambda x: x - SOME_CONSTANT_TO_EXTRACT).collect()
+        assert res == [4, 5, 6, 7]
+
+    def test_multiline_plus_same_line_mix(self, ctx):
+        # DO NOT REFORMAT
+        res = ctx.parallelize([1, 2, 3, 4]).map(lambda x: x +
+                                                SOME_CONSTANT_TO_EXTRACT +
+                                                3).map(lambda x: x - SOME_CONSTANT_TO_EXTRACT).map(lambda x: x - 3).collect()
+        assert res == [1, 2, 3, 4]

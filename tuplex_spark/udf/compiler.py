@@ -1320,6 +1320,9 @@ class Translator:
                       if isinstance(i, SConst)]
             if len(consts) == len(container.items):
                 return self.to_col(item).isin(*consts)
+        if isinstance(container, SDict):
+            # `k in {...}` tests KEYS (string-literal keys by construction)
+            return self.to_col(item).isin(*container.items.keys())
         if container.tag == "str":
             return F.contains(self.to_col(container), self.to_col(item))
         if container.tag == "array":
