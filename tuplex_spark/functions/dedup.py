@@ -23,6 +23,8 @@ bucket key.  Skewed buckets (stopword shingles) are capped via
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens
@@ -294,27 +296,39 @@ def _srp_signs(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[int]]:
 
 
 def srp_band_keys(vec: Column, dim: int, nbits: int, bands: int,
-                  seed: int = 0x5EED) -> list[Column]:
-    """Signed-random-projection band keys: bit i of band b is the sign of
-    dot(v, w_{b*nbits+i}) for a fixed ±1 hyperplane w.  Each key has
-    2^nbits values, so bucket granularity is tunable and independent of
-    any metadata column.  The dot product is an explicit left-to-right
-    sum chain (identical FP evaluation order in any engine)."""
+                  seed: int = 0x5EED) -> Column:
+    """Signed-random-projection band keys -> array<long> of ``bands``
+    keys: bit i of band b is the sign of dot(v, w_{b*nbits+i}) for a
+    fixed ±1 hyperplane w.  Each key has 2^nbits values, so bucket
+    granularity is tunable and independent of any metadata column.
+
+    All bands*nbits dot products ride in ONE Arrow pass with strict
+    left-to-right per-dimension accumulation (``acc = acc + E[:,d]*s``
+    is an IEEE float64 add per element — the exact order of the SQL
+    twin's ``v[1]*s1 + v[2]*s2 + ...`` chain, so signatures are
+    bitwise-identical in DuckDB).  The previous pure-Column form
+    unrolled 3k+ element_at terms into one projection, overflowing
+    janino's 64 KB method limit: ~18s of compile-fail-fallback for a
+    500-row input, then interpreted evaluation."""
     signs = _srp_signs(bands * nbits, dim, seed)
-    v = vec.cast("array<double>")
-    keys = []
-    for b in range(bands):
-        key = None
-        for i in range(nbits):
-            row = signs[b * nbits + i]
-            dotv = None
-            for d, s in enumerate(row):
-                term = F.element_at(v, d + 1) * F.lit(float(s))
-                dotv = term if dotv is None else dotv + term
-            bit = F.when(dotv >= 0, 2 ** i).otherwise(0)
-            key = bit if key is None else key + bit
-        keys.append(key.cast("long").alias(f"srp{b}"))
-    return keys
+
+    @F.pandas_udf("array<long>")
+    def keys_udf(xs: pd.Series) -> pd.Series:
+        import numpy as np
+        X = np.vstack(xs.to_numpy()).astype(np.float64)
+        keys = []
+        for b in range(bands):
+            key = np.zeros(X.shape[0], dtype=np.int64)
+            for i in range(nbits):
+                row = signs[b * nbits + i]
+                acc = X[:, 0] * float(row[0])
+                for d in range(1, dim):
+                    acc = acc + X[:, d] * float(row[d])
+                key = key + np.where(acc >= 0, 1 << i, 0)
+            keys.append(key)
+        return pd.Series(list(np.stack(keys, axis=1)))
+
+    return keys_udf(vec.cast("array<double>"))
 
 
 def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
@@ -333,29 +347,39 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     recall only by luck.  With nbits=6/bands=8: P(candidate) ≈ 98% at
     cosine 0.9, and each band key has 64 values per band whose occupancy
     spreads with corpus size; ``max_bucket`` caps degenerate clusters
-    deterministically."""
-    from .similarity import cosine_sim
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                     *srp_band_keys(F.col(vec_col), dim, nbits, bands, seed))
-    buckets = base.select(
-        "id", "v",
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), F.col(f"srp{b}").alias("h"))
-            for b in range(bands)])).alias("bk")
-    ).select("id", "v", F.col("bk.band").alias("band"),
-             F.col("bk.h").alias("h"))
+    deterministically.
+
+    Cost shape: the bucket shuffle carries only (id, band, key) — no
+    vectors; candidate pairs are DEDUPLICATED across bands *before* any
+    cosine is computed (a pair sharing all 8 bands previously paid 8
+    interpreted cosines); vectors are then fetched by two id-equality
+    joins and the verify cosine is one Arrow-vectorized dot per unique
+    pair."""
+    from .similarity import _pdot, vec_norm
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("v"))
+    keyed = base.select(
+        "id", srp_band_keys(F.col("v"), dim, nbits, bands, seed).alias("ks"))
+    buckets = (keyed.select("id", F.posexplode("ks").alias("band", "h")))
     w = Window.partitionBy("band", "h").orderBy("id")
     buckets = buckets.withColumn("rn", F.row_number().over(w)) \
                      .filter(F.col("rn") <= max_bucket).drop("rn")
     a, b = buckets.alias("a"), buckets.alias("b")
-    cos = cosine_sim(F.col("a.v"), F.col("b.v"))
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.h") == F.col("b.h"))
                    & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.round(cos, 6).alias("cosine"))
-            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
+    slim = base.select("id", "v", vec_norm(F.col("v")).alias("nrm"))
+    va = slim.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("nrm_a"))
+    vb = slim.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nrm_b"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    cos = F.round(_pdot(F.col("va"), F.col("vb"))
+                  / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return (pairs.select("id_a", "id_b", cos.alias("cosine"))
+                 .filter(F.col("cosine") >= threshold))
 
 
 # ---- SQL twins (DuckDB oracle) -------------------------------------------
