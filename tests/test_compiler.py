@@ -745,3 +745,52 @@ class TestDictMembership:
                  lambda s: s in {"a": 1, "b": 2}, expect_compiled=True)
         run_diff(ctx, ["a", "q"],
                  lambda s: s not in {"a": 0}, expect_compiled=True)
+
+
+class TestFloatStrParity:
+    """str(float) must emit CPython repr format, not Spark's Java style
+    ('Infinity'/'NaN'/'1.0E16'): plain decimal for decimal exponents in
+    [-4, 16), 'd.dde±NN' sci outside, 'inf'/'nan' specials.  Known
+    unfixable edge: a few subnormals where pre-Ryu Java emits an extra
+    digit (4.9E-324 vs 5e-324)."""
+
+    VALS = [3.141592653589793, float("inf"), float("-inf"), float("nan"),
+            1e16, -1e16, 9.999e15, 1.2345678e7, 12345678.9, 1e7, 150.0,
+            0.0001, 1.23e-4, 1e-5, -1e-5, 0.001, 123.456, 0.0, -0.0,
+            1e22, 1.5e100, -2.5e-100, 2.0000000000000004,
+            1.7976931348623157e308, 1.5e-300]
+
+    def test_compiled_str_of_float(self, ctx):
+        before = ctx.metrics.compiledUDFs
+        res = ctx.parallelize(self.VALS).map(lambda x: str(x)).collect()
+        assert ctx.metrics.compiledUDFs == before + 1
+        assert res == [str(v) for v in self.VALS]
+
+    def test_fstring_of_float(self, ctx):
+        res = ctx.parallelize([1e16, 0.5, 1e-5]) \
+            .map(lambda x: f"v={x}").collect()
+        assert res == [f"v={v}" for v in [1e16, 0.5, 1e-5]]
+
+
+class TestFallbackNullVsNan:
+    """The Arrow->pandas hand-off shows null AND NaN as NaN in float64
+    columns (and upcasts int columns with nulls to float64); JVM-side
+    isNull flag columns disambiguate so fallback UDFs see the exact
+    values the compiled path would."""
+
+    def test_nan_reaches_fallback_udf(self, ctx):
+        def f(x):
+            while False:
+                pass  # force fallback
+            return str(x)
+        res = ctx.parallelize([float("nan"), 1.5, None]).map(f).collect()
+        assert res == ["nan", "1.5", "None"]
+
+    def test_nullable_int_stays_int(self, ctx):
+        def g(x):
+            while False:
+                pass
+            return x[0] // 2 if x[0] is not None else -1
+        res = ctx.parallelize([(4, "a"), (None, "b"), (9, "c")],
+                              columns=["n", "s"]).map(g).collect()
+        assert res == [2, -1, 4]

@@ -41,6 +41,8 @@ class Context:
         self._options.update(kwargs)
         if spark is None:
             spark = build_session(name, self._options)
+        else:
+            _ship_package(spark)  # externally-built sessions too
         self.spark = spark
         from .metrics import Metrics
         self._metrics = Metrics()
@@ -382,4 +384,44 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
                  or os.environ.get("SPARK_DRIVER_MEMORY", "90g")))
     if options.get("tuplex.scratchDir"):
         b = b.config("spark.local.dir", options["tuplex.scratchDir"])
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``tuplex_spark`` importable on every executor.
+
+    Fallback-path UDFs (udf/fallback.py) are cloudpickled BY REFERENCE —
+    the worker must be able to ``import tuplex_spark``.  In local mode
+    with the repo as cwd that works by accident; on a real cluster (or
+    any other cwd) it is a ModuleNotFoundError at task time.  Shipping a
+    zip of the package via addPyFile is the standard Spark deployment
+    path and costs one ~100 KB broadcast per session."""
+    if id(spark) in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    try:
+        fd, zpath = tempfile.mkstemp(prefix="tuplex_spark_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join("tuplex_spark",
+                                       os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+        spark.sparkContext.addPyFile(zpath)
+        _SHIPPED.add(id(spark))
+    except Exception:
+        # best-effort: local-mode sessions launched from the repo root
+        # resolve the module from cwd anyway
+        pass

@@ -48,6 +48,29 @@ class UDFOpInfo:
 
 PYOBJ_COL = "__pyobj"
 
+_FLAGGED_TYPES = (T.DoubleType, T.FloatType, T.LongType, T.IntegerType,
+                  T.ShortType, T.ByteType)
+
+
+def _with_null_flags(df: DataFrame, in_cols: list[str]):
+    """Append JVM-computed ``isNull`` boolean flags for numeric UDF
+    inputs.  Arrow->pandas shows BOTH null and NaN as NaN in a float64
+    column (and upcasts int columns with nulls to float64), so without
+    the flag the fallback path cannot tell ``None`` from ``float('nan')``
+    and hands floats to UDFs expecting ints.  One boolean per numeric
+    input column, computed in codegen — negligible cost."""
+    flags: dict[str, str] = {}
+    add = []
+    for i, c in enumerate(in_cols):
+        t = df.schema[c].dataType
+        if isinstance(t, _FLAGGED_TYPES):
+            flag = f"__nn_{i}"
+            flags[c] = flag
+            add.append(F.col(c).isNull().alias(flag))
+    if not add:
+        return df, flags
+    return df.select("*", *add), flags
+
 
 def _py_value(v):
     """Spark row values -> Python values: struct Rows become tuples
@@ -370,12 +393,13 @@ class DataSet:
                               T.StructField(EXC_PAYLOAD, T.StringType(), True),
                               T.StructField(EXC_OP, T.StringType(), True)]
         out_schema = T.StructType(schema_fields)
+        src, null_flags = _with_null_flags(self._df, in_cols)
         runner = fallback.make_map_in_pandas(
             fn, in_cols, out_specs, out_kind, op_name,
             keep_fields=keep, capture=capture,
             in_types=[self._df.schema[c].dataType for c in in_cols],
-            coerce_bool=(kind == "filter"))
-        out = self._df.mapInPandas(runner, schema=out_schema)
+            coerce_bool=(kind == "filter"), null_flags=null_flags)
+        out = src.mapInPandas(runner, schema=out_schema)
         if kind == "filter":
             cond = F.coalesce(F.col("__pred"), F.lit(False))
             if capture:
@@ -401,11 +425,13 @@ class DataSet:
         dataset continues in PYOBJECT mode (map/filter; collect returns
         the exact heterogeneous Python values)."""
         import pickle
-        from .udf.fallback import UDFRow, _apply, _clean
+        from .udf.fallback import UDFRow, _apply, _clean, _clean_typed
 
         arity = getattr(getattr(fn, "__code__", None), "co_argcount", 1)
         capture = self._exc_enabled
         names = list(in_cols)
+        src, null_flags = _with_null_flags(self._df, names)
+        in_dtypes = [self._df.schema[c].dataType for c in names]
         schema_fields = [T.StructField(PYOBJ_COL, T.BinaryType(), True)]
         if capture:
             schema_fields += [T.StructField(EXC_CODE, T.IntegerType(), False),
@@ -420,6 +446,8 @@ class DataSet:
                 n = len(pdf)
                 blobs, codes, payloads = [None] * n, [0] * n, [None] * n
                 cols = [pdf[f] for f in names]
+                fcols = [pdf[null_flags[f]] if f in null_flags else None
+                         for f in names]
                 prev_codes = pdf[EXC_CODE].tolist() \
                     if EXC_CODE in pdf.columns else [0] * n
                 prev_payloads = pdf[EXC_PAYLOAD].tolist() \
@@ -429,7 +457,11 @@ class DataSet:
                         codes[i] = prev_codes[i]
                         payloads[i] = prev_payloads[i]
                         continue
-                    row = tuple(_clean(c.iloc[i]) for c in cols)
+                    row = tuple(
+                        None if (fc is not None and bool(fc.iloc[i]))
+                        else (_clean_typed(c.iloc[i], t) if fc is not None
+                              else _clean(c.iloc[i]))
+                        for c, fc, t in zip(cols, fcols, in_dtypes))
                     try:
                         r = _apply(fn, row if len(row) != 1 else row[0],
                                    arity, names)
@@ -447,7 +479,7 @@ class DataSet:
                     data[EXC_OP] = [op_name if c else None for c in codes]
                 yield pd.DataFrame(data)
 
-        out = self._df.mapInPandas(run, schema=out_schema)
+        out = src.mapInPandas(run, schema=out_schema)
         return DataSet(self._ctx, out, [PYOBJ_COL],
                        sample=self._sample_apply(fn, "map"),
                        parked=list(self._parked), op_seq=self._op_seq + 1,

@@ -86,6 +86,53 @@ def _loop_assigned_names(stmts) -> list[str]:
     return names
 
 
+def _py_float_str(c: Column) -> Column:
+    """CPython ``str(float)`` from a double Column.
+
+    Spark's double->string cast emits Java style ('Infinity', 'NaN',
+    '1.0E16', '1.0E-4', sci for |x| >= 1e7 or < 1e-3); CPython emits
+    'inf'/'nan', plain decimal for exponents in [-4, 16) and 'd.dde±NN'
+    outside.  Both use shortest-round-trip digits, so this is a pure
+    FORMAT conversion over the cast string: split mantissa/exponent and
+    re-assemble per CPython's rules.  (Known un-fixable edge: a handful
+    of subnormals where pre-Ryu Java emits one extra digit.)"""
+    s = c.cast("string")
+    m = F.substring_index(s, "E", 1)
+    e = F.substring_index(s, "E", -1).cast("int")
+    neg = m.startswith("-")
+    am = F.when(neg, F.substring(m, 2, 1000)).otherwise(m)
+    ip = F.substring_index(am, ".", 1)
+    fr = F.substring_index(am, ".", -1)
+    flen = F.length(fr)
+    sgn = F.when(neg, F.lit("-")).otherwise(F.lit(""))
+    mant = F.when(fr == "0", ip).otherwise(F.concat(ip, F.lit("."), fr))
+    def _exp2(x: Column) -> Column:
+        # >=2 exponent digits, but lpad TRUNCATES longer strings ('324'
+        # -> '32'), so pad only 1-digit exponents
+        xs = x.cast("string")
+        return F.when(F.length(xs) < 2, F.concat(F.lit("0"), xs)) \
+                .otherwise(xs)
+
+    sci_pos = F.concat(sgn, mant, F.lit("e+"), _exp2(e))
+    sci_neg = F.concat(sgn, mant, F.lit("e-"), _exp2(-e))
+    plain_pos = F.concat(
+        sgn,
+        F.when(flen <= e,
+               F.concat(ip, fr, F.repeat(F.lit("0"), e - flen), F.lit(".0")))
+         .otherwise(F.concat(ip, fr.substr(F.lit(1), e), F.lit("."),
+                             fr.substr(e + 1, flen))))
+    plain_neg = F.concat(sgn, F.lit("0."), F.repeat(F.lit("0"), -e - 1),
+                         F.when(fr == "0", ip).otherwise(F.concat(ip, fr)))
+    return (F.when(F.isnan(c), "nan")
+             .when(c == float("inf"), "inf")
+             .when(c == float("-inf"), "-inf")
+             .when(~s.contains("E"), s)
+             .when(e >= 16, sci_pos)
+             .when(e >= 0, plain_pos)
+             .when(e >= -4, plain_neg)
+             .otherwise(sci_neg))
+
+
 # ---------------------------------------------------------------- symbolic values
 
 class Sym:
@@ -1360,9 +1407,7 @@ class Translator:
         if s.tag == "bool":
             return F.when(c, "True").otherwise("False")
         if s.tag == "float":
-            # CPython repr of floats: Spark double->string matches for
-            # common values (both shortest-roundtrip style)
-            return c.cast("string")
+            return _py_float_str(c)
         return c.cast("string")
 
     # -- calls -----------------------------------------------------------

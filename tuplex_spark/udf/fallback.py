@@ -196,7 +196,10 @@ def _conforms(v, t: T.DataType) -> bool:
 
 
 def _clean(v):
-    """numpy / pandas scalars -> python scalars."""
+    """numpy / pandas scalars -> python scalars.  NaN maps to None — the
+    legacy ambiguous path for callers that provide no null flags (Arrow
+    nulls surface as NaN in pandas float columns, so without a flag NaN
+    must be read as null)."""
     if v is None:
         return None
     if isinstance(v, float) and math.isnan(v):
@@ -207,6 +210,27 @@ def _clean(v):
             return v.item()
         except Exception:
             return v
+    return v
+
+
+_INT_TYPES = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+
+
+def _clean_typed(v, t):
+    """Exact scalar extraction when the caller supplies per-row null
+    flags: NaN stays NaN (``str(float('nan')) == 'nan'``, not None), and
+    integer columns that pandas upcast to float64 (because the Arrow
+    batch had nulls elsewhere) come back as Python ints."""
+    if v is None:
+        return None
+    item = getattr(v, "item", None)
+    if item is not None and not isinstance(v, (str, bytes)):
+        try:
+            v = v.item()
+        except Exception:
+            pass
+    if isinstance(t, _INT_TYPES) and isinstance(v, float):
+        return int(v)
     return v
 
 
@@ -227,7 +251,8 @@ def make_map_in_pandas(fn, in_fields: list[str], out_specs, out_kind,
                        op_name: str, keep_fields: list[str] | None = None,
                        capture: bool = True, pass_through_code: bool = True,
                        in_types: list | None = None,
-                       coerce_bool: bool = False):
+                       coerce_bool: bool = False,
+                       null_flags: dict | None = None):
     """Build a mapInPandas function applying ``fn`` row-at-a-time.
 
     in_fields:   input column names fed to the UDF (tuple order)
@@ -238,12 +263,18 @@ def make_map_in_pandas(fn, in_fields: list[str], out_specs, out_kind,
     coerce_bool: filter predicates use Python TRUTHINESS — a UDF may
                  return any object (e.g. a regex match); bool() it
                  instead of failing schema conformance
+    null_flags:  {in_field: bool_flag_column} — flag is True exactly when
+                 the field is NULL, computed JVM-side before the Arrow
+                 hand-off.  Disambiguates null from NaN (pandas shows
+                 both as NaN in float64) and lets nulls-elsewhere-upcast
+                 int columns surface as Python ints again.
     """
     import pandas as pd  # noqa: F401  (executor-side)
 
     arity = getattr(fn, "__code__", None).co_argcount if hasattr(fn, "__code__") else 1
     keep_fields = keep_fields or []
     out_names = [n for n, _ in out_specs]
+    null_flags = null_flags or {}
     conv_types = None
     if in_types is not None and any(
             isinstance(t, (T.StructType, T.ArrayType)) for t in in_types):
@@ -263,12 +294,21 @@ def make_map_in_pandas(fn, in_fields: list[str], out_specs, out_kind,
             prev_ops = pdf[EXC_OP].tolist() if EXC_OP in pdf.columns \
                 else [None] * n
             in_cols = [pdf[f] for f in in_fields]
+            flag_cols = [pdf[null_flags[f]]
+                         if f in null_flags and null_flags[f] in pdf.columns
+                         else None for f in in_fields]
+            typ_list = in_types if in_types is not None \
+                else [None] * len(in_fields)
             for i in range(n):
                 if capture and prev_codes[i]:
                     codes[i] = prev_codes[i]
                     payloads[i] = prev_payloads[i]
                     continue
-                row = tuple(_clean(col.iloc[i]) for col in in_cols)
+                row = tuple(
+                    None if (fc is not None and bool(fc.iloc[i]))
+                    else (_clean_typed(col.iloc[i], t) if fc is not None
+                          else _clean(col.iloc[i]))
+                    for col, fc, t in zip(in_cols, flag_cols, typ_list))
                 if conv_types is not None:
                     row = tuple(_struct_to_tuple(v, t)
                                 for v, t in zip(row, conv_types))
