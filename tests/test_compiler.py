@@ -794,3 +794,19 @@ class TestFallbackNullVsNan:
         res = ctx.parallelize([(4, "a"), (None, "b"), (9, "c")],
                               columns=["n", "s"]).map(g).collect()
         assert res == [2, -1, 4]
+
+
+class TestTitleCompiled:
+    """str.title() with CPython word semantics (cased char upper after
+    any UNCASED char — not initcap's whitespace-only rule)."""
+
+    VALS = ["x,y", "abc1def", "mIxEd CaSe WoRdS", "", " ", "\t a \n",
+            "ALL CAPS", "123", "a,b.c;d", "o'neill", "3rd place",
+            "under_score", "déjà vu", "中a文b"]
+
+    def test_title(self, ctx):
+        run_diff(ctx, self.VALS, lambda s: s.title(), expect_compiled=True)
+
+    def test_title_chained(self, ctx):
+        run_diff(ctx, self.VALS, lambda s: s.upper().title().swapcase(),
+                 expect_compiled=True)

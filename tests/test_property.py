@@ -103,12 +103,11 @@ class TestGeneratedExpressions:
         run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
 
     def test_conditional_batch(self, ctx):
-        # no expect_compiled: embedded string chains may draw title(),
-        # which deliberately falls back
         rng = random.Random(2025)
         exprs = [gen_cond_expr(rng) for _ in range(10)]
         fn = _build_fn(exprs)
-        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"])
+        run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
+                 expect_compiled=True)
 
     def test_exception_heavy_batch(self, ctx):
         """Division-shaped expressions: engine exception rows must match

@@ -620,3 +620,230 @@ class TestSrcExtractPort:
                                                 SOME_CONSTANT_TO_EXTRACT +
                                                 3).map(lambda x: x - SOME_CONSTANT_TO_EXTRACT).map(lambda x: x - 3).collect()
         assert res == [1, 2, 3, 4]
+
+
+class TestMathPort:
+    """reference test_math.py — differential vs CPython.  Where the
+    reference's C-library semantics differ from CPython, CPython wins
+    here: math.log(0)/log2(0)/log10(0) raise ValueError in CPython (the
+    reference returns -inf via C log), and run_diff counts those rows as
+    exceptions on both sides."""
+
+    def test_constants_tuple_to_str(self, ctx):
+        import math as m
+        res = (ctx.parallelize([0])
+               .map(lambda x: (m.pi, m.e, m.tau, m.inf, -m.inf))
+               .map(lambda a, b, c, d, e:
+                    (str(a), str(b), str(c), str(d), str(e)))
+               .collect())
+        assert res == [(str(m.pi), str(m.e), str(m.tau), "inf", "-inf")]
+
+    def test_log_floats_ints_bools(self, ctx):
+        import math as m
+        run_diff(ctx, [m.e, 1.0, m.e ** 2, m.e ** -1, 0.0],
+                 lambda x: m.log(x))
+        run_diff(ctx, [3, 1, 2, 6, 0], lambda x: m.log(x))
+        run_diff(ctx, [True, False], lambda x: m.log(x))
+
+    def test_log2_log10_log1p(self, ctx):
+        import math as m
+        run_diff(ctx, [2.0, 1.0, 4.0, 1 / 4], lambda x: m.log2(x))
+        run_diff(ctx, [10, 1, 100, 1000], lambda x: m.log10(x))
+        run_diff(ctx, [m.e - 1, m.e ** 2 - 1, m.e ** -1 - 1],
+                 lambda x: m.log1p(x))
+        run_diff(ctx, [True, False], lambda x: m.log1p(x))
+
+    def test_exp_expm1(self, ctx):
+        import math as m
+        run_diff(ctx, [1.0, 0.0, 2.0, -1.0], lambda x: m.exp(x))
+        run_diff(ctx, [0, 1, -1, 4, -4], lambda x: m.exp(x))
+        run_diff(ctx, [True, False], lambda x: m.exp(x))
+        run_diff(ctx, [-1.0, 1.0, 2.0, 0.0], lambda x: m.expm1(x))
+
+    def test_trig(self, ctx):
+        import math as m
+        run_diff(ctx, [0.0, m.pi / 2, -m.pi / 2], lambda x: m.sin(x))
+        run_diff(ctx, [-m.pi / 2, 0.0, m.pi / 2, m.pi], lambda x: m.cos(x))
+        run_diff(ctx, [0.0], lambda x: m.sinh(x))
+        run_diff(ctx, [0.0], lambda x: m.cosh(x))
+        run_diff(ctx, [0.0, float("inf"), float("-inf")],
+                 lambda x: m.tanh(x))
+
+    def test_inverse_trig_with_domain_errors(self, ctx):
+        import math as m
+        run_diff(ctx, [-1.0, 0.0, 1.0, 2.0], lambda x: m.asin(x))
+        run_diff(ctx, [-1.0, 0.0, 1.0, -3.0], lambda x: m.acos(x))
+        run_diff(ctx, [0.0, 1.0, -1.0], lambda x: m.asinh(x))
+        run_diff(ctx, [1.0, 2.0, 0.5], lambda x: m.acosh(x))
+        run_diff(ctx, [-1.0, 0.0, 1.0, float("inf"), float("-inf")],
+                 lambda x: m.atan(x))
+        run_diff(ctx, [0.0, 0.5, -0.5, 1.0], lambda x: m.atanh(x))
+
+    def test_atan2_pow_two_param(self, ctx):
+        import math as m
+        run_diff(ctx, [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0)],
+                 lambda x, y: m.atan2(x, y))
+        run_diff(ctx, [(1, -2), (-1, 2), (0, 1), (2, -2)],
+                 lambda x, y: m.pow(x, y))
+        run_diff(ctx, [(-1.0, 4.0), (1.0, -2.0), (2.0, 0.0), (-3.0, 0.0)],
+                 lambda x, y: m.pow(x, y))
+        run_diff(ctx, [(True, False), (True, True), (False, True),
+                       (False, False)], lambda x, y: m.pow(x, y))
+        # CPython: pow(0, negative) raises ValueError
+        run_diff(ctx, [(0.0, -1.0), (0, -2)], lambda x, y: m.pow(x, y))
+
+    def test_radians_degrees_sqrt(self, ctx):
+        import math as m
+        run_diff(ctx, [180.0, 90.0, -45.0, 0.0], lambda x: m.radians(x))
+        run_diff(ctx, [m.pi, m.pi / 2, -m.pi / 4, 0.0],
+                 lambda x: m.degrees(x))
+        run_diff(ctx, [0.0, 1.0, 4.0, -1.0], lambda x: m.sqrt(x))
+
+    def test_isnan_isinf(self, ctx):
+        import math as m
+        run_diff(ctx, [m.nan, m.inf, m.pi, 0.0, 5.0, -128.0],
+                 lambda x: m.isnan(x))
+        run_diff(ctx, [m.inf, -m.inf, m.nan, m.pi, 0.0, -128.0],
+                 lambda x: m.isinf(x))
+        # mixed int/float/bool list -> PYOBJECT path, same answers
+        run_diff(ctx, [True, 128, -50.0, 0, m.inf, m.nan, False, 7],
+                 lambda x: m.isnan(x))
+
+    def test_isclose(self, ctx):
+        import math as m
+        run_diff(ctx, [(-0.5, 0.0), (0.5, 0.50001), (0.5, 0.500000005),
+                       (0.5, 0.50000000005)], lambda x, y: m.isclose(x, y))
+        run_diff(ctx, [(0, 0), (0, -1), (5, 128), (-1, -1)],
+                 lambda x, y: m.isclose(x, y))
+        run_diff(ctx, [(1, True), (1, False), (0, False), (0, True)],
+                 lambda x, y: m.isclose(x, y))
+        run_diff(ctx, [(m.inf, m.inf), (m.inf, -m.inf), (-m.inf, -m.inf),
+                       (m.inf, 5.0), (m.pi, m.pi), (m.pi, 3.14159265)],
+                 lambda x, y: m.isclose(x, y))
+
+
+class TestParallelizePort:
+    """reference test_parallelize.py — round-trip typing through
+    parallelize/collect (fast-serialization cases + AnyType cases)."""
+
+    def test_scalar_roundtrips(self, ctx):
+        for ref in ([-20, -90, 0, 42, 3, 1, 2, 3, 4, 5],
+                    [-3.141, -90.0, -8.2, 42.0, 3.0, 1.0, 2.0, 3.0],
+                    ["", "Hello", "world", "how", "are", "you?"]):
+            assert ctx.parallelize(ref).collect() == ref
+
+    def test_tuple_roundtrips(self, ctx):
+        for ref in ([(-20, 3, 1), (10, 3, 1), (2, 3, 4), (4, 5, 6)],
+                    [(-20.0, 3., 1.), (10.2, 3.3, 1.1), (.4, .5, .6)],
+                    [("", "Hello"), ("world", "how"), ("are", "you?")]):
+            assert ctx.parallelize(ref).collect() == ref
+
+    def test_option_type_scalars(self, ctx):
+        ref = [1, None, 2, 3, None]
+        assert ctx.parallelize(ref).collect() == ref
+
+    def test_option_type_from_udf(self, ctx):
+        res = ctx.parallelize(list(range(1, 30, 2))) \
+            .map(lambda x: x if x > 10 else None).collect()
+        assert res == [x if x > 10 else None for x in range(1, 30, 2)]
+
+    def test_wide_tuple_with_options(self, ctx):
+        ref = [(1.0, "2", 3, "4", 5, 6, True, 8, 9, None),
+               (None, "2", 3, None, 5, 6, True, 8, 9, None),
+               (1.0, "2", 3, "4", None, 6, None, 8, 9, None)]
+        assert ctx.parallelize(ref).collect() == ref
+
+    def test_none_only(self, ctx):
+        assert ctx.parallelize([None, None]).collect() == [None, None]
+
+    def test_auto_unpack_variants(self, ctx):
+        data = [{"a": 1, "b": 2, "c": 3}, {"a": 4, "b": 5, "c": 6},
+                {"a": 7, "b": 8, "c": 9}]
+        out = ctx.parallelize(data) \
+            .map(lambda x: (x["a"], x["b"], x["c"])).collect()
+        assert out == [(1, 2, 3), (4, 5, 6), (7, 8, 9)]
+        out2 = ctx.parallelize(data, auto_unpack=False).collect()
+        assert out2 == data
+
+    def test_auto_unpack_missing_keys(self, ctx):
+        data = [{"a": 1, "b": 2, "c": 3}, {"a": 4, "b": 5, "c": 6},
+                {"a": 1, "b": 2}, {"c": 11}]
+        out = ctx.parallelize(data).map(lambda x: x["a"]).collect()
+        assert out == [1, 4, 1, None]
+
+    def test_auto_unpack_disjoint_keys(self, ctx):
+        data = [{"a": 1, "b": 2, "c": 3}, {"d": 4, "e": 5, "f": 6}]
+        out = ctx.parallelize(data).map(
+            lambda x: (x["a"], x["b"], x["c"], x["d"], x["e"], x["f"])
+        ).collect()
+        assert out == [(1, 2, 3, None, None, None),
+                       (None, None, None, 4, 5, 6)]
+
+    def test_nested_list_tuple_values(self, ctx):
+        ref = [([(1, 2), (3, 4)], [(-1, -2), (-3, -4)])]
+        assert ctx.parallelize(ref).collect() == ref
+
+    def test_deeply_nested(self, ctx):
+        ref = [("a", [("b", [1, 2]), ("c", [1, 2, 3, 4])]),
+               ("....", [("d", [100, 200, -10000000]),
+                         ("e", [1000, 2000, 3000, 4000, 5000])])]
+        assert ctx.parallelize(ref).collect() == ref
+
+    def test_optional_list_value(self, ctx):
+        ref = [None, ["a", "b"], None]
+        assert ctx.parallelize(ref).collect() == ref
+
+
+class TestMultiPort:
+    """reference test_multi.py — a parallelized dataset is reusable as
+    the base of several independent pipelines."""
+
+    def test_dataset_reuse(self, ctx):
+        ds = ctx.parallelize([1, 2, 3, 4, 5])
+        assert ds.map(lambda x: x * x).collect() == [1, 4, 9, 16, 25]
+        assert ds.map(lambda x: x * x * x).collect() == [1, 8, 27, 64, 125]
+        assert ds.collect() == [1, 2, 3, 4, 5]
+
+
+class TestFallbackPort:
+    """reference test_fallback.py — cloudpickled-code path for objects
+    and libraries the compiled path can't represent."""
+
+    def test_arbitrary_objects(self, ctx):
+        import numpy as np
+        res = ctx.parallelize([(1, np.zeros(2)), (4, np.zeros(5))]) \
+            .map(lambda a, b: (a + 1, b)).collect()
+        assert len(res) == 2
+        assert [r[0] for r in res] == [2, 5]
+        assert [len(r[1]) for r in res] == [2, 5]
+
+    def test_numpy_mixed_pipeline(self, ctx):
+        import numpy as np
+        res = ctx.parallelize([1, 2, 3, 4]) \
+            .map(lambda x: [x, x * x, x * x * x]) \
+            .map(lambda x: (float(np.array(x).sum()),
+                            float(np.array(x).mean()))).collect()
+        ref = [(float(np.array(v).sum()), float(np.array(v).mean()))
+               for v in ([x, x * x, x * x * x] for x in [1, 2, 3, 4])]
+        for got, want in zip(res, ref):
+            assert abs(got[0] - want[0]) < 1e-9
+            assert abs(got[1] - want[1]) < 1e-9
+
+    def test_all_samples_normal_case_violation(self, ctx):
+        def f(x):
+            t = 0
+            if x == 1:
+                t = 1.0
+            else:
+                t = "a"
+            if x == 2:
+                t = 2.0
+            else:
+                t = "b"
+            if x == 3:
+                t = 3.0
+            else:
+                t = 4.0
+            return t
+        res = ctx.parallelize([1, 2, 3]).map(f).collect()
+        assert res == [f(1), f(2), f(3)]

@@ -33,6 +33,35 @@ DEFAULTS = {
 }
 
 
+def _coerce_val(v, t: T.DataType):
+    """Upcast a Python value along the widened schema's numeric lattice
+    (bool -> int -> float, reference TypeSystem.h superType): Spark's
+    createDataFrame verifier is strict (an int is rejected by a double
+    field), but the unified type IS the declared semantics — a
+    ``parallelize([1, 2.5])`` must collect as [1.0, 2.5], not quarantine
+    the int row."""
+    if v is None:
+        return None
+    if isinstance(t, T.DoubleType) and isinstance(v, (bool, int)):
+        return float(v)
+    if isinstance(t, (T.LongType, T.IntegerType)) and isinstance(v, bool):
+        return int(v)
+    if isinstance(t, T.StructType) and isinstance(v, tuple):
+        return tuple(_coerce_val(x, f.dataType)
+                     for x, f in zip(v, t.fields))
+    if isinstance(t, T.ArrayType) and isinstance(v, list):
+        return [_coerce_val(x, t.elementType) for x in v]
+    if isinstance(t, T.MapType) and isinstance(v, dict):
+        return {_coerce_val(k, t.keyType): _coerce_val(x, t.valueType)
+                for k, x in v.items()}
+    return v
+
+
+def _coerce_row(row: tuple, schema: T.StructType) -> tuple:
+    return tuple(_coerce_val(v, f.dataType)
+                 for v, f in zip(row, schema.fields))
+
+
 class Context:
     def __init__(self, conf: dict | None = None, spark: SparkSession = None,
                  name: str = "tuplex_spark", **kwargs):
@@ -167,6 +196,7 @@ class Context:
         else:
             sschema = schema
         data = [r if isinstance(r, tuple) else (r,) for r in good]
+        data = [_coerce_row(r, sschema) for r in data]
         try:
             df = self.spark.createDataFrame(data, sschema)
         except Exception:

@@ -525,15 +525,18 @@ class DataSet:
         is_filter = kind == "filter"
         promote = promote_schema is not None
 
+        arity = getattr(getattr(fn, "__code__", None), "co_argcount", 1)
+
         def run(batches):
             import pandas as pd
+            from tuplex_spark.udf.fallback import _apply as _fb_apply
             for pdf in batches:
                 rows = {n: [] for n in names}
                 codes, payloads, ops = [], [], []
                 for b in pdf[PYOBJ_COL]:
                     try:
                         obj = pickle.loads(bytes(b))
-                        r = fn(obj)
+                        r = _fb_apply(fn, obj, arity)
                         if is_filter:
                             if not r:
                                 continue

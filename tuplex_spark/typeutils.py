@@ -11,7 +11,18 @@ from __future__ import annotations
 
 from pyspark.sql import types as T
 
-_NUMERIC_ORDER = {"boolean": 0, "long": 1, "double": 2}
+def _numeric_rank(t: T.DataType) -> int | None:
+    """Position in the reference's numeric lattice bool < int < float
+    (TypeSystem.h:253 superType).  Class-based — simpleString() names
+    ('bigint', not 'long') made a string-keyed table silently miss, so
+    int-vs-float mixes fell through to the universal-string fallback."""
+    if isinstance(t, T.BooleanType):
+        return 0
+    if isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return 1
+    if isinstance(t, (T.FloatType, T.DoubleType)):
+        return 2
+    return None
 
 
 def infer_type(value) -> T.DataType | None:
@@ -84,9 +95,9 @@ def super_type(a: T.DataType, b: T.DataType) -> T.DataType:
     """Least common supertype, numeric lattice bool < long < double."""
     if a == b:
         return a
-    an, bn = a.simpleString(), b.simpleString()
-    if an in _NUMERIC_ORDER and bn in _NUMERIC_ORDER:
-        return a if _NUMERIC_ORDER[an] >= _NUMERIC_ORDER[bn] else b
+    ra, rb = _numeric_rank(a), _numeric_rank(b)
+    if ra is not None and rb is not None:
+        return a if ra >= rb else b
     if isinstance(a, T.NullType):
         return b
     if isinstance(b, T.NullType):

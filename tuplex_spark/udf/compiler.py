@@ -1775,7 +1775,22 @@ class Translator:
             return SCol(F.ceil(c).cast("long"), "int")
         if name == "pow":
             b = self.to_col(self.num(args[1]))
-            return SCol(F.pow(c, b), "float")
+            # CPython domain/range semantics C pow lacks:
+            #   pow(0, negative finite)          -> ValueError
+            #   pow(negative, finite non-integer) -> ValueError
+            #   finite args, infinite result      -> OverflowError
+            # (pow(0.0, -inf) = inf and pow(-2, inf) = inf stay legal)
+            def _fin(x):
+                return ~F.isnan(x) & (x != float("inf")) \
+                    & (x != float("-inf"))
+            self.guard((c == 0.0) & (b < 0) & _fin(b), "ValueError")
+            self.guard((c < 0) & _fin(c) & _fin(b) & (b != F.floor(b)),
+                       "ValueError")
+            res = F.pow(c, b)
+            self.guard(_fin(c) & _fin(b)
+                       & ((res == float("inf")) | (res == float("-inf"))),
+                       "OverflowError")
+            return SCol(res, "float")
         if name == "atan2":
             b = self.to_col(self.num(args[1]))
             return SCol(F.atan2(c, b), "float")
@@ -1802,9 +1817,16 @@ class Translator:
             return SCol(F.abs(c) == float("inf"), "bool")
         if name == "isclose":
             b = self.to_col(self.num(args[1]))
-            return SCol(F.abs(c - b) <= F.greatest(
-                F.lit(1e-09) * F.greatest(F.abs(c), F.abs(b)),
-                F.lit(0.0)), "bool")
+            # CPython Modules/mathmodule.c: equal values (incl. the same
+            # infinity) are close; differing infinities are NOT (the
+            # naive |a-b| formula inverts both: inf-inf is NaN and
+            # inf - -inf <= rel*inf holds)
+            inf = float("inf")
+            close = (F.abs(c - b) <= F.greatest(
+                F.lit(1e-09) * F.greatest(F.abs(c), F.abs(b)), F.lit(0.0)))
+            return SCol(F.when(c == b, F.lit(True))
+                         .otherwise((F.abs(c) != inf) & (F.abs(b) != inf)
+                                    & close), "bool")
         raise CompileError(f"math.{name}")
 
     def _call_re(self, name, args):
@@ -2005,15 +2027,44 @@ class Translator:
             return SCol(F.rpad(F.lpad(c, (F.length(c) +
                         F.floor(left)).cast("int"), fill), w, fill),
                         "str", nullable)
-        # NOT compiled on purpose (divergent semantics -> CPython fallback):
-        # - title(): Python capitalizes after ANY non-alpha ('x,y'->'X,Y');
-        #   initcap only after whitespace. Caught by the fuzz battery.
-        # - casefold(): full Unicode case folding (ß->ss) != lower().
-        # The reference compiles neither (SymbolTable.cc:366-419).
+        if name == "title":
+            # CPython semantics (NOT initcap, which only capitalizes
+            # after whitespace): a CASED char (Lu/Ll/Lt) is uppercased
+            # when the previous char is uncased ('x,y' -> 'X,Y',
+            # 'abc1def' -> 'Abc1Def'), lowercased otherwise; uncased
+            # chars pass through.  Linear: char array zipped with its
+            # 1-shifted self.  Known Unicode edges (vanishingly rare,
+            # ASCII-exact): chars whose titlecase is a distinct Lt
+            # ('dz' ligatures) and expanding maps (upper('ss' sharp-s))
+            # use upper() instead of CPython's titlecase table.
+            cased = r"[\p{Lu}\p{Ll}\p{Lt}]"
+            arr = F.split(c, "")
+            prev = F.when(F.size(arr) <= 1, F.array(F.lit(""))) \
+                .otherwise(F.concat(F.array(F.lit("")),
+                                    F.slice(arr, 1, F.size(arr) - 1)))
+            titled = F.zip_with(
+                arr, prev,
+                lambda ch, pv: F.when(
+                    ch.rlike(cased),
+                    F.when(pv.rlike(cased), F.lower(ch))
+                     .otherwise(F.upper(ch))).otherwise(ch))
+            return SCol(F.concat_ws("", titled), "str", nullable)
+        # casefold() NOT compiled on purpose: full Unicode case folding
+        # (ß -> ss, ligature expansion) != lower(); caught by fuzzing.
+        # The reference compiles neither title nor casefold
+        # (SymbolTable.cc:366-419) — title here is parity-plus.
         if name == "swapcase":
-            lo = "abcdefghijklmnopqrstuvwxyz"
-            return SCol(F.translate(c, lo + lo.upper(), lo.upper() + lo),
-                        "str", nullable)
+            # per-char Unicode flip (an ASCII translate() left 'é'
+            # unchanged); lowercase -> upper, upper/titlecase -> lower,
+            # uncased through.  upper('ß') = 'SS' matches CPython's
+            # expanding swapcase.
+            sw = F.transform(
+                F.split(c, ""),
+                lambda ch: F.when(ch.rlike(r"[\p{Ll}]"), F.upper(ch))
+                            .otherwise(
+                    F.when(ch.rlike(r"[\p{Lu}\p{Lt}]"), F.lower(ch))
+                     .otherwise(ch)))
+            return SCol(F.concat_ws("", sw), "str", nullable)
         if name in ("partition", "rpartition"):
             sep = const_arg(0)
             if not sep:
