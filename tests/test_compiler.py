@@ -810,3 +810,94 @@ class TestTitleCompiled:
     def test_title_chained(self, ctx):
         run_diff(ctx, self.VALS, lambda s: s.upper().title().swapcase(),
                  expect_compiled=True)
+
+
+class TestBreakContinueCompiled:
+    """break/continue in statically-unrolled loops: lowered to guard
+    flags (break -> brk=cont=True; continue -> cont=True; trailing
+    statements wrapped in `if not cont`, iterations in `if not brk`).
+    Constant conditions (unrolled literal indices) fold statically, so
+    loops whose exits are index-determined compile flag-free."""
+
+    ROWS = [(0, 1.0, "s"), (1, 2.0, "t"), (2, 0.5, "u"), (3, -1.0, "v"),
+            (5, 0.0, "w"), (13, 9.9, "x")]
+
+    def test_data_dependent_break(self, ctx):
+        def f(x):
+            s = 0
+            for i in range(10):
+                if i * x["a"] > 12:
+                    break
+                s += i
+            return s
+        run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
+                 expect_compiled=True)
+
+    def test_continue_then_break(self, ctx):
+        def f(x):
+            s = 0
+            for i in range(8):
+                if i % 2 == 0:
+                    continue
+                if i > x["a"]:
+                    break
+                s += i * 10
+            return s
+        run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
+                 expect_compiled=True)
+
+    def test_statements_after_continue_and_break(self, ctx):
+        def f(x):
+            out = 0
+            n = 0
+            for i in range(6):
+                n += 1
+                if i == x["a"]:
+                    continue
+                out += i
+                if out > 7:
+                    break
+                out += 100
+            return (out, n)
+        run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
+                 expect_compiled=True)
+
+    def test_return_from_loop_over_list(self, ctx):
+        def f(x):
+            for t in ["ab", "cde", "fg", "hij"]:
+                if len(t) == x["a"]:
+                    return t
+            return "none"
+        run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
+                 expect_compiled=True)
+
+    def test_nested_loops_static_break(self, ctx):
+        def f(x):
+            s = 0
+            for i in range(4):
+                for j in range(4):
+                    if j >= i:
+                        break
+                    s += 1
+                if i == 3:
+                    continue
+                s += 10
+            return s
+        run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
+                 expect_compiled=True)
+
+    def test_nested_dynamic_break_falls_back_not_hangs(self, ctx):
+        """Deep dynamic-flag nesting exceeds the staged-projection cap:
+        must take the Arrow fallback (exact), never stall the optimizer."""
+        def f(x):
+            s = 0
+            for i in range(6):
+                for j in range(6):
+                    if (i * 6 + j) * x["a"] > 40:
+                        break
+                    s += j
+                if s > 60:
+                    break
+            return s
+        run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
+                 expect_compiled=False)

@@ -86,6 +86,69 @@ def _loop_assigned_names(stmts) -> list[str]:
     return names
 
 
+def _py_compare(op, a, b):
+    import operator as _op
+    table = {ast.Eq: _op.eq, ast.NotEq: _op.ne, ast.Lt: _op.lt,
+             ast.LtE: _op.le, ast.Gt: _op.gt, ast.GtE: _op.ge,
+             ast.Is: _op.is_, ast.IsNot: _op.is_not,
+             ast.In: lambda x, y: x in y,
+             ast.NotIn: lambda x, y: x not in y}
+    return table[type(op)](a, b)
+
+
+def _contains_break_continue(node) -> bool:
+    """break/continue anywhere in this statement, NOT descending into
+    nested loops (whose break/continue bind to the inner loop)."""
+    if isinstance(node, (ast.Break, ast.Continue)):
+        return True
+    if isinstance(node, (ast.For, ast.While, ast.FunctionDef,
+                         ast.AsyncFunctionDef, ast.Lambda)):
+        return False
+    for child in ast.iter_child_nodes(node):
+        if _contains_break_continue(child):
+            return True
+    return False
+
+
+def _flag_assign(name: str, value: bool) -> ast.Assign:
+    return ast.Assign(targets=[ast.Name(id=name, ctx=ast.Store())],
+                      value=_SymExpr(SConst(value)))
+
+
+def _not_name(name: str) -> ast.expr:
+    return ast.UnaryOp(op=ast.Not(),
+                       operand=ast.Name(id=name, ctx=ast.Load()))
+
+
+def _lower_break_continue(stmts: list, brk: str, cont: str) -> list:
+    """Rewrite a loop body so break/continue become flag assignments:
+    ``break`` -> brk=True, cont=True; ``continue`` -> cont=True; any
+    statement sequence following a construct that may set the flags is
+    wrapped in ``if not cont``.  Statically-unreachable statements after
+    a bare break/continue are dropped (CPython never executes them)."""
+    out: list = []
+    for i, st in enumerate(stmts):
+        if isinstance(st, ast.Break):
+            out.append(_flag_assign(brk, True))
+            out.append(_flag_assign(cont, True))
+            return out
+        if isinstance(st, ast.Continue):
+            out.append(_flag_assign(cont, True))
+            return out
+        if isinstance(st, ast.If) and _contains_break_continue(st):
+            body = _lower_break_continue(list(st.body), brk, cont)
+            orelse = _lower_break_continue(list(st.orelse), brk, cont)
+            out.append(ast.If(test=st.test, body=body or [ast.Pass()],
+                              orelse=orelse))
+            rest = _lower_break_continue(stmts[i + 1:], brk, cont)
+            if rest:
+                out.append(ast.If(test=_not_name(cont), body=rest,
+                                  orelse=[]))
+            return out
+        out.append(st)
+    return out
+
+
 def _py_float_str(c: Column) -> Column:
     """CPython ``str(float)`` from a double Column.
 
@@ -296,6 +359,7 @@ class Translator:
         # body: blocks dict mutation (pop/popitem), whose in-place
         # aliasing is only Python-correct on the straight-line path
         self._branch_depth = 0
+        self._unroll_depth = 0
         # the control-flow condition under which code is currently being
         # evaluated: every guard is conjoined with it, so an expression
         # that would raise inside `if c: ...` / `a if c else b` / the
@@ -531,7 +595,17 @@ class Translator:
                     return True
                 continue
             if isinstance(st, ast.If):
-                cond = self.truthy(self.eval(st.test))
+                test = self.eval(st.test)
+                if isinstance(test, SConst):
+                    # statically decidable (constant, or an unrolled
+                    # loop's break/continue guard over literal indices):
+                    # execute only the taken branch — no when() merge,
+                    # no flag columns
+                    taken = st.body if test.value else st.orelse
+                    if self.exec_block(taken, path):
+                        return True
+                    continue
+                cond = self.truthy(test)
                 saved = dict(self._locals)
                 t_path = cond if path is None else (path & cond)
                 f_path = ~cond if path is None else (path & ~cond)
@@ -614,14 +688,42 @@ class Translator:
             if len(vals) > self._MAX_UNROLL:
                 raise CompileError(f"static loop longer than "
                                    f"{self._MAX_UNROLL} iterations")
-            stmts = []
-            for v in vals:
-                stmts.append(ast.Assign(targets=[st.target],
-                                        value=_SymExpr(v)))
-                stmts.extend(st.body)
-            return self.exec_block(stmts, path)
+            if any(_contains_break_continue(s) for s in st.body):
+                stmts = self._unroll_with_break(st, vals)
+            else:
+                stmts = []
+                for v in vals:
+                    stmts.append(ast.Assign(targets=[st.target],
+                                            value=_SymExpr(v)))
+                    stmts.extend(st.body)
+            # branch merges inside the unrolled body are STAGED
+            # (_merge_vals): k sequential ifs mutating one accumulator
+            # otherwise nest it 2 refs deeper per iteration — a 2^k
+            # expression tree that stalls plan serialization
+            self._unroll_depth += 1
+            try:
+                return self.exec_block(stmts, path)
+            finally:
+                self._unroll_depth -= 1
         self._exec_for_fold(st, path)
         return False
+
+    def _unroll_with_break(self, st: ast.For, vals) -> list:
+        """Unroll with break/continue lowered to boolean flags: break/
+        continue become flag assignments, statements after them are
+        wrapped in ``if not flag``, and each iteration runs under
+        ``if not __brk``.  The existing If/branch-merge machinery then
+        computes exactly CPython's control flow."""
+        n = self._loop_flag_id = getattr(self, "_loop_flag_id", 0) + 1
+        brk, cont = f"__brk{n}", f"__cont{n}"
+        lowered = _lower_break_continue(list(st.body), brk, cont)
+        stmts = [_flag_assign(brk, False)]
+        for v in vals:
+            body = [_flag_assign(cont, False),
+                    ast.Assign(targets=[st.target], value=_SymExpr(v))] \
+                + lowered
+            stmts.append(ast.If(test=_not_name(brk), body=body, orelse=[]))
+        return stmts
 
     def _static_iter(self, node) -> list[Sym] | None:
         """Per-iteration Syms when the iterable is statically known, else
@@ -854,8 +956,24 @@ class Translator:
                 ca = ca.cast("double")
             if b.tag in ("int", "bool"):
                 cb = cb.cast("double")
-        return SCol(F.when(cond, ca).otherwise(cb), tag,
-                    a.nullable or b.nullable)
+        merged = SCol(F.when(cond, ca).otherwise(cb), tag,
+                      a.nullable or b.nullable)
+        if self._unroll_depth > 0 and self._hof_depth == 0:
+            merged = self._stage_sym(merged)
+        return merged
+
+    _MAX_STAGED = 96
+
+    def _stage_sym(self, val: SCol) -> SCol:
+        if len(self.staged) >= self._MAX_STAGED:
+            # deeply-branched unrolled control flow: a plan with
+            # hundreds of staged projection layers stalls Catalyst's
+            # fixpoint optimizer — the Arrow fallback is faster AND
+            # exact (observed: nested dynamic-break loops)
+            raise CompileError("unrolled control flow too complex")
+        name = f"__t{len(self.staged)}"
+        self.staged.append((name, val.col))
+        return SCol(F.col(name), val.tag, val.nullable, val.elem)
 
     def _merge_returns(self) -> Sym:
         arms = self._returns
@@ -1273,6 +1391,8 @@ class Translator:
     def _ev_UnaryOp(self, node):
         v = self.eval(node.operand)
         if isinstance(node.op, ast.Not):
+            if isinstance(v, SConst):
+                return SConst(not v.value)
             return SCol(~self.truthy(v), "bool")
         if isinstance(node.op, ast.USub):
             if isinstance(v, SConst) and v.value is not None:
@@ -1323,9 +1443,22 @@ class Translator:
 
     def _ev_Compare(self, node):
         left = self.eval(node.left)
+        rights = [self.eval(c) for c in node.comparators]
+        if isinstance(left, SConst) \
+                and all(isinstance(r, SConst) for r in rights):
+            # constant fold — an unrolled loop's break/continue guards
+            # over literal indices (j >= i) must resolve statically, not
+            # materialize when() merge chains
+            try:
+                lv, res = left.value, True
+                for op, r in zip(node.ops, rights):
+                    res = res and _py_compare(op, lv, r.value)
+                    lv = r.value
+                return SConst(bool(res))
+            except Exception:
+                pass  # raising comparison: symbolic path guards it
         out: Column | None = None
-        for op, comp in zip(node.ops, node.comparators):
-            right = self.eval(comp)
+        for op, right in zip(node.ops, rights):
             c = self._compare(op, left, right)
             out = c if out is None else (out & c)
             left = right
