@@ -241,3 +241,51 @@ class Test311Pipeline:
         assert zips == ["", "10021", "10037", "11203", "11203", "11208"]
         import glob
         assert glob.glob(str(out) + "/part-*.csv")
+
+
+class TestJsonSource:
+    """Context.json — Spark-native addition (the reference has no JSON
+    source; SURVEY §2.6 notes only parallelize dict auto-unpack)."""
+
+    def _write(self, tmp_path, lines):
+        p = tmp_path / "data.json"
+        p.write_text("\n".join(lines))
+        return str(p)
+
+    def test_jsonl_scan(self, ctx, tmp_path):
+        path = self._write(tmp_path, [
+            '{"a": 1, "b": "x"}',
+            '{"a": 2, "b": "y"}',
+            '{"a": 3, "b": "z"}'])
+        ds = ctx.json(path)
+        rows = sorted(ds.collect())
+        assert ds.columns == ["a", "b"]
+        assert rows == [(1, "x"), (2, "y"), (3, "z")]
+
+    def test_json_pipeline(self, ctx, tmp_path):
+        path = self._write(tmp_path, [
+            '{"a": 1, "b": "x"}', '{"a": 4, "b": "yy"}',
+            '{"a": 9, "b": "zzz"}'])
+        out = (ctx.json(path)
+               .filter(lambda x: x["a"] > 1)
+               .map(lambda x: {"r": x["a"] * len(x["b"])})
+               .collect())
+        assert sorted(out) == [8, 27]
+
+    def test_corrupt_records_quarantined(self, ctx, tmp_path):
+        path = self._write(tmp_path, [
+            '{"a": 1, "b": "x"}',
+            'this is not json at all {{{',
+            '{"a": 2, "b": "y"}'])
+        ds = ctx.json(path)
+        rows = sorted(ds.collect())
+        assert rows == [(1, "x"), (2, "y")]
+        counts = ds.exception_counts
+        assert counts.get("BadParseInput", 0) == 1, counts
+
+    def test_missing_keys_are_null(self, ctx, tmp_path):
+        path = self._write(tmp_path, [
+            '{"a": 1, "b": "x"}', '{"a": 2}', '{"b": "z"}'])
+        ds = ctx.json(path)
+        rows = sorted(ds.collect(), key=repr)
+        assert (2, None) in rows and (None, "z") in rows

@@ -321,6 +321,37 @@ class Context:
         return DataSet(self, df, df.columns,
                        sample=self._sample_from_df(df))
 
+    def json(self, pattern: str, columns=None, multiline: bool = False,
+             schema=None) -> DataSet:
+        """JSON-lines (or multiline-document) scan — Spark-native
+        addition beyond the reference (which only auto-unpacks dicts in
+        parallelize, SURVEY §2.6 JSON row).  Schema is inferred by
+        Spark's sampling pass unless given; malformed records are
+        quarantined like bad CSV cells (PERMISSIVE + corrupt-record)."""
+        reader = self.spark.read.option("multiLine", multiline) \
+            .option("mode", "PERMISSIVE") \
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.json(pattern)
+        bad = None
+        if "_corrupt_record" in df.columns:
+            cached = df.cache()
+            bad = cached.filter(F.col("_corrupt_record").isNotNull()) \
+                .select("_corrupt_record")
+            df = cached.filter(F.col("_corrupt_record").isNull()) \
+                .drop("_corrupt_record")
+        if columns:
+            df = df.toDF(*columns)
+        parked = []
+        if bad is not None:
+            code = code_for("BadParseInput")
+            parked = [bad.select(F.lit(code).alias("code"),
+                                 F.col("_corrupt_record").alias("payload"),
+                                 F.lit("json").alias("op"))]
+        return DataSet(self, df, df.columns,
+                       sample=self._sample_from_df(df), parked=parked)
+
     def parquet(self, pattern: str, columns=None) -> DataSet:
         """Parquet scan (Spark-native addition; same shape as orc()).
 
