@@ -4,20 +4,22 @@ Five strategies, all shuffle-aware and expressed in built-in Column
 functions (portable to the DuckDB oracle via the *_sql twins):
 
 - exact:        hash-groupBy on normalized text; keep min id.
-- minhash LSH:  word-shingles -> H minhashes -> B bands -> band-bucket
-                self-join.  The classic near-dup pipeline (Broder '97 /
-                Leskovec MMDS ch.3).  Hash = md5 hex (lexicographic min),
-                identical strings in any engine.
+- minhash LSH:  word-shingles -> H minhashes -> B bands -> intra-bucket
+                candidate pairs.  The classic near-dup pipeline
+                (Broder '97 / Leskovec MMDS ch.3).  Hash = md5 hex
+                (lexicographic min), identical strings in any engine.
 - simhash:      16-bit Charikar simhash from per-token md5 bits; pairs
                 within Hamming distance k.
 - ngram jaccard: exact Jaccard on distinct word n-grams for candidate
                 pairs sharing >=1 shingle (inverted-index join, no O(n^2)).
 - embedding:    cosine >= threshold pairs over an embedding column.
 
-Scale notes (100 TB): every strategy avoids a cross join — candidates come
-from equality self-joins on bucket keys (band hash / shingle / simhash
-prefix), which Spark executes as shuffled hash joins partitioned by the
-bucket key.  Skewed buckets (stopword shingles) are capped via
+Scale notes (100 TB): every strategy avoids a cross join — candidates are
+intra-bucket combinations emitted by ONE aggregation over the bucket key
+(band hash / shingle / SRP signature), so the heavy upstream (tokenize /
+hash / signature) is scanned and shuffled exactly once (_bucket_pairs;
+the earlier window-cap + equality self-join planned the upstream twice).
+Skewed buckets (stopword shingles, exact-dup clusters) are capped via
 ``max_bucket`` to bound the quadratic pair blow-up per bucket.
 """
 
@@ -25,7 +27,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens
 
@@ -104,6 +106,36 @@ def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return [(2 * i + 3, 7919 * i + 1) for i in range(num_hashes)]
 
 
+def _bucket_pairs(buckets: DataFrame, max_bucket: int,
+                  payload: list[str] | None = None) -> DataFrame:
+    """Intra-bucket candidate pairs from a (band, h, id[, payload...])
+    relation in ONE aggregation pass: collect each bucket's entries,
+    cap deterministically by id order (same semantics as the previous
+    row_number cut), and emit the C(k,2) combinations with id_a < id_b.
+
+    Replaces the window-cap + equality self-join formulation, which
+    evaluated the ENTIRE upstream pipeline twice — Catalyst planned the
+    two join sides as independent subtrees (no ReuseExchange fired:
+    2 parquet scans / 4 explodes / 6 aggregates in the physical plan)
+    and shuffled the bucket table three times (window + both join
+    sides).  This shape scans once, shuffles once on (band, h), and the
+    per-bucket pair fan-out is bounded by max_bucket^2 (skew guard).
+    Output columns: a.<field>, b.<field> for id + each payload column."""
+    payload = payload or []
+    entry = F.struct(F.col("id"), *[F.col(c) for c in payload])
+    g = (buckets.groupBy("band", "h")
+         .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, max_bucket)
+              .alias("es")))
+    combos = F.flatten(F.transform(
+        F.col("es"),
+        lambda x, i: F.transform(
+            F.slice(F.col("es"), i + 2, F.size(F.col("es"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    return (g.filter(F.size("es") >= 2)
+             .select(F.explode(combos).alias("pr"))
+             .select(F.col("pr.a").alias("a"), F.col("pr.b").alias("b")))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 12,
                       bands: int = 4, shingle_n: int = 3,
@@ -141,23 +173,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("h"))
             for b in range(bands)])).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
-    # cap runaway buckets (skew guard); deterministic by id order
-    w = Window.partitionBy("band", "h").orderBy("id")
-    buckets = buckets.withColumn("rn", F.row_number().over(w)) \
-                     .filter(F.col("rn") <= max_bucket).drop("rn")
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.h") == F.col("b.h"))
-                    & (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"))
-             .distinct())
-    return pairs
+    return (_bucket_pairs(buckets, max_bucket)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
 
 
 _SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed 64-bit long in
                     # both Spark and DuckDB (16 chars could exceed 2^63)
+
+
+_PACK_W = 15          # bit-field width: per-doc token count must stay
+_PACK_PER = 4         # below 2^15; 4 fields per signed-64 sum is safe
+                      # (max packed value (2^15-1)*2^45 < 2^63)
 
 
 def simhash(df: DataFrame, text_col: str = "text",
@@ -165,25 +193,44 @@ def simhash(df: DataFrame, text_col: str = "text",
             bits: int = _SIMHASH_BITS) -> DataFrame:
     """Charikar simhash over token md5s (first 15 hex chars -> 60 bits).
 
-    One shuffle: explode tokens, then a groupBy(id) with ``bits`` partial
-    sum aggregates (map-side combined) — the shuffle carries one row per
-    doc regardless of document length."""
+    One shuffle: explode tokens, then a groupBy(id) whose per-bit ONES
+    counters are PACKED four-to-a-long (15-bit fields), so 60 fingerprint
+    bits cost 15 sum aggregates + a count instead of 60 — fewer agg
+    buffers and per-row updates on the map side; the shuffle still
+    carries one row per doc regardless of document length.  Bit j of the
+    fingerprint is set iff 2*ones_j > n (same sign rule as the +-1 sum);
+    values are integers, so the DuckDB twin's unpacked formulation is
+    bit-identical."""
     tok = F.explode(tokens(text_col)).alias("tok")
     ex = df.select(F.col(id_col).alias("id"), tok)
     v = F.conv(F.substring(F.md5(F.col("tok")), 1, (bits + 3) // 4),
                16, 10).cast("long")
     ex = ex.select("id", v.alias("v"))
-    aggs = [
-        F.sum(F.when(F.shiftright(F.col("v"), j).bitwiseAND(1) == 1,
-                     1).otherwise(-1)).alias(f"s{j}")
-        for j in range(bits)
-    ]
+    # expressions assembled as SQL text and parsed ONCE per column:
+    # building them as ~360 chained Column objects cost ~1s of py4j
+    # round-trips per query construction (measured; a third of the
+    # whole sf0.1 runtime)
+    ngroups = (bits + _PACK_PER - 1) // _PACK_PER
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for g in range(ngroups):
+        terms = []
+        for k in range(_PACK_PER):
+            j = g * _PACK_PER + k
+            if j >= bits:
+                break
+            terms.append(f"shiftleft(shiftright(v, {j}) & 1, "
+                         f"{k * _PACK_W})")
+        aggs.append(F.expr(f"sum({' + '.join(terms)})").alias(f"p{g}"))
     per_doc = ex.groupBy("id").agg(*aggs)
-    fp = None
+    mask = (1 << _PACK_W) - 1
+    fp_terms = []
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, 2 ** j).otherwise(0)
-        fp = term if fp is None else (fp + term)
-    return per_doc.select("id", fp.cast("long").alias("simhash"))
+        g, k = j // _PACK_PER, j % _PACK_PER
+        fp_terms.append(
+            f"IF((shiftright(p{g}, {k * _PACK_W}) & {mask}) * 2 > n, "
+            f"{2 ** j}L, 0L)")
+    fp = F.expr(f"CAST({' + '.join(fp_terms)} AS BIGINT)")
+    return per_doc.select("id", fp.alias("simhash"))
 
 
 def simhash_bands(fp: Column, max_hamming: int = 3,
@@ -207,12 +254,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
                   max_bucket: int = 200) -> DataFrame:
     """Pairs within Hamming distance k via (k+1)-band blocking.
 
-    Each doc lands in k+1 buckets (one per band); candidates come from
-    equality self-joins on (band index, band value) — shuffled hash
-    joins, never a cross join.  ``max_bucket`` caps pathological buckets
-    (huge exact-duplicate clusters — run dedup_exact first) with a
-    deterministic row_number cut so the oracle twin can reproduce it."""
-    nb = max_hamming + 1
+    Each doc lands in k+1 buckets (one per band); candidates are the
+    intra-bucket combinations from ONE (band, value) aggregation pass
+    (_bucket_pairs — never a cross join, upstream computed once).
+    ``max_bucket`` caps pathological buckets (huge exact-duplicate
+    clusters — run dedup_exact first) with a deterministic by-id cut so
+    the oracle twin can reproduce it."""
     sh = simhash(df, text_col, id_col, bits)
     buckets = sh.select(
         "id", "simhash",
@@ -223,15 +270,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         ])).alias("bk")
     ).select("id", "simhash",
              F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
-    w = Window.partitionBy("band", "h").orderBy("id")
-    buckets = buckets.withColumn("rn", F.row_number().over(w)) \
-                     .filter(F.col("rn") <= max_bucket).drop("rn")
-    a, b = buckets.alias("a"), buckets.alias("b")
+    pr = _bucket_pairs(buckets, max_bucket, payload=["simhash"])
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.h") == F.col("b.h"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .filter(ham <= max_hamming)
+    return (pr.filter(ham <= max_hamming)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"),
                     ham.cast("long").alias("hamming"))
@@ -257,16 +298,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     interpreted array ops at sf0.1."""
     base = _staged_shingles(df, text_col, id_col, n)
     inv = base.select("id", F.explode("sh").alias("s"))
-    # stop-shingle removal: one count per shingle, no ordering needed
-    w = Window.partitionBy("s")
-    inv = inv.withColumn("df_s", F.count(F.lit(1)).over(w)) \
-             .filter(F.col("df_s") <= max_bucket).drop("df_s")
-    sizes = inv.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    inter = (inv.alias("a").join(inv.alias("b"),
-                                 (F.col("a.s") == F.col("b.s"))
-                                 & (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
+    # ONE aggregation builds the inverted index; dropping groups larger
+    # than max_bucket IS the stop-shingle removal.  The previous
+    # window-count + self-join + separate sizes aggregation consumed the
+    # exploded shingle relation four times (tokenize+explode re-ran per
+    # consumer; Catalyst reuses no exchanges across subtrees); this
+    # shape tokenizes once, and the persist covers the index's two
+    # consumers (pair counts, per-doc sizes) — one row per distinct
+    # shingle with <= max_bucket ids, bounded memory.
+    grouped = (inv.groupBy("s")
+               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") <= max_bucket)
+               .persist())
+    sizes = (grouped.select(F.explode("ids").alias("id"))
+             .groupBy("id").agg(F.count(F.lit(1)).alias("sz")))
+    combos = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    inter = (grouped.filter(F.size("ids") >= 2)
+             .select(F.explode(combos).alias("pr"))
+             .groupBy(F.col("pr.a").alias("id_a"),
+                      F.col("pr.b").alias("id_b"))
              .agg(F.count(F.lit(1)).alias("inter")))
     joined = (inter
               .join(sizes.select(F.col("id").alias("id_a"),
@@ -361,13 +415,7 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     keyed = base.select(
         "id", srp_band_keys(F.col("v"), dim, nbits, bands, seed).alias("ks"))
     buckets = (keyed.select("id", F.posexplode("ks").alias("band", "h")))
-    w = Window.partitionBy("band", "h").orderBy("id")
-    buckets = buckets.withColumn("rn", F.row_number().over(w)) \
-                     .filter(F.col("rn") <= max_bucket).drop("rn")
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.h") == F.col("b.h"))
-                   & (F.col("a.id") < F.col("b.id")))
+    cand = (_bucket_pairs(buckets, max_bucket)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
     slim = base.select("id", "v", vec_norm(F.col("v")).alias("nrm"))
