@@ -108,12 +108,27 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                 vec_col: str = "embedding", id_col: str = "vec_id"
                 ) -> DataFrame:
     """Exact top-k by cosine similarity against a literal query vector.
-    One narrow projection (two Arrow passes over the vector column) +
-    TakeOrdered; the query norm is a Python constant."""
+    One narrow whole-stage-codegen projection + TakeOrdered; the query
+    norm is a Python constant.
+
+    For a SINGLE query vector the dot/norm unroll to ~2*dim element_at
+    terms — small enough to codegen (the janino 64 KB failure needed
+    48 hyperplanes' worth) and faster than an Arrow round-trip.  The
+    expression is assembled as SQL text parsed once: chaining hundreds
+    of Column objects costs ~1s of py4j round-trips per build.  The sum
+    chain is left-to-right, matching DuckDB's list_dot_product."""
+    dim = len(query_vec)
     qn = py_norm(query_vec)
-    v = F.col(vec_col)
-    cos = F.round(_pdot_multi(v, [query_vec])[0]
-                  / (vec_norm(v) * F.lit(qn)), 6)
+
+    def e(d):
+        # per-element scalar cast (an array-level cast referenced 2*dim
+        # times would re-copy the array per reference if inlined)
+        return f"CAST(element_at({vec_col}, {d + 1}) AS DOUBLE)"
+
+    dot = " + ".join(f"{e(d)} * {float(query_vec[d])!r}"
+                     for d in range(dim))
+    nrm = " + ".join(f"{e(d)} * {e(d)}" for d in range(dim))
+    cos = F.expr(f"round(({dot}) / (sqrt({nrm}) * {qn!r}), 6)")
     return (df.select(F.col(id_col), cos.alias("cosine"))
               .orderBy(F.col("cosine").desc(), F.col(id_col))
               .limit(k))
