@@ -207,3 +207,46 @@ class TestScaleOps:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("MapInPandas") == 1
         assert "Exchange" not in plan
+
+
+class TestSingleScanDedup:
+    """Every LSH pipeline's heavy upstream must be planned ONCE: the
+    window-cap + self-join shape planned it as two independent subtrees
+    (no ReuseExchange: 2 scans / 4 explodes in simhash's plan) and this
+    guards the _bucket_pairs regression."""
+
+    def _plan(self, spark, build):
+        import os
+        df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        return build(df)._jdf.queryExecution().executedPlan().toString()
+
+    def test_minhash_single_scan(self, spark):
+        from tuplex_spark.functions import dedup
+        plan = self._plan(spark, dedup.minhash_lsh_pairs)
+        assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
+    def test_simhash_single_scan(self, spark):
+        from tuplex_spark.functions import dedup
+        plan = self._plan(spark, dedup.simhash_pairs)
+        assert plan.count("Scan parquet") == 1
+
+    def test_jaccard_single_tokenize(self, spark):
+        """The persisted inverted index serves both consumers; the
+        tokenize+explode subtree must appear at most once per consumer
+        with the cached relation in between (InMemoryRelation)."""
+        from tuplex_spark.functions import dedup
+        plan = self._plan(spark, dedup.ngram_jaccard_pairs)
+        assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+    def test_embedding_single_signature_pass(self, spark):
+        import os
+        from tuplex_spark.functions import dedup
+        df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        plan = dedup.embedding_dup_pairs(df, threshold=0.45) \
+            ._jdf.queryExecution().executedPlan().toString()
+        # one scan computes the 48-hyperplane SRP signatures; the other
+        # scans only fetch raw vectors/norms for the id-equality joins
+        # (cheap) — the expensive signature pass is never duplicated
+        assert plan.count("ArrowEvalPython") <= 5
+        assert plan.count("Scan parquet") <= 3
+        assert "CartesianProduct" not in plan
