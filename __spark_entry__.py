@@ -268,9 +268,13 @@ def q_tpch_q15(spark, sf_dir):
            .agg(F.round(F.sum(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))), 2)
                 .alias("total_revenue")))
-    mx = rev.agg(F.max("total_revenue").alias("m"))
-    return (rev.join(F.broadcast(mx),
-                     rev.total_revenue == F.col("m"))
+    # global max via an unpartitioned window over the ALREADY-AGGREGATED
+    # per-supplier relation (one small row per supplier) — the agg + join
+    # back shape executed the whole lineitem aggregate twice
+    from pyspark.sql import Window
+    rev = rev.withColumn("m", F.max("total_revenue").over(
+        Window.partitionBy()))
+    return (rev.filter(F.col("total_revenue") == F.col("m"))
             .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
             .select(F.col("s_suppkey"), F.col("s_name"),
                     F.col("total_revenue")))
@@ -396,8 +400,13 @@ def q_tpch_q11(spark, sf_dir):
            .groupBy("l_partkey")
            .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
                 .alias("v")))
-    total = val.agg((F.sum("v") * 0.001).alias("thresh"))
-    return (val.join(F.broadcast(total), val.v > F.col("thresh"))
+    # group-over-total via an unpartitioned window on the per-part
+    # aggregate (small) instead of agg + join back, which executed the
+    # lineitem join+aggregate twice
+    from pyspark.sql import Window
+    val = val.withColumn("thresh",
+                         (F.sum("v").over(Window.partitionBy()) * 0.001))
+    return (val.filter(F.col("v") > F.col("thresh"))
             .select(F.col("l_partkey").alias("p_key"),
                     F.round("v", 2).alias("value")))
 
