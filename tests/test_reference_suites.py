@@ -847,3 +847,63 @@ class TestFallbackPort:
             return t
         res = ctx.parallelize([1, 2, 3]).map(f).collect()
         assert res == [f(1), f(2), f(3)]
+
+
+class TestReflectionPort:
+    """reference test_reflection.py — source extraction must recover the
+    RIGHT lambda/function AST from files, declarations, nested scopes and
+    multi-lambda contexts (here: function_ast + closure_env instead of
+    raw source strings)."""
+
+    def _ast_src(self, fn):
+        import ast
+        from tuplex_spark.udf.reflection import function_ast
+        return ast.unparse(function_ast(fn))
+
+    def test_simple_lambda(self):
+        assert self._ast_src(lambda x: x * x) == "lambda x: x * x"
+
+    def test_declared_lambda(self):
+        g = lambda x: x ** 2
+        assert self._ast_src(g) == "lambda x: x ** 2"
+
+    def test_declared_nested_lambda(self):
+        def inner():
+            g = lambda x: x ** 2
+            return self._ast_src(g)
+        assert inner() == "lambda x: x ** 2"
+
+    def test_multi_param_lambda(self):
+        assert self._ast_src(lambda a, b, c, d: a + b) \
+            == "lambda a, b, c, d: a + b"
+
+    def test_function_def(self):
+        def add_one(x):
+            return x + 1
+        import ast
+        from tuplex_spark.udf.reflection import function_ast
+        node = function_ast(add_one)
+        assert node.name == "add_one"
+        assert "return x + 1" in ast.unparse(node)
+
+    def test_closure_capture(self):
+        scale = 7
+
+        def f(x):
+            return x * scale
+        from tuplex_spark.udf.reflection import closure_env
+        env = closure_env(f)
+        assert env.get("scale") == 7
+
+    def test_module_global_capture(self):
+        import math as _m
+
+        def f(x):
+            return _m.floor(x)
+        from tuplex_spark.udf.reflection import closure_env
+        env = closure_env(f)
+        assert env.get("_m") is _m
+
+    def test_engine_runs_extracted_lambda(self, ctx):
+        res = ctx.parallelize([2, 3]).map(lambda x: x ** 2).collect()
+        assert res == [4, 9]
