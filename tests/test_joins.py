@@ -70,3 +70,36 @@ class TestRightJoin:
         assert j.columns == ["L_v", "L_k", "R_v"]
         rows = sorted(j.collect(), key=lambda r: (r[1] is None, r[1]))
         assert rows == [("a", 1, "b"), (None, 9, "z")]
+
+
+class TestRelationalExtensions:
+    """orderBy/limit/union/intersect/subtract — parity-plus ops the
+    reference lacks (SURVEY §2.5), delegated to Spark with exception
+    bookkeeping."""
+
+    def test_orderby_and_limit(self, ctx):
+        ds = ctx.parallelize([(3, "c"), (1, "a"), (2, "b")],
+                             columns=["n", "s"])
+        assert ds.orderBy("n").collect() == [(1, "a"), (2, "b"), (3, "c")]
+        assert ds.orderBy("n", ascending=False).limit(2).collect() \
+            == [(3, "c"), (2, "b")]
+
+    def test_orderby_splits_exception_rows(self, ctx):
+        ds = (ctx.parallelize([4, 0, 2, 1])
+              .map(lambda x: 12 // x)
+              .ignore(ZeroDivisionError))
+        assert ds.orderBy("column0").collect() == [3, 6, 12]
+
+    def test_union_intersect_subtract(self, ctx):
+        a = ctx.parallelize([(1, "x"), (2, "y"), (3, "z")],
+                            columns=["n", "s"])
+        b = ctx.parallelize([(2, "y"), (4, "w")], columns=["n", "s"])
+        assert sorted(a.union(b).collect()) \
+            == [(1, "x"), (2, "y"), (2, "y"), (3, "z"), (4, "w")]
+        assert a.intersect(b).collect() == [(2, "y")]
+        assert sorted(a.subtract(b).collect()) == [(1, "x"), (3, "z")]
+
+    def test_union_by_name_reorders_columns(self, ctx):
+        a = ctx.parallelize([(1, "x")], columns=["n", "s"])
+        b = ctx.parallelize([("y", 2)], columns=["s", "n"])
+        assert sorted(a.union(b).collect()) == [(1, "x"), (2, "y")]

@@ -638,6 +638,47 @@ class DataSet:
         df.count()
         return self._spawn(df, bump=False)
 
+    # ------------------------------------- relational extensions
+    # (parity-plus: the reference has NO sort/limit-transform/set ops —
+    # SURVEY §2.5 — but a training-data pipeline engine wants them, and
+    # on Spark each is a one-line delegation with exception bookkeeping)
+
+    def orderBy(self, *cols, ascending: bool = True) -> "DataSet":
+        """Total sort (Spark range-partitions on sampled bounds — scales
+        to arbitrary data; output order is the contract, so exception
+        rows are split out first)."""
+        df, parked = self._split_exceptions()
+        names = [c for c in cols] or list(self._columns)
+        return self._spawn(df.orderBy(*names, ascending=ascending),
+                           parked=parked)
+
+    def limit(self, n: int) -> "DataSet":
+        """First n rows as a TRANSFORM (take(n) is the action variant)."""
+        df, parked = self._split_exceptions()
+        return self._spawn(df.limit(n), parked=parked)
+
+    def union(self, other: "DataSet") -> "DataSet":
+        """Bag union by column NAME (both sides keep their exception
+        rows; schemas must have the same column set)."""
+        a, pa = self._split_exceptions()
+        b, pb = other._split_exceptions()
+        return self._spawn(a.unionByName(b.select(*a.columns)),
+                           parked=pa + pb)
+
+    def intersect(self, other: "DataSet") -> "DataSet":
+        """Set intersection (distinct rows present on both sides)."""
+        a, pa = self._split_exceptions()
+        b, pb = other._split_exceptions()
+        return self._spawn(a.intersect(b.select(*a.columns)),
+                           parked=pa + pb)
+
+    def subtract(self, other: "DataSet") -> "DataSet":
+        """Set difference (distinct rows of self absent from other)."""
+        a, pa = self._split_exceptions()
+        b, pb = other._split_exceptions()
+        return self._spawn(a.exceptAll(b.select(*a.columns)).distinct(),
+                           parked=pa + pb)
+
     # ---------------------------------------------------------- exceptions
     def _split_exceptions(self):
         """Move failed rows out of the frame into the parked list."""
