@@ -493,13 +493,13 @@ class TestLoops:
             return i + x
         run_diff(ctx, [1, 2], f, expect_compiled=True)
 
-    def test_while_falls_back(self, ctx):
+    def test_constant_while_compiles(self, ctx):
         def f(x):
             n = 0
             while n < 3:
                 n += 1
             return n + x
-        run_diff(ctx, [1, 2], f, expect_compiled=False)
+        run_diff(ctx, [1, 2], f, expect_compiled=True)
 
     def test_return_inside_dynamic_loop_falls_back(self, ctx):
         def f(x):
@@ -780,16 +780,14 @@ class TestFallbackNullVsNan:
 
     def test_nan_reaches_fallback_udf(self, ctx):
         def f(x):
-            while False:
-                pass  # force fallback
+            _ = set()  # force fallback (sets are uncompilable)
             return str(x)
         res = ctx.parallelize([float("nan"), 1.5, None]).map(f).collect()
         assert res == ["nan", "1.5", "None"]
 
     def test_nullable_int_stays_int(self, ctx):
         def g(x):
-            while False:
-                pass
+            _ = set()  # force fallback
             return x[0] // 2 if x[0] is not None else -1
         res = ctx.parallelize([(4, "a"), (None, "b"), (9, "c")],
                               columns=["n", "s"]).map(g).collect()
@@ -898,6 +896,67 @@ class TestBreakContinueCompiled:
                     s += j
                 if s > 60:
                     break
+            return s
+        run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
+                 expect_compiled=False)
+
+
+class TestWhileCompiled:
+    """Constant-condition while loops unroll iteratively (the condition
+    must fold each iteration; data-dependent conditions fall back)."""
+
+    ROWS = [(0, 1.0, "s"), (1, 2.0, "t"), (3, 0.5, "u"), (7, -1.0, "v")]
+
+    def test_counter_while(self, ctx):
+        def f(x):
+            i = 0
+            s = 0
+            while i < 5:
+                s += i * x["a"]
+                i += 1
+            return s
+        run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
+                 expect_compiled=True)
+
+    def test_while_false_never_runs(self, ctx):
+        def f(x):
+            while False:
+                return -1
+            return x["a"] + 1
+        run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
+                 expect_compiled=True)
+
+    def test_conditional_return_inside_while(self, ctx):
+        def f(x):
+            i = 0
+            while i < 6:
+                if i * 2 == x["a"]:
+                    return i
+                i += 1
+            return -1
+        run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
+                 expect_compiled=True)
+
+    def test_guard_after_conditional_return(self, ctx):
+        """Rows that returned in iteration k must not trip iteration
+        k+1's division guard."""
+        def f(x):
+            i = 0
+            while i < 4:
+                if i == x["a"]:
+                    return 100 + i
+                i += 1
+            return 10 // x["a"]  # ZeroDivisionError only if no return
+        run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
+                 expect_compiled=True)
+
+    def test_dynamic_condition_falls_back(self, ctx):
+        def f(x):
+            n = x["a"]
+            s = 0
+            while n > 0:
+                s += n
+                n -= 1
             return s
         run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
                  expect_compiled=False)

@@ -594,6 +594,11 @@ class Translator:
                 if self._exec_for(st, path):
                     return True
                 continue
+            if isinstance(st, ast.While):
+                done, path = self._exec_while(st, path)
+                if done:
+                    return True
+                continue
             if isinstance(st, ast.If):
                 test = self.eval(st.test)
                 if isinstance(test, SConst):
@@ -707,6 +712,39 @@ class Translator:
                 self._unroll_depth -= 1
         self._exec_for_fold(st, path)
         return False
+
+    def _exec_while(self, st: ast.While, path: Column | None):
+        """Compile ``while`` by ITERATIVE unrolling: execute the body as
+        long as the condition folds to a constant True (counter loops
+        with literal bounds — the reference compiles these natively,
+        ASTNodes.h NWhile).  A condition that stays symbolic (data-
+        dependent) cannot bound the unroll and falls back.  Conditional
+        returns inside the body narrow the path for LATER iterations
+        (mirroring the flat-unroll semantics), so guards in iteration
+        k+1 never fire for rows that already returned in iteration k.
+        Returns (all_paths_terminated, narrowed_path)."""
+        if st.orelse:
+            raise CompileError("while-else")
+        if any(_contains_break_continue(s) for s in st.body):
+            raise CompileError("break/continue in while")
+        self._unroll_depth += 1
+        try:
+            for _ in range(self._MAX_UNROLL):
+                test = self.eval(st.test)
+                if not isinstance(test, SConst):
+                    raise CompileError("dynamic while condition")
+                if not test.value:
+                    return False, path
+                start = len(self._returns)
+                if self.exec_block(st.body, path):
+                    return True, path
+                for cond, _ in self._returns[start:]:
+                    if cond is not None:
+                        path = ~cond if path is None else (path & ~cond)
+                self._path = path
+            raise CompileError("while exceeds unroll limit")
+        finally:
+            self._unroll_depth -= 1
 
     def _unroll_with_break(self, st: ast.For, vals) -> list:
         """Unroll with break/continue lowered to boolean flags: break/
@@ -1538,10 +1576,15 @@ class Translator:
             return F.lit(str(s.value))
         c = self.to_col(s)
         if s.tag == "bool":
-            return F.when(c, "True").otherwise("False")
-        if s.tag == "float":
-            return _py_float_str(c)
-        return c.cast("string")
+            out = F.when(c, "True").otherwise("False")
+        elif s.tag == "float":
+            out = _py_float_str(c)
+        else:
+            out = c.cast("string")
+        if s.nullable or s.tag in ("any", "null"):
+            # CPython: str(None) == 'None' (a value, not a null)
+            out = F.when(c.isNull(), F.lit("None")).otherwise(out)
+        return out
 
     # -- calls -----------------------------------------------------------
     def _ev_Call(self, node):
