@@ -960,3 +960,44 @@ class TestWhileCompiled:
             return s
         run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
                  expect_compiled=False)
+
+
+class TestDictBuiltins:
+    """dict() constructor (reference SymbolTable.cc:82) + literal-key
+    subscript assignment on local dicts — the build-a-dict UDF shape."""
+
+    def test_dict_ctor_and_literal(self, ctx):
+        def f(x):
+            d = dict()
+            e = {"a": x * 2}
+            return len(d) + e["a"] + len(e)
+        run_diff(ctx, [1, 2, 3], f, expect_compiled=True)
+
+    def test_subscript_assign(self, ctx):
+        def f(x):
+            d = dict()
+            d["n"] = x * 2
+            d["m"] = x + 1
+            d["n"] = d["n"] + 5
+            return (d["n"], d["m"], len(d))
+        run_diff(ctx, [1, 2, 3, -4], f, expect_compiled=True)
+
+    def test_subscript_assign_in_branches_same_keys(self, ctx):
+        def f(x):
+            d = {"v": 0}
+            if x > 1:
+                d["v"] = x * 10
+            else:
+                d["v"] = -x
+            return d["v"]
+        run_diff(ctx, [0, 1, 2, 3], f, expect_compiled=True)
+
+    def test_branch_divergent_keys_fall_back(self, ctx):
+        def f(x):
+            d = dict()
+            if x > 1:
+                d["a"] = x
+            else:
+                d["b"] = x
+            return len(d)
+        run_diff(ctx, [0, 2], f, expect_compiled=False)

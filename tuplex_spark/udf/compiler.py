@@ -658,6 +658,23 @@ class Translator:
         if isinstance(tgt, ast.Name):
             self._locals[tgt.id] = val
             return
+        if isinstance(tgt, ast.Subscript) \
+                and isinstance(tgt.value, ast.Name) \
+                and isinstance(self._locals.get(tgt.value.id), SDict):
+            # d["k"] = v on a local dict: rebind a copy with the entry
+            # set (dict VALUES may be dynamic; keys must be literal).
+            # Aliased mutation (d2 = d; d["k"] = v observed via d2) is
+            # not modeled — such UDFs fall back via other constructs in
+            # practice; the reference's compiled dicts are likewise
+            # value-semantics structs.
+            key = tgt.slice
+            if isinstance(key, ast.Constant) and isinstance(key.value, str):
+                d = self._locals[tgt.value.id]
+                items = dict(d.items)
+                items[key.value] = val
+                self._locals[tgt.value.id] = SDict(items)
+                return
+            raise CompileError("dict subscript-assign needs a literal key")
         if isinstance(tgt, ast.Tuple):
             if isinstance(val, SRow):
                 val = self._row_tuple()
@@ -987,6 +1004,10 @@ class Translator:
                 and len(a.items) == len(b.items):
             return STuple([self._merge_vals(cond, x, y)
                            for x, y in zip(a.items, b.items)])
+        if isinstance(a, SDict) and isinstance(b, SDict) \
+                and list(a.items) == list(b.items):
+            return SDict({k: self._merge_vals(cond, a.items[k], b.items[k])
+                          for k in a.items})
         ca, cb = self.to_col(a), self.to_col(b)
         tag = _unify_tags(a.tag, b.tag)
         if tag == "float":
@@ -1751,6 +1772,14 @@ class Translator:
             return SCol(F.array(*cols), "array", False, elem=tag)
         raise CompileError(f"{ctx}({a.tag})")
 
+    def _b_dict(self, args):
+        # reference SymbolTable.cc:82: dict() with no args -> empty dict
+        # (same value the {} literal produces); dict-from-pairs is not
+        # compiled there either
+        if args:
+            raise CompileError("dict(...) with arguments")
+        return SDict({})
+
     def _b_list(self, args):
         if not args:
             raise CompileError("empty list() (element type unknown)")
@@ -2374,7 +2403,7 @@ class _BoundMethod(Sym):
 
 _BUILTINS = {"int", "float", "str", "bool", "len", "abs", "round",
              "min", "max", "sorted", "sum", "list", "tuple", "any", "all",
-             "iter", "next", "reversed", "range"}
+             "iter", "next", "reversed", "range", "dict"}
 
 
 def _unify_tags(a: str, b: str) -> str:
