@@ -795,6 +795,22 @@ def q_ds_loops(spark, sf_dir):
     return c.parquet(os.path.join(sf_dir, "part.parquet")).map(f).toDF()
 
 
+def q_ds_relational(spark, sf_dir):
+    """Relational extensions (orderBy/limit/union/intersect/subtract —
+    parity-plus; the reference has none, SURVEY §2.5): symmetric
+    difference of the top-10-balance suppliers and the low-nation
+    suppliers."""
+    c = _ctx(spark)
+    sup = (c.parquet(os.path.join(sf_dir, "supplier.parquet"))
+           .selectColumns(["s_suppkey", "s_nationkey", "s_acctbal"]))
+    rich = sup.orderBy("s_acctbal", "s_suppkey", ascending=False).limit(10)
+    nat = sup.filter(lambda x: x["s_nationkey"] < 5)
+    sym = rich.union(nat).subtract(rich.intersect(nat))
+    return sym.toDF().select(
+        "s_suppkey", "s_nationkey",
+        F.round("s_acctbal", 2).alias("bal"))
+
+
 def q_mm_decode(spark, sf_dir):
     """multimodal: binary payload -> Arrow-batched decode/featurize
     (deterministic fake decoder; see functions/multimodal.py).
@@ -981,7 +997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     operator family therefore sits inside the top-50 window; the
     overflow tail holds TPC-H variants whose *shapes* are already
     covered by an in-window twin (q7~q5, q8/q9~q5+year-agg, q10~q3,
-    q11~q15, q12~q4, q14~q19, q16~q22-anti, q20~q4-semi)."""
+    q11~q15, q12~q4, q14~q19, q16~q22-anti, q18~q3+q13, q20~q4-semi)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
@@ -1004,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_text_read": q_ds_text_read,
         "ds_loops": q_ds_loops,
         "ds_rightjoin": q_ds_rightjoin,
+        "ds_relational": q_ds_relational,
         # -- training-data pipeline ops --
         "mm_decode": q_mm_decode,
         "text_token_count": q_text_token_count,
@@ -1033,12 +1050,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13": q_tpch_q13,
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
-        "tpch_q18": q_tpch_q18,
         "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
     }
     overflow = {
+        "tpch_q18": q_tpch_q18,  # shape twin: big-agg filter + join ~ q3/q13
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
@@ -1413,6 +1430,21 @@ SELECT o.o_orderkey, c.c_custkey AS o_custkey, c.c_nationkey
 FROM (SELECT o_orderkey, o_custkey FROM orders
       WHERE o_totalprice > 400000.0) o
 RIGHT JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "ds_relational": """
+WITH sup AS (
+  SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+), rich AS (
+  SELECT * FROM sup ORDER BY s_acctbal DESC, s_suppkey DESC LIMIT 10
+), nat AS (
+  SELECT * FROM sup WHERE s_nationkey < 5
+), u AS (
+  SELECT * FROM rich UNION ALL SELECT * FROM nat
+), i AS (
+  SELECT * FROM rich INTERSECT SELECT * FROM nat
+)
+SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS bal FROM u
+EXCEPT
+SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS bal FROM i""",
         "ds_loops": """
 SELECT p_partkey,
        COALESCE(list_sum(list_transform(

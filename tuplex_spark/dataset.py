@@ -673,10 +673,12 @@ class DataSet:
                            parked=pa + pb)
 
     def subtract(self, other: "DataSet") -> "DataSet":
-        """Set difference (distinct rows of self absent from other)."""
+        """Set difference (distinct rows of self absent from other —
+        SQL EXCEPT; a row matched in ``other`` is removed entirely, not
+        per-occurrence like exceptAll)."""
         a, pa = self._split_exceptions()
         b, pb = other._split_exceptions()
-        return self._spawn(a.exceptAll(b.select(*a.columns)).distinct(),
+        return self._spawn(a.subtract(b.select(*a.columns)),
                            parked=pa + pb)
 
     # ---------------------------------------------------------- exceptions
