@@ -41,9 +41,7 @@ class TestPushdown:
         from tuplex_spark.plans import explain_summary
 
         def f(x):
-            t = 0
-            while t < 3:  # while-loops stay on the Arrow fallback
-                t += 1
+            t = len(set([1, 2, 3]))  # sets are uncompilable -> fallback
             return x + t
         ds = ctx.parquet(LI).selectColumns(["l_linenumber"]).mapColumn(
             "l_linenumber", f)
