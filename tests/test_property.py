@@ -198,3 +198,77 @@ class TestGeneratedLoops:
                 fn = _build_def_fn(gen_static_loop(rng))
                 run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
                          expect_compiled=True)
+
+
+def gen_while_loop(rng):
+    """Counter while with a data-dependent body (condition must stay
+    constant-foldable -> compiled)."""
+    bound = rng.randint(2, 6)
+    step = rng.choice([1, 2])
+    body_expr = rng.choice(["i * x['a']", "i + x['a']", "x['a'] - i", "i"])
+    lines = ["i = 0", "s = 0", f"while i < {bound}:"]
+    if rng.random() < 0.4:
+        lines.append(f"    if i % 2 == {rng.randint(0, 1)}:")
+        lines.append(f"        s += {body_expr}")
+    else:
+        lines.append(f"    s += {body_expr}")
+    lines.append(f"    i += {step}")
+    lines.append("return s")
+    return lines
+
+
+def gen_break_loop(rng):
+    """Static range loop with data-dependent break/continue."""
+    lo, hi = 0, rng.randint(3, 8)
+    cond = rng.choice([f"i * x['a'] > {rng.randint(2, 20)}",
+                       f"i + x['a'] == {rng.randint(0, 6)}",
+                       f"i > x['a']"])
+    kw = rng.choice(["break", "continue"])
+    lines = ["s = 0",
+             f"for i in range({lo}, {hi}):",
+             f"    if {cond}:",
+             f"        {kw}",
+             f"    s += i + {rng.randint(-2, 3)}",
+             "return s"]
+    return lines
+
+
+def gen_dict_build(rng):
+    """dict() ctor + literal-key subscript assignment."""
+    lines = ["d = dict()",
+             f"d['a'] = x['a'] * {rng.randint(1, 5)}",
+             f"d['b'] = x['a'] + {rng.randint(-3, 3)}"]
+    if rng.random() < 0.5:
+        lines.append(f"if x['a'] > {rng.randint(0, 4)}:")
+        lines.append("    d['a'] = d['a'] + d['b']")
+    lines.append("return (d['a'], d['b'], len(d))")
+    return lines
+
+
+class TestGeneratedWhileBreakDict:
+    """Seeded fuzzing over the round-2 compiler features: constant-bound
+    while unrolling, break/continue flag lowering, dict building."""
+
+    def test_while_sweep(self, ctx):
+        for seed in (3, 31, 314, 3141):
+            rng = random.Random(seed)
+            for _ in range(3):
+                fn = _build_def_fn(gen_while_loop(rng))
+                run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)
+
+    def test_break_continue_sweep(self, ctx):
+        for seed in (7, 77, 777, 7777):
+            rng = random.Random(seed)
+            for _ in range(3):
+                fn = _build_def_fn(gen_break_loop(rng))
+                run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)
+
+    def test_dict_build_sweep(self, ctx):
+        for seed in (5, 55, 555):
+            rng = random.Random(seed)
+            for _ in range(3):
+                fn = _build_def_fn(gen_dict_build(rng))
+                run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)
