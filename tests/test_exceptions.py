@@ -121,3 +121,33 @@ class TestAcrossOperators:
         assert ds.collect() == [2, 4, 8]
         from tuplex_spark.udf.fallback import EXC_CODE
         assert EXC_CODE not in ds._df.columns
+
+
+class TestMajorityTypeVoting:
+    """parallelize normal-case typing votes per column: the MAJORITY
+    type family is the schema; minority rows quarantine as
+    BadParallelizeInput (reference normalcaseThreshold semantics,
+    FileInputOperator.cc:229-299 — the reference additionally re-runs
+    violators through the pipeline's interpreter path; here they are
+    counted and excluded, recoverable via the quarantine payload)."""
+
+    def test_minority_string_is_the_violation(self, ctx):
+        ds = ctx.parallelize([0, "e1", 0]).filter(lambda x: x != 0)
+        assert ds.collect() == []
+        assert ds.exception_counts.get("BadParallelizeInput") == 1
+
+    def test_majority_flows_through_pipeline(self, ctx):
+        ds = ctx.parallelize([1, 2, "x", 4]).map(lambda x: x * 10)
+        assert ds.collect() == [10, 20, 40]
+        assert ds.exception_counts.get("BadParallelizeInput") == 1
+
+    def test_numeric_mixes_widen_not_quarantine(self, ctx):
+        ds = ctx.parallelize([1, 2.5, True])
+        assert ds.collect() == [1.0, 2.5, 1.0]
+        assert ds.exception_counts == {}
+
+    def test_per_column_vote(self, ctx):
+        ds = ctx.parallelize([(1, "a"), (2, "b"), ("x", "c")],
+                             columns=["n", "s"])
+        assert ds.collect() == [(1, "a"), (2, "b")]
+        assert ds.exception_counts.get("BadParallelizeInput") == 1

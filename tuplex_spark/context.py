@@ -33,6 +33,48 @@ DEFAULTS = {
 }
 
 
+def _type_family(v) -> str | None:
+    """Coarse type family for normal-case voting: values within one
+    family always widen (bool<int<float lattice, str+str, ...); values
+    across families have no common type."""
+    if v is None:
+        return None
+    if isinstance(v, (bool, int, float)):
+        return "num"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bin"
+    return type(v).__name__
+
+
+def _majority_family_split(rows: list, width: int):
+    """Partition rows into (conforming, violating) by per-column majority
+    type family.  No-op (all conforming) when every column is
+    single-family."""
+    from collections import Counter
+    counts = [Counter() for _ in range(width)]
+    fams_per_row = []
+    for r in rows:
+        vals = r if isinstance(r, tuple) else (r,)
+        fams = tuple(_type_family(v) for v in vals)
+        fams_per_row.append(fams)
+        for i, f in enumerate(fams):
+            if f is not None:
+                counts[i][f] += 1
+    if all(len(c) <= 1 for c in counts):
+        return rows, []
+    prio = {"num": 0, "str": 1, "bin": 2}
+    major = [min(c.items(), key=lambda kv: (-kv[1], prio.get(kv[0], 9)))[0]
+             if c else None for c in counts]
+    good, bad = [], []
+    for r, fams in zip(rows, fams_per_row):
+        ok = all(f is None or m is None or f == m
+                 for f, m in zip(fams, major))
+        (good if ok else bad).append(r)
+    return good, bad
+
+
 def _coerce_val(v, t: T.DataType):
     """Upcast a Python value along the widened schema's numeric lattice
     (bool -> int -> float, reference TypeSystem.h superType): Spark's
@@ -191,6 +233,13 @@ class Context:
         for r in norm:
             w = len(r) if isinstance(r, tuple) else 1
             (good if w == major_w else bad).append(r)
+        # normal-case typing: when a column mixes INCOMPATIBLE families
+        # (ints alongside strings), the MAJORITY family is the schema and
+        # minority rows are the violations (reference normalcaseThreshold
+        # voting, FileInputOperator.cc:229-299) — the supertype fallback
+        # would declare the column string and quarantine the majority
+        good, type_bad = _majority_family_split(good, major_w)
+        bad += type_bad
         if schema is None:
             sschema = infer_schema_from_rows(good, columns)
         else:
