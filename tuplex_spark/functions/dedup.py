@@ -289,8 +289,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Shingles occurring in more than ``max_bucket`` documents are dropped
     up front (stop-shingle removal — the standard guard against the
     quadratic hot-bucket blow-up); Jaccard is then EXACT over the
-    remaining shingles: the self-join on shingle yields one row per
-    co-occurring shingle, so |A∩B| is a count aggregation and
+    remaining shingles: each kept index group emits one row per
+    co-occurring pair, so |A∩B| is a count aggregation and
     |A∪B| = |A|+|B|-|A∩B| from per-doc shingle counts.  No array
     materialization, no array_intersect over candidate pairs — the
     earlier formulation (candidates -> join arrays back -> set
@@ -393,9 +393,9 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                         seed: int = 0x5EED) -> DataFrame:
     """Near-duplicate pairs by cosine similarity, SRP-LSH blocked.
 
-    Candidates come from equality self-joins on (band, signature-key)
-    buckets — the same linear-ish shape as MinHash LSH — then exact
-    cosine verifies each candidate.  Buckets reflect actual vector
+    Candidates are single-pass intra-bucket combinations on (band,
+    signature-key) — the same linear-ish _bucket_pairs shape as MinHash
+    LSH — then exact cosine verifies each candidate.  Buckets reflect actual vector
     geometry (sign patterns of random projections), unlike blocking on a
     metadata label, which degrades to a per-class quadratic join and has
     recall only by luck.  With nbits=6/bands=8: P(candidate) ≈ 98% at
