@@ -289,3 +289,21 @@ class TestJsonSource:
         ds = ctx.json(path)
         rows = sorted(ds.collect(), key=repr)
         assert (2, None) in rows and (None, "z") in rows
+
+
+class TestCsvReferenceEdges:
+    """reference test_csv.py edges not yet codified here."""
+
+    def test_tab_delimiter_detected(self, ctx, tmp_path):
+        # reference test_tsv: sampling inference must vote for tab
+        p = tmp_path / "t.tsv"
+        p.write_text("a\tb\tc\n1\t2.5\tx\n3\t4.5\ty\n")
+        ds = ctx.csv(str(p))
+        assert ds.columns == ["a", "b", "c"]
+        assert ds.collect() == [(1, 2.5, "x"), (3, 4.5, "y")]
+
+    def test_non_existent_file_raises(self, ctx, tmp_path):
+        # reference test_non_existent_file: plan-time error, not a hang
+        import pytest as _pt
+        with _pt.raises(FileNotFoundError):
+            ctx.csv(str(tmp_path / "nope.csv"))
