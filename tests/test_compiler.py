@@ -1001,3 +1001,27 @@ class TestDictBuiltins:
                 d["b"] = x
             return len(d)
         run_diff(ctx, [0, 2], f, expect_compiled=False)
+
+
+class TestFloatDivmodParity:
+    """CPython float_divmod semantics (Objects/floatobject.c): fmod with
+    ONE conditional divisor-add (the ((a%b)+b)%b trick is catastrophically
+    lossy for floats) and an off-by-one-safe floor division.  All cases
+    found by the wide fuzz sweep."""
+
+    def test_float_mod_precision(self, ctx):
+        run_diff(ctx, [(2, 1e-7), (100, -0.0), (-13, 1e16), (3, 0.25)],
+                 lambda a, b: (b + b) % 2 if b != 0 else -1.0,
+                 columns=["a", "b"])
+
+    def test_float_mod_sign_cases(self, ctx):
+        run_diff(ctx, [1e16, -1e16, 0.25, -0.25, 1e-7],
+                 lambda b: (-1 % b, 2 % b, -0.5 % b))
+
+    def test_float_floordiv_boundary(self, ctx):
+        run_diff(ctx, [1e-7, -1e-7, 0.25, 3.0, 1e16],
+                 lambda b: (-1 // b, 1 // b, 2.5 // b))
+
+    def test_nested_float_mod(self, ctx):
+        run_diff(ctx, [(2, 1e-7), (4, 0.3), (6, -0.7)],
+                 lambda a, b: (2 % b) % a, columns=["a", "b"])

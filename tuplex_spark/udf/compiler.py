@@ -1372,13 +1372,37 @@ class Translator:
             return SCol(lc / rc, "float")
         if isinstance(op, ast.FloorDiv):
             div_guard()
-            res = F.floor(lc / rc)
-            return SCol(res if both_int else res.cast("double"),
-                        "int" if both_int else "float")
+            if both_int:
+                return SCol(F.floor(lc / rc), "int")
+            # CPython float_floor_div (Objects/floatobject.c float_divmod):
+            # fmod-based with sign correction and a half-way adjustment —
+            # plain floor(a/b) is off by one whenever a/b rounds across
+            # an integer boundary (fuzz: -1 // 1e-7)
+            a, b = lc.cast("double"), rc.cast("double")
+            m0 = a % b  # Spark % on doubles IS C fmod
+            adj = (m0 != 0.0) & ((b < 0) != (m0 < 0))
+            div = F.when(adj, (a - m0) / b - 1.0).otherwise((a - m0) / b)
+            t = div % 1.0
+            fd0 = F.when(t < 0, div - t - 1.0).otherwise(div - t)
+            fd = F.when(div - fd0 > 0.5, fd0 + 1.0).otherwise(fd0)
+            res = F.when(div == 0.0, (a / b) * 0.0).otherwise(fd)
+            return SCol(res, "float")
         if isinstance(op, ast.Mod):
             div_guard()
-            res = ((lc % rc) + rc) % rc  # CPython sign-of-divisor semantics
-            return SCol(res, "int" if both_int else "float")
+            if both_int:
+                # sign-of-divisor semantics; exact in integer arithmetic
+                return SCol(((lc % rc) + rc) % rc, "int")
+            # floats: the ((a%b)+b)%b trick is catastrophically lossy
+            # (fmod(2e-7,2)+2 loses the low bits; fuzz caught 2e-7 ->
+            # 2.0000000011e-7).  CPython adds the divisor ONLY when the
+            # signs differ, once.
+            a, b = lc.cast("double"), rc.cast("double")
+            m0 = a % b
+            adj = (m0 != 0.0) & ((b < 0) != (m0 < 0))
+            zero = F.when(b < 0, F.lit(-0.0)).otherwise(F.lit(0.0))
+            res = F.when(m0 == 0.0, zero) \
+                   .otherwise(F.when(adj, m0 + b).otherwise(m0))
+            return SCol(res, "float")
         if isinstance(op, ast.Pow):
             res = F.pow(lc, rc)
             if both_int and isinstance(r, SConst) and r.value >= 0:
