@@ -1025,3 +1025,23 @@ class TestFloatDivmodParity:
     def test_nested_float_mod(self, ctx):
         run_diff(ctx, [(2, 1e-7), (4, 0.3), (6, -0.7)],
                  lambda a, b: (2 % b) % a, columns=["a", "b"])
+
+
+class TestIntPowExact:
+    """Integer ** with constant exponent must be exact 64-bit arithmetic:
+    F.pow computes in double (7**19 rounded off by one) and its long
+    cast clamps at Long.MAX.  Results beyond 2^63 wrap — the engine's
+    I64 model (reference parity), outside CPython's bignum."""
+
+    def test_exact_within_long(self, ctx):
+        run_diff(ctx, [3, 7, 9, 2], lambda x: x ** 19,
+                 expect_compiled=True)
+        run_diff(ctx, [2, 3, 5, -7],
+                 lambda x: (x ** 0, x ** 1, x ** 3, x ** 13),
+                 expect_compiled=True)
+
+    def test_negative_base(self, ctx):
+        run_diff(ctx, [-2, -3, 4], lambda x: x ** 5, expect_compiled=True)
+
+    def test_float_exponent_still_float(self, ctx):
+        run_diff(ctx, [2, 4, 9], lambda x: x ** 0.5, expect_compiled=True)

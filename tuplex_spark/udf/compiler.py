@@ -1404,6 +1404,21 @@ class Translator:
                    .otherwise(F.when(adj, m0 + b).otherwise(m0))
             return SCol(res, "float")
         if isinstance(op, ast.Pow):
+            if both_int and isinstance(r, SConst) and 0 <= r.value <= 63:
+                # exact 64-bit integer power via a multiplication chain —
+                # F.pow computes in double and rounds above 2^53
+                # (7**19 came back off by one) and its long cast CLAMPS
+                # at Long.MAX instead of wrapping.  Results beyond 2^63
+                # wrap like any other i64 arithmetic here (CPython goes
+                # bignum — out of the engine's I64 model, same as the
+                # reference).
+                n = r.value
+                if n == 0:
+                    return SConst(1)
+                res = lc.cast("long")
+                for _ in range(n - 1):
+                    res = res * lc.cast("long")
+                return SCol(res, "int")
             res = F.pow(lc, rc)
             if both_int and isinstance(r, SConst) and r.value >= 0:
                 return SCol(res.cast("long"), "int")
