@@ -501,12 +501,24 @@ class TestLoops:
             return n + x
         run_diff(ctx, [1, 2], f, expect_compiled=True)
 
-    def test_return_inside_dynamic_loop_falls_back(self, ctx):
+    def test_first_match_return_compiles(self, ctx):
+        # the first-match scan shape now compiles (TestFirstMatch);
+        # a return plus OTHER statements in the body still falls back
         def f(x):
             for t in x.split(" "):
                 if len(t) > 3:
                     return t
             return ""
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_return_plus_accumulation_falls_back(self, ctx):
+        def f(x):
+            n = 0
+            for t in x.split(" "):
+                if len(t) > 3:
+                    return t
+                n += 1
+            return str(n)
         run_diff(ctx, self.TEXTS, f, expect_compiled=False)
 
     def test_guarded_fold_body_falls_back(self, ctx):
@@ -1045,3 +1057,112 @@ class TestIntPowExact:
 
     def test_float_exponent_still_float(self, ctx):
         run_diff(ctx, [2, 4, 9], lambda x: x ** 0.5, expect_compiled=True)
+
+
+class TestFirstMatch:
+    """``for t in <dynamic>: if cond(t): return expr(t)`` — the
+    first-match scan — compiles to element_at(filter(arr, cond), 1)
+    (reference compiles early returns in loops natively via its codegen;
+    ASTNodes.h NFor + return statements)."""
+
+    TEXTS = ["alpha beta gamma", "x y z", "bob", "a bb ccc bd", ""]
+
+    def test_first_match_return_element(self, ctx):
+        def f(x):
+            for t in x.split(" "):
+                if t.startswith("b"):
+                    return t.upper()
+            return "<none>"
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_first_match_dict_return(self, ctx):
+        def f(x):
+            for t in x.split(" "):
+                if len(t) > 3:
+                    return {"tok": t, "n": len(t)}
+            return {"tok": "", "n": 0}
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_first_match_for_else(self, ctx):
+        def f(x):
+            for t in x.split(" "):
+                if t == "y":
+                    return 1
+            else:
+                return 2
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_first_match_guard_only_on_hit(self, ctx):
+        # the return expr's ZeroDivisionError guard must fire ONLY for
+        # rows whose scan actually matched (and on the matched element)
+        def f(x):
+            for t in x.split(" "):
+                if t.isdigit():
+                    return 100 // int(t)
+            return -1
+        run_diff(ctx, ["a 0 b", "5 x", "nope", "7", "0"], f,
+                 expect_compiled=True)
+
+    def test_first_match_over_enumerate(self, ctx):
+        def f(x):
+            for i, t in enumerate(x.split(" ")):
+                if len(t) == 1:
+                    return i
+            return -1
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_guarding_predicate_falls_back(self, ctx):
+        # int(t) in the PREDICATE can raise per element — not
+        # path-conditionable, must take the Arrow fallback (and agree)
+        def f(x):
+            for t in x.split(" "):
+                if int(t) > 3:
+                    return t
+            return ""
+        run_diff(ctx, ["1 2 9", "4 5"], f, expect_compiled=False)
+
+    def test_stale_loop_var_falls_back(self, ctx):
+        # referencing the loop var after the loop needs the matched/last
+        # element — dropped binding means fallback, never a stale value
+        def f(x):
+            t = "pre"
+            for t in x.split(" "):
+                if t == "zzz":
+                    return "hit"
+            return t
+        run_diff(ctx, self.TEXTS, f, expect_compiled=False)
+
+
+class TestPostLoopPathNarrowing:
+    """A conditional return inside a loop must narrow the path for
+    statements AFTER the loop: their guards may not fire on rows that
+    already returned (CPython never executes that code for them)."""
+
+    def test_static_unroll_then_guard(self, ctx):
+        def f(x):
+            for i in range(1, 3):
+                if x == 0:
+                    return -1
+            return 10 // x
+        run_diff(ctx, [0, 1, 2, 5], f, expect_compiled=True)
+
+    def test_static_unroll_break_then_guard(self, ctx):
+        def f(x):
+            found = 0
+            for i in range(4):
+                if x == i:
+                    found = 1
+                    break
+            if found == 1 and x == 0:
+                return -1
+            return 10 // x
+        run_diff(ctx, [0, 1, 3, 9], f, expect_compiled=True)
+
+    def test_first_match_then_guard(self, ctx):
+        def f(x):
+            for t in x.split(" "):
+                if t == "skip":
+                    return -1
+            return 100 // len(x)
+        run_diff(ctx, ["skip ", "abcd", "x skip y"], f,
+                 expect_compiled=True)

@@ -447,10 +447,6 @@ class Context:
             return [r[0] for r in rows]
         return [tuple(r) for r in rows]
 
-    def ls(self, pattern: str) -> list[str]:
-        import glob
-        return sorted(glob.glob(pattern))
-
 
 def build_session(name: str, options: dict | None = None) -> SparkSession:
     """Engine-default SparkSession. ANSI off is load-bearing: the exception

@@ -591,7 +591,8 @@ class Translator:
                     self._assign(st.target, self.eval(st.value))
                 continue
             if isinstance(st, ast.For):
-                if self._exec_for(st, path):
+                done, path = self._exec_for(st, path)
+                if done:
                     return True
                 continue
             if isinstance(st, ast.While):
@@ -702,11 +703,16 @@ class Translator:
 
     _MAX_UNROLL = 32
 
-    def _exec_for(self, st: ast.For, path: Column | None) -> bool:
-        if st.orelse:
-            raise CompileError("for-else")
+    def _exec_for(self, st: ast.For, path: Column | None):
+        """Returns (all_paths_terminated, narrowed_path).  The narrowing
+        matters: a conditional ``return`` INSIDE the loop must stop later
+        statements' guards from firing on rows that already returned —
+        ``for i in range(2): if x == 0: return -1`` followed by
+        ``return 10 // x`` raises for no row in CPython."""
         vals = self._static_iter(st.iter)
         if vals is not None:
+            if st.orelse:
+                raise CompileError("for-else")
             if len(vals) > self._MAX_UNROLL:
                 raise CompileError(f"static loop longer than "
                                    f"{self._MAX_UNROLL} iterations")
@@ -723,12 +729,105 @@ class Translator:
             # otherwise nest it 2 refs deeper per iteration — a 2^k
             # expression tree that stalls plan serialization
             self._unroll_depth += 1
+            start = len(self._returns)
             try:
-                return self.exec_block(stmts, path)
+                if self.exec_block(stmts, path):
+                    return True, path
             finally:
                 self._unroll_depth -= 1
+            for cond, _ in self._returns[start:]:
+                if cond is not None:
+                    path = ~cond if path is None else (path & ~cond)
+            self._path = path
+            return False, path
+        if self._is_first_match(st):
+            return self._exec_for_first_match(st, path)
+        if st.orelse:
+            raise CompileError("for-else")
         self._exec_for_fold(st, path)
-        return False
+        return False, path
+
+    @staticmethod
+    def _is_first_match(st: ast.For) -> bool:
+        """``for t in <dynamic>: if cond(t): return expr(t)`` — the
+        first-match scan idiom (find the first token satisfying a
+        predicate).  The reference compiles this via its native loop
+        codegen (ASTNodes.h NFor + early return); here it lowers to
+        ``element_at(filter(arr, cond), 1)`` — pure JVM, no Python."""
+        return (len(st.body) == 1 and isinstance(st.body[0], ast.If)
+                and not st.body[0].orelse
+                and len(st.body[0].body) == 1
+                and isinstance(st.body[0].body[0], ast.Return))
+
+    def _exec_for_first_match(self, st: ast.For, path: Column | None):
+        cond_node = st.body[0].test
+        ret_node = st.body[0].body[0].value
+        arr, tags, is_struct, _arr_nullable = self._iter_array(st.iter)
+
+        def cond_fn(x):
+            saved_locals = dict(self._locals)
+            n_guards = len(self.guards)
+            self._branch_depth += 1
+            self._hof_depth += 1
+            try:
+                self._bind_loop_target(st.target, x, tags, is_struct)
+                out = self.truthy(self.eval(cond_node))
+                if len(self.guards) != n_guards:
+                    # the predicate runs on EVERY element; a guard-raising
+                    # predicate can't be path-conditioned per element
+                    del self.guards[n_guards:]
+                    raise CompileError("guard-raising first-match predicate")
+                return out
+            finally:
+                self._branch_depth -= 1
+                self._hof_depth -= 1
+                self._locals = saved_locals
+
+        matched = F.filter(arr, cond_fn)
+        if self._hof_depth == 0:
+            # stage the filtered array once; the hit test, the matched
+            # element, and every guard in the return expression reference
+            # it instead of re-inlining filter(arr, ...) per use
+            name = f"__t{len(self.staged)}"
+            self.staged.append((name, matched))
+            matched = F.col(name)
+        # null array: the fold path yields a null accumulator rather than
+        # CPython's TypeError (documented trade-off); mirror it here by
+        # treating null as "no match"
+        hit = F.coalesce(F.size(matched) >= 1, F.lit(False))
+        ret_path = hit if path is None else (path & hit)
+        saved_locals = dict(self._locals)
+        prev_path = self._path
+        self._path = ret_path  # guards in the return expr fire only on hit
+        self._branch_depth += 1
+        try:
+            self._bind_loop_target(st.target, F.element_at(matched, 1),
+                                   tags, is_struct)
+            val = self.eval(ret_node) if ret_node is not None \
+                else SConst(None)
+        finally:
+            self._branch_depth -= 1
+            self._locals = saved_locals
+            self._path = prev_path
+        self._returns.append((ret_path, val))
+        path = ~hit if path is None else (path & ~hit)
+        self._path = path
+        # CPython leaves the loop var bound to the matched/last element;
+        # drop the binding (a pre-loop binding would now be stale) so a
+        # later reference becomes CompileError -> Arrow fallback
+        for n in _target_names(st.target):
+            self._locals.pop(n, None)
+        # for-else (no break in this shape, so CPython runs it iff the
+        # loop didn't return): execute under the no-match path
+        if st.orelse:
+            start = len(self._returns)
+            if self.exec_block(st.orelse, path):
+                return True, path
+            for cond, _ in self._returns[start:]:
+                if cond is not None:
+                    path = path & ~cond
+            self._path = path
+        return False, path
 
     def _exec_while(self, st: ast.While, path: Column | None):
         """Compile ``while`` by ITERATIVE unrolling: execute the body as
