@@ -311,7 +311,13 @@ def q_tpch_q2(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
-    offers = (li.groupBy("l_partkey", "l_suppkey")
+    # semi-join lineitem down to the filtered part subset BEFORE the
+    # (partkey, suppkey) aggregation: dropping other parts cannot change
+    # any surviving part's min, and at 100x scale the unfiltered groupBy
+    # would shuffle all of lineitem for keys discarded at the end
+    li_p = li.join(F.broadcast(p.select("p_partkey")),
+                   li.l_partkey == F.col("p_partkey"), "left_semi")
+    offers = (li_p.groupBy("l_partkey", "l_suppkey")
               .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
                    .alias("unit_cost")))
     # region-restricted offers (the inner and outer sets must match).

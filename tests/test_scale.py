@@ -1,0 +1,117 @@
+"""Scale machinery: bucketed co-located joins and skew-salted joins.
+
+These are join STRATEGIES, not new semantics — each test asserts result
+equivalence with the plain join (whose semantics the graded ``ds_join``
+query pins against the DuckDB oracle) plus the plan property that makes
+the strategy worth having at 100 TB (no exchange / balanced tasks).
+"""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, ctx, tmp_path,
+                                           no_broadcast):
+        li = (ctx.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+              .selectColumns(["l_orderkey", "l_quantity"]))
+        o = (ctx.parquet(os.path.join(SF_DIR, "orders.parquet"))
+             .selectColumns(["o_orderkey", "o_totalprice"]))
+        li.toparquet(str(tmp_path / "li_b"), bucket_by="l_orderkey",
+                     num_buckets=8, sort_by="l_orderkey", table="li_b")
+        o.toparquet(str(tmp_path / "o_b"), bucket_by="o_orderkey",
+                    num_buckets=8, sort_by="o_orderkey", table="o_b")
+
+        lb = ctx.table("li_b").toDF()
+        ob = ctx.table("o_b").toDF()
+        j = lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+        plan = _physical_plan(j)
+        assert "Exchange" not in plan, plan
+        # same rows as the unbucketed join
+        plain = (li.toDF().join(o.toDF(),
+                                F.col("l_orderkey") == F.col("o_orderkey"))
+                 .count())
+        assert j.count() == plain
+
+    def test_bucketed_agg_has_no_exchange(self, ctx, tmp_path,
+                                          no_broadcast):
+        # partial+final aggregation on the bucket key collapses to one
+        # stage: bucketing IS the exchange, paid once at write time
+        li = (ctx.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+              .selectColumns(["l_orderkey", "l_quantity"]))
+        li.toparquet(str(tmp_path / "li_b2"), bucket_by="l_orderkey",
+                     num_buckets=8, table="li_b2")
+        agg = (ctx.table("li_b2").toDF()
+               .groupBy("l_orderkey").agg(F.sum("l_quantity")))
+        assert "Exchange" not in _physical_plan(agg)
+
+    def test_plain_toparquet_roundtrip(self, ctx, tmp_path):
+        sup = (ctx.parquet(os.path.join(SF_DIR, "supplier.parquet"))
+               .selectColumns(["s_suppkey", "s_acctbal"]))
+        sup.toparquet(str(tmp_path / "sup"))
+        back = ctx.parquet(str(tmp_path / "sup"))
+        assert sorted(back.collect()) == sorted(sup.collect())
+
+
+class TestSaltedJoin:
+    def _skewed(self, spark):
+        # 90% of fact rows share one key — the classic hot-key shape
+        fact = spark.range(0, 2000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+             .otherwise(F.col("id") % 50).alias("k"),
+            (F.col("id") * 3).alias("v"))
+        dim = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), "id").alias("name"))
+        return fact, dim
+
+    def test_inner_matches_plain_join(self, spark):
+        from tuplex_spark.operators.join import salted_join
+        fact, dim = self._skewed(spark)
+        got = salted_join(fact, dim, "k", n_salt=8).collect()
+        want = fact.join(dim, "k").collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_left_keeps_unmatched(self, spark):
+        from tuplex_spark.operators.join import salted_join
+        fact, dim = self._skewed(spark)
+        small_dim = dim.filter(F.col("k") < 5)
+        got = salted_join(fact, small_dim, "k", n_salt=4, how="left")
+        want = fact.join(small_dim, "k", "left")
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, want.collect()))
+
+    def test_salt_spreads_hot_key(self, spark):
+        from tuplex_spark.operators.join import salted_join
+        fact, dim = self._skewed(spark)
+        f = salted_join(fact, dim, "k", n_salt=8)
+        # the join key set on the salted side is (k, salt): the hot key's
+        # rows land in >1 sub-key (full-row hash spreads distinct rows)
+        salts = (fact.withColumn(
+            "__salt", F.pmod(F.xxhash64("k", "v"), F.lit(8)))
+            .filter(F.col("k") == 7)
+            .select("__salt").distinct().count())
+        assert salts > 1
+        assert f.count() == fact.join(dim, "k").count()
+
+    def test_rejects_unsupported_how(self, spark):
+        from tuplex_spark.operators.join import salted_join
+        fact, dim = self._skewed(spark)
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "k", how="full")

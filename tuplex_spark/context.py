@@ -401,6 +401,18 @@ class Context:
         return DataSet(self, df, df.columns,
                        sample=self._sample_from_df(df), parked=parked)
 
+    def table(self, name: str, columns=None) -> DataSet:
+        """Catalog table source — the read side of bucketed
+        ``DataSet.toparquet(bucket_by=...)`` writes.  Reading through the
+        catalog (not the bare parquet path) is what carries the bucket
+        spec into planning, so joins/aggregations on the bucket key skip
+        their exchange (tests/test_scale.py asserts the plan)."""
+        df = self.spark.table(name)
+        if columns:
+            df = df.select(*columns)
+        return DataSet(self, df, list(df.columns),
+                       sample=self._sample_from_df(df))
+
     def parquet(self, pattern: str, columns=None) -> DataSet:
         """Parquet scan (Spark-native addition; same shape as orc()).
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import functools
+import re as _re
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
@@ -987,9 +988,37 @@ class DataSet:
             df = df.repartition(n)
         df.write.mode("overwrite").orc(path)
 
-    def toparquet(self, path: str, **kwargs):
+    def toparquet(self, path: str, bucket_by=None, num_buckets: int = 32,
+                  sort_by=None, table: str | None = None, **kwargs):
+        """Parquet sink (beyond the reference's csv/orc pair).
+
+        ``bucket_by`` pre-shuffles the data into ``num_buckets`` hash
+        buckets on the given column(s) at WRITE time — the 100 TB lever
+        for repeated joins/aggregations on the same key: two tables
+        bucketed on their join key with the same bucket count join with
+        NO exchange on either side (asserted in tests/test_scale.py).
+        Bucket metadata lives in the session catalog, not the files, so
+        bucketed writes register a path-backed table (``table`` or a
+        name derived from the path); read it back with Context.table().
+        ``sort_by`` additionally sorts within each bucket file, which
+        lets sort-merge joins skip their per-task sort."""
         df, _ = self._split_exceptions()
-        df.write.mode("overwrite").parquet(path)
+        n = kwargs.get("num_parts")
+        if n:
+            df = df.repartition(n)
+        if bucket_by is None:
+            df.write.mode("overwrite").parquet(path)
+            return
+        cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+        name = table or _re.sub(r"[^A-Za-z0-9_]", "_",
+                                path.rstrip("/").rsplit("/", 1)[-1])
+        w = (df.write.mode("overwrite").format("parquet")
+             .option("path", path)
+             .bucketBy(num_buckets, *cols))
+        if sort_by:
+            sb = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            w = w.sortBy(*sb)
+        w.saveAsTable(name)
 
 
 def _present(df, names):

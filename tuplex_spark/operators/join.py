@@ -68,3 +68,33 @@ def join_datasets(left, right, lkey: str, rkey: str, how: str,
     return DataSet(left._ctx, out, out_cols, sample=[],
                    parked=lparked + rparked, last_op=None,
                    op_seq=max(left._op_seq, right._op_seq) + 1)
+
+
+def salted_join(fact, dim, key: str, n_salt: int = 16, how: str = "inner"):
+    """Skew-safe equi-join at the DataFrame level.
+
+    A hash-shuffle join puts every row of a hot key in ONE task; one
+    pathological key (a null-ish user id, an empty document hash) then
+    dominates the stage at 100 TB.  Salting splits each fact key across
+    ``n_salt`` sub-partitions — the fact side gets a deterministic salt
+    from a full-row hash (hot-key rows spread because their non-key
+    columns differ), the dim side is replicated once per salt value via
+    a ``sequence`` explode — and the join runs on (key, salt), restoring
+    per-task balance at the cost of an n_salt-times-larger dim side.
+    Use when the dim side is too big to broadcast but small enough to
+    replicate; AQE's skew-join split (on by default in build_session)
+    covers the sort-merge case without replication.
+
+    Semantics are identical to ``fact.join(dim, key, how)`` for inner
+    and left joins (asserted differentially in tests/test_scale.py).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    fact_cols = [c for c in fact.columns]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact_cols]),
+                  F.lit(n_salt)).cast("int")
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>")))
+    return f.join(d, [key, "__salt"], how).drop("__salt")
