@@ -333,8 +333,12 @@ class TestComprehensions:
                                             for t in x.split(" ")])
 
     def test_listcomp_with_filter(self, ctx):
+        # expect_compiled guards the arity fix: a defaulted closure param
+        # made pyspark pass the array index into the predicate, silently
+        # falling back for every comprehension with an `if`
         run_diff(ctx, self.DATA,
-                 lambda x: [t for t in x.split(" ") if len(t) > 3])
+                 lambda x: [t for t in x.split(" ") if len(t) > 3],
+                 expect_compiled=True)
 
     def test_sum_listcomp(self, ctx):
         run_diff(ctx, self.DATA,
@@ -1166,3 +1170,43 @@ class TestPostLoopPathNarrowing:
             return 100 // len(x)
         run_diff(ctx, ["skip ", "abcd", "x skip y"], f,
                  expect_compiled=True)
+
+
+class TestMultiGeneratorComprehensions:
+    """Nested comprehension generators compile to flatten(transform(...))
+    per level; inner iterables may reference outer variables (CPython's
+    re-evaluation-per-outer-element)."""
+
+    TEXTS = ["ab cd", "x", "", "one two three"]
+
+    def test_cross_product(self, ctx):
+        def f(x):
+            return len([a + b for a in x.split(" ") for b in x.split(" ")])
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_inner_depends_on_outer(self, ctx):
+        def f(x):
+            return "|".join([c for t in x.split(" ")
+                             for c in t.split("o")])
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_conditions_at_both_levels(self, ctx):
+        def f(x):
+            return sum(len(a) * len(b)
+                       for a in x.split(" ") if len(a) > 1
+                       for b in x.split(" ") if b != a)
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_truthiness_condition(self, ctx):
+        # `if t` on a str element must use Python truthiness (non-empty)
+        def f(x):
+            return len([t for t in x.split(" ") if t])
+        run_diff(ctx, self.TEXTS + ["  a  "], f, expect_compiled=True)
+
+    def test_triple_nested(self, ctx):
+        def f(x):
+            return len([a + b + c
+                        for a in x.split(" ")
+                        for b in x.split(" ")
+                        for c in x.split(" ") if c < b])
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)

@@ -1244,51 +1244,81 @@ class Translator:
         return SDict(items)
 
     def _ev_ListComp(self, node):
-        """[expr for v in arr (if cond)*] -> F.filter + F.transform.
+        """[expr for v in arr (if cond)*]+ -> F.filter + F.transform,
+        nested generators flattened level by level
+        (``[f(a,b) for a in xs for b in g(a)]`` becomes
+        ``flatten(transform(xs, a -> transform(g(a), b -> f(a,b))))``
+        — inner iterables may reference outer variables, exactly
+        CPython's re-evaluation-per-outer-element semantics).
 
-        Only single-generator comprehensions over array-typed values;
-        bodies that would need exception guards abort compilation (the
-        guard predicate can't reference the HOF lambda variable at row
-        scope), falling back to the interpreted path."""
-        if len(node.generators) != 1:
-            raise CompileError("multiple comprehension generators")
-        gen = node.generators[0]
-        if gen.is_async or not isinstance(gen.target, ast.Name):
-            raise CompileError("comprehension target")
-        it = self.eval(gen.iter)
-        if isinstance(it, SConst) and isinstance(it.value, (list, tuple)):
-            it = SCol(F.array(*[F.lit(v) for v in it.value]), "array",
-                      False, elem=_pytag(it.value[0]) if it.value else "str")
-        if not (isinstance(it, SCol) and it.tag == "array"):
-            raise CompileError(f"comprehension over {it.tag}")
-        var = gen.target.id
-        elem = it.elem or "str"
-        out_tag = [elem]
+        Bodies, conditions, or inner iterables that would need exception
+        guards abort compilation (a guard predicate can't reference HOF
+        lambda variables at row scope), falling back to the interpreted
+        path."""
+        for gen in node.generators:
+            if gen.is_async or not isinstance(gen.target, ast.Name):
+                raise CompileError("comprehension target")
+        out_tag = ["str"]
+        top_nullable = [False]
 
-        def bind_eval(xcol, expr_node):
-            saved = self._locals.get(var)
-            n_guards = len(self.guards)
-            self._locals[var] = SCol(xcol, elem, False)
-            self._hof_depth += 1
-            try:
-                res = self.eval(expr_node)
-                if len(self.guards) != n_guards:
-                    raise CompileError("guarded comprehension body")
-                col = self.to_col(res)
-                out_tag[0] = res.tag
-                return col
-            finally:
-                self._hof_depth -= 1
-                if saved is None:
-                    self._locals.pop(var, None)
-                else:
-                    self._locals[var] = saved
+        def build(gi):
+            gen = node.generators[gi]
+            n_guards_iter = len(self.guards)
+            it = self.eval(gen.iter)
+            if gi > 0 and len(self.guards) != n_guards_iter:
+                raise CompileError("guarded inner comprehension iterable")
+            if isinstance(it, SConst) and isinstance(it.value,
+                                                     (list, tuple)):
+                it = SCol(F.array(*[F.lit(v) for v in it.value]), "array",
+                          False,
+                          elem=_pytag(it.value[0]) if it.value else "str")
+            if not (isinstance(it, SCol) and it.tag == "array"):
+                raise CompileError(f"comprehension over {it.tag}")
+            elem = it.elem or "str"
+            var = gen.target.id
+            if gi == 0:
+                top_nullable[0] = it.nullable
 
-        arr = it.col
-        for cond in gen.ifs:
-            arr = F.filter(arr, lambda x, c=cond: bind_eval(x, c))
-        out = F.transform(arr, lambda x: bind_eval(x, node.elt))
-        return SCol(out, "array", it.nullable, elem=out_tag[0])
+            def bind_eval(xcol, mode, expr_node=None):
+                saved = self._locals.get(var)
+                n_guards = len(self.guards)
+                self._locals[var] = SCol(xcol, elem, False)
+                self._hof_depth += 1
+                try:
+                    if mode == "inner":
+                        return build(gi + 1)
+                    res = self.eval(expr_node)
+                    if len(self.guards) != n_guards:
+                        raise CompileError("guarded comprehension body")
+                    if mode == "cond":
+                        return self.truthy(res)
+                    col = self.to_col(res)
+                    out_tag[0] = res.tag
+                    return col
+                finally:
+                    self._hof_depth -= 1
+                    if saved is None:
+                        self._locals.pop(var, None)
+                    else:
+                        self._locals[var] = saved
+
+            arr = it.col
+
+            def make_cond(c):
+                # NOT `lambda x, c=cond:` — pyspark counts defaulted
+                # params, sees arity 2, and passes the array INDEX as c
+                return lambda x: bind_eval(x, "cond", c)
+
+            for cond in gen.ifs:
+                arr = F.filter(arr, make_cond(cond))
+            if gi == len(node.generators) - 1:
+                return F.transform(
+                    arr, lambda x: bind_eval(x, "elt", node.elt))
+            return F.flatten(
+                F.transform(arr, lambda x: bind_eval(x, "inner")))
+
+        out = build(0)
+        return SCol(out, "array", top_nullable[0], elem=out_tag[0])
 
     def _ev_GeneratorExp(self, node):
         # sum(f(v) for v in arr) — same translation as a list comp
