@@ -103,3 +103,26 @@ class TestSimilarity:
                  .select("vec_id", "embedding").collect()]
         approx = similarity.ivf_topk(emb, qv, cents, k=5, nprobe=2).collect()
         assert approx[0]["vec_id"] == 0  # query's own bucket always probed
+
+    def test_ivf_materialized_index_prunes_partitions(self, spark,
+                                                      tmp_path):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+        cents = [(int(r[0]), [float(x) for x in r[1]])
+                 for r in emb.filter("vec_id < 4")
+                 .select("vec_id", "embedding").collect()]
+        path = str(tmp_path / "ivf_idx")
+        similarity.ivf_build(emb, cents, path)
+        q = similarity.ivf_query(spark, path, qv, cents, k=5, nprobe=2)
+        # same answer as the one-pass probe over the raw table
+        want = similarity.ivf_topk(emb, qv, cents, k=5, nprobe=2).collect()
+        assert [tuple(r) for r in q.collect()] == [tuple(r) for r in want]
+        # the centroid filter must reach the scan as a PARTITION filter
+        # (directory pruning), not a post-scan data filter
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        import re as _re
+        m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "centroid" in m.group(1), plan

@@ -117,6 +117,15 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     expression is assembled as SQL text parsed once: chaining hundreds
     of Column objects costs ~1s of py4j round-trips per build.  The sum
     chain is left-to-right, matching DuckDB's list_dot_product."""
+    cos = _single_query_cos(vec_col, query_vec)
+    return (df.select(F.col(id_col), cos.alias("cosine"))
+              .orderBy(F.col("cosine").desc(), F.col(id_col))
+              .limit(k))
+
+
+def _single_query_cos(vec_col: str, query_vec: list[float]) -> Column:
+    """Rounded cosine against one literal query vector as a codegen'd
+    SQL expression (see cosine_topk docstring for why this form)."""
     dim = len(query_vec)
     qn = py_norm(query_vec)
 
@@ -128,10 +137,7 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     dot = " + ".join(f"{e(d)} * {float(query_vec[d])!r}"
                      for d in range(dim))
     nrm = " + ".join(f"{e(d)} * {e(d)}" for d in range(dim))
-    cos = F.expr(f"round(({dot}) / (sqrt({nrm}) * {qn!r}), 6)")
-    return (df.select(F.col(id_col), cos.alias("cosine"))
-              .orderBy(F.col("cosine").desc(), F.col(id_col))
-              .limit(k))
+    return F.expr(f"round(({dot}) / (sqrt({nrm}) * {qn!r}), 6)")
 
 
 def _argmax_centroid(dots: Column, nrm: Column,
@@ -167,16 +173,10 @@ def ivf_topk(df: DataFrame, query_vec: list[float],
              centroids: list[tuple[int, list[float]]], k: int = 10,
              nprobe: int = 2, vec_col: str = "embedding",
              id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k probing only the nprobe nearest centroid buckets."""
-    def py_cos(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + float(x) * float(y)
-        return acc / (py_norm(a) * py_norm(b))
-
-    ranked = sorted(centroids,
-                    key=lambda c: (-round(py_cos(query_vec, c[1]), 6), c[0]))
-    probe_ids = [cid for cid, _ in ranked[:nprobe]]
+    """Approximate top-k probing only the nprobe nearest centroid buckets
+    (in one pass over the raw table; see ivf_build/ivf_query for the
+    materialized partition-pruned variant)."""
+    probe_ids = _rank_probes(query_vec, centroids, nprobe)
     qn = py_norm(query_vec)
     v = F.col(vec_col)
     # one Arrow pass computes the C centroid dots AND the query dot
@@ -190,6 +190,49 @@ def ivf_topk(df: DataFrame, query_vec: list[float],
             .select(F.col(id_col), "cosine")
             .orderBy(F.col("cosine").desc(), F.col(id_col))
             .limit(k))
+
+
+def _rank_probes(query_vec, centroids, nprobe: int) -> list[int]:
+    def py_cos(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc / (py_norm(a) * py_norm(b))
+
+    ranked = sorted(centroids,
+                    key=lambda c: (-round(py_cos(query_vec, c[1]), 6), c[0]))
+    return [cid for cid, _ in ranked[:nprobe]]
+
+
+def ivf_build(df: DataFrame, centroids: list[tuple[int, list[float]]],
+              path: str, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> None:
+    """Materialize the IVF index: centroid assignment + parquet write
+    PARTITIONED BY the centroid id.
+
+    This is the 100 TB shape ivf_topk's docstring promises: each bucket
+    becomes its own directory, so a query's nprobe filter is partition
+    PRUNING — the scan never opens non-probed buckets' files (asserted
+    on the plan in tests/test_functions.py).  Build cost is one narrow
+    assignment pass + one shuffle-free write; re-queries pay only
+    pruned-scan + top-k."""
+    assigned = assign_centroids(df, centroids, vec_col)
+    (assigned.select(id_col, vec_col, "centroid")
+     .write.mode("overwrite").partitionBy("centroid").parquet(path))
+
+
+def ivf_query(spark, path: str, query_vec: list[float],
+              centroids: list[tuple[int, list[float]]], k: int = 10,
+              nprobe: int = 2, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Top-k over a materialized ivf_build index, scanning only the
+    ``nprobe`` buckets nearest the query (directory-level pruning)."""
+    probe_ids = _rank_probes(query_vec, centroids, nprobe)
+    idx = spark.read.parquet(path).filter(F.col("centroid").isin(probe_ids))
+    cos = _single_query_cos(vec_col, query_vec)
+    return (idx.select(F.col(id_col), cos.alias("cosine"))
+               .orderBy(F.col("cosine").desc(), F.col(id_col))
+               .limit(k))
 
 
 # ---- SQL twins (DuckDB oracle) -------------------------------------------
@@ -213,15 +256,7 @@ LIMIT {k}"""
 
 def ivf_topk_sql(query_vec, centroids, k=10, nprobe=2, table="embeddings",
                  vec_col="embedding", id_col="vec_id"):
-    def py_cos(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + float(x) * float(y)
-        return acc / (py_norm(a) * py_norm(b))
-
-    ranked = sorted(centroids,
-                    key=lambda c: (-round(py_cos(query_vec, c[1]), 6), c[0]))
-    probe_ids = [cid for cid, _ in ranked[:nprobe]]
+    probe_ids = _rank_probes(query_vec, centroids, nprobe)
     q = _vec_sql(query_vec)
     cent_rows = ", ".join(
         f"({cid}, {_vec_sql(cv)})" for cid, cv in centroids)
