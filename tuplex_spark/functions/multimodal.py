@@ -97,17 +97,115 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(run, schema=EXTRACT_SCHEMA)
 
 
-def make_asset_frame(spark, n: int = 100, partitions: int = 4) -> DataFrame:
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("resize_error", T.StringType(), True),
+])
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resizer: the output payload is a
+    pure function of (payload, dims).  Replace with PIL:
+    ``Image.open(io.BytesIO(p)).resize((w, h)).save(buf, fmt)``."""
+    return hashlib.sha256(
+        payload + struct.pack(">II", width, height)).digest()
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  payload_col: str = "payload",
+                  id_col: str = "asset_id") -> DataFrame:
+    """Resize binary image assets to (width, height) via Arrow-batched
+    mapInPandas — narrow (partition-preserving), per-row failures land in
+    ``resize_error``.  The codec is the deterministic stub; the Spark
+    contract (schema, batching, error capture) is the real deliverable."""
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, outs, errs = [], [], []
+            for i in range(len(pdf)):
+                ids.append(int(pdf[id_col].iloc[i]))
+                payload = pdf[payload_col].iloc[i]
+                try:
+                    outs.append(_fake_resize(
+                        bytes(payload) if payload is not None else b"",
+                        width, height))
+                    errs.append(None)
+                except Exception as e:
+                    outs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame({
+                "asset_id": ids, "payload": outs,
+                "width": [width] * len(ids), "height": [height] * len(ids),
+                "resize_error": errs})
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("frame_index", T.IntegerType(), False),
+    T.StructField("ts_ms", T.LongType(), False),
+    T.StructField("frame", T.BinaryType(), True),
+])
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000,
+                  payload_col: str = "payload", id_col: str = "asset_id",
+                  duration_col: str = "meta.duration_ms",
+                  max_frames: int = 64) -> DataFrame:
+    """Sample one frame every ``every_ms`` from video assets — the
+    1-row-in, N-rows-out shape (mapInPandas yields more rows than it
+    consumes; still narrow, no shuffle).  Frame payloads come from the
+    deterministic stub (replace with ffmpeg seek+decode); frame COUNT is
+    ceil(duration / every_ms) capped at ``max_frames`` so one corrupt
+    duration can't explode a batch."""
+    dur = F.expr(duration_col).cast("long")
+    staged = df.select(
+        F.col(id_col).alias("asset_id"), F.col(payload_col).alias("p"),
+        F.coalesce(dur, F.lit(0)).alias("dur"))
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for i in range(len(pdf)):
+                aid = int(pdf["asset_id"].iloc[i])
+                payload = pdf["p"].iloc[i]
+                payload = bytes(payload) if payload is not None else b""
+                dur_ms = int(pdf["dur"].iloc[i])
+                n = min(max(-(-dur_ms // every_ms), 1), max_frames)
+                for j in range(n):
+                    ids.append(aid)
+                    idxs.append(j)
+                    tss.append(j * every_ms)
+                    frames.append(hashlib.sha256(
+                        payload + struct.pack(">I", j)).digest())
+            yield pd.DataFrame({"asset_id": ids, "frame_index": idxs,
+                                "ts_ms": tss, "frame": frames})
+
+    return staged.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def make_asset_frame(spark, n: int = 100, partitions: int = 4,
+                     media_type: str = "image") -> DataFrame:
     """Synthetic binary-asset table for tests: payload = deterministic
-    bytes derived from the id (seeded, reproducible)."""
+    bytes derived from the id (seeded, reproducible).  ``video`` assets
+    get a deterministic duration_ms so frame sampling is testable."""
     ids = spark.range(n, numPartitions=partitions) \
         .select(F.col("id").alias("asset_id"))
     payload = F.sha2(F.col("asset_id").cast("string"), 256).cast("binary")
+    dur = (F.col("asset_id") % 5 * 1700 + 500).cast("long") \
+        if media_type == "video" else F.lit(None).cast("long")
     meta = F.struct(
-        F.lit("image").alias("media_type"), F.lit("fake").alias("format"),
+        F.lit(media_type).alias("media_type"),
+        F.lit("fake").alias("format"),
         F.lit(None).cast("int").alias("width"),
         F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
+        dur.alias("duration_ms"),
         F.lit(None).cast("int").alias("sample_rate"))
     return ids.select("asset_id", payload.alias("payload"),
                       meta.alias("meta"))
