@@ -107,9 +107,16 @@ def _coerce_row(row: tuple, schema: T.StructType) -> tuple:
 class Context:
     def __init__(self, conf: dict | None = None, spark: SparkSession = None,
                  name: str = "tuplex_spark", **kwargs):
+        def norm(d):
+            # reference behavior (utils/common.py): bare keys get the
+            # tuplex. prefix, so Context(conf={'executorMemory': '1MB'})
+            # and conf={'tuplex.executorMemory': '1MB'} are the same
+            return {(k if "." in k else f"tuplex.{k}"): v
+                    for k, v in d.items()}
+
         self._options = dict(DEFAULTS)
-        self._options.update(conf or {})
-        self._options.update(kwargs)
+        self._options.update(norm(conf or {}))
+        self._options.update(norm(kwargs))
         if spark is None:
             spark = build_session(name, self._options)
         else:

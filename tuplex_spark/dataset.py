@@ -73,6 +73,55 @@ def _with_null_flags(df: DataFrame, in_cols: list[str]):
     return df.select("*", *add), flags
 
 
+def _py_type(dt: T.DataType, nullable: bool):
+    """Spark type -> Python typing object (the reference's .types
+    convention, dataset.py:375): Optional[] wraps nullable columns,
+    struct-tuple columns (_0.._n field names) come back as REAL tuples
+    of types, arrays/maps as typing.List/Dict."""
+    import typing
+    if isinstance(dt, T.NullType):
+        return type(None)
+    if isinstance(dt, T.StructType) and \
+            all(_re.fullmatch(r"_\d+", f.name) for f in dt.fields):
+        base = tuple(_py_type(f.dataType, f.nullable) for f in dt.fields)
+    elif isinstance(dt, T.ArrayType):
+        base = typing.List[_py_type(dt.elementType, False)]
+    elif isinstance(dt, T.MapType):
+        base = typing.Dict[_py_type(dt.keyType, False),
+                           _py_type(dt.valueType, False)]
+    else:
+        base = {T.LongType: int, T.IntegerType: int, T.ShortType: int,
+                T.ByteType: int, T.DoubleType: float, T.FloatType: float,
+                T.StringType: str, T.BooleanType: bool,
+                T.BinaryType: bytes}.get(type(dt), object)
+    if nullable and not isinstance(base, tuple):
+        return typing.Optional[base]
+    return base
+
+
+def _py_type_of_value(v):
+    """Python value -> typing object (for PYOBJECT datasets, whose Spark
+    schema is one pickled binary column — types come from the sample)."""
+    import typing
+    if v is None:
+        return type(None)
+    if isinstance(v, bool):
+        return bool
+    if isinstance(v, (int, float, str, bytes)):
+        return type(v)
+    if isinstance(v, tuple):
+        return tuple(_py_type_of_value(x) for x in v)
+    if isinstance(v, list):
+        return typing.List[_py_type_of_value(v[0])] if v else list
+    if isinstance(v, dict):
+        if v:
+            k = next(iter(v))
+            return typing.Dict[_py_type_of_value(k),
+                               _py_type_of_value(v[k])]
+        return dict
+    return object
+
+
 def _py_value(v):
     """Spark row values -> Python values: struct Rows become tuples
     (the engine's tuple convention), recursively through arrays/maps."""
@@ -915,9 +964,26 @@ class DataSet:
         return list(self._columns)
 
     @property
-    def types(self) -> list[T.DataType]:
+    def types(self) -> list:
+        """Column types as Python typing objects, reference semantics
+        (reference dataset.py:375 and its test_inspect.py: ``int``,
+        ``typing.Optional[float]``, ``typing.List[int]``, struct-tuple
+        columns as real tuples of types).  The Spark schema remains
+        available via ``toDF().schema``.  PYOBJECT datasets (whose Spark
+        schema is one pickled column) infer from the sample, per
+        row-tuple position like the reference's tracer."""
+        if self._pyobj:
+            rows = self._sample
+            if not rows:
+                return [object]
+            first = rows[0]
+            if isinstance(first, tuple) and all(
+                    isinstance(r, tuple) and len(r) == len(first)
+                    for r in rows):
+                return [_py_type_of_value(v) for v in first]
+            return [_py_type_of_value(first)]
         s = self._schema_of_visible()
-        return [f.dataType for f in s.fields]
+        return [_py_type(f.dataType, f.nullable) for f in s.fields]
 
     def toDF(self) -> DataFrame:
         """The clean Spark DataFrame (escape hatch; failed rows removed)."""
