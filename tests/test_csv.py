@@ -307,3 +307,30 @@ class TestCsvReferenceEdges:
         import pytest as _pt
         with _pt.raises(FileNotFoundError):
             ctx.csv(str(tmp_path / "nope.csv"))
+
+
+class TestWriterReferenceParams:
+    def test_header_name_list(self, ctx, tmp_path):
+        out = str(tmp_path / "named")
+        ctx.parallelize([(1, "a"), (2, "b")], columns=["x", "y"]) \
+           .tocsv(out, header=["id", "tag"], num_parts=1)
+        import glob
+        text = open(glob.glob(out + "/part-*.csv")[0]).read()
+        assert text.splitlines()[0] == "id,tag"
+
+    def test_header_list_wrong_arity(self, ctx, tmp_path):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            ctx.parallelize([(1, "a")], columns=["x", "y"]) \
+               .tocsv(str(tmp_path / "bad"), header=["only_one"])
+
+    def test_part_size_splits_output(self, ctx, tmp_path):
+        out = str(tmp_path / "parts")
+        rows = [(i, "payload-%04d" % i) for i in range(200)]
+        ctx.parallelize(rows, columns=["i", "p"]) \
+           .tocsv(out, num_parts=1, part_size=300)
+        import glob
+        files = glob.glob(out + "/part-*.csv")
+        # a ~300-byte cap over ~18-byte rows must split one partition
+        # into multiple files
+        assert len(files) > 1

@@ -1021,19 +1021,41 @@ class DataSet:
               part_name_generator=None, **kwargs):
         """Write CSV (reference: dataset.py:500).
 
-        num_parts -> repartition; num_rows -> limit;
+        num_parts -> repartition; num_rows -> limit; part_size (a
+        byte cap per part file) -> maxRecordsPerFile via a sample-based
+        row-size estimate (Spark caps files by record count, not bytes);
+        header may be a list of names to write instead of the column
+        names (reference signature);
         part_name_generator(part_no) -> custom part file names applied by
         post-hoc rename (Spark has no naming hook; same caveat as the
         reference's callback, which names parts by output task)."""
         df, _ = self._split_exceptions()
+        if isinstance(header, list):
+            if len(header) != len(self._columns):
+                raise ValueError(
+                    f"header names {len(header)} != columns "
+                    f"{len(self._columns)}")
+            df = df.select(*[F.col(c).alias(h)
+                             for c, h in zip(self._columns, header)])
+            header = True
         if kwargs.get("num_rows"):
             df = df.limit(int(kwargs["num_rows"]))
         n = kwargs.get("num_parts")
         if n:
             df = df.repartition(n)
-        (df.write.mode("overwrite")
-           .option("header", header).option("nullValue", null_value)
-           .csv(path))
+        w = df.write.mode("overwrite")
+        part_size = kwargs.get("part_size")
+        if part_size:
+            est = 100  # bytes/row fallback when there is no sample
+            if self._sample:
+                widths = [len(",".join(str(v) for v in
+                              (r if isinstance(r, tuple) else (r,)))) + 1
+                          for r in self._sample[:50]]
+                est = max(1, sum(widths) // len(widths))
+            w = w.option("maxRecordsPerFile",
+                         max(1, int(part_size) // est))
+        (w.option("header", header).option("nullValue", null_value)
+          .csv(path))
         if part_name_generator is not None:
             import glob as _glob
             import os as _os
