@@ -272,3 +272,48 @@ class TestGeneratedWhileBreakDict:
                 fn = _build_def_fn(gen_dict_build(rng))
                 run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
                          expect_compiled=True)
+
+
+def gen_first_match(rng):
+    """for t in split: if cond(t): return expr(t)  (+ fallthrough)."""
+    sep = rng.choice(LOOP_SEPS)
+    cond = rng.choice(LOOP_CONDS)
+    ret = rng.choice(["len(t)", "t.count('a')", "len(t) * 2", "0"])
+    dflt = rng.choice(["-1", "len(x['s'])", "99"])
+    return [f"for t in x['s'].split({sep}):",
+            f"    if {cond}:",
+            f"        return {ret}",
+            f"return {dflt}"]
+
+
+def gen_multigen_comp(rng):
+    """Two-generator comprehension, optional conditions per level."""
+    sep1, sep2 = rng.choice(LOOP_SEPS), rng.choice(LOOP_SEPS)
+    elt = rng.choice(["len(a) + len(b)", "len(a) * len(b)", "1"])
+    c1 = f" if {rng.choice(LOOP_CONDS).replace('t', 'a')}" \
+        if rng.random() < 0.5 else ""
+    c2 = f" if len(b) > {rng.randint(0, 2)}" if rng.random() < 0.5 else ""
+    inner = rng.choice([f"x['s'].split({sep2})", f"a.split('a')"])
+    return [f"return sum([{elt} for a in x['s'].split({sep1}){c1} "
+            f"for b in {inner}{c2}])"]
+
+
+class TestGeneratedFirstMatchAndComprehensions:
+    """Seeded fuzzing over the first-match scan lowering and
+    multi-generator comprehension flattening."""
+
+    def test_first_match_sweep(self, ctx):
+        for seed in (13, 131, 1313):
+            rng = random.Random(seed)
+            for _ in range(3):
+                fn = _build_def_fn(gen_first_match(rng))
+                run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)
+
+    def test_multigen_comp_sweep(self, ctx):
+        for seed in (19, 191, 1919):
+            rng = random.Random(seed)
+            for _ in range(3):
+                fn = _build_def_fn(gen_multigen_comp(rng))
+                run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)
