@@ -1210,3 +1210,51 @@ class TestMultiGeneratorComprehensions:
                         for b in x.split(" ")
                         for c in x.split(" ") if c < b])
         run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+
+class TestDynamicDictLookup:
+    """Constant lookup tables subscripted by a column value compile to a
+    when()-chain with a KeyError guard on misses."""
+
+    def test_int_keyed_table(self, ctx):
+        def f(x):
+            return {0: "zero", 1: "one", 2: "two"}[x % 3]
+        run_diff(ctx, [0, 1, 2, 3, 7], f, expect_compiled=True)
+
+    def test_miss_raises_keyerror(self, ctx):
+        def f(x):
+            return {1: 10, 2: 20}[x]
+        ds = run_diff(ctx, [1, 2, 5, -1], f, expect_compiled=True)
+        assert ds.exception_counts == {"KeyError": 2}
+
+    def test_str_keyed_table(self, ctx):
+        def f(s):
+            return {"a": 1, "b": 2, "c": 3}[s]
+        run_diff(ctx, ["a", "b", "c", "z"], f, expect_compiled=True)
+
+    def test_closure_table(self, ctx):
+        table = {1: 100, 2: 200, 3: 300}
+
+        def f(x):
+            return table[x]
+        run_diff(ctx, [1, 2, 3], f, expect_compiled=True)
+
+    def test_local_dict_dynamic_key(self, ctx):
+        def f(s):
+            d = {"x": len(s), "y": len(s) * 2}
+            return d[s[0]] if s and s[0] in d else -1
+        run_diff(ctx, ["xab", "ycd", "zz", ""], f, expect_compiled=True)
+
+    def test_mixed_value_types_widen(self, ctx):
+        def f(x):
+            return {0: 1, 1: 2.5}[x % 2]
+        run_diff(ctx, [0, 1, 2, 5], f, expect_compiled=True)
+
+    def test_guard_conditioned_on_branch(self, ctx):
+        # the KeyError guard must not fire for rows that never evaluate
+        # the lookup
+        def f(x):
+            if x > 10:
+                return {1: 5}[x]
+            return 0
+        run_diff(ctx, [1, 2, 11, 20], f, expect_compiled=True)

@@ -1236,12 +1236,19 @@ class Translator:
         return SCol(F.array(*cols), "array", False, elem=tag)
 
     def _ev_Dict(self, node):
-        items = {}
+        pairs = []
         for k, v in zip(node.keys, node.values):
-            if not (isinstance(k, ast.Constant) and isinstance(k.value, str)):
-                raise CompileError("dict literal needs string-literal keys")
-            items[k.value] = self.eval(v)
-        return SDict(items)
+            if not (isinstance(k, ast.Constant)
+                    and isinstance(k.value, (str, int, bool))):
+                raise CompileError("dict literal needs literal keys")
+            pairs.append((k.value, self.eval(v)))
+        if all(isinstance(k, str) for k, _ in pairs):
+            return SDict(dict(pairs))
+        # non-str literal keys: usable as a constant lookup table
+        # (dynamic subscript -> when()-chain) when values are constants
+        if all(isinstance(v, SConst) for _, v in pairs):
+            return SConst({k: v.value for k, v in pairs})
+        raise CompileError("non-str dict keys need constant values")
 
     def _ev_ListComp(self, node):
         """[expr for v in arr (if cond)*]+ -> F.filter + F.transform,
@@ -1336,6 +1343,53 @@ class Translator:
             return base.items[node.attr]
         return _BoundMethod(base, node.attr)
 
+    def _dict_dynamic_lookup(self, items, idx: Sym) -> Sym:
+        """d[key] with a DYNAMIC key over a dict of constant keys:
+        a when(key == k_i, v_i) chain plus a KeyError guard for misses
+        (CPython raises; the reference compiles typed dicts the same
+        way — SymbolTable.cc dict table).  Keys must be one family
+        (all int-like or all str) so the equality comparisons type."""
+        if not items:
+            self.guard(F.lit(True), "KeyError")
+            return SConst(None)
+        keys = [k for k, _ in items]
+        if all(isinstance(k, (int, bool)) for k in keys):
+            fam = "int"
+        elif all(isinstance(k, str) for k in keys):
+            fam = "str"
+        else:
+            raise CompileError("dynamic dict lookup needs int or str keys")
+        if isinstance(idx, SConst):
+            idx = SCol(F.lit(idx.value), _pytag(idx.value), False)
+        if not isinstance(idx, SCol):
+            raise CompileError("dict key type")
+        if fam == "int" and idx.tag not in ("int", "bool"):
+            raise CompileError(f"{idx.tag} key into int-keyed dict")
+        if fam == "str" and idx.tag != "str":
+            raise CompileError(f"{idx.tag} key into str-keyed dict")
+        tag = "null"
+        nullable = False
+        for _, v in items:
+            if not isinstance(v, (SConst, SCol)):
+                raise CompileError("dict value shape for dynamic lookup")
+            tag = _unify_tags(tag, v.tag)
+            nullable = nullable or v.nullable or v.tag == "null"
+        if tag not in ("int", "float", "bool", "str"):
+            raise CompileError(f"dynamic dict lookup of {tag} values")
+        kcol = idx.col
+        expr = None
+        for k, v in items:
+            c = self.to_col(v)
+            if tag == "float" and v.tag in ("int", "bool"):
+                c = c.cast("double")
+            arm = kcol == F.lit(int(k) if isinstance(k, bool) else k)
+            expr = F.when(arm, c) if expr is None else expr.when(arm, c)
+        hit = F.coalesce(
+            kcol.isin([int(k) if isinstance(k, bool) else k
+                       for k in keys]), F.lit(False))
+        self.guard(~hit, "KeyError")
+        return SCol(expr, tag, nullable)
+
     def _ev_Subscript(self, node):
         base = self.eval(node.value)
         if isinstance(node.slice, ast.Slice):
@@ -1375,7 +1429,8 @@ class Translator:
                     return base.items[idx.value]
                 self.guard(F.lit(True), "KeyError")
                 return SConst(None)
-            raise CompileError("dict subscript must be str constant")
+            return self._dict_dynamic_lookup(
+                list(base.items.items()), idx)
         if isinstance(base, SConst):
             if isinstance(idx, SConst):
                 try:
@@ -1383,6 +1438,11 @@ class Translator:
                 except Exception as e:
                     self.guard(F.lit(True), type(e).__name__)
                     return SConst(None)
+            if isinstance(base.value, dict):
+                # constant lookup-table subscripted by a column — the
+                # classic mapping idiom ({1: 'US', 2: 'EU'}[x['region']])
+                return self._dict_dynamic_lookup(
+                    [(k, SConst(v)) for k, v in base.value.items()], idx)
             base = SCol(F.lit(base.value), base.tag, False)
         if isinstance(base, SCol):
             if base.tag == "str":
