@@ -1258,3 +1258,21 @@ class TestDynamicDictLookup:
                 return {1: 5}[x]
             return 0
         run_diff(ctx, [1, 2, 11, 20], f, expect_compiled=True)
+
+    def test_get_with_dynamic_key(self, ctx):
+        # regression: the compiled .get returned the default even when
+        # the dynamic key matched
+        def f(s):
+            d = {"a": 1, "b": 2}
+            return d.get(s, -1)
+        run_diff(ctx, ["a", "b", "z", ""], f, expect_compiled=True)
+
+    def test_get_dynamic_key_no_default(self, ctx):
+        def f(s):
+            return {"a": 10, "b": 20}.get(s)
+        run_diff(ctx, ["a", "q"], f, expect_compiled=True)
+
+    def test_get_dynamic_int_key_on_const_table(self, ctx):
+        def f(x):
+            return {1: "one", 2: "two"}.get(x % 4, "?")
+        run_diff(ctx, [1, 2, 3, 5, 6], f, expect_compiled=True)

@@ -1343,13 +1343,17 @@ class Translator:
             return base.items[node.attr]
         return _BoundMethod(base, node.attr)
 
-    def _dict_dynamic_lookup(self, items, idx: Sym) -> Sym:
-        """d[key] with a DYNAMIC key over a dict of constant keys:
-        a when(key == k_i, v_i) chain plus a KeyError guard for misses
-        (CPython raises; the reference compiles typed dicts the same
-        way — SymbolTable.cc dict table).  Keys must be one family
-        (all int-like or all str) so the equality comparisons type."""
+    def _dict_dynamic_lookup(self, items, idx: Sym,
+                             default: Sym | None = None) -> Sym:
+        """d[key] / d.get(key, default) with a DYNAMIC key over a dict of
+        constant keys: a when(key == k_i, v_i) chain; misses either raise
+        KeyError (subscript; CPython semantics — the reference compiles
+        typed dicts the same way, SymbolTable.cc dict table) or yield
+        ``default`` (.get).  Keys must be one family (all int-like or
+        all str) so the equality comparisons type."""
         if not items:
+            if default is not None:
+                return default
             self.guard(F.lit(True), "KeyError")
             return SConst(None)
         keys = [k for k, _ in items]
@@ -1369,21 +1373,33 @@ class Translator:
             raise CompileError(f"{idx.tag} key into str-keyed dict")
         tag = "null"
         nullable = False
-        for _, v in items:
+        vals = [v for _, v in items]
+        if default is not None:
+            if not isinstance(default, (SConst, SCol)):
+                raise CompileError("dict .get default shape")
+            vals = vals + [default]
+        for v in vals:
             if not isinstance(v, (SConst, SCol)):
                 raise CompileError("dict value shape for dynamic lookup")
             tag = _unify_tags(tag, v.tag)
             nullable = nullable or v.nullable or v.tag == "null"
         if tag not in ("int", "float", "bool", "str"):
             raise CompileError(f"dynamic dict lookup of {tag} values")
-        kcol = idx.col
-        expr = None
-        for k, v in items:
+
+        def cast_arm(v):
             c = self.to_col(v)
             if tag == "float" and v.tag in ("int", "bool"):
                 c = c.cast("double")
+            return c
+
+        kcol = idx.col
+        expr = None
+        for k, v in items:
             arm = kcol == F.lit(int(k) if isinstance(k, bool) else k)
+            c = cast_arm(v)
             expr = F.when(arm, c) if expr is None else expr.when(arm, c)
+        if default is not None:
+            return SCol(expr.otherwise(cast_arm(default)), tag, nullable)
         hit = F.coalesce(
             kcol.isin([int(k) if isinstance(k, bool) else k
                        for k in keys]), F.lit(False))
@@ -2556,12 +2572,34 @@ class Translator:
         raise CompileError(f"list.{name}")
 
     def _dict_method(self, base, name, args):
+        if isinstance(base, SConst) and isinstance(base.value, dict) \
+                and name in ("get", "keys", "values"):
+            base = SDict({k: SConst(v) for k, v in base.value.items()}) \
+                if all(isinstance(k, str) for k in base.value) else base
+            if isinstance(base, SConst) and name == "get":
+                # int-keyed constant table: same when()-chain as subscript
+                k = args[0]
+                dflt = args[1] if len(args) > 1 else SConst(None)
+                if isinstance(k, SConst):
+                    if k.value in base.value:
+                        return SConst(base.value[k.value])
+                    return dflt
+                return self._dict_dynamic_lookup(
+                    [(kk, SConst(vv)) for kk, vv in base.value.items()],
+                    k, default=dflt)
         if isinstance(base, SDict):
             if name == "get":
                 k = args[0]
-                if isinstance(k, SConst) and k.value in base.items:
-                    return base.items[k.value]
-                return args[1] if len(args) > 1 else SConst(None)
+                dflt = args[1] if len(args) > 1 else SConst(None)
+                if isinstance(k, SConst):
+                    if k.value in base.items:
+                        return base.items[k.value]
+                    return dflt
+                # DYNAMIC key: when()-chain with the default as the
+                # otherwise arm (the earlier code returned the default
+                # unconditionally — wrong whenever the key matched)
+                return self._dict_dynamic_lookup(
+                    list(base.items.items()), k, default=dflt)
             if name == "keys":
                 return STuple([SConst(k) for k in base.items])
             if name == "values":
