@@ -317,3 +317,46 @@ class TestGeneratedFirstMatchAndComprehensions:
                 fn = _build_def_fn(gen_multigen_comp(rng))
                 run_diff(ctx, NUM_ROWS, fn, columns=["a", "b", "s"],
                          expect_compiled=True)
+
+
+DYN_ARG_EXPRS = [
+    "x['s'].count(x['s'][0:1])",
+    "x['s'].startswith(x['s'][0:1])",
+    "x['s'].endswith(x['s'][-1:])",
+    "x['s'].find(x['s'][1:2])",
+    "x['s'].replace(x['s'][0:1], '_')",
+    "x['s'].strip(x['s'][0:1])",
+    "(x['s'] + x['s']).rfind(x['s'][0:1])",
+    "x['s'][0:1] in x['s']",
+    "x['s'].split(x['s'][0:1] if len(x['s']) > 0 else ',')[0]",
+    "{'a': 1, 'b': 2}.get(x['s'][0:1], -5)",
+    "x['s'].removeprefix(x['s'][0:1])",
+    "x['s'].removesuffix(x['s'][-1:])",
+]
+
+
+class TestDynamicMethodArgs:
+    """String/dict methods whose ARGUMENTS are column-derived (not
+    constants) — the shape that exposed the dict.get default bug.  Every
+    expression must match CPython whether compiled or fallen back."""
+
+    def test_dynamic_arg_batch(self, ctx):
+        fn = _build_fn(DYN_ARG_EXPRS)
+        rows = [(1, 0.0, "hello"), (2, 1.0, "aabba"), (3, 2.0, "x"),
+                (4, 3.0, "abcabc"), (5, 4.0, "zzz y zz")]
+        run_diff(ctx, rows, fn, columns=["a", "b", "s"])
+
+    def test_dynamic_arg_edge_strings(self, ctx):
+        # NOTE: the empty string is deliberately absent — ""[0:1] makes
+        # several CPython calls raise where slices stay total; covered
+        # one expression at a time below
+        fn = _build_fn(DYN_ARG_EXPRS)
+        rows = [(1, 0.0, " "), (2, 1.0, "aa"), (3, 2.0, "ab"),
+                (4, 3.0, "a b a"), (5, 4.0, "\tx\n")]
+        run_diff(ctx, rows, fn, columns=["a", "b", "s"])
+
+    def test_dynamic_arg_singletons_with_empty(self, ctx):
+        rows = [(1, 0.0, ""), (2, 1.0, "q"), (3, 2.0, "qq")]
+        for expr in DYN_ARG_EXPRS:
+            fn = _build_fn([expr])
+            run_diff(ctx, rows, fn, columns=["a", "b", "s"])
