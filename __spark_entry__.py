@@ -779,11 +779,18 @@ def q_ds_rightjoin(spark, sf_dir):
 
 
 def q_ds_loops(spark, sf_dir):
-    """compiled for-loops: F.aggregate fold over split() tokens plus a
-    statically-unrolled range loop — entirely Column expressions, no
+    """compiled for-loops: F.aggregate fold over split() tokens, a
+    statically-unrolled range loop, and a first-match scan
+    (element_at(filter(...), 1)) — entirely Column expressions, no
     Python in the executed plan (reference compiles loops natively,
     SymbolTable.cc:150-364; tests/test_plans.py asserts the plan)."""
     c = _ctx(spark)
+
+    def g(x):
+        for t in x["p_name"].split(" "):
+            if len(t) > 4:
+                return t.upper()
+        return ""
 
     def f(x):
         total = 0
@@ -796,9 +803,10 @@ def q_ds_loops(spark, sf_dir):
         for i in range(1, 4):
             w += i * x["p_size"]
         return {"p_partkey": x["p_partkey"], "long_len": total,
-                "n_toks": n, "wsize": w}
+                "n_toks": n, "wsize": w, "first_long": x["first_long"]}
 
-    return c.parquet(os.path.join(sf_dir, "part.parquet")).map(f).toDF()
+    return (c.parquet(os.path.join(sf_dir, "part.parquet"))
+            .withColumn("first_long", g).map(f).toDF())
 
 
 def q_ds_relational(spark, sf_dir):
@@ -1457,7 +1465,10 @@ SELECT p_partkey,
          list_filter(str_split(p_name, ' '), t -> length(t) > 3),
          t -> length(t))), 0)::BIGINT AS long_len,
        len(str_split(p_name, ' '))::BIGINT AS n_toks,
-       (6 * p_size)::BIGINT AS wsize
+       (6 * p_size)::BIGINT AS wsize,
+       COALESCE(upper(list_filter(str_split(p_name, ' '),
+                                  t -> length(t) > 4)[1]), '')
+         AS first_long
 FROM part""",
         "mm_decode": """
 WITH h AS (

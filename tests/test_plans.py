@@ -175,11 +175,15 @@ class TestScaleOps:
 
     def test_q2_single_offer_subplan(self, spark):
         """q2's per-part min must come from a window, not a second
-        evaluation of the offers->supplier->nation->region subplan."""
+        evaluation of the offers->supplier->nation->region subplan.
+        6 scans: lineitem once, part twice (semi-join prefilter + final
+        join), supplier/nation/region once each — the shape to catch is
+        lineitem or the offers subtree appearing twice."""
         import __spark_entry__ as em
         plan = em.q_tpch_q2(spark, SF_DIR) \
             ._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("Scan parquet") == 5, plan
+        assert plan.count("Scan parquet") == 6, plan
+        assert plan.count("lineitem") == 1, plan
 
     def test_q17_prefilters_before_avg(self, spark):
         """q17's per-part average must aggregate only the Brand#13 part
