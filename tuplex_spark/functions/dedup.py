@@ -302,14 +302,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # than max_bucket IS the stop-shingle removal.  The previous
     # window-count + self-join + separate sizes aggregation consumed the
     # exploded shingle relation four times (tokenize+explode re-ran per
-    # consumer; Catalyst reuses no exchanges across subtrees); this
-    # shape tokenizes once, and the persist covers the index's two
-    # consumers (pair counts, per-doc sizes) — one row per distinct
-    # shingle with <= max_bucket ids, bounded memory.
+    # consumer); this shape tokenizes once and its two consumers (pair
+    # counts, per-doc sizes) share the index aggregation's EXCHANGE —
+    # canonicalized subtrees match, so ReuseExchange ships the shuffle
+    # files to both without recomputing the scan+explode.  Deliberately
+    # NOT persisted: caching the array-typed index was measured 3-4x
+    # SLOWER than the exchange reuse (InMemoryRelation row conversion +
+    # growing cache churn; persist [1.2, 2.1, 2.9, 2.7]s vs no-persist
+    # [0.8, 0.8, 0.7, 0.6]s across repeated sf0.1 runs), and at 100 TB
+    # pinning the whole inverted index in executor memory is exactly
+    # what you don't want.
     grouped = (inv.groupBy("s")
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-               .filter(F.size("ids") <= max_bucket)
-               .persist())
+               .filter(F.size("ids") <= max_bucket))
     sizes = (grouped.select(F.explode("ids").alias("id"))
              .groupBy("id").agg(F.count(F.lit(1)).alias("sz")))
     combos = F.flatten(F.transform(
