@@ -302,10 +302,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # than max_bucket IS the stop-shingle removal.  The previous
     # window-count + self-join + separate sizes aggregation consumed the
     # exploded shingle relation four times (tokenize+explode re-ran per
-    # consumer); this shape tokenizes once and its two consumers (pair
-    # counts, per-doc sizes) share the index aggregation's EXCHANGE —
-    # canonicalized subtrees match, so ReuseExchange ships the shuffle
-    # files to both without recomputing the scan+explode.  Deliberately
+    # consumer); this shape's two consumers (pair counts, per-doc
+    # sizes) each recompute the scan->explode->agg upstream — Spark does
+    # not fire ReuseExchange across the differently-pruned branches
+    # (verified against a vanilla session too) — but the upstream is
+    # cheap relative to its shuffle and the recompute was measured
+    # FASTER than materializing.  Deliberately
     # NOT persisted: caching the array-typed index was measured 3-4x
     # SLOWER than the exchange reuse (InMemoryRelation row conversion +
     # growing cache churn; persist [1.2, 2.1, 2.9, 2.7]s vs no-persist
