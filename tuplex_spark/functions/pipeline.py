@@ -1,0 +1,85 @@
+"""Composed training-data pipeline: the end-to-end corpus clean.
+
+The point of the `functions/` ops is that they COMPOSE into the standard
+pretraining-corpus preparation flow; this module wires quality scoring,
+language ID, exact dedup, and near-dup removal into one DataFrame plan
+(one job, Catalyst free to pipeline the stages) with an exact DuckDB
+twin built from the per-op SQL twins as nested CTEs.
+
+Scale shape: stages 1-2 are pure projections fused into the scan; exact
+dedup is one digest-keyed shuffle over the SURVIVORS only (the quality/
+language filters run below it, shrinking the shuffle); near-dup pairs
+reuse the inverted-index jaccard (linear, stop-shingle-guarded) over the
+already-thinned corpus.  Nothing here re-reads the input: at 100 TB the
+whole clean is one scan + two aggregation shuffles + the pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_sql, \
+    normalize_text
+from .text import language_id, language_id_sql, quality_score, \
+    quality_score_sql
+
+
+def clean_corpus(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", min_quality: float = 0.55,
+                 lang: str = "en", jaccard_n: int = 2,
+                 jaccard_threshold: float = 0.3) -> DataFrame:
+    """Keep-list for a cleaned corpus: docs that (1) score at least
+    ``min_quality``, (2) detect as ``lang``, (3) are the minimum-id
+    representative of their normalized-text group, and (4) are not the
+    greater id of any verified near-duplicate pair (exact n-gram
+    Jaccard >= threshold over the surviving docs)."""
+    q = quality_score(df, text_col, id_col).select(id_col, "quality")
+    lg = language_id(df, text_col, id_col)
+    s0 = (df.select(id_col, text_col)
+          .join(q, id_col).join(lg, id_col)
+          .filter((F.col("quality") >= min_quality)
+                  & (F.col("detected_lang") == lang)))
+    key = F.md5(normalize_text(text_col))
+    keep = (s0.select(F.col(id_col), key.alias("__k"))
+            .groupBy("__k").agg(F.min(id_col).alias(id_col)))
+    s1 = s0.join(keep.select(id_col), id_col, "left_semi")
+    pairs = ngram_jaccard_pairs(s1, text_col, id_col,
+                                n=jaccard_n, threshold=jaccard_threshold)
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (s1.join(drops, id_col, "left_anti")
+            .select(F.col(id_col), F.col("quality")))
+
+
+def clean_corpus_sql(table="documents", text_col="text", id_col="doc_id",
+                     min_quality=0.55, lang="en", jaccard_n=2,
+                     jaccard_threshold=0.3) -> str:
+    """DuckDB twin: the per-op SQL twins nested as CTEs, applied in the
+    same order over the same surviving sets."""
+    qsql = quality_score_sql(table, text_col, id_col)
+    lsql = language_id_sql(table, text_col, id_col)
+    jsql = ngram_jaccard_pairs_sql("s1", text_col, id_col,
+                                   n=jaccard_n,
+                                   threshold=jaccard_threshold)
+    return f"""
+WITH q AS ({qsql}),
+l AS ({lsql}),
+s0 AS (
+  SELECT d.{id_col}, d.{text_col}, q.quality
+  FROM {table} d
+  JOIN q ON d.{id_col} = q.{id_col}
+  JOIN l ON d.{id_col} = l.{id_col}
+  WHERE q.quality >= {min_quality} AND l.detected_lang = '{lang}'
+),
+keep AS (
+  SELECT min({id_col}) AS {id_col}
+  FROM s0
+  GROUP BY regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g')
+),
+s1 AS (
+  SELECT s0.* FROM s0 JOIN keep ON s0.{id_col} = keep.{id_col}
+),
+pairs AS ({jsql}),
+drops AS (SELECT DISTINCT id_b AS {id_col} FROM pairs)
+SELECT s1.{id_col}, s1.quality
+FROM s1 LEFT JOIN drops ON s1.{id_col} = drops.{id_col}
+WHERE drops.{id_col} IS NULL"""
