@@ -126,3 +126,17 @@ class TestSimilarity:
         import re as _re
         m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "centroid" in m.group(1), plan
+
+
+class TestPipelineCompose:
+    def test_clean_corpus_matches_oracle(self, spark, con):
+        from tuplex_spark.functions import pipeline
+        df = pipeline.clean_corpus(spark.read.parquet(DOC))
+        assert_matches(df, con, pipeline.clean_corpus_sql())
+
+    def test_filters_actually_bite(self, spark):
+        from tuplex_spark.functions import pipeline
+        docs = spark.read.parquet(DOC)
+        kept = pipeline.clean_corpus(docs).count()
+        total = docs.count()
+        assert 0 < kept < total, (kept, total)
