@@ -1276,3 +1276,37 @@ class TestDynamicDictLookup:
         def f(x):
             return {1: "one", 2: "two"}.get(x % 4, "?")
         run_diff(ctx, [1, 2, 3, 5, 6], f, expect_compiled=True)
+
+
+class TestSortedKeyReverse:
+    """sorted(key=..., reverse=...) — decorate-sort-undecorate with
+    index-field stability (CPython's stable sort semantics)."""
+
+    TEXTS = ["banana apple cherry", "bb a ccc a bb", "", "one"]
+
+    def test_key_len(self, ctx):
+        def f(x):
+            return "|".join(sorted(x.split(" "), key=len))
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_key_lambda(self, ctx):
+        def f(x):
+            return "|".join(sorted(x.split(" "), key=lambda t: t.count("a")))
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_reverse_numeric_key(self, ctx):
+        def f(x):
+            return "|".join(sorted(x.split(" "), key=len, reverse=True))
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_stability_with_ties(self, ctx):
+        # "bb a ccc a bb": key=len ties (bb, bb) and (a, a) must keep
+        # original order — a descending struct sort would reverse them
+        def f(x):
+            return sorted(x.split(" "), key=len)[0] if x else ""
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_reverse_string_elements_falls_back(self, ctx):
+        def f(x):
+            return "|".join(sorted(x.split(" "), reverse=True))
+        run_diff(ctx, self.TEXTS, f, expect_compiled=False)

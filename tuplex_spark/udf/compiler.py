@@ -1854,6 +1854,13 @@ class Translator:
     # -- calls -----------------------------------------------------------
     def _ev_Call(self, node):
         if node.keywords:
+            if isinstance(node.func, ast.Name) \
+                    and node.func.id == "sorted" \
+                    and node.func.id not in self._locals \
+                    and node.args \
+                    and all(kw.arg in ("key", "reverse")
+                            for kw in node.keywords):
+                return self._b_sorted_kw(node)
             raise CompileError("keyword arguments")
         fn = node.func
         args = [self.eval(a) for a in node.args]
@@ -1976,6 +1983,71 @@ class Translator:
             return SCol(F.sort_array(a.col), "array", a.nullable,
                         elem=a.elem)
         raise CompileError(f"sorted({a.tag})")
+
+    def _b_sorted_kw(self, node):
+        """sorted(xs, key=..., reverse=...) — decorate-sort-undecorate:
+        transform each element to struct(key, original_index, value),
+        sort_array orders by fields left-to-right so the index keeps
+        CPython's STABLE tie order, then project the value back.
+        reverse=True negates numeric keys (ascending sort preserves
+        stability; a descending sort would reverse ties)."""
+        a = self.eval(node.args[0])
+        if isinstance(a, SConst) and isinstance(a.value, (list, tuple)):
+            a = SCol(F.array(*[F.lit(v) for v in a.value]), "array",
+                     False, elem=_pytag(a.value[0]) if a.value else "str")
+        if not (isinstance(a, SCol) and a.tag == "array"):
+            raise CompileError(f"sorted({a.tag})")
+        kws = {kw.arg: kw.value for kw in node.keywords}
+        reverse = False
+        if "reverse" in kws:
+            r = self.eval(kws["reverse"])
+            if not isinstance(r, SConst):
+                raise CompileError("sorted reverse must be constant")
+            reverse = bool(r.value)
+        key_node = kws.get("key")
+        elem = a.elem or "str"
+        if key_node is None and not reverse:
+            return SCol(F.sort_array(a.col), "array", a.nullable,
+                        elem=elem)
+
+        def key_of(x):
+            if key_node is None:
+                return x, elem
+            saved = dict(self._locals)
+            n_guards = len(self.guards)
+            self._hof_depth += 1
+            try:
+                if isinstance(key_node, ast.Lambda) \
+                        and len(key_node.args.args) == 1 \
+                        and not key_node.args.kwonlyargs:
+                    self._locals[key_node.args.args[0].arg] = \
+                        SCol(x, elem, False)
+                    res = self.eval(key_node.body)
+                elif isinstance(key_node, ast.Name) \
+                        and key_node.id in _BUILTINS:
+                    res = self._call_builtin(key_node.id,
+                                             [SCol(x, elem, False)])
+                else:
+                    raise CompileError("sorted key shape")
+                if len(self.guards) != n_guards:
+                    del self.guards[n_guards:]
+                    raise CompileError("guard-raising sorted key")
+                return self.to_col(res), res.tag
+            finally:
+                self._hof_depth -= 1
+                self._locals = saved
+
+        def build(x, i):
+            kcol, ktag = key_of(x)
+            if reverse:
+                if ktag not in ("int", "float", "bool"):
+                    raise CompileError("sorted reverse needs numeric key")
+                kcol = -kcol.cast("double")
+            return F.struct(kcol.alias("k"), i.alias("i"), x.alias("v"))
+
+        dec = F.transform(a.col, build)
+        out = F.transform(F.sort_array(dec), lambda s: s.getField("v"))
+        return SCol(out, "array", a.nullable, elem=elem)
 
     def _b_sum(self, args):
         a = args[0]
