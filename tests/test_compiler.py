@@ -1310,3 +1310,26 @@ class TestSortedKeyReverse:
         def f(x):
             return "|".join(sorted(x.split(" "), reverse=True))
         run_diff(ctx, self.TEXTS, f, expect_compiled=False)
+
+    def test_min_max_with_key(self, ctx):
+        def f(x):
+            toks = x.split(" ")
+            return (min(toks, key=len), max(toks, key=len))
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_min_max_key_first_tie_wins(self, ctx):
+        # CPython min AND max both return the FIRST extreme element
+        def f(x):
+            return (min(x.split(" "), key=lambda t: t.count("a")),
+                    max(x.split(" "), key=lambda t: t.count("a")))
+        run_diff(ctx, ["ab ba cc aa", "x y"], f, expect_compiled=True)
+
+    def test_min_key_empty_raises(self, ctx):
+        def f(x):
+            return min(x.split(","), key=len)
+        # split(",") on "" yields [""], never empty -> no raise; use a
+        # filtered comprehension to reach the empty case
+        def g(x):
+            return min([t for t in x.split(" ") if len(t) > 90], key=len)
+        ds = run_diff(ctx, ["a b", "c"], g, expect_compiled=True)
+        assert ds.exception_counts == {"ValueError": 2}

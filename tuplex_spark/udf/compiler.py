@@ -1855,12 +1855,14 @@ class Translator:
     def _ev_Call(self, node):
         if node.keywords:
             if isinstance(node.func, ast.Name) \
-                    and node.func.id == "sorted" \
-                    and node.func.id not in self._locals \
-                    and node.args \
-                    and all(kw.arg in ("key", "reverse")
-                            for kw in node.keywords):
-                return self._b_sorted_kw(node)
+                    and node.func.id not in self._locals and node.args:
+                fname = node.func.id
+                kwnames = {kw.arg for kw in node.keywords}
+                if fname == "sorted" and kwnames <= {"key", "reverse"}:
+                    return self._b_sorted_kw(node)
+                if fname in ("min", "max") and kwnames == {"key"} \
+                        and len(node.args) == 1:
+                    return self._b_minmax_kw(node, fname == "min")
             raise CompileError("keyword arguments")
         fn = node.func
         args = [self.eval(a) for a in node.args]
@@ -1984,6 +1986,65 @@ class Translator:
                         elem=a.elem)
         raise CompileError(f"sorted({a.tag})")
 
+    def _hof_key(self, key_node, elem: str):
+        """Shared key-function evaluator for sorted/min/max(key=...):
+        a builtin name or a one-arg lambda, evaluated per element in HOF
+        scope (no staging, no guards)."""
+        def key_of(x):
+            if key_node is None:
+                return x, elem
+            saved = dict(self._locals)
+            n_guards = len(self.guards)
+            self._hof_depth += 1
+            try:
+                if isinstance(key_node, ast.Lambda) \
+                        and len(key_node.args.args) == 1 \
+                        and not key_node.args.kwonlyargs:
+                    self._locals[key_node.args.args[0].arg] = \
+                        SCol(x, elem, False)
+                    res = self.eval(key_node.body)
+                elif isinstance(key_node, ast.Name) \
+                        and key_node.id in _BUILTINS:
+                    res = self._call_builtin(key_node.id,
+                                             [SCol(x, elem, False)])
+                else:
+                    raise CompileError("key function shape")
+                if len(self.guards) != n_guards:
+                    del self.guards[n_guards:]
+                    raise CompileError("guard-raising key function")
+                return self.to_col(res), res.tag
+            finally:
+                self._hof_depth -= 1
+                self._locals = saved
+        return key_of
+
+    def _b_minmax_kw(self, node, is_min: bool):
+        """min/max(xs, key=f) over an array: decorate to struct(key,
+        ±index, value) and take array_min/array_max — struct field-order
+        comparison picks the extreme key, and the index term breaks ties
+        toward the FIRST occurrence (CPython returns the first extreme
+        element for both min and max; for max the index rides negated so
+        the struct max prefers the smallest original index)."""
+        a = self.eval(node.args[0])
+        if isinstance(a, SConst) and isinstance(a.value, (list, tuple)):
+            a = SCol(F.array(*[F.lit(v) for v in a.value]), "array",
+                     False, elem=_pytag(a.value[0]) if a.value else "str")
+        if not (isinstance(a, SCol) and a.tag == "array"):
+            raise CompileError("min/max key over non-array")
+        elem = a.elem or "str"
+        key_of = self._hof_key(
+            {kw.arg: kw.value for kw in node.keywords}["key"], elem)
+
+        def build(x, i):
+            kcol, _ = key_of(x)
+            idx = i if is_min else -i
+            return F.struct(kcol.alias("k"), idx.alias("i"), x.alias("v"))
+
+        dec = F.transform(a.col, build)
+        self.guard(F.size(a.col) == 0, "ValueError")
+        best = F.array_min(dec) if is_min else F.array_max(dec)
+        return SCol(best.getField("v"), elem, True)
+
     def _b_sorted_kw(self, node):
         """sorted(xs, key=..., reverse=...) — decorate-sort-undecorate:
         transform each element to struct(key, original_index, value),
@@ -2010,32 +2071,7 @@ class Translator:
             return SCol(F.sort_array(a.col), "array", a.nullable,
                         elem=elem)
 
-        def key_of(x):
-            if key_node is None:
-                return x, elem
-            saved = dict(self._locals)
-            n_guards = len(self.guards)
-            self._hof_depth += 1
-            try:
-                if isinstance(key_node, ast.Lambda) \
-                        and len(key_node.args.args) == 1 \
-                        and not key_node.args.kwonlyargs:
-                    self._locals[key_node.args.args[0].arg] = \
-                        SCol(x, elem, False)
-                    res = self.eval(key_node.body)
-                elif isinstance(key_node, ast.Name) \
-                        and key_node.id in _BUILTINS:
-                    res = self._call_builtin(key_node.id,
-                                             [SCol(x, elem, False)])
-                else:
-                    raise CompileError("sorted key shape")
-                if len(self.guards) != n_guards:
-                    del self.guards[n_guards:]
-                    raise CompileError("guard-raising sorted key")
-                return self.to_col(res), res.tag
-            finally:
-                self._hof_depth -= 1
-                self._locals = saved
+        key_of = self._hof_key(key_node, elem)
 
         def build(x, i):
             kcol, ktag = key_of(x)
