@@ -1333,3 +1333,44 @@ class TestSortedKeyReverse:
             return min([t for t in x.split(" ") if len(t) > 90], key=len)
         ds = run_diff(ctx, ["a b", "c"], g, expect_compiled=True)
         assert ds.exception_counts == {"ValueError": 2}
+
+
+class TestSplitReplaceArgVariants:
+    """split(sep, maxsplit) and replace(old, new, count) — the extra
+    argument was silently IGNORED on the compiled path (wrong results,
+    not a fallback)."""
+
+    DATA = ["a,b,c,d", "x,y", "solo", ""]
+
+    def test_split_maxsplit(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: s.split(",", 1)[-1],
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: len(s.split(",", 2)),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: len(s.split(",", 0)),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: len(s.split(",", -1)),
+                 expect_compiled=True)
+
+    def test_split_empty_sep_raises(self, ctx):
+        ds = run_diff(ctx, ["ab", "c"], lambda s: s.split("")[0],
+                      expect_compiled=True)
+        assert ds.exception_counts == {"ValueError": 2}
+
+    def test_split_none_sep(self, ctx):
+        run_diff(ctx, ["a  b", " x ", ""], lambda s: len(s.split(None)),
+                 expect_compiled=True)
+
+    def test_replace_count_falls_back(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: s.replace(",", "-", 1),
+                 expect_compiled=False)
+
+    def test_replace_count_zero_and_negative(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: s.replace(",", "-", 0),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.replace(",", "-", -1),
+                 expect_compiled=True)
+
+    def test_replace_empty_old_falls_back(self, ctx):
+        run_diff(ctx, ["ab", ""], lambda s: s.replace("", "-"),
+                 expect_compiled=False)

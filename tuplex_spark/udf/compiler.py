@@ -2490,12 +2490,45 @@ class Translator:
             return SCol(F.regexp_replace(c, pats[name], ""), "str", nullable)
         if name == "replace":
             old, new = const_arg(0), const_arg(1)
+            if old == "":
+                # CPython interleaves `new` between characters; no Spark
+                # analog — fallback
+                raise CompileError("replace with empty search string")
+            if len(args) > 2:
+                cnt = args[2]
+                if not (isinstance(cnt, SConst)
+                        and isinstance(cnt.value, int)):
+                    raise CompileError("replace count must be constant")
+                if cnt.value == 0:
+                    return SCol(c, "str", nullable)
+                if cnt.value > 0:
+                    # count-limited replace has no bounded-size Column
+                    # form (an unroll re-references the accumulator 3x
+                    # per step — exponential tree); fallback
+                    raise CompileError("replace with positive count")
+                # negative count = replace all, same as the 2-arg form
             return SCol(F.replace(c, F.lit(old), F.lit(new)), "str", nullable)
         if name == "split":
-            if args:
+            if args and not (isinstance(args[0], SConst)
+                             and args[0].value is None):
                 sep = const_arg(0)
-                return SCol(F.split(c, _re_mod.escape(sep), -1), "array",
+                if sep == "":
+                    self.guard(F.lit(True), "ValueError")  # CPython raises
+                    return SCol(F.array().cast("array<string>"), "array",
+                                nullable, elem="str")
+                limit = -1
+                if len(args) > 1:
+                    ms = args[1]
+                    if not (isinstance(ms, SConst)
+                            and isinstance(ms.value, int)):
+                        raise CompileError("split maxsplit must be constant")
+                    # CPython maxsplit=m -> at most m splits = m+1 parts;
+                    # Spark limit=n -> at most n parts
+                    limit = -1 if ms.value < 0 else ms.value + 1
+                return SCol(F.split(c, _re_mod.escape(sep), limit), "array",
                             nullable, elem="str")
+            if len(args) > 1:
+                raise CompileError("whitespace split with maxsplit")
             t = F.regexp_replace(c, r"^\s+|\s+$", "")
             return SCol(F.when(F.length(t) == 0,
                                F.array().cast("array<string>"))
