@@ -1374,3 +1374,53 @@ class TestSplitReplaceArgVariants:
     def test_replace_empty_old_falls_back(self, ctx):
         run_diff(ctx, ["ab", ""], lambda s: s.replace("", "-"),
                  expect_compiled=False)
+
+
+class TestOptionalArgAudit:
+    """Methods whose optional arguments were silently IGNORED on the
+    compiled path (audit after the dict.get/split/replace finds): each
+    either compiles with correct semantics or falls back — never wrong."""
+
+    DATA = ["hello world hello", "abcabc", "Xyz", ""]
+
+    def test_count_bounds_fall_back(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: s.count("l", 3),
+                 expect_compiled=False)
+        run_diff(ctx, self.DATA, lambda s: s.count("l", 2, 9),
+                 expect_compiled=False)
+
+    def test_find_with_start_compiles(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: s.find("l", 4),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.find("l", 99),
+                 expect_compiled=True)
+
+    def test_index_with_start(self, ctx):
+        ds = run_diff(ctx, self.DATA, lambda s: s.index("b", 2),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"ValueError": 3}
+
+    def test_rfind_bounds_fall_back(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: s.rfind("l", 0, 5),
+                 expect_compiled=False)
+
+    def test_startswith_bounds_fall_back(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: s.startswith("l", 2),
+                 expect_compiled=False)
+
+    def test_startswith_endswith_tuple(self, ctx):
+        # previously a hard AnalysisException, not even a fallback
+        run_diff(ctx, self.DATA, lambda s: s.startswith(("he", "ab")),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.endswith(("lo", "bc")),
+                 expect_compiled=True)
+
+    def test_center_never_truncates(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: s.center(10, "*"),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.center(3),
+                 expect_compiled=True)
+
+    def test_int_base_falls_back(self, ctx):
+        run_diff(ctx, ["ff", "10", "7f"], lambda s: int(s, 16),
+                 expect_compiled=False)

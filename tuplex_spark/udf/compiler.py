@@ -1885,6 +1885,11 @@ class Translator:
     def _b_int(self, args):
         if not args:
             return SConst(0)
+        if len(args) > 1:
+            # int(s, base): conv() diverges on sign/whitespace/prefix
+            # handling — fallback (previously the base was silently
+            # IGNORED and '0xff' raised a spurious ValueError)
+            raise CompileError("int with explicit base")
         a = args[0]
         if isinstance(a, SConst):
             try:
@@ -2535,16 +2540,49 @@ class Translator:
                         .otherwise(F.split(t, r"\s+")), "array", nullable,
                         elem="str")
         if name in ("startswith", "endswith"):
-            a = self.to_col(args[0])
+            if len(args) > 1:
+                # start/end bounds have no direct Column form — fallback
+                raise CompileError(f"{name} with start/end bounds")
             f = F.startswith if name == "startswith" else F.endswith
-            return SCol(f(c, a), "bool", nullable)
+            a0 = args[0]
+            prefixes = None
+            if isinstance(a0, SConst) and isinstance(a0.value, tuple):
+                prefixes = list(a0.value)
+            elif isinstance(a0, STuple):
+                if not all(isinstance(i, SConst) for i in a0.items):
+                    raise CompileError(f"{name} tuple must be constant")
+                prefixes = [i.value for i in a0.items]
+            if prefixes is not None:
+                # CPython accepts a tuple of prefixes: OR over members
+                # (the bare struct previously hit an AnalysisException —
+                # a hard error, not even a fallback)
+                if not all(isinstance(p, str) for p in prefixes):
+                    raise CompileError(f"{name} tuple of non-str")
+                if not prefixes:
+                    return SCol(F.lit(False), "bool", False)
+                expr = f(c, F.lit(prefixes[0]))
+                for p in prefixes[1:]:
+                    expr = expr | f(c, F.lit(p))
+                return SCol(expr, "bool", nullable)
+            return SCol(f(c, self.to_col(a0)), "bool", nullable)
         if name in ("find", "index"):
-            sub = self.to_col(args[0])
-            pos = F.locate if isinstance(args[0], SConst) else None
-            loc = F.instr(c, args[0].value) if isinstance(args[0], SConst) \
-                else F.expr("instr({}, {})")  # placeholder
             if not isinstance(args[0], SConst):
                 raise CompileError("find needle must be constant")
+            sub = args[0].value
+            if len(args) > 2:
+                raise CompileError("find with end bound")
+            if len(args) > 1:
+                st = args[1]
+                if not (isinstance(st, SConst)
+                        and isinstance(st.value, int) and st.value >= 0) \
+                        or sub == "":
+                    raise CompileError("find start must be a non-negative "
+                                       "constant with a non-empty needle")
+                # locate's 3rd arg is a 1-based search start; a start
+                # past the end yields 0 -> -1, matching CPython
+                loc = F.locate(sub, c, st.value + 1)
+            else:
+                loc = F.instr(c, sub)
             res = loc - 1
             if name == "index":
                 self.guard(loc == 0, "ValueError")
@@ -2552,6 +2590,8 @@ class Translator:
             return SCol(F.when(loc == 0, -1).otherwise(res).cast("long"),
                         "int", nullable)
         if name in ("rfind", "rindex"):
+            if len(args) > 1:
+                raise CompileError(f"{name} with start/end bounds")
             sub = const_arg(0)
             L, m = F.length(c), len(sub)
             lr = F.instr(F.reverse(c), sub[::-1])
@@ -2562,6 +2602,8 @@ class Translator:
             return SCol(F.when(lr == 0, -1).otherwise(res).cast("long"),
                         "int", nullable)
         if name == "count":
+            if len(args) > 1:
+                raise CompileError("count with start/end bounds")
             sub = const_arg(0)
             if not sub:
                 return SCol((F.length(c) + 1).cast("long"), "int", nullable)
@@ -2614,8 +2656,10 @@ class Translator:
             w = const_arg(0, (int,))
             fill = const_arg(1) if len(args) > 1 else " "
             left = (F.lit(w) - F.length(c)) / 2
-            return SCol(F.rpad(F.lpad(c, (F.length(c) +
-                        F.floor(left)).cast("int"), fill), w, fill),
+            padded = F.rpad(F.lpad(c, (F.length(c) +
+                            F.floor(left)).cast("int"), fill), w, fill)
+            # CPython never truncates; lpad/rpad do
+            return SCol(F.when(F.length(c) >= w, c).otherwise(padded),
                         "str", nullable)
         if name == "title":
             # CPython semantics (NOT initcap, which only capitalizes
