@@ -1424,3 +1424,59 @@ class TestOptionalArgAudit:
     def test_int_base_falls_back(self, ctx):
         run_diff(ctx, ["ff", "10", "7f"], lambda s: int(s, 16),
                  expect_compiled=False)
+
+
+class TestReFlagsAndFormatNumbering:
+    """re flags compile as Java inline modifiers (previously silently
+    ignored — case-insensitive searches matched case-sensitively); str
+    .format explicit indices reorder/duplicate correctly (previously
+    positional-order results or a runtime crash)."""
+
+    DATA = ["aXbXc", "hello world", "a1b2c3", ""]
+
+    def test_search_ignorecase(self, ctx):
+        import re
+        run_diff(ctx, self.DATA,
+                 lambda s: bool(re.search("HELLO", s, re.IGNORECASE)),
+                 op="filter", expect_compiled=True)
+
+    def test_combined_flags(self, ctx):
+        import re
+        run_diff(ctx, self.DATA,
+                 lambda s: bool(re.search("HELLO.WORLD", s, re.I | re.S)),
+                 op="filter", expect_compiled=True)
+
+    def test_match_ignorecase_anchor(self, ctx):
+        import re
+        run_diff(ctx, ["Abc", "abc", "xabc", ""],
+                 lambda s: bool(re.match("ab", s, re.I)),
+                 op="filter", expect_compiled=True)
+
+    def test_sub_with_count_falls_back(self, ctx):
+        import re
+        run_diff(ctx, self.DATA, lambda s: re.sub("X", "-", s, 1),
+                 expect_compiled=False)
+
+    def test_format_explicit_indices(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: "{1}:{0}".format(s, len(s)),
+                 expect_compiled=True)
+
+    def test_format_repeated_index(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: "{0}{0}".format(len(s)),
+                 expect_compiled=True)
+
+    def test_format_surplus_args_ok(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: "{}!".format(len(s), 99),
+                 expect_compiled=True)
+
+    def test_format_too_few_args_raises(self, ctx):
+        ds = run_diff(ctx, self.DATA,
+                      lambda s: "{} {}".format(len(s)),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"IndexError": 4}
+
+    def test_format_mixed_numbering_raises(self, ctx):
+        ds = run_diff(ctx, self.DATA,
+                      lambda s: "{0} {}".format(len(s), 1),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"ValueError": 4}

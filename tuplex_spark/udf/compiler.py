@@ -1338,6 +1338,10 @@ class Translator:
                 v = getattr(_math, node.attr)
                 if isinstance(v, float):
                     return SConst(v)
+            if base.mod is _re_mod and hasattr(_re_mod, node.attr):
+                v = getattr(_re_mod, node.attr)
+                if isinstance(v, int):  # flag constants (IntFlag)
+                    return SConst(int(v))
             return _BoundModuleFn(base.mod, node.attr)
         if isinstance(base, SDict) and node.attr in base.items:
             return base.items[node.attr]
@@ -2391,25 +2395,50 @@ class Translator:
                                     & close), "bool")
         raise CompileError(f"math.{name}")
 
+    # flags compilable as Java inline modifiers; (?u) rides along with
+    # (?i) so case-insensitivity is Unicode-aware like CPython's
+    _RE_FLAG_PREFIX = [(_re_mod.IGNORECASE, "iu"), (_re_mod.DOTALL, "s"),
+                       (_re_mod.MULTILINE, "m")]
+
+    def _re_flags_prefix(self, flags_sym) -> str:
+        if not (isinstance(flags_sym, SConst)
+                and isinstance(flags_sym.value, int)):
+            raise CompileError("re flags must be a constant int")
+        fl = flags_sym.value
+        letters = ""
+        for bit, js in self._RE_FLAG_PREFIX:
+            if fl & bit:
+                letters += js
+                fl &= ~bit
+        if fl:
+            raise CompileError(f"re flags {fl:#x} not compilable")
+        return f"(?{letters})" if letters else ""
+
     def _call_re(self, name, args):
-        if name in ("search", "match", "fullmatch"):
+        if name in ("search", "match", "fullmatch") and 2 <= len(args) <= 3:
             pat, subj = args[0], args[1]
             if not (isinstance(pat, SConst) and isinstance(pat.value, str)):
                 raise CompileError("re pattern must be constant")
             p = pat.value
+            if len(args) > 2:
+                # previously the flags argument was silently IGNORED —
+                # re.search(p, s, re.IGNORECASE) matched case-sensitively
+                p = self._re_flags_prefix(args[2]) + p
             if name == "match":
                 p = f"^(?:{p})"
             elif name == "fullmatch":
                 p = f"^(?:{p})$"
             return SMatch(subj, p, self)
-        if name == "sub":
+        if name == "sub" and len(args) == 3:
+            # the 4-arg form (count) previously crashed the compile with
+            # an unpack error instead of falling back
             pat, repl, subj = args
             if not all(isinstance(x, SConst) for x in (pat, repl)):
                 raise CompileError("re.sub needs constant pattern/replacement")
             repl_j = _re_mod.sub(r"\\(\d+)", r"$\1", repl.value)
             return SCol(F.regexp_replace(self.to_col(subj), pat.value, repl_j),
                         "str", subj.nullable)
-        raise CompileError(f"re.{name}")
+        raise CompileError(f"re.{name}/{len(args)}")
 
     # -- method calls ----------------------------------------------------
     def _call_method(self, base: Sym, name: str, args: list[Sym]) -> Sym:
@@ -2625,11 +2654,34 @@ class Translator:
             if not isinstance(base, SConst):
                 raise CompileError("format pattern must be constant")
             pat = base.value
+            if "{{" in pat or "}}" in pat:
+                raise CompileError("format brace escapes")
             if _re_mod.search(r"\{[^{}]*[^{}0-9][^{}]*\}", pat):
                 raise CompileError("format spec")
+            toks = _re_mod.findall(r"\{(\d*)\}", pat)
             fmt = _re_mod.sub(r"\{\d*\}", "%s", pat)
-            return SCol(F.format_string(fmt, *[self._to_str(a)
-                                               for a in args]), "str")
+            if any(toks) and not all(toks):
+                # CPython raises ValueError for mixed auto/manual
+                # numbering on every row
+                self.guard(F.lit(True), "ValueError")
+                return SConst(None)
+            if all(t for t in toks) and toks:
+                # explicit indices: reorder/duplicate the args per token
+                # (previously '{1}:{0}' formatted in positional order
+                # and '{0}{0}' crashed format_string at runtime)
+                idxs = [int(t) for t in toks]
+                if max(idxs) >= len(args):
+                    self.guard(F.lit(True), "IndexError")
+                    return SConst(None)
+                cols = [self._to_str(args[i]) for i in idxs]
+            else:
+                if len(toks) > len(args):
+                    self.guard(F.lit(True), "IndexError")
+                    return SConst(None)
+                # surplus args are legal in CPython; format_string is
+                # strict, so pass exactly the consumed prefix
+                cols = [self._to_str(a) for a in args[:len(toks)]]
+            return SCol(F.format_string(fmt, *cols), "str")
         if name in ("isdigit", "isdecimal"):
             return SCol(c.rlike("^[0-9]+$"), "bool", nullable)
         if name == "isalpha":
