@@ -1480,3 +1480,33 @@ class TestReFlagsAndFormatNumbering:
                       lambda s: "{0} {}".format(len(s), 1),
                       expect_compiled=True)
         assert ds.exception_counts == {"ValueError": 4}
+
+
+class TestCrossTypeCompare:
+    """CPython semantics for cross-family comparisons: ==/!= between a
+    number and a string are False/True (Spark would implicitly CAST and
+    match '5' == 5); ordering raises TypeError."""
+
+    DATA = ["hello", "5", ""]
+
+    def test_mixed_eq_is_false(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: (len(s) == "5", s != 5,
+                                            s == "5"),
+                 expect_compiled=True)
+
+    def test_int_vs_string_literal_eq(self, ctx):
+        # the coercion trap: x == '5' on an int column
+        run_diff(ctx, [5, 7], lambda x: x == "5", expect_compiled=True)
+
+    def test_mixed_ordering_raises(self, ctx):
+        ds = run_diff(ctx, self.DATA, lambda s: len(s) < "a",
+                      expect_compiled=True)
+        assert ds.exception_counts == {"TypeError": 3}
+
+    def test_mixed_ordering_in_branch_conditioned(self, ctx):
+        def f(s):
+            if len(s) > 3:
+                return 1 if s < 5 else 0
+            return -1
+        ds = run_diff(ctx, self.DATA, f, expect_compiled=True)
+        assert ds.exception_counts == {"TypeError": 1}

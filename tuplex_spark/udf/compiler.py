@@ -1783,15 +1783,26 @@ class Translator:
         if isinstance(op, (ast.In, ast.NotIn)):
             c = self._membership(l, r)
             return c if isinstance(op, ast.In) else ~c
+        # cross-family compares: CPython returns False/True for ==/!=
+        # (5 == "5" is False — Spark's eqNullSafe would CAST and match)
+        # and raises TypeError for ordering; both differ from Spark's
+        # implicit-coercion semantics, so resolve them at compile time
+        fam_l, fam_r = _tag_family(l), _tag_family(r)
+        mixed = fam_l is not None and fam_r is not None and fam_l != fam_r
         # None literal on either side of ==/!= -> null checks
         if isinstance(op, (ast.Eq, ast.NotEq)):
             if (isinstance(r, SConst) and r.value is None):
                 c = self.to_col(l).isNull()
             elif (isinstance(l, SConst) and l.value is None):
                 c = self.to_col(r).isNull()
+            elif mixed:
+                c = F.lit(False)
             else:
                 c = self.to_col(l).eqNullSafe(self.to_col(r))
             return c if isinstance(op, ast.Eq) else ~c
+        if mixed:
+            self.guard(F.lit(True), "TypeError")
+            return F.lit(None).cast("boolean")
         # ordering: CPython raises TypeError on None operands
         self._guard_nulls(l, r)
         lc, rc = self.to_col(l), self.to_col(r)
@@ -2907,6 +2918,23 @@ class _BoundMethod(Sym):
 _BUILTINS = {"int", "float", "str", "bool", "len", "abs", "round",
              "min", "max", "sorted", "sum", "list", "tuple", "any", "all",
              "iter", "next", "reversed", "range", "dict"}
+
+
+def _tag_family(s: Sym) -> str | None:
+    """Coarse comparability family for cross-type compare semantics:
+    'num' (int/float/bool), 'str', or None when unknown/other."""
+    if isinstance(s, SConst):
+        if isinstance(s.value, (bool, int, float)):
+            return "num"
+        if isinstance(s.value, str):
+            return "str"
+        return None
+    tag = getattr(s, "tag", None)
+    if tag in ("int", "float", "bool"):
+        return "num"
+    if tag == "str":
+        return "str"
+    return None
 
 
 def _unify_tags(a: str, b: str) -> str:
