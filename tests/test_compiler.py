@@ -1510,3 +1510,16 @@ class TestCrossTypeCompare:
             return -1
         ds = run_diff(ctx, self.DATA, f, expect_compiled=True)
         assert ds.exception_counts == {"TypeError": 1}
+
+
+class TestFStringConversion:
+    def test_repr_conversion_falls_back_for_str(self, ctx):
+        # !r was silently ignored ('hello' instead of "'hello'")
+        run_diff(ctx, ["hello", "Ab", ""], lambda s: f"{s!r}",
+                 expect_compiled=False)
+
+    def test_repr_on_number_compiles(self, ctx):
+        run_diff(ctx, [1, 20], lambda x: f"{x!r}", expect_compiled=True)
+
+    def test_str_conversion_compiles(self, ctx):
+        run_diff(ctx, ["a", ""], lambda s: f"{s!s}!", expect_compiled=True)

@@ -1846,7 +1846,17 @@ class Translator:
             elif isinstance(v, ast.FormattedValue):
                 if v.format_spec is not None:
                     raise CompileError("f-string format spec")
-                parts.append(self._to_str(self.eval(v.value)))
+                val = self.eval(v.value)
+                if v.conversion not in (-1, 115):  # none / !s compile
+                    # !r on numbers == str; on strings repr quotes and
+                    # escapes (no Column form) — fallback unless the
+                    # value is numeric (previously !r was IGNORED)
+                    if v.conversion == 114 and getattr(val, "tag", None) \
+                            in ("int", "float"):
+                        pass
+                    else:
+                        raise CompileError("f-string conversion")
+                parts.append(self._to_str(val))
             else:
                 raise CompileError("f-string part")
         return SCol(F.concat(*parts), "str")
