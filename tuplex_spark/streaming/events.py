@@ -117,6 +117,55 @@ def running_user_stats(df: DataFrame, key_col: str = "user_id",
                   timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def running_user_stats_tws(df: DataFrame, key_col: str = "user_id",
+                           ts_col: str = "ts",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Same running (count, sum) operator on Spark 4's
+    transformWithStateInPandas — the modern stateful API (typed
+    ValueState through a StatefulProcessorHandle, timer support,
+    multiple state variables per processor).  Kept alongside the
+    applyInPandasWithState variant so both stateful surfaces are
+    exercised; batch mode degrades to the same plain groupBy.
+
+    Requires a working google.protobuf (the TWS Python worker's wire
+    format); environments without it raise ImportError here rather than
+    crashing the stream mid-flight."""
+    if not df.isStreaming:
+        return (df.groupBy(F.col(key_col).alias("user_id"))
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.sum("value").alias("sum_value")))
+
+    from google.protobuf import descriptor  # noqa: F401  (env gate)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self._agg = handle.getValueState("agg", _USER_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+            cur = self._agg.get() if self._agg.exists() else (0, 0.0)
+            n, s = int(cur[0]), float(cur[1])
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf["value"].sum())
+            self._agg.update((n, s))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "sum_value": [s]})
+
+        def close(self):
+            pass
+
+    return (_watermarkable(df, ts_col).withWatermark(ts_col, watermark)
+              .groupBy(key_col)
+              .transformWithStateInPandas(
+                  statefulProcessor=RunningStats(),
+                  outputStructType=_USER_STATS_SCHEMA,
+                  outputMode="Update",
+                  timeMode="None"))
+
+
 def stream_from_directory(spark, path: str, schema,
                           fmt: str = "parquet") -> DataFrame:
     """File-source stream: new files in ``path`` become micro-batches."""
