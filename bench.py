@@ -31,6 +31,7 @@ HEADLINE = [
     "tpch_q19",
     "ds_map_filter", "ds_agg_bykey", "ds_resolve", "ds_loops",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
+    "dedup_embedding", "pipeline_clean",
     "ann_topk", "text_quality", "text_langid", "mm_decode",
     "events_windowed", "events_top_users",
 ]

@@ -43,6 +43,16 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     keep = (s0.select(F.col(id_col), key.alias("__k"))
             .groupBy("__k").agg(F.min(id_col).alias(id_col)))
     s1 = s0.join(keep.select(id_col), id_col, "left_semi")
+    # MATERIALIZE the survivor set: it feeds the jaccard index (whose
+    # two consumers each recompute their upstream) plus the final
+    # anti-join — 4 evaluations of the scan+filter+dedup chain without
+    # a barrier.  localCheckpoint measured 2x faster than no barrier
+    # and 3x faster than persist at sf0.1 ([1.8,2.0,1.9] vs [4.1,3.6,
+    # 3.0] vs [6.8,5.5,4.2]); at 100 TB, checkpointing the cleaned
+    # survivors (a small fraction of the corpus) is the standard
+    # pipeline shape — the trade-off is truncated lineage (an executor
+    # loss fails the job instead of recomputing).
+    s1 = s1.localCheckpoint(eager=False)
     pairs = ngram_jaccard_pairs(s1, text_col, id_col,
                                 n=jaccard_n, threshold=jaccard_threshold)
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
