@@ -76,3 +76,58 @@ class TestConfigMatrix:
         got = ds.collect()
         assert ("3 Oak Ave", -1) in got
         assert len(got) == 4
+
+
+def build_pipeline_r2(c: tx.Context):
+    """Second matrix pipeline: the newer compiled shapes (first-match
+    scan, comprehension with condition, constant dict lookup, sorted
+    key=, dynamic-key .get) under every flag combination."""
+    region = {"021": "NE", "941": "W", "100": "NE", "606": "MW",
+              "981": "W"}
+
+    def first_digit_token(x):
+        for t in x["address"].split(" "):
+            if t.isdigit():
+                return int(t)
+        return -1
+
+    return (c.parallelize(RAW)
+            .withColumn("num", first_digit_token)
+            .withColumn("words", lambda x: len(
+                [w for w in x["address"].split(" ") if len(w) > 2]))
+            .withColumn("region",
+                        lambda x: region.get(x["zipcode"][:3], "?"))
+            .withColumn("longest", lambda x: sorted(
+                x["address"].split(" "), key=len, reverse=True)[0])
+            .filter(lambda x: x["num"] > 0)
+            .selectColumns(["address", "num", "words", "region",
+                            "longest"]))
+
+
+class TestConfigMatrixRound2:
+    def _golden(self):
+        region = {"021": "NE", "941": "W", "100": "NE", "606": "MW",
+                  "981": "W"}
+        out = []
+        for r in RAW:
+            num = next((int(t) for t in r["address"].split(" ")
+                        if t.isdigit()), -1)
+            if num <= 0:
+                continue
+            words = len([w for w in r["address"].split(" ")
+                         if len(w) > 2])
+            reg = region.get(r["zipcode"][:3], "?")
+            longest = sorted(r["address"].split(" "), key=len,
+                             reverse=True)[0]
+            out.append((r["address"], num, words, reg, longest))
+        return out
+
+    @pytest.mark.parametrize("compiled", [True, False])
+    def test_round2_shapes_under_flags(self, compiled):
+        c = tx.Context(conf={"tuplex.useCompiledUDFs": compiled},
+                       name="matrix2")
+        got = build_pipeline_r2(c).collect()
+        assert got == self._golden()
+        if compiled:
+            assert c.metrics.fallbackUDFs == 0, \
+                "round-2 shapes must all take the compiled path"
