@@ -95,3 +95,22 @@ class TestConfigOptions:
         c.optionsToYAML(str(p))
         text = p.read_text()
         assert "tuplex:" in text
+
+
+class TestSqlSurface:
+    def test_sql_over_pipeline_view(self, ctx):
+        ds = ctx.parallelize([(1, "a"), (2, "b"), (3, "a")],
+                             columns=["n", "tag"]) \
+                .filter(lambda x: x["n"] > 1)
+        ds.createOrReplaceTempView("t_sql_surface")
+        out = ctx.sql("SELECT tag, sum(n) AS s FROM t_sql_surface "
+                      "GROUP BY tag ORDER BY tag")
+        assert out.collect() == [("a", 3), ("b", 2)]
+        # the SQL result is a DataSet: engine ops chain on it
+        assert out.selectColumns(["s"]).collect() == [3, 2]
+
+    def test_sql_excludes_exception_rows(self, ctx):
+        ds = ctx.parallelize([1, 2, 0, 4]).map(lambda x: 10 // x)
+        ds.createOrReplaceTempView("t_sql_exc")
+        got = ctx.sql("SELECT count(*) FROM t_sql_exc").collect()
+        assert got == [3]  # the x=0 row never leaks into SQL

@@ -420,6 +420,14 @@ class Context:
         return DataSet(self, df, list(df.columns),
                        sample=self._sample_from_df(df))
 
+    def sql(self, query: str) -> DataSet:
+        """ANSI SQL over registered views (DataSet.createOrReplaceTempView
+        / Context.table) — the full Catalyst SQL surface as a DataSet
+        (parity-plus; the reference has no SQL entry point)."""
+        df = self.spark.sql(query)
+        return DataSet(self, df, list(df.columns),
+                       sample=self._sample_from_df(df))
+
     def parquet(self, pattern: str, columns=None) -> DataSet:
         """Parquet scan (Spark-native addition; same shape as orc()).
 

@@ -990,6 +990,12 @@ class DataSet:
         df, _ = self._split_exceptions()
         return df
 
+    def createOrReplaceTempView(self, name: str) -> None:
+        """Register the clean rows as a session temp view for
+        Context.sql (Spark-native SQL over engine pipelines —
+        parity-plus; the reference has no SQL surface)."""
+        self.toDF().createOrReplaceTempView(name)
+
     def collect(self) -> list:
         return self.take(-1)
 
