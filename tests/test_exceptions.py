@@ -151,3 +151,37 @@ class TestMajorityTypeVoting:
                              columns=["n", "s"])
         assert ds.collect() == [(1, "a"), (2, "b")]
         assert ds.exception_counts.get("BadParallelizeInput") == 1
+
+
+class TestResolveWithRound2Shapes:
+    """The exception model composed with the newer compiled shapes:
+    guards raised inside first-match scans / dict lookups / mixed
+    compares must be resolvable and ignorable like any other."""
+
+    def test_resolve_first_match_guard(self, ctx):
+        def f(s):
+            for t in s.split(" "):
+                if t.isdigit():
+                    return 100 // int(t)
+            return -1
+        ds = ctx.parallelize(["a 0 b", "5 x", "nope"]).map(f) \
+                .resolve(ZeroDivisionError, lambda s: -99)
+        assert ds.collect() == [-99, 20, -1]
+        assert ds.exception_counts == {}
+
+    def test_resolver_uses_dict_lookup(self, ctx):
+        ds = ctx.parallelize([1, 3, 5, 6]).map(lambda x: 10 // (x % 3)) \
+                .resolve(ZeroDivisionError,
+                         lambda x: {0: -1, 3: -3}.get(x % 7, -9))
+        assert ds.collect() == [10, -3, 5, -9]
+
+    def test_ignore_dict_keyerror(self, ctx):
+        ds = ctx.parallelize([1, 2, 9]) \
+                .map(lambda x: {1: "a", 2: "b"}[x]).ignore(KeyError)
+        assert ds.collect() == ["a", "b"]
+
+    def test_resolve_mixed_compare_typeerror(self, ctx):
+        ds = ctx.parallelize(["ab", "abcd"]) \
+                .map(lambda s: (s < 5) if len(s) > 3 else True) \
+                .resolve(TypeError, lambda s: False)
+        assert ds.collect() == [True, False]
