@@ -1523,3 +1523,48 @@ class TestFStringConversion:
 
     def test_str_conversion_compiles(self, ctx):
         run_diff(ctx, ["a", ""], lambda s: f"{s!s}!", expect_compiled=True)
+
+
+class TestFormatSpecs:
+    """The audited format-spec subset ({:.2f}, {:03d}, {:5s}, bare
+    widths) compiles onto format_string; type mismatches (d-of-float,
+    f-of-str, .Ns-of-number) raise ValueError rows like CPython."""
+
+    DATA = [3, 17, 0, 250]
+
+    def test_fstring_numeric_specs(self, ctx):
+        run_diff(ctx, self.DATA, lambda x: f"{x * 1.5:.2f}",
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda x: f"{x:05d}",
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda x: f"{x / 3:07.2f}",
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda x: f"{x:f}",
+                 expect_compiled=True)
+
+    def test_format_method_specs(self, ctx):
+        run_diff(ctx, self.DATA, lambda x: "{:.3f}!".format(x * 0.1),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA,
+                 lambda x: "{1:.1f}|{0:03d}".format(x, x / 7),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda x: "{:5}".format(x),
+                 expect_compiled=True)
+
+    def test_string_width_and_truncation(self, ctx):
+        run_diff(ctx, self.DATA, lambda x: "{:6s}|".format(str(x)),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda x: "{:.2s}".format(str(x) + "zz"),
+                 expect_compiled=True)
+
+    def test_type_mismatch_raises(self, ctx):
+        ds = run_diff(ctx, self.DATA, lambda x: f"{x * 1.0:d}",
+                      expect_compiled=True)
+        assert ds.exception_counts == {"ValueError": 4}
+
+    def test_unsupported_specs_fall_back(self, ctx):
+        # alignment/sign/comma specs are outside the audited subset
+        run_diff(ctx, self.DATA, lambda x: f"{x:>6}",
+                 expect_compiled=False)
+        run_diff(ctx, self.DATA, lambda x: f"{x:+d}",
+                 expect_compiled=False)

@@ -1844,9 +1844,20 @@ class Translator:
             if isinstance(v, ast.Constant):
                 parts.append(F.lit(v.value))
             elif isinstance(v, ast.FormattedValue):
+                spec = None
                 if v.format_spec is not None:
-                    raise CompileError("f-string format spec")
+                    fs = v.format_spec
+                    if not (isinstance(fs, ast.JoinedStr)
+                            and len(fs.values) == 1
+                            and isinstance(fs.values[0], ast.Constant)):
+                        raise CompileError("dynamic f-string format spec")
+                    spec = fs.values[0].value
                 val = self.eval(v.value)
+                if spec is not None:
+                    if v.conversion != -1:
+                        raise CompileError("f-string conversion with spec")
+                    parts.append(self._format_spec_col(spec, val))
+                    continue
                 if v.conversion not in (-1, 115):  # none / !s compile
                     # !r on numbers == str; on strings repr quotes and
                     # escapes (no Column form) — fallback unless the
@@ -1860,6 +1871,65 @@ class Translator:
             else:
                 raise CompileError("f-string part")
         return SCol(F.concat(*parts), "str")
+
+    _SPEC_RE = _re_mod.compile(r"^(0?)(\d*)(?:\.(\d+))?([dfs]?)$")
+
+    def _format_spec_col(self, spec: str, val: Sym) -> Column:
+        """Translate an audited subset of the format-spec mini-language
+        ({:.2f}, {:03d}, {:5s}, ...) onto java.util.Formatter via
+        format_string — identical output to CPython for this subset.
+        Type rules mirror CPython: 'd' rejects floats (ValueError row),
+        'f' accepts ints (cast to double so Java's %f doesn't throw)."""
+        m = self._SPEC_RE.match(spec)
+        if not m:
+            raise CompileError(f"format spec {spec!r}")
+        zero, width, prec, typ = m.groups()
+        tag = getattr(val, "tag", None)
+        if isinstance(val, SConst):
+            tag = _pytag(val.value)
+        if not typ:
+            if prec is not None or not (zero or width):
+                raise CompileError(f"format spec {spec!r}")
+            # bare width: string-style padding for str, right-align via
+            # %<w>s only matches CPython for strings (numbers also
+            # right-align -> same); zero flag without type only valid
+            # for numbers
+            typ = "s" if tag == "str" else ("d" if tag in ("int", "bool")
+                                            else "f" if tag == "float"
+                                            else None)
+            if typ is None:
+                raise CompileError(f"format spec {spec!r}")
+            if typ == "f" and prec is None:
+                raise CompileError(f"format spec {spec!r}")  # repr-style
+            if typ == "s" and zero:
+                raise CompileError(f"format spec {spec!r}")
+        fmt = "%" + zero + width + (f".{prec}" if prec is not None else "")
+        if typ == "d":
+            if tag == "float":
+                self.guard(F.lit(True), "ValueError")
+                return F.lit(None).cast("string")
+            if prec is not None:
+                self.guard(F.lit(True), "ValueError")  # CPython rejects
+                return F.lit(None).cast("string")
+            c = self.to_col(val).cast("long")
+        elif typ == "f":
+            if tag == "str":
+                self.guard(F.lit(True), "ValueError")
+                return F.lit(None).cast("string")
+            c = self.to_col(val).cast("double")
+        else:
+            if zero:
+                raise CompileError(f"format spec {spec!r}")  # 0-pad str
+            if tag not in ("str", None) and prec is not None:
+                self.guard(F.lit(True), "ValueError")  # .Ns on numbers
+                return F.lit(None).cast("string")
+            c = self._to_str(val)
+            # CPython left-aligns strings by default; printf %Ns
+            # right-aligns — use %-Ns
+            if width:
+                fmt = "%" + "-" + width + \
+                    (f".{prec}" if prec is not None else "")
+        return F.format_string(fmt + typ, c)
 
     def _to_str(self, s: Sym) -> Column:
         if isinstance(s, SConst):
@@ -2677,31 +2747,37 @@ class Translator:
             pat = base.value
             if "{{" in pat or "}}" in pat:
                 raise CompileError("format brace escapes")
-            if _re_mod.search(r"\{[^{}]*[^{}0-9][^{}]*\}", pat):
-                raise CompileError("format spec")
-            toks = _re_mod.findall(r"\{(\d*)\}", pat)
-            fmt = _re_mod.sub(r"\{\d*\}", "%s", pat)
-            if any(toks) and not all(toks):
+            toks = _re_mod.findall(r"\{([^{}]*)\}", pat)
+            fields = []
+            for t in toks:
+                idx, _, spec = t.partition(":")
+                if idx and not idx.isdigit():
+                    raise CompileError("format field name")
+                fields.append((idx, spec if ":" in t else None))
+            if any(i for i, _ in fields) and not all(i for i, _ in fields):
                 # CPython raises ValueError for mixed auto/manual
                 # numbering on every row
                 self.guard(F.lit(True), "ValueError")
                 return SConst(None)
-            if all(t for t in toks) and toks:
+            if fields and all(i for i, _ in fields):
                 # explicit indices: reorder/duplicate the args per token
                 # (previously '{1}:{0}' formatted in positional order
                 # and '{0}{0}' crashed format_string at runtime)
-                idxs = [int(t) for t in toks]
-                if max(idxs) >= len(args):
+                if max(int(i) for i, _ in fields) >= len(args):
                     self.guard(F.lit(True), "IndexError")
                     return SConst(None)
-                cols = [self._to_str(args[i]) for i in idxs]
+                vals = [args[int(i)] for i, _ in fields]
             else:
-                if len(toks) > len(args):
+                if len(fields) > len(args):
                     self.guard(F.lit(True), "IndexError")
                     return SConst(None)
                 # surplus args are legal in CPython; format_string is
                 # strict, so pass exactly the consumed prefix
-                cols = [self._to_str(a) for a in args[:len(toks)]]
+                vals = list(args[:len(fields)])
+            fmt = _re_mod.sub(r"\{[^{}]*\}", "%s", pat)
+            cols = [self._to_str(v) if spec is None
+                    else self._format_spec_col(spec, v)
+                    for (_, spec), v in zip(fields, vals)]
             return SCol(F.format_string(fmt, *cols), "str")
         if name in ("isdigit", "isdecimal"):
             return SCol(c.rlike("^[0-9]+$"), "bool", nullable)
