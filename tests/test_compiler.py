@@ -1568,3 +1568,37 @@ class TestFormatSpecs:
                  expect_compiled=False)
         run_diff(ctx, self.DATA, lambda x: f"{x:+d}",
                  expect_compiled=False)
+
+
+class TestMapFilterDivmodBuiltins:
+    DATA = ["a bb ccc", "dddd e", ""]
+
+    def test_map_builtin(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: list(map(len, s.split(" "))),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: sum(map(len, s.split(" "))),
+                 expect_compiled=True)
+
+    def test_map_lambda(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda s: "|".join(map(lambda t: t.upper(),
+                                        s.split(" "))),
+                 expect_compiled=True)
+
+    def test_filter_lambda(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda s: list(filter(lambda t: len(t) > 1,
+                                       s.split(" "))),
+                 expect_compiled=True)
+
+    def test_filter_none_truthiness(self, ctx):
+        run_diff(ctx, ["a  b", " x ", ""],
+                 lambda s: ",".join(filter(None, s.split(" "))),
+                 expect_compiled=True)
+
+    def test_divmod(self, ctx):
+        run_diff(ctx, [7, -7, 0, 100], lambda x: divmod(x, 3),
+                 expect_compiled=True)
+        ds = run_diff(ctx, [7, 3], lambda x: divmod(10, x - 3),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"ZeroDivisionError": 1}

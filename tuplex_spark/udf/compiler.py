@@ -1960,6 +1960,9 @@ class Translator:
                     return self._b_minmax_kw(node, fname == "min")
             raise CompileError("keyword arguments")
         fn = node.func
+        if isinstance(fn, ast.Name) and fn.id in ("map", "filter") \
+                and fn.id not in self._locals and len(node.args) == 2:
+            return self._b_map_filter(node, fn.id)
         args = [self.eval(a) for a in node.args]
         if isinstance(fn, ast.Name):
             return self._call_builtin(fn.id, args)
@@ -2117,6 +2120,50 @@ class Translator:
                 self._hof_depth -= 1
                 self._locals = saved
         return key_of
+
+    def _b_map_filter(self, node, which: str):
+        """map(f, xs) -> F.transform, filter(f, xs) -> F.filter (with
+        filter(None, xs) keeping truthy elements).  Consistent with the
+        iterator-builtins-as-values policy: the lazy iterator
+        materializes as the array, which every compiled consumer
+        (list/sum/join/any/for) treats identically to CPython."""
+        a = self.eval(node.args[1])
+        if isinstance(a, SConst) and isinstance(a.value, (list, tuple)):
+            a = SCol(F.array(*[F.lit(v) for v in a.value]), "array",
+                     False, elem=_pytag(a.value[0]) if a.value else "str")
+        if not (isinstance(a, SCol) and a.tag == "array"):
+            raise CompileError(f"{which} over {getattr(a, 'tag', '?')}")
+        elem = a.elem or "str"
+        fn_node = node.args[0]
+        if isinstance(fn_node, ast.Constant) and fn_node.value is None:
+            if which == "map":
+                raise CompileError("map(None, ...)")
+            fn_node = None  # filter(None, xs): truthiness
+        key_of = self._hof_key(fn_node, elem)
+        if which == "map":
+            out_tag = [elem]
+
+            def mapper(x):
+                col, tag = key_of(x)
+                out_tag[0] = tag
+                return col
+
+            return SCol(F.transform(a.col, mapper), "array", a.nullable,
+                        elem=out_tag[0])
+
+        def pred(x):
+            col, tag = key_of(x)
+            return self.truthy(SCol(col, tag, True))
+
+        return SCol(F.filter(a.col, pred), "array", a.nullable, elem=elem)
+
+    def _b_divmod(self, args):
+        """divmod(a, b) == (a // b, a % b) with the engine's CPython
+        floor-division/modulo sign semantics."""
+        if len(args) != 2:
+            raise CompileError("divmod arity")
+        return STuple([self._binop(ast.FloorDiv(), args[0], args[1]),
+                       self._binop(ast.Mod(), args[0], args[1])])
 
     def _b_minmax_kw(self, node, is_min: bool):
         """min/max(xs, key=f) over an array: decorate to struct(key,
@@ -3003,7 +3050,7 @@ class _BoundMethod(Sym):
 
 _BUILTINS = {"int", "float", "str", "bool", "len", "abs", "round",
              "min", "max", "sorted", "sum", "list", "tuple", "any", "all",
-             "iter", "next", "reversed", "range", "dict"}
+             "iter", "next", "reversed", "range", "dict", "divmod"}
 
 
 def _tag_family(s: Sym) -> str | None:
