@@ -1602,3 +1602,41 @@ class TestMapFilterDivmodBuiltins:
         ds = run_diff(ctx, [7, 3], lambda x: divmod(10, x - 3),
                       expect_compiled=True)
         assert ds.exception_counts == {"ZeroDivisionError": 1}
+
+
+class TestDictIterationAndJoinOverStr:
+    DATA = ["abc", "x", ""]
+
+    def test_static_items_loop(self, ctx):
+        def f(s):
+            acc = 0
+            for k, v in {"a": 1, "b": 2, "c": 4}.items():
+                if k in s:
+                    acc += v
+            return acc
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_iterate_dict_yields_keys(self, ctx):
+        def f(s):
+            best = ""
+            for k in {"abc": 1, "x": 2}:
+                if k == s:
+                    best = k
+            return best
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_keys_comprehension(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda s: "|".join([k for k in {"a": 1, "b": 2}]),
+                 expect_compiled=True)
+
+    def test_sum_dict_values(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda s: sum({"a": 1, "b": 2}.values()) + len(s),
+                 expect_compiled=True)
+
+    def test_join_over_reversed_string(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: "".join(reversed(s)),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: "-".join(s),
+                 expect_compiled=True)

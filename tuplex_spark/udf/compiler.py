@@ -924,7 +924,20 @@ class Translator:
             return None
         if isinstance(node, (ast.List, ast.Tuple)):
             return [self.eval(e) for e in node.elts]
-        if isinstance(node, (ast.Constant, ast.Name)):
+        if isinstance(node, ast.Call) and isinstance(node.func,
+                                                    ast.Attribute) \
+                and node.func.attr in ("items", "keys", "values") \
+                and not node.args and not node.keywords:
+            # dict-view iteration (for k, v in d.items()): statically
+            # known for literal-keyed dicts
+            try:
+                s = self.eval(node)
+            except CompileError:
+                return None
+            if isinstance(s, STuple):
+                return list(s.items)
+            return None
+        if isinstance(node, (ast.Constant, ast.Name, ast.Dict)):
             try:
                 s = self.eval(node)
             except CompileError:
@@ -933,6 +946,9 @@ class Translator:
                 return [SConst(v) for v in s.value]
             if isinstance(s, STuple):
                 return list(s.items)
+            if isinstance(s, SDict):
+                # iterating a dict yields its keys, insertion-ordered
+                return [SConst(k) for k in s.items]
         return None
 
     def _iter_array(self, node):
@@ -1274,6 +1290,9 @@ class Translator:
             it = self.eval(gen.iter)
             if gi > 0 and len(self.guards) != n_guards_iter:
                 raise CompileError("guarded inner comprehension iterable")
+            if isinstance(it, SDict):
+                # iterating a dict yields its (constant) keys
+                it = SConst(list(it.items.keys()))
             if isinstance(it, SConst) and isinstance(it.value,
                                                      (list, tuple)):
                 it = SCol(F.array(*[F.lit(v) for v in it.value]), "array",
@@ -2239,6 +2258,13 @@ class Translator:
             raise CompileError("sum start must be constant")
         if isinstance(a, SConst):
             return SConst(sum(a.value, start.value))
+        if isinstance(a, STuple):
+            # sum over a tuple value (e.g. dict.values()): fold with the
+            # engine's Add lowering so guards/type rules apply
+            acc: Sym = start
+            for item in a.items:
+                acc = self._binop(ast.Add(), acc, item)
+            return acc
         if isinstance(a, SCol) and a.tag == "array":
             elem = a.elem or "int"
             if elem not in _NUM_TAGS:
@@ -2787,6 +2813,14 @@ class Translator:
             if a.tag == "array":
                 return SCol(F.array_join(self.to_col(a), sep), "str",
                             a.nullable)
+            if a.tag == "str":
+                # CPython iterates the string's characters
+                # (''.join(reversed(s)), '-'.join(s))
+                ac = self.to_col(a)
+                if sep == "":
+                    return SCol(ac, "str", a.nullable)
+                return SCol(F.array_join(F.split(ac, ""), sep), "str",
+                            a.nullable)
             raise CompileError("join arg")
         if name == "format":
             if not isinstance(base, SConst):
@@ -2954,7 +2988,7 @@ class Translator:
 
     def _dict_method(self, base, name, args):
         if isinstance(base, SConst) and isinstance(base.value, dict) \
-                and name in ("get", "keys", "values"):
+                and name in ("get", "keys", "values", "items"):
             base = SDict({k: SConst(v) for k, v in base.value.items()}) \
                 if all(isinstance(k, str) for k in base.value) else base
             if isinstance(base, SConst) and name == "get":
@@ -2985,6 +3019,10 @@ class Translator:
                 return STuple([SConst(k) for k in base.items])
             if name == "values":
                 return STuple(list(base.items.values()))
+            if name == "items":
+                # insertion-ordered (k, v) pairs, CPython >= 3.7
+                return STuple([STuple([SConst(k), v])
+                               for k, v in base.items.items()])
             if name in ("pop", "popitem"):
                 # in-place mutation of the symbolic dict matches CPython
                 # aliasing ONLY on the straight-line path: inside a
