@@ -1640,3 +1640,139 @@ class TestDictIterationAndJoinOverStr:
                  expect_compiled=True)
         run_diff(ctx, self.DATA, lambda s: "-".join(s),
                  expect_compiled=True)
+
+
+class TestCompiledTryExcept:
+    """try/except compiles: body guards whose class matches a handler
+    become branch conditions (first-raise dispatch, CPython hierarchy
+    matching); unmatched guards stay row failures; finally/else,
+    `as name` bindings, and handlers reading body-assigned names fall
+    back.  Parity-PLUS: the reference cannot compile try at all."""
+
+    STRS = ["12", "abc", "2", ""]
+
+    def test_return_shape(self, ctx):
+        def f(s):
+            try:
+                return int(s)
+            except ValueError:
+                return -1
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
+
+    def test_assign_shape(self, ctx):
+        def f(s):
+            try:
+                v = int(s)
+            except ValueError:
+                v = -1
+            return v * 2
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
+
+    def test_first_raise_dispatch(self, ctx):
+        def f(s):
+            try:
+                return 10 // (int(s) - 2)
+            except ValueError:
+                return -1
+            except ZeroDivisionError:
+                return -2
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
+
+    def test_unhandled_propagates(self, ctx):
+        def f(s):
+            try:
+                return 10 // (int(s) - 2)
+            except ValueError:
+                return -1
+        ds = run_diff(ctx, self.STRS, f, expect_compiled=True)
+        assert ds.exception_counts == {"ZeroDivisionError": 1}
+
+    def test_bare_except_and_hierarchy(self, ctx):
+        def f(s):
+            try:
+                return 10 // (len(s) - 1)
+            except ArithmeticError:
+                return -5
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
+
+        def g(s):
+            try:
+                return 10 // (int(s) - 2)
+            except:
+                return -99
+        run_diff(ctx, self.STRS, g, expect_compiled=True)
+
+    def test_raising_handler(self, ctx):
+        def f(s):
+            try:
+                return int(s)
+            except ValueError:
+                return 10 // (len(s) - 1)
+        # "x": ValueError -> handler -> 10 // 0 raises on the handler path
+        ds = run_diff(ctx, self.STRS + ["x"], f, expect_compiled=True)
+        assert ds.exception_counts == {"ZeroDivisionError": 1}
+
+    def test_nested_try(self, ctx):
+        def f(s):
+            try:
+                try:
+                    return int(s)
+                except ValueError:
+                    return 100 // (len(s) - 3)
+            except ZeroDivisionError:
+                return -7
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
+
+    def test_in_branch(self, ctx):
+        def f(s):
+            if len(s) > 1:
+                try:
+                    return int(s)
+                except ValueError:
+                    return -1
+            return 0
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
+
+    def test_resolve_catches_unhandled(self, ctx):
+        def f(s):
+            try:
+                return 10 // (int(s) - 2)
+            except ValueError:
+                return -1
+        ds = ctx.parallelize(self.STRS).map(f) \
+                .resolve(ZeroDivisionError, lambda s: -2)
+        want = []
+        for v in self.STRS:
+            try:
+                want.append(f(v))
+            except ZeroDivisionError:
+                want.append(-2)
+        assert ds.collect() == want
+
+    def test_handler_reading_body_name_falls_back(self, ctx):
+        def f(s):
+            y = 0
+            try:
+                y = len(s) * 2
+                return int(s) + y
+            except ValueError:
+                return y  # value depends on where the raise happened
+        run_diff(ctx, self.STRS, f, expect_compiled=False)
+
+    def test_finally_falls_back(self, ctx):
+        def f(s):
+            try:
+                return int(s)
+            except ValueError:
+                return -1
+            finally:
+                pass
+        run_diff(ctx, self.STRS, f, expect_compiled=False)
+
+    def test_as_name_falls_back(self, ctx):
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                return len(str(e))
+        run_diff(ctx, self.STRS, f, expect_compiled=False)

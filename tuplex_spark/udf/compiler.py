@@ -31,7 +31,7 @@ import random as _random_mod
 from pyspark.sql import Column, functions as F, types as T
 
 from . import reflection
-from ..exceptions import code_for
+from ..exceptions import code_for, codes_caught_by
 
 
 class CompileError(Exception):
@@ -595,6 +595,11 @@ class Translator:
                 if done:
                     return True
                 continue
+            if isinstance(st, ast.Try):
+                done, path = self._exec_try(st, path)
+                if done:
+                    return True
+                continue
             if isinstance(st, ast.While):
                 done, path = self._exec_while(st, path)
                 if done:
@@ -828,6 +833,113 @@ class Translator:
                     path = path & ~cond
             self._path = path
         return False, path
+
+    def _exec_try(self, st: ast.Try, path: Column | None):
+        """Compile ``try/except``: guards the body emits whose exception
+        class matches a handler become BRANCH conditions (the handler's
+        arm) instead of row failures — `try: return int(s) except
+        ValueError: return -1` is one when() chain, no Python.  The
+        reference cannot compile try at all (resolvers are external).
+
+        Handler dispatch follows CPython's first-raise semantics: guards
+        are classified in emission order and each condition is masked by
+        the disjunction of earlier raising conditions, so the handler
+        (or failure) of the FIRST raising subexpression wins per row.
+        Unsupported pieces (finally/else, `as name` bindings, handlers
+        reading names the body assigns — whose value would depend on
+        where the raise happened) fall back.
+
+        Returns (all_paths_terminated, narrowed_path)."""
+        if st.finalbody or st.orelse:
+            raise CompileError("try finally/else")
+        handler_codes: list[set[int] | None] = []
+        for h in st.handlers:
+            if h.name:
+                raise CompileError("except ... as name")
+            if h.type is None:
+                handler_codes.append(None)  # bare except: catches all
+            else:
+                elts = h.type.elts if isinstance(h.type, ast.Tuple) \
+                    else [h.type]
+                codes: set[int] = set()
+                for e in elts:
+                    if not isinstance(e, ast.Name):
+                        raise CompileError("except class shape")
+                    codes |= codes_caught_by(e.id)
+                handler_codes.append(codes)
+        body_assigned = {n.id for bs in st.body for n in ast.walk(bs)
+                         if isinstance(n, ast.Name)
+                         and isinstance(n.ctx, ast.Store)}
+        for h in st.handlers:
+            reads = {n.id for hs in h.body for n in ast.walk(hs)
+                     if isinstance(n, ast.Name)
+                     and isinstance(n.ctx, ast.Load)}
+            if reads & body_assigned:
+                raise CompileError("handler reads body-assigned name")
+
+        saved = dict(self._locals)
+        n_guards = len(self.guards)
+        start_returns = len(self._returns)
+        self._branch_depth += 1  # blocks dict mutation aliasing inside
+        try:
+            body_term = self.exec_block(st.body, path)
+            body_env = self._locals
+            new_guards = self.guards[n_guards:]
+            del self.guards[n_guards:]
+            kept: list[tuple[Column, int]] = []
+            per_handler: list[list[Column]] = [[] for _ in st.handlers]
+            prior: Column | None = None
+            for cond, code in new_guards:
+                hi = next((i for i, hc in enumerate(handler_codes)
+                           if hc is None or code in hc), None)
+                eff = cond if prior is None else (cond & ~prior)
+                if hi is None:
+                    kept.append((eff, code))
+                else:
+                    per_handler[hi].append(eff)
+                prior = cond if prior is None else (prior | cond)
+            self.guards.extend(kept)
+            handled = None
+            for conds in per_handler:
+                for c in conds:
+                    handled = c if handled is None else (handled | c)
+            if handled is None:
+                # no handler-matching guard: the try wrapper is inert
+                self._locals = body_env
+                return body_term, path
+            # body returns stand only where no handled raise fired
+            for i in range(start_returns, len(self._returns)):
+                c, v = self._returns[i]
+                base = path if c is None else c
+                nc = ~handled if base is None else (base & ~handled)
+                self._returns[i] = (nc, v)
+            # run each handler under its raise condition, merging locals
+            env = body_env
+            all_term = body_term
+            for h, conds in zip(st.handlers, per_handler):
+                if not conds:
+                    continue
+                hcond = conds[0]
+                for c in conds[1:]:
+                    hcond = hcond | c
+                hpath = hcond if path is None else (path & hcond)
+                self._locals = dict(saved)
+                h_term = self.exec_block(h.body, hpath)
+                h_env = self._locals
+                all_term = all_term and h_term
+                env = self._merge_envs(hcond, h_env, env, saved)
+            self._locals = env
+            if all_term:
+                return True, path
+            # narrow for returns captured inside this construct
+            for i in range(start_returns, len(self._returns)):
+                c, _ = self._returns[i]
+                if c is not None:
+                    path = ~c if path is None else (path & ~c)
+            self._path = path
+            return False, path
+        finally:
+            self._branch_depth -= 1
 
     def _exec_while(self, st: ast.While, path: Column | None):
         """Compile ``while`` by ITERATIVE unrolling: execute the body as
