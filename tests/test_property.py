@@ -360,3 +360,40 @@ class TestDynamicMethodArgs:
         for expr in DYN_ARG_EXPRS:
             fn = _build_fn([expr])
             run_diff(ctx, rows, fn, columns=["a", "b", "s"])
+
+
+TRY_BODIES = ["return int(x['s'])",
+              "return 10 // (x['a'] % 4)",
+              "return 100 // (int(x['s']) - 3)",
+              "return x['a'] // (len(x['s']) - 5)"]
+TRY_HANDLERS = [("ValueError", ["return -1", "return len(x['s'])"]),
+                ("ZeroDivisionError", ["return -2", "return 0"]),
+                ("ArithmeticError", ["return -3"]),
+                ("Exception", ["return -9"])]
+
+
+def gen_try(rng):
+    body = rng.choice(TRY_BODIES)
+    n_handlers = rng.randint(1, 2)
+    hs = rng.sample(TRY_HANDLERS, n_handlers)
+    lines = ["try:", f"    {body}"]
+    for cls, rets in hs:
+        lines.append(f"except {cls}:")
+        lines.append(f"    {rng.choice(rets)}")
+    lines.append(f"return {rng.randint(-5, 5)}")
+    return lines
+
+
+class TestGeneratedTryExcept:
+    """Seeded try/except fuzzing: random bodies x handler sets must
+    match CPython's dispatch, including unhandled propagation counts."""
+
+    def test_try_sweep(self, ctx):
+        rows = [(3, 1.5, "12"), (0, 0.5, "abc"), (5, -1, "3"),
+                (7, 2.0, ""), (4, 1.0, "x2345")]
+        for seed in (23, 230, 2300, 23000):
+            rng = random.Random(seed)
+            for _ in range(4):
+                fn = _build_def_fn(gen_try(rng))
+                run_diff(ctx, rows, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)
