@@ -103,3 +103,39 @@ class TestRelationalExtensions:
         a = ctx.parallelize([(1, "x")], columns=["n", "s"])
         b = ctx.parallelize([("y", 2)], columns=["s", "n"])
         assert sorted(a.union(b).collect()) == [(1, "x"), (2, "y")]
+
+
+class TestMultiKeyJoin:
+    """Multi-key equi-joins (parity-plus; the reference is single-key)."""
+
+    def _sides(self, ctx):
+        l = ctx.parallelize([(1, "a", 10), (1, "b", 20), (2, "a", 30)],
+                            columns=["k1", "k2", "lv"])
+        r = ctx.parallelize([(1, "a", "x"), (2, "a", "y"), (3, "c", "z")],
+                            columns=["j1", "j2", "rv"])
+        return l, r
+
+    def test_inner_multi_key(self, ctx):
+        l, r = self._sides(ctx)
+        j = l.join(r, ["k1", "k2"], ["j1", "j2"])
+        assert j.columns == ["lv", "k1", "k2", "rv"]
+        assert sorted(j.collect()) == [(10, 1, "a", "x"), (30, 2, "a", "y")]
+
+    def test_left_multi_key_null_fill(self, ctx):
+        l, r = self._sides(ctx)
+        j = l.leftJoin(r, ["k1", "k2"], ["j1", "j2"])
+        got = sorted(j.collect(), key=lambda t: (t[1], t[2]))
+        assert got == [(10, 1, "a", "x"), (20, 1, "b", None),
+                       (30, 2, "a", "y")]
+
+    def test_key_arity_mismatch(self, ctx):
+        l, r = self._sides(ctx)
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            l.join(r, ["k1", "k2"], ["j1"])
+
+    def test_missing_key_column(self, ctx):
+        l, r = self._sides(ctx)
+        import pytest as _pytest
+        with _pytest.raises(KeyError):
+            l.join(r, ["k1", "nope"], ["j1", "j2"])

@@ -20,14 +20,25 @@ def _decorate(name: str, pre: str, suf: str) -> str:
     return f"{pre}{name}{suf}"
 
 
-def join_datasets(left, right, lkey: str, rkey: str, how: str,
+def join_datasets(left, right, lkey, rkey, how: str,
                   prefixes=None, suffixes=None):
+    """Single- or multi-key equi-join.  ``lkey``/``rkey`` may be column
+    names or equal-length lists (multi-key is parity-plus: the reference
+    joins on exactly one key, dataset.py:384).  Output column order is
+    the reference's — left non-key, key(s) in left order, right
+    non-key."""
     from ..dataset import DataSet
 
-    if lkey not in left._columns:
-        raise KeyError(f"no left column {lkey!r}")
-    if rkey not in right._columns:
-        raise KeyError(f"no right column {rkey!r}")
+    lkeys = [lkey] if isinstance(lkey, str) else list(lkey)
+    rkeys = [rkey] if isinstance(rkey, str) else list(rkey)
+    if len(lkeys) != len(rkeys) or not lkeys:
+        raise ValueError("join needs equal-length non-empty key lists")
+    for k in lkeys:
+        if k not in left._columns:
+            raise KeyError(f"no left column {k!r}")
+    for k in rkeys:
+        if k not in right._columns:
+            raise KeyError(f"no right column {k!r}")
     pre = tuple(prefixes) if prefixes else ("", "")
     suf = tuple(suffixes) if suffixes else ("", "")
     lpre, rpre = (pre + ("", ""))[:2]
@@ -36,32 +47,37 @@ def join_datasets(left, right, lkey: str, rkey: str, how: str,
     ldf, lparked = left._split_exceptions()
     rdf, rparked = right._split_exceptions()
 
-    lcols = [c for c in left._columns if c != lkey]
-    rcols = [c for c in right._columns if c != rkey]
-    key_out = _decorate(lkey, lpre, lsuf) if (lpre or lsuf) else lkey
+    lcols = [c for c in left._columns if c not in lkeys]
+    rcols = [c for c in right._columns if c not in rkeys]
+    key_outs = [_decorate(k, lpre, lsuf) if (lpre or lsuf) else k
+                for k in lkeys]
 
     lsel = [F.col(c).alias(_decorate(c, lpre, lsuf)) for c in lcols] + \
-           [F.col(lkey).alias("__jkey_l")]
-    rsel = [F.col(rkey).alias("__jkey_r")] + \
+           [F.col(k).alias(f"__jkey_l{i}") for i, k in enumerate(lkeys)]
+    rsel = [F.col(k).alias(f"__jkey_r{i}") for i, k in enumerate(rkeys)] + \
            [F.col(c).alias(_decorate(c, rpre, rsuf)) for c in rcols]
     l = ldf.select(*lsel)
     r = rdf.select(*rsel)
 
     # NULL keys never match (SQL semantics, same as the reference's
     # null-bucket exclusion for inner joins)
-    cond = l["__jkey_l"] == r["__jkey_r"]
+    cond = l["__jkey_l0"] == r["__jkey_r0"]
+    for i in range(1, len(lkeys)):
+        cond = cond & (l[f"__jkey_l{i}"] == r[f"__jkey_r{i}"])
     joined = l.join(r, cond, how)
 
-    # the key column survives from whichever side is preserved: left for
+    # the key columns survive from whichever side is preserved: left for
     # inner/left joins; for right joins unmatched rows only carry the
     # right key (reference declares RIGHT in JoinOperator.h:62-69 but
     # never implemented it — 'parity-plus' here)
-    key_src = F.coalesce(F.col("__jkey_l"), F.col("__jkey_r")) \
-        if how == "right" else F.col("__jkey_l")
-    out_cols = [_decorate(c, lpre, lsuf) for c in lcols] + [key_out] + \
+    def key_src(i):
+        return F.coalesce(F.col(f"__jkey_l{i}"), F.col(f"__jkey_r{i}")) \
+            if how == "right" else F.col(f"__jkey_l{i}")
+
+    out_cols = [_decorate(c, lpre, lsuf) for c in lcols] + key_outs + \
                [_decorate(c, rpre, rsuf) for c in rcols]
     sel = [F.col(_decorate(c, lpre, lsuf)) for c in lcols] + \
-          [key_src.alias(key_out)] + \
+          [key_src(i).alias(ko) for i, ko in enumerate(key_outs)] + \
           [F.col(_decorate(c, rpre, rsuf)) for c in rcols]
     out = joined.select(*sel)
 
