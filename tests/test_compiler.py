@@ -1776,3 +1776,62 @@ class TestCompiledTryExcept:
             except ValueError as e:
                 return len(str(e))
         run_diff(ctx, self.STRS, f, expect_compiled=False)
+
+
+class TestWhileCounterRewrite:
+    """Data-dependent counter whiles (while i < stop: ...; i += 1)
+    rewrite to a dynamic range fold — one F.aggregate, no Python;
+    non-loop-invariant bounds and other mutations fall back."""
+
+    DATA = [0, 1, 3, 7, 10]
+
+    def test_lt_bound(self, ctx):
+        def f(x):
+            i = 0
+            acc = 0
+            while i < x:
+                acc += i * 2
+                i += 1
+            return acc
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_le_bound_and_reversed(self, ctx):
+        def f(x):
+            i = 1
+            s = 0
+            while i <= x:
+                s += i
+                i += 1
+            return s
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+        def g(x):
+            i = 0
+            n = 0
+            while x > i:
+                n += 1
+                i += 1
+            return n
+        run_diff(ctx, self.DATA, g, expect_compiled=True)
+
+    def test_float_bound_ceils(self, ctx):
+        def f(x):
+            i = 0
+            acc = 0
+            while i < x * 0.5:
+                acc += i
+                i += 1
+            return acc
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_varying_bound_falls_back(self, ctx):
+        def f(x):
+            i = 0
+            n = x
+            acc = 0
+            while i < n:
+                acc += 1
+                n = n - 1
+                i += 1
+            return acc
+        run_diff(ctx, self.DATA, f, expect_compiled=False)

@@ -960,6 +960,13 @@ class Translator:
             for _ in range(self._MAX_UNROLL):
                 test = self.eval(st.test)
                 if not isinstance(test, SConst):
+                    rewritten = self._while_counter_rewrite(st)
+                    if rewritten is not None:
+                        self._unroll_depth -= 1
+                        try:
+                            return self._exec_for(rewritten, path)
+                        finally:
+                            self._unroll_depth += 1
                     raise CompileError("dynamic while condition")
                 if not test.value:
                     return False, path
@@ -973,6 +980,70 @@ class Translator:
             raise CompileError("while exceeds unroll limit")
         finally:
             self._unroll_depth -= 1
+
+    def _while_counter_rewrite(self, st: ast.While):
+        """``while i < stop: ...; i += 1`` with a DATA-DEPENDENT stop
+        rewrites to ``for i in range(i0, stop)`` and takes the dynamic
+        fold path (one F.aggregate, no Python).  Conditions: the test is
+        ``i < stop`` / ``i <= stop`` (either operand order), the body's
+        LAST statement is ``i += 1``, nothing else assigns i, and the
+        stop expression is loop-invariant (reads no name the body
+        assigns).  Returns the synthesized ast.For or None."""
+        t = st.test
+        if not (isinstance(t, ast.Compare) and len(t.ops) == 1):
+            return None
+        op = t.ops[0]
+        left, right = t.left, t.comparators[0]
+        if isinstance(left, ast.Name) and isinstance(op, (ast.Lt, ast.LtE)):
+            var, stop_node, le = left.id, right, isinstance(op, ast.LtE)
+        elif isinstance(right, ast.Name) \
+                and isinstance(op, (ast.Gt, ast.GtE)):
+            var, stop_node, le = right.id, left, isinstance(op, ast.GtE)
+        else:
+            return None
+        if not st.body:
+            return None
+        last = st.body[-1]
+        if not (isinstance(last, ast.AugAssign)
+                and isinstance(last.op, ast.Add)
+                and isinstance(last.target, ast.Name)
+                and last.target.id == var
+                and isinstance(last.value, ast.Constant)
+                and last.value.value == 1):
+            return None
+        rest = st.body[:-1]
+        assigned = {n.id for bs in rest for n in ast.walk(bs)
+                    if isinstance(n, ast.Name)
+                    and isinstance(n.ctx, ast.Store)}
+        if var in assigned:
+            return None
+        stop_reads = {n.id for n in ast.walk(stop_node)
+                      if isinstance(n, ast.Name)
+                      and isinstance(n.ctx, ast.Load)}
+        if stop_reads & (assigned | {var}):
+            return None  # stop must be loop-invariant
+        if var not in self._locals:
+            return None
+        start_sym = self._locals[var]
+        stop_sym = self.eval(stop_node)
+        stop_sym = self.num(stop_sym, "while bound")
+        if stop_sym.tag == "float":
+            # i < 2.5 runs i = 0,1,2: ceil the bound (<=: floor + 1
+            # handled by the +1 below only for ints — float <= bound
+            # edge (i == bound exactly) differs, so reject <=)
+            if le:
+                raise CompileError("while <= float bound")
+            stop_sym = SCol(F.ceil(self.to_col(stop_sym)).cast("long"),
+                            "int", stop_sym.nullable)
+        elif le:
+            stop_sym = self._binop(ast.Add(), stop_sym, SConst(1))
+        return ast.For(
+            target=ast.Name(id=var, ctx=ast.Store()),
+            iter=ast.Call(func=ast.Name(id="range", ctx=ast.Load()),
+                          args=[_SymExpr(start_sym), _SymExpr(stop_sym)],
+                          keywords=[]),
+            body=rest if rest else [ast.Pass()],
+            orelse=[])
 
     def _unroll_with_break(self, st: ast.For, vals) -> list:
         """Unroll with break/continue lowered to boolean flags: break/
