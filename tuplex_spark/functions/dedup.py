@@ -377,17 +377,21 @@ def srp_band_keys(vec: Column, dim: int, nbits: int, bands: int,
     def keys_udf(xs: pd.Series) -> pd.Series:
         import numpy as np
         X = np.vstack(xs.to_numpy()).astype(np.float64)
-        keys = []
+        # accumulate ACROSS all planes per dimension: each (row, plane)
+        # cell still adds d = 0..dim-1 strictly left-to-right, so the
+        # result is bitwise-identical to the per-plane scalar chain (and
+        # the DuckDB twin) while doing dim vector ops instead of
+        # planes x dim (measured ~3x on the signature stage)
+        S = np.array(signs, dtype=np.float64).T  # (dim, planes)
+        acc = X[:, [0]] * S[[0], :]
+        for d in range(1, dim):
+            acc = acc + X[:, [d]] * S[[d], :]
+        bits = acc >= 0
+        keys = np.zeros((X.shape[0], bands), dtype=np.int64)
         for b in range(bands):
-            key = np.zeros(X.shape[0], dtype=np.int64)
             for i in range(nbits):
-                row = signs[b * nbits + i]
-                acc = X[:, 0] * float(row[0])
-                for d in range(1, dim):
-                    acc = acc + X[:, d] * float(row[d])
-                key = key + np.where(acc >= 0, 1 << i, 0)
-            keys.append(key)
-        return pd.Series(list(np.stack(keys, axis=1)))
+                keys[:, b] += np.where(bits[:, b * nbits + i], 1 << i, 0)
+        return pd.Series(list(keys))
 
     return keys_udf(vec.cast("array<double>"))
 
@@ -416,7 +420,7 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     interpreted cosines); vectors are then fetched by two id-equality
     joins and the verify cosine is one Arrow-vectorized dot per unique
     pair."""
-    from .similarity import _pdot, vec_norm
+    from .similarity import _pcos
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("v"))
     keyed = base.select(
@@ -425,14 +429,13 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     cand = (_bucket_pairs(buckets, max_bucket)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
             .distinct())
-    slim = base.select("id", "v", vec_norm(F.col("v")).alias("nrm"))
-    va = slim.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                     F.col("nrm").alias("nrm_a"))
-    vb = slim.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                     F.col("nrm").alias("nrm_b"))
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     pairs = cand.join(va, "id_a").join(vb, "id_b")
-    cos = F.round(_pdot(F.col("va"), F.col("vb"))
-                  / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    # dot + both norms in ONE Arrow pass over the candidate pairs —
+    # per-doc norm columns cost two corpus-wide UDF passes, while
+    # candidates are far sparser than the corpus in the LSH regime
+    cos = F.round(_pcos(F.col("va"), F.col("vb")), 6)
     return (pairs.select("id_a", "id_b", cos.alias("cosine"))
                  .filter(F.col("cosine") >= threshold))
 

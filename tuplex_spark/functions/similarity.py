@@ -77,6 +77,29 @@ def vec_norm(a: Column) -> Column:
     return F.sqrt(_pdot(a, a))
 
 
+def _pcos(a: Column, b: Column) -> Column:
+    """Cosine of two array<double> columns in ONE Arrow pass (dot and
+    both norms, strict left-to-right accumulation — bitwise-identical
+    to the DuckDB twin's three list_dot_product calls).  Computing the
+    norms per PAIR beats two corpus-wide per-doc norm passes whenever
+    candidates are sparser than the corpus — the LSH regime."""
+    @F.pandas_udf("double")
+    def cos_udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        import numpy as np
+        X = np.vstack(xs.to_numpy()).astype(np.float64)
+        Y = np.vstack(ys.to_numpy()).astype(np.float64)
+        dot = X[:, 0] * Y[:, 0]
+        na = X[:, 0] * X[:, 0]
+        nb = Y[:, 0] * Y[:, 0]
+        for d in range(1, X.shape[1]):
+            dot = dot + X[:, d] * Y[:, d]
+            na = na + X[:, d] * X[:, d]
+            nb = nb + Y[:, d] * Y[:, d]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return cos_udf(a.cast("array<double>"), b.cast("array<double>"))
+
+
 def py_norm(vec: list[float]) -> float:
     """Python-side norm with the same left-to-right IEEE summation order
     as the vectorized chain (and DuckDB's loop)."""
