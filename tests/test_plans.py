@@ -255,3 +255,28 @@ class TestSingleScanDedup:
         assert plan.count("ArrowEvalPython") <= 5
         assert plan.count("Scan parquet") <= 3
         assert "CartesianProduct" not in plan
+
+
+class TestAllTpchPlansNative:
+    def test_every_tpch_plan_is_python_free(self, spark):
+        """All 22 TPC-H-shaped queries must plan as pure JVM operators:
+        no ArrowEvalPython / BatchEvalPython / MapInPandas anywhere."""
+        import __spark_entry__ as em
+        for name, q in em.queries().items():
+            if not name.startswith("tpch_"):
+                continue
+            plan = q(spark, SF_DIR) \
+                ._jdf.queryExecution().executedPlan().toString()
+            for marker in ("ArrowEvalPython", "BatchEvalPython",
+                           "MapInPandas", "FlatMapGroupsInPandas"):
+                assert marker not in plan, (name, marker)
+
+    def test_text_ops_single_projection(self, spark):
+        """text_* queries are scan+project only: no exchange at all."""
+        import __spark_entry__ as em
+        for name in ("text_token_count", "text_quality", "text_langid",
+                     "text_fingerprint"):
+            plan = em.queries()[name](spark, SF_DIR) \
+                ._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, name
+            assert "Python" not in plan, name
