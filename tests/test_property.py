@@ -397,3 +397,61 @@ class TestGeneratedTryExcept:
                 fn = _build_def_fn(gen_try(rng))
                 run_diff(ctx, rows, fn, columns=["a", "b", "s"],
                          expect_compiled=True)
+
+
+def gen_dyn_while(rng):
+    """Counter while with a DATA-DEPENDENT bound (range-fold rewrite)."""
+    bound = rng.choice(["x['a']", "x['a'] % 5", "len(x['s'])",
+                        "x['a'] - 2"])
+    op = rng.choice(["<", "<="])
+    lines = ["i = 0", "acc = 0", f"while i {op} {bound}:",
+             f"    acc += i * {rng.randint(1, 3)} + {rng.randint(0, 2)}",
+             "    i += 1", "return acc"]
+    return lines
+
+
+def gen_format_spec(rng):
+    spec = rng.choice([":.2f", ":.4f", ":05d", ":07.3f", ":6s", ""])
+    val = {"f": "x['b'] * 1.5", "d": "x['a']", "s": "x['s']",
+           "": "x['a']"}[spec[-1:] if spec else ""]
+    return [f"return f\"v={{{val}{spec}}}!\""]
+
+
+def gen_sorted_key(rng):
+    sep = rng.choice(LOOP_SEPS)
+    key = rng.choice(["len", "lambda t: t.count('a')",
+                      "lambda t: len(t) % 3"])
+    rev = ", reverse=True" if rng.random() < 0.4 and key != "str" else ""
+    agg = rng.choice(["'|'.join({})", "{}[0] if x['s'] else ''",
+                      "len({})"])
+    expr = f"sorted(x['s'].split({sep}), key={key}{rev})"
+    return [f"return {agg.format(expr)}"]
+
+
+class TestGeneratedNewShapes:
+    ROWS = [(3, 1.5, "ab a c"), (0, 0.25, ""), (7, -2.0, "dd ee"),
+            (5, 0.0, "x"), (12, 3.5, "aaa bb aaa")]
+
+    def test_dynamic_while_sweep(self, ctx):
+        for seed in (29, 290, 2900):
+            rng = random.Random(seed)
+            for _ in range(3):
+                fn = _build_def_fn(gen_dyn_while(rng))
+                run_diff(ctx, self.ROWS, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)
+
+    def test_format_spec_sweep(self, ctx):
+        for seed in (31, 310, 3100):
+            rng = random.Random(seed)
+            for _ in range(4):
+                fn = _build_def_fn(gen_format_spec(rng))
+                run_diff(ctx, self.ROWS, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)
+
+    def test_sorted_key_sweep(self, ctx):
+        for seed in (37, 370, 3700):
+            rng = random.Random(seed)
+            for _ in range(3):
+                fn = _build_def_fn(gen_sorted_key(rng))
+                run_diff(ctx, self.ROWS, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)
