@@ -65,6 +65,11 @@ class TestMetricsSurface:
         assert m.compiledUDFs >= 1
         d = m.as_dict()
         assert "totalCompilationTime" in d
+        # reference spelling (capital acronym) and as_json
+        assert m.LLVMOptimizationTime == m.llvmOptimizationTime
+        assert m.LLVMCompilationTime == 0.0
+        import json
+        assert json.loads(m.as_json())["numActions"] == m.numActions
 
 
 class TestConfigOptions:

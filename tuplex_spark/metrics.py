@@ -32,6 +32,21 @@ class Metrics:
     def llvmCompilationTime(self) -> float:
         return 0.0
 
+    # the reference capitalizes the acronym (metrics.py:66,76) — a
+    # drop-in user calls metrics.LLVMOptimizationTime
+    @property
+    def LLVMOptimizationTime(self) -> float:
+        return self.llvmOptimizationTime
+
+    @property
+    def LLVMCompilationTime(self) -> float:
+        return self.llvmCompilationTime
+
+    def as_json(self) -> str:
+        """JSON string of the metrics (reference metrics.py:95)."""
+        import json
+        return json.dumps(self.as_dict())
+
     def as_dict(self) -> dict:
         return {
             "totalCompilationTime": self.totalCompilationTime,
