@@ -119,3 +119,14 @@ class TestSqlSurface:
         ds.createOrReplaceTempView("t_sql_exc")
         got = ctx.sql("SELECT count(*) FROM t_sql_exc").collect()
         assert got == [3]  # the x=0 row never leaks into SQL
+
+
+class TestModuleExports:
+    def test_reference_init_exports(self):
+        import tuplex_spark as tx
+        assert isinstance(tx.__version__, str)
+        assert tx.in_jupyter_notebook() is False  # pytest, not a kernel
+        assert tx.in_google_colab() is False
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError):
+            tx.setup_aws()
