@@ -1835,3 +1835,23 @@ class TestWhileCounterRewrite:
                 i += 1
             return acc
         run_diff(ctx, self.DATA, f, expect_compiled=False)
+
+
+class TestEnumerateStartZip3:
+    TEXTS = ["a bb ccc", "x", ""]
+
+    def test_enumerate_with_start(self, ctx):
+        def f(s):
+            w = 0
+            for i, t in enumerate(s.split(" "), 1):
+                w += i * len(t)
+            return w
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_zip_three_arrays(self, ctx):
+        def f(s):
+            acc = 0
+            for a, b, c in zip(s.split(" "), s.split("b"), s.split("c")):
+                acc += len(a) + len(b) * len(c)
+            return acc
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)

@@ -1141,28 +1141,47 @@ class Translator:
         if isinstance(node, ast.Call) and isinstance(node.func, ast.Name) \
                 and node.func.id not in self._locals and not node.keywords:
             fname = node.func.id
-            if fname == "zip" and len(node.args) == 2:
-                a, b = (self.eval(x) for x in node.args)
-                if not (isinstance(a, SCol) and a.tag == "array"
-                        and isinstance(b, SCol) and b.tag == "array"):
+            if fname == "zip" and 2 <= len(node.args) <= 3:
+                syms = [self.eval(x) for x in node.args]
+                if not all(isinstance(s, SCol) and s.tag == "array"
+                           for s in syms):
                     raise CompileError("zip over non-arrays")
+                a, b = syms[0], syms[1]
                 zipped = F.zip_with(
                     a.col, b.col,
                     lambda x, y: F.struct(x.alias("e0"), y.alias("e1")))
+                if len(syms) == 3:
+                    cc = syms[2]
+                    zipped = F.zip_with(
+                        zipped, cc.col,
+                        lambda p, z: F.struct(p.getField("e0").alias("e0"),
+                                              p.getField("e1").alias("e1"),
+                                              z.alias("e2")))
                 # Python zip TRUNCATES to the shorter input; zip_with pads
                 # the shorter side with nulls — slice them off
-                n = F.least(F.size(a.col), F.size(b.col))
+                n = F.size(a.col)
+                for s in syms[1:]:
+                    n = F.least(n, F.size(s.col))
                 zipped = F.slice(zipped, 1, n)
-                return (zipped, [a.elem or "any", b.elem or "any"], True,
-                        a.nullable or b.nullable)
-            if fname == "enumerate" and len(node.args) == 1:
+                return (zipped, [s.elem or "any" for s in syms], True,
+                        any(s.nullable for s in syms))
+            if fname == "enumerate" and 1 <= len(node.args) <= 2:
                 a = self.eval(node.args[0])
                 if not (isinstance(a, SCol) and a.tag == "array"):
                     raise CompileError("enumerate over non-array")
+                start = 0
+                if len(node.args) > 1:
+                    s = self.eval(node.args[1])
+                    if not (isinstance(s, SConst)
+                            and isinstance(s.value, int)):
+                        raise CompileError("enumerate start must be "
+                                           "a constant int")
+                    start = s.value
                 arr = F.transform(
                     a.col,
-                    lambda x, i: F.struct(i.cast("long").alias("e0"),
-                                          x.alias("e1")))
+                    lambda x, i: F.struct(
+                        (i.cast("long") + start).alias("e0"),
+                        x.alias("e1")))
                 return arr, ["int", a.elem or "any"], True, a.nullable
             if fname == "range" and 1 <= len(node.args) <= 2:
                 args = [self.num(self.eval(x), "range") for x in node.args]
