@@ -1855,3 +1855,40 @@ class TestEnumerateStartZip3:
                 acc += len(a) + len(b) * len(c)
             return acc
         run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+
+class TestTranslateMaketrans:
+    DATA = ["hello world", "abcabc", ""]
+
+    def test_two_arg_maketrans(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda s: s.translate(str.maketrans("lo", "10")),
+                 expect_compiled=True)
+
+    def test_deletion_third_arg(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda s: s.translate(str.maketrans("ab", "xy", "c ")),
+                 expect_compiled=True)
+
+    def test_dict_table(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda s: s.translate({ord("h"): "H", ord("w"): None}),
+                 expect_compiled=True)
+
+    def test_multichar_falls_back(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda s: s.translate(str.maketrans({"a": "XY"})),
+                 expect_compiled=False)
+
+    def test_ord_chr(self, ctx):
+        run_diff(ctx, ["a", "Z", "0"], lambda s: ord(s),
+                 expect_compiled=True)
+        ds = run_diff(ctx, ["a", "ab", ""], lambda s: ord(s),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"TypeError": 2}
+        # dynamic chr falls back (Spark char() is mod-256 — wrong past
+        # latin-1); constant chr folds
+        run_diff(ctx, [65, 97, 8364], lambda x: chr(x),
+                 expect_compiled=False)
+        run_diff(ctx, [1, 2], lambda x: chr(8364) * x,
+                 expect_compiled=True)

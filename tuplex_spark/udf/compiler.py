@@ -1456,10 +1456,15 @@ class Translator:
     def _ev_Dict(self, node):
         pairs = []
         for k, v in zip(node.keys, node.values):
-            if not (isinstance(k, ast.Constant)
-                    and isinstance(k.value, (str, int, bool))):
-                raise CompileError("dict literal needs literal keys")
-            pairs.append((k.value, self.eval(v)))
+            if k is None:
+                raise CompileError("dict unpacking")
+            n_guards = len(self.guards)
+            ks = self.eval(k)
+            if len(self.guards) != n_guards \
+                    or not (isinstance(ks, SConst)
+                            and isinstance(ks.value, (str, int, bool))):
+                raise CompileError("dict literal needs constant keys")
+            pairs.append((ks.value, self.eval(v)))
         if all(isinstance(k, str) for k, _ in pairs):
             return SDict(dict(pairs))
         # non-str literal keys: usable as a constant lookup table
@@ -1553,6 +1558,12 @@ class Translator:
         return self._ev_ListComp(node)
 
     def _ev_Attribute(self, node):
+        # str.maketrans(...) — a classmethod on the TYPE, not a value:
+        # evaluate constant-arg calls at compile time (feeds translate)
+        if isinstance(node.value, ast.Name) and node.value.id == "str" \
+                and node.value.id not in self._locals \
+                and node.attr == "maketrans":
+            return _BoundModuleFn(str, "maketrans")
         base = self.eval(node.value)
         if isinstance(base, SModule):
             if base.mod is _math and hasattr(_math, node.attr):
@@ -2378,6 +2389,32 @@ class Translator:
 
         return SCol(F.filter(a.col, pred), "array", a.nullable, elem=elem)
 
+    def _b_ord(self, args):
+        a = args[0]
+        if isinstance(a, SConst):
+            try:
+                return SConst(ord(a.value))
+            except Exception as e:
+                self.guard(F.lit(True), type(e).__name__)
+                return SConst(None)
+        if isinstance(a, SCol) and a.tag == "str":
+            # CPython requires exactly one character
+            self.guard(F.length(a.col) != 1, "TypeError")
+            return SCol(F.ascii(a.col).cast("long"), "int", a.nullable)
+        raise CompileError(f"ord({getattr(a, 'tag', '?')})")
+
+    def _b_chr(self, args):
+        a = args[0]
+        if isinstance(a, SConst):
+            try:
+                return SConst(chr(a.value))
+            except Exception as e:
+                self.guard(F.lit(True), type(e).__name__)
+                return SConst(None)
+        # dynamic chr has no faithful Column form: Spark's char() is
+        # chr(n % 256), wrong for any codepoint past latin-1 — fallback
+        raise CompileError("chr of a dynamic value")
+
     def _b_divmod(self, args):
         """divmod(a, b) == (a // b, a % b) with the engine's CPython
         floor-division/modulo sign semantics."""
@@ -2642,6 +2679,13 @@ class Translator:
 
     # -- module calls ----------------------------------------------------
     def _call_module(self, mod, name, args):
+        if mod is str and name == "maketrans":
+            if not all(isinstance(a, SConst) for a in args):
+                raise CompileError("maketrans args must be constant")
+            try:
+                return SConst(str.maketrans(*[a.value for a in args]))
+            except Exception:
+                raise CompileError("maketrans argument shape")
         if mod is _math:
             return self._call_math(name, args)
         if mod is _re_mod:
@@ -2908,6 +2952,29 @@ class Translator:
                     raise CompileError("replace with positive count")
                 # negative count = replace all, same as the 2-arg form
             return SCol(F.replace(c, F.lit(old), F.lit(new)), "str", nullable)
+        if name == "translate":
+            # s.translate(str.maketrans(...)): 1-char-to-1-char (and
+            # deletion) tables map exactly onto F.translate — chars in
+            # `matching` beyond len(replace) are removed, so deletions
+            # order last.  Multi-char replacements fall back.
+            t = args[0]
+            if not (isinstance(t, SConst) and isinstance(t.value, dict)):
+                raise CompileError("translate table must be constant")
+            kept, deleted = [], []
+            for k, v in t.value.items():
+                if not isinstance(k, int):
+                    raise CompileError("translate key shape")
+                if v is None:
+                    deleted.append(chr(k))
+                elif isinstance(v, int):
+                    kept.append((chr(k), chr(v)))
+                elif isinstance(v, str) and len(v) == 1:
+                    kept.append((chr(k), v))
+                else:
+                    raise CompileError("translate multi-char replacement")
+            matching = "".join(k for k, _ in kept) + "".join(deleted)
+            replace = "".join(v for _, v in kept)
+            return SCol(F.translate(c, matching, replace), "str", nullable)
         if name == "split":
             if args and not (isinstance(args[0], SConst)
                              and args[0].value is None):
@@ -3290,7 +3357,8 @@ class _BoundMethod(Sym):
 
 _BUILTINS = {"int", "float", "str", "bool", "len", "abs", "round",
              "min", "max", "sorted", "sum", "list", "tuple", "any", "all",
-             "iter", "next", "reversed", "range", "dict", "divmod"}
+             "iter", "next", "reversed", "range", "dict", "divmod",
+             "ord", "chr"}
 
 
 def _tag_family(s: Sym) -> str | None:
