@@ -115,3 +115,26 @@ class TestSaltedJoin:
         fact, dim = self._skewed(spark)
         with pytest.raises(ValueError):
             salted_join(fact, dim, "k", how="full")
+
+
+class TestPartitionedWrite:
+    def test_partition_by_prunes_reads(self, ctx, spark, tmp_path):
+        li = (ctx.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+              .selectColumns(["l_returnflag", "l_orderkey", "l_quantity"]))
+        out = str(tmp_path / "li_part")
+        li.toparquet(out, partition_by="l_returnflag")
+        back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        import re as _re
+        m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "l_returnflag" in m.group(1), plan
+        want = li.toDF().filter(F.col("l_returnflag") == "R").count()
+        assert back.count() == want
+
+    def test_partition_and_bucket_exclusive(self, ctx, tmp_path):
+        li = (ctx.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+              .selectColumns(["l_returnflag", "l_orderkey"]))
+        with pytest.raises(ValueError):
+            li.toparquet(str(tmp_path / "x"), bucket_by="l_orderkey",
+                         partition_by="l_returnflag")

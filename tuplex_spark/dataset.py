@@ -1083,7 +1083,8 @@ class DataSet:
         df.write.mode("overwrite").orc(path)
 
     def toparquet(self, path: str, bucket_by=None, num_buckets: int = 32,
-                  sort_by=None, table: str | None = None, **kwargs):
+                  sort_by=None, table: str | None = None,
+                  partition_by=None, **kwargs):
         """Parquet sink (beyond the reference's csv/orc pair).
 
         ``bucket_by`` pre-shuffles the data into ``num_buckets`` hash
@@ -1101,8 +1102,18 @@ class DataSet:
         if n:
             df = df.repartition(n)
         if bucket_by is None:
-            df.write.mode("overwrite").parquet(path)
+            w = df.write.mode("overwrite")
+            if partition_by:
+                # hive-layout directory partitioning: every reader's
+                # filter on these columns becomes directory PRUNING
+                # (the same lever ivf_build uses for probe pruning)
+                pb = [partition_by] if isinstance(partition_by, str) \
+                    else list(partition_by)
+                w = w.partitionBy(*pb)
+            w.parquet(path)
             return
+        if partition_by:
+            raise ValueError("partition_by and bucket_by are exclusive")
         cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
         name = table or _re.sub(r"[^A-Za-z0-9_]", "_",
                                 path.rstrip("/").rsplit("/", 1)[-1])
