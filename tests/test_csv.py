@@ -334,3 +334,23 @@ class TestWriterReferenceParams:
         # a ~300-byte cap over ~18-byte rows must split one partition
         # into multiple files
         assert len(files) > 1
+
+
+class TestRfc4180MultilineRecords:
+    def test_quoted_newline_field(self, ctx, tmp_path):
+        p = tmp_path / "ml.csv"
+        p.write_text('id,name,notes\n'
+                     '1,"Smith, John","line1\nline2"\n'
+                     '2,Plain,"say ""hi"""\n')
+        ds = ctx.csv(str(p))
+        got = ds.collect()
+        assert got == [(1, "Smith, John", "line1\nline2"),
+                       (2, "Plain", 'say "hi"')], got
+
+    def test_plain_files_stay_splittable(self, ctx, tmp_path):
+        # no unterminated quote in the sample -> multiLine stays off
+        from tuplex_spark.sources import csv_inference as CSV
+        p = tmp_path / "plain.csv"
+        p.write_text('a,b\n1,"x,y"\n2,z\n')
+        *_, multiline = CSV.detect(str(p), None, None, [""])
+        assert multiline is False

@@ -307,7 +307,7 @@ class Context:
         """CSV scan with driver-side sampling inference (reference:
         context.py:288, FileInputOperator.cc:195-313)."""
         null_values = list(null_values or [""])
-        delim, has_header, det_cols, tags = CSV.detect(
+        delim, has_header, det_cols, tags, multiline = CSV.detect(
             pattern, delimiter, header, null_values, quotechar,
             float(self._options.get("tuplex.normalcaseThreshold", 0.9)))
         cols = list(columns) if columns else det_cols
@@ -322,6 +322,10 @@ class Context:
                   .option("header", has_header)
                   .option("sep", delim)
                   .option("quote", quotechar)
+                  # quoted fields spanning physical lines (RFC-4180):
+                  # whole-record parsing, enabled only when the sample
+                  # shows an unterminated quote on a line
+                  .option("multiLine", bool(multiline))
                   # RFC-4180 doubled-quote escaping ("" inside a quoted
                   # field); Spark's default escape is backslash
                   .option("escape", quotechar)

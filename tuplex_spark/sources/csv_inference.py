@@ -86,20 +86,29 @@ def _widen(a: str | None, b: str) -> str:
 def detect(pattern: str, delimiter: str | None, header: bool | None,
            null_values, quotechar: str = '"',
            normalcase_threshold: float = 0.9):
-    """Returns (delimiter, has_header, columns, tag-per-column).
+    """Returns (delimiter, has_header, columns, tag-per-column,
+    multiline).
 
     Per-column typing is *normal-case majority* typing (reference:
     FileInputOperator.cc:229-299, tuplex.normalcaseThreshold): the most
     specific type covering >= threshold of non-null sampled cells wins;
     cells outside it surface as BadParseInput exception rows at scan time.
-    Falls back to the widened type when no candidate reaches threshold."""
+    Falls back to the widened type when no candidate reaches threshold.
+
+    ``multiline`` is True when a sampled line carries an ODD number of
+    quote chars — an unterminated quote means RFC-4180 records span
+    physical lines, and the reader must parse whole records (Spark's
+    multiLine mode; costs intra-file split parallelism, so it is only
+    turned on when detected)."""
     text = sample_bytes(pattern)
     delim = delimiter or detect_delimiter(text)
+    multiline = any(line.count(quotechar) % 2 == 1
+                    for line in text.splitlines())
     rows = list(_csv.reader(io.StringIO(text), delimiter=delim,
                             quotechar=quotechar))
     rows = [r for r in rows if r]
     if not rows:
-        return delim, bool(header), [], []
+        return delim, bool(header), [], [], multiline
     width = max(len(r) for r in rows)
     rows = [r for r in rows if len(r) == width]
 
@@ -123,7 +132,7 @@ def detect(pattern: str, delimiter: str | None, header: bool | None,
         [f"column{i}" for i in range(width)]
     tags = _majority_tags(rows[body_from:] or rows, null_values,
                           normalcase_threshold)
-    return delim, bool(has_header), columns, tags
+    return delim, bool(has_header), columns, tags, multiline
 
 
 # which tags a cell of a given tag can be parsed as (specific -> general)
