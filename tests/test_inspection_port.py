@@ -130,3 +130,17 @@ class TestModuleExports:
         import pytest as _pytest
         with _pytest.raises(NotImplementedError):
             tx.setup_aws()
+
+
+class TestTimestampTypes:
+    def test_timestamp_and_date_types(self, spark, ctx):
+        import datetime
+        import __spark_entry__ as em
+        from conftest import SF_DIR
+        import tuplex_spark as tx
+        ev = em._t(spark, SF_DIR, "events")
+        ds = tx.DataSet(ctx, ev.limit(5), list(ev.columns)) \
+            .selectColumns(["event_id", "ts"])
+        assert ds.types[1] in (datetime.datetime,
+                               __import__("typing").Optional[
+                                   datetime.datetime])

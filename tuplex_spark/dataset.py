@@ -90,10 +90,14 @@ def _py_type(dt: T.DataType, nullable: bool):
         base = typing.Dict[_py_type(dt.keyType, False),
                            _py_type(dt.valueType, False)]
     else:
+        import datetime
         base = {T.LongType: int, T.IntegerType: int, T.ShortType: int,
                 T.ByteType: int, T.DoubleType: float, T.FloatType: float,
                 T.StringType: str, T.BooleanType: bool,
-                T.BinaryType: bytes}.get(type(dt), object)
+                T.BinaryType: bytes,
+                T.TimestampType: datetime.datetime,
+                T.TimestampNTZType: datetime.datetime,
+                T.DateType: datetime.date}.get(type(dt), object)
     if nullable and not isinstance(base, tuple):
         return typing.Optional[base]
     return base
