@@ -1892,3 +1892,22 @@ class TestTranslateMaketrans:
                  expect_compiled=False)
         run_diff(ctx, [1, 2], lambda x: chr(8364) * x,
                  expect_compiled=True)
+
+
+class TestTimestampStr:
+    def test_str_of_timestamp_matches_cpython(self, spark, ctx):
+        import tuplex_spark as tx
+        import __spark_entry__ as em
+        from conftest import SF_DIR
+        ev = em._t(spark, SF_DIR, "events").limit(40)
+        ds = tx.DataSet(ctx, ev, list(ev.columns)) \
+            .selectColumns(["event_id", "ts"])
+        raw = {r[0]: r[1] for r in ds.collect()}
+        before = ctx.metrics.compiledUDFs
+        out = ds.map(lambda x: {"e": x["event_id"], "s": str(x["ts"])})
+        assert ctx.metrics.compiledUDFs == before + 1
+        got = {r[0]: r[1] for r in out.collect()}
+        # CPython pads microseconds to 6 digits and omits them when 0;
+        # Spark's plain string cast trims trailing zeros
+        assert all(got[k] == str(raw[k]) for k in raw), [
+            (got[k], str(raw[k])) for k in raw if got[k] != str(raw[k])][:3]

@@ -280,6 +280,7 @@ _SPARK_TAG = {
     "boolean": "bool", "long": "int", "int": "int", "smallint": "int",
     "tinyint": "int", "bigint": "int", "double": "float", "float": "float",
     "string": "str", "date": "date", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
 }
 
 
@@ -2171,6 +2172,17 @@ class Translator:
             out = F.when(c, "True").otherwise("False")
         elif s.tag == "float":
             out = _py_float_str(c)
+        elif s.tag == "timestamp":
+            # CPython str(datetime): microseconds omitted when 0, else
+            # exactly 6 zero-padded digits; Spark's string cast trims
+            # trailing zeros ('.73809' for .738090)
+            ts = c.cast("timestamp")  # NTZ -> LTZ no-op under pinned UTC
+            base = F.date_format(ts, "yyyy-MM-dd HH:mm:ss")
+            us = F.unix_micros(ts) % 1_000_000
+            us = F.when(us < 0, us + 1_000_000).otherwise(us)
+            out = F.when(us == 0, base).otherwise(
+                F.concat(base, F.lit("."),
+                         F.lpad(us.cast("string"), 6, "0")))
         else:
             out = c.cast("string")
         if s.nullable or s.tag in ("any", "null"):
