@@ -1911,3 +1911,54 @@ class TestTimestampStr:
         # Spark's plain string cast trims trailing zeros
         assert all(got[k] == str(raw[k]) for k in raw), [
             (got[k], str(raw[k])) for k in raw if got[k] != str(raw[k])][:3]
+
+
+class TestDatetimeAccessors:
+    def _ds(self, spark, ctx):
+        from conftest import SF_DIR
+        import os
+        # the real source ctor attaches a plan-time sample, which the
+        # fallback needs for dict-output schema inference
+        return ctx.parquet(os.path.join(SF_DIR, "events.parquet")) \
+            .selectColumns(["event_id", "ts"])
+
+    def _diff(self, ctx, ds, f, expect_compiled=True):
+        raw = {r[0]: r[1] for r in ds.collect()}
+        before = ctx.metrics.compiledUDFs
+        out = ds.map(f)
+        got = {r[0]: r[1] for r in out.collect()}
+        assert (ctx.metrics.compiledUDFs == before + 1) == expect_compiled
+        bad = [(k, got[k], f({"event_id": k, "ts": raw[k]})["v"])
+               for k in raw
+               if got[k] != f({"event_id": k, "ts": raw[k]})["v"]]
+        assert not bad, bad[:3]
+
+    def test_field_attributes(self, spark, ctx):
+        ds = self._ds(spark, ctx)
+        self._diff(ctx, ds, lambda x: {"e": x["event_id"],
+                                       "v": x["ts"].year * 100
+                                       + x["ts"].month})
+        self._diff(ctx, ds, lambda x: {"e": x["event_id"],
+                                       "v": x["ts"].hour * 3600
+                                       + x["ts"].minute * 60
+                                       + x["ts"].second})
+        self._diff(ctx, ds, lambda x: {"e": x["event_id"],
+                                       "v": x["ts"].microsecond})
+
+    def test_weekday_and_strftime(self, spark, ctx):
+        ds = self._ds(spark, ctx)
+        self._diff(ctx, ds, lambda x: {"e": x["event_id"],
+                                       "v": x["ts"].weekday()})
+        self._diff(ctx, ds, lambda x: {"e": x["event_id"],
+                                       "v": x["ts"].isoweekday()})
+        self._diff(ctx, ds, lambda x: {"e": x["event_id"],
+                                       "v": x["ts"].strftime(
+                                           "%Y/%m/%d T %H:%M:%S")})
+
+    def test_unknown_directive_falls_back_not_crash(self, spark, ctx):
+        # %A is outside the audited subset: must demote to the fallback
+        # (the post-compile materialization failure previously CRASHED)
+        ds = self._ds(spark, ctx)
+        self._diff(ctx, ds, lambda x: {"e": x["event_id"],
+                                       "v": x["ts"].strftime("%A")},
+                   expect_compiled=False)

@@ -240,8 +240,15 @@ class DataSet:
             self._ctx._metrics.fallbackUDFs += 1
 
         if compiled is not None:
-            return self._apply_compiled(compiled, fn, kind, op_name,
-                                        in_schema, target_col, new_col)
+            try:
+                return self._apply_compiled(compiled, fn, kind, op_name,
+                                            in_schema, target_col, new_col)
+            except CompileError:
+                # materialization can fail AFTER a successful compile
+                # (e.g. a bound method returned as a value) — that must
+                # demote to the fallback, never crash the user call
+                self._ctx._metrics.compiledUDFs -= 1
+                self._ctx._metrics.fallbackUDFs += 1
         return self._apply_fallback(fn, kind, op_name, in_schema,
                                     udf_input_cols, target_col, new_col)
 

@@ -1578,6 +1578,19 @@ class Translator:
             return _BoundModuleFn(base.mod, node.attr)
         if isinstance(base, SDict) and node.attr in base.items:
             return base.items[node.attr]
+        if isinstance(base, SCol) and base.tag in ("timestamp", "date"):
+            fld = {"year": F.year, "month": F.month, "day": F.day,
+                   "hour": F.hour, "minute": F.minute, "second": F.second}
+            if node.attr in fld:
+                if base.tag == "date" and node.attr in ("hour", "minute",
+                                                        "second"):
+                    raise CompileError(f"date has no {node.attr}")
+                return SCol(fld[node.attr](base.col).cast("long"), "int",
+                            base.nullable)
+            if node.attr == "microsecond" and base.tag == "timestamp":
+                return SCol(F.pmod(
+                    F.unix_micros(base.col.cast("timestamp")),
+                    F.lit(1_000_000)).cast("long"), "int", base.nullable)
         return _BoundMethod(base, node.attr)
 
     def _dict_dynamic_lookup(self, items, idx: Sym,
@@ -2862,10 +2875,42 @@ class Translator:
                         "str", subj.nullable)
         raise CompileError(f"re.{name}/{len(args)}")
 
+    _STRFTIME = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
+                 "%M": "mm", "%S": "ss", "%y": "yy", "%j": "DDD",
+                 "%%": "'%'"}
+
     # -- method calls ----------------------------------------------------
     def _call_method(self, base: Sym, name: str, args: list[Sym]) -> Sym:
         if isinstance(base, SMatch):
             return self._match_method(base, name, args)
+        if isinstance(base, SCol) and base.tag in ("timestamp", "date"):
+            if name == "weekday" and not args:
+                # CPython Monday=0; Spark dayofweek Sunday=1
+                return SCol(((F.dayofweek(base.col) + 5) % 7).cast("long"),
+                            "int", base.nullable)
+            if name == "isoweekday" and not args:
+                return SCol(((F.dayofweek(base.col) + 5) % 7 + 1)
+                            .cast("long"), "int", base.nullable)
+            if name == "strftime" and len(args) == 1 \
+                    and isinstance(args[0], SConst):
+                fmt = args[0].value
+                out, i = "", 0
+                while i < len(fmt):
+                    if fmt[i] == "%":
+                        d = fmt[i:i + 2]
+                        if d not in self._STRFTIME:
+                            raise CompileError(f"strftime directive {d}")
+                        out += self._STRFTIME[d]
+                        i += 2
+                    elif fmt[i].isalpha():
+                        out += f"'{fmt[i]}'"  # literal letters need quoting
+                        i += 1
+                    else:
+                        out += fmt[i]
+                        i += 1
+                return SCol(F.date_format(base.col, out), "str",
+                            base.nullable)
+            raise CompileError(f"datetime method {name}")
         if isinstance(base, SConst) and all(isinstance(a, SConst)
                                             for a in args):
             try:
