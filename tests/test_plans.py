@@ -95,6 +95,34 @@ class TestScaleOps:
                 assert "transform(" not in line, \
                     "generator expression inlined into a Filter"
 
+    def test_bucket_pairs_caps_before_list_agg(self, spark):
+        """The max_bucket skew guard must be STRUCTURAL: bucket
+        membership is cut by a row_number window (spillable sort,
+        map-side WindowGroupLimit pruning) BEFORE collect_list, so a
+        degenerate bucket — e.g. 10k exact duplicates sharing every
+        band hash because the user skipped dedup_exact — can never
+        build an unbounded aggregation buffer.  The window must also
+        REUSE its exchange for the aggregate (no extra shuffle)."""
+        from tuplex_spark.functions import dedup
+        docs = spark.createDataFrame(
+            [(i, "the same exact duplicated document text body")
+             for i in range(10_000)], "doc_id long, text string")
+        out = dedup.minhash_lsh_pairs(docs, max_bucket=20)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # cap sits below the list aggregate in the plan tree
+        agg_at = plan.index("collect_list")
+        assert "WindowGroupLimit" in plan[agg_at:], \
+            "row_number cap must precede collect_list"
+        # map-side (Partial) group-limit prunes before the shuffle too
+        assert "Partial" in plan[plan.index("WindowGroupLimit"):]
+        # window + aggregate share one hashpartitioning(band, h)
+        import re
+        bh = [m for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)",
+                                    plan) if "band" in m]
+        assert len(bh) == 1, bh
+        # correctness: C(20,2) pairs per band, deduped across bands
+        assert out.count() == 190
+
     def test_jaccard_no_cartesian(self, spark):
         from tuplex_spark.functions import dedup
         df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))

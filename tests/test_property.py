@@ -448,6 +448,19 @@ class TestGeneratedNewShapes:
                 run_diff(ctx, self.ROWS, fn, columns=["a", "b", "s"],
                          expect_compiled=True)
 
+    def test_fixed_format_tie_sweep(self, ctx):
+        # rounding of %.Nf must match CPython exactly, including repr
+        # ties (2.675), binary ties (0.125), and negatives — the java
+        # Formatter HALF_UPs the shortest repr, we pre-round exactly
+        rng = random.Random(41)
+        vals = [rng.randint(-10_000, 10_000) / 10 ** rng.randint(0, 4)
+                for _ in range(200)]
+        vals += [2.675, 0.125, -2.675, 7.135, 0.5, -0.5, 1.005,
+                 0.0, -0.001, 1e15 + 0.5]
+        for prec in (0, 1, 2, 6):
+            fn = _build_def_fn([f"return f\"{{x:.{prec}f}}\""])
+            run_diff(ctx, vals, fn, expect_compiled=True)
+
     def test_sorted_key_sweep(self, ctx):
         for seed in (37, 370, 3700):
             rng = random.Random(seed)

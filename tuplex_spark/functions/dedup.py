@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens
 
@@ -113,19 +113,33 @@ def _bucket_pairs(buckets: DataFrame, max_bucket: int,
     cap deterministically by id order (same semantics as the previous
     row_number cut), and emit the C(k,2) combinations with id_a < id_b.
 
-    Replaces the window-cap + equality self-join formulation, which
-    evaluated the ENTIRE upstream pipeline twice — Catalyst planned the
-    two join sides as independent subtrees (no ReuseExchange fired:
-    2 parquet scans / 4 explodes / 6 aggregates in the physical plan)
-    and shuffled the bucket table three times (window + both join
-    sides).  This shape scans once, shuffles once on (band, h), and the
-    per-bucket pair fan-out is bounded by max_bucket^2 (skew guard).
+    Replaces the cap + equality self-join formulation, which evaluated
+    the ENTIRE upstream pipeline twice — Catalyst planned the two join
+    sides as independent subtrees (no ReuseExchange fired: 2 parquet
+    scans / 4 explodes / 6 aggregates in the physical plan) and
+    shuffled the bucket table three times.  This shape scans once,
+    shuffles once on (band, h), and the per-bucket pair fan-out is
+    bounded by max_bucket^2 (skew guard).
+
+    The cap is STRUCTURAL: a row_number window (spillable sort-based
+    cut, reusing the same hashpartitioning(band, h) exchange the
+    aggregate needs — one shuffle total, verified in tests/test_plans)
+    discards bucket members beyond max_bucket BEFORE collect_list, so
+    a degenerate bucket (millions of exact duplicates sharing a band
+    hash when users skip dedup_exact) can never build an unbounded
+    aggregation buffer on one executor.  A slice-after-collect cap
+    materialized the whole bucket first — a multi-GB single-buffer
+    risk at 100 TB.
     Output columns: a.<field>, b.<field> for id + each payload column."""
     payload = payload or []
     entry = F.struct(F.col("id"), *[F.col(c) for c in payload])
-    g = (buckets.groupBy("band", "h")
-         .agg(F.slice(F.sort_array(F.collect_list(entry)), 1, max_bucket)
-              .alias("es")))
+    w = Window.partitionBy("band", "h").orderBy("id")
+    capped = (buckets
+              .withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= max_bucket)
+              .drop("__rn"))
+    g = (capped.groupBy("band", "h")
+         .agg(F.sort_array(F.collect_list(entry)).alias("es")))
     combos = F.flatten(F.transform(
         F.col("es"),
         lambda x, i: F.transform(

@@ -1929,7 +1929,12 @@ class Translator:
                     out += m[:-1] + "d"
                 elif m.endswith("f"):
                     a = self.num(a, "%-format")
-                    cols.append(self.to_col(a).cast("double"))
+                    # CPython-exact pre-round (see _cpython_fixed_round);
+                    # '%f' defaults to 6 digits in both languages
+                    pm = _re_mod.search(r"\.(\d+)", m)
+                    prec = int(pm.group(1)) if pm else 6
+                    cols.append(self._cpython_fixed_round(
+                        self.to_col(a).cast("double"), prec))
                     out += m
                 else:
                     cols.append(self._to_str(a))
@@ -2120,6 +2125,45 @@ class Translator:
 
     _SPEC_RE = _re_mod.compile(r"^(0?)(\d*)(?:\.(\d+))?([dfs]?)$")
 
+    @staticmethod
+    def _cpython_fixed_round(c: Column, prec: int) -> Column:
+        """Round a double column to ``prec`` decimal digits with CPython
+        '%f' semantics: correctly rounded HALF_EVEN on the exact BINARY
+        value.  Java's Formatter (and Spark's round/bround) instead
+        round the double's shortest decimal repr, so a value whose repr
+        looks like a tie ('2.675') rounds differently from its binary
+        value (2.67499999999999982...).  Veltkamp/Dekker twoProduct
+        yields the exact product x*10^prec as a (p, err) double pair
+        using only IEEE-exact Column arithmetic; the corrected nearest
+        integer K divided back by 10^prec has a repr with <= prec
+        fractional digits, so the downstream java %.<prec>f emits it
+        verbatim (no further rounding).  |x|*10^prec >= 2^52, inf and
+        NaN keep the raw value (java-native formatting; divergence only
+        on >17-significant-digit pathologies)."""
+        P = F.lit(float(10 ** prec))
+        p = c * P
+        split = F.lit(134217729.0)  # 2^27 + 1
+        ca = split * c
+        ahi = ca - (ca - c)
+        alo = c - ahi
+        cb = split * P
+        bhi = cb - (cb - P)
+        blo = P - bhi
+        err = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+        k0 = F.bround(p, 0)
+        frac = (p - k0) + err  # Sterbenz-exact: |p - k0| < 1
+        k = (F.when(frac > 0.5, k0 + 1)
+              .when(frac < -0.5, k0 - 1)
+              .when((frac == 0.5) | (frac == -0.5),
+                    F.when(k0 % 2 == 0.0, k0)
+                     .otherwise(k0 + F.signum(frac)))
+              .otherwise(k0))
+        v = k / P
+        # keep the sign so small negatives format as '-0.00' like CPython
+        neg = (c < 0) | ((c == 0) & (F.lit(1.0) / c < 0))
+        v = F.when(neg, -F.abs(v)).otherwise(v)
+        return F.when(F.abs(c) * P < 4503599627370496.0, v).otherwise(c)
+
     def _format_spec_col(self, spec: str, val: Sym) -> Column:
         """Translate an audited subset of the format-spec mini-language
         ({:.2f}, {:03d}, {:5s}, ...) onto java.util.Formatter via
@@ -2162,7 +2206,13 @@ class Translator:
             if tag == "str":
                 self.guard(F.lit(True), "ValueError")
                 return F.lit(None).cast("string")
-            c = self.to_col(val).cast("double")
+            # java.util.Formatter rounds HALF_UP on the shortest repr;
+            # CPython rounds half-even on the binary double
+            # ('{:.2f}'.format(2.675) -> '2.67', java '2.68') — pre-
+            # round exactly so java formats verbatim
+            c = self._cpython_fixed_round(
+                self.to_col(val).cast("double"),
+                int(prec) if prec is not None else 6)
         else:
             if zero:
                 raise CompileError(f"format spec {spec!r}")  # 0-pad str
@@ -2876,8 +2926,7 @@ class Translator:
         raise CompileError(f"re.{name}/{len(args)}")
 
     _STRFTIME = {"%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH",
-                 "%M": "mm", "%S": "ss", "%y": "yy", "%j": "DDD",
-                 "%%": "'%'"}
+                 "%M": "mm", "%S": "ss", "%y": "yy", "%j": "DDD"}
 
     # -- method calls ----------------------------------------------------
     def _call_method(self, base: Sym, name: str, args: list[Sym]) -> Sym:
@@ -2894,20 +2943,31 @@ class Translator:
             if name == "strftime" and len(args) == 1 \
                     and isinstance(args[0], SConst):
                 fmt = args[0].value
-                out, i = "", 0
+                # literal runs are emitted inside '...' quoting with
+                # ' escaped as '' — bare non-alpha literals are NOT
+                # safe in DateTimeFormatter patterns (' opens a quote,
+                # [ ] are optional-section markers, # { } reserved)
+                out, i, lit = "", 0, ""
+
+                def _flush(lit):
+                    return "'" + lit.replace("'", "''") + "'" if lit \
+                        else ""
                 while i < len(fmt):
                     if fmt[i] == "%":
                         d = fmt[i:i + 2]
+                        if d == "%%":
+                            lit += "%"
+                            i += 2
+                            continue
                         if d not in self._STRFTIME:
                             raise CompileError(f"strftime directive {d}")
-                        out += self._STRFTIME[d]
+                        out += _flush(lit) + self._STRFTIME[d]
+                        lit = ""
                         i += 2
-                    elif fmt[i].isalpha():
-                        out += f"'{fmt[i]}'"  # literal letters need quoting
-                        i += 1
                     else:
-                        out += fmt[i]
+                        lit += fmt[i]
                         i += 1
+                out += _flush(lit)
                 return SCol(F.date_format(base.col, out), "str",
                             base.nullable)
             raise CompileError(f"datetime method {name}")
@@ -3181,7 +3241,12 @@ class Translator:
                 # surplus args are legal in CPython; format_string is
                 # strict, so pass exactly the consumed prefix
                 vals = list(args[:len(fields)])
-            fmt = _re_mod.sub(r"\{[^{}]*\}", "%s", pat)
+            # literal '%' must be escaped for format_string (java
+            # Formatter) — '{:.1f}%'.format(x) previously emitted a
+            # trailing bare '%' and threw UnknownFormatConversionException
+            # at action time; replacement tokens never contain '%'
+            # (a '%' inside a spec fails _SPEC_RE -> CompileError)
+            fmt = _re_mod.sub(r"\{[^{}]*\}", "%s", pat.replace("%", "%%"))
             cols = [self._to_str(v) if spec is None
                     else self._format_spec_col(spec, v)
                     for (_, spec), v in zip(fields, vals)]
