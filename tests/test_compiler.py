@@ -966,7 +966,10 @@ class TestWhileCompiled:
         run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
                  expect_compiled=True)
 
-    def test_dynamic_condition_falls_back(self, ctx):
+    def test_countdown_now_compiles_as_contraction(self, ctx):
+        # was a fallback case until the convergence-fold landed: the
+        # linear contraction (n -= 1 against n > 0) has a provable
+        # per-row iteration bound, so it rides one F.aggregate
         def f(x):
             n = x["a"]
             s = 0
@@ -975,7 +978,115 @@ class TestWhileCompiled:
                 n -= 1
             return s
         run_diff(ctx, self.ROWS, f, columns=["a", "b", "s"],
-                 expect_compiled=False)
+                 expect_compiled=True)
+
+
+class TestConvergenceWhile:
+    """Data-dependent ``while`` loops with a provable contraction bound
+    compile onto ONE F.aggregate over sequence(1, K_row) (reference
+    compiles arbitrary whiles natively, BlockGeneratorVisitor.cc; here
+    the bounded-convergence subset stays compiled, the rest falls
+    back).  Iterations past convergence are no-ops, so the analytic
+    overshoot is free."""
+
+    # 3000 keeps the slowest shape (0.75-step drain: ~4000 iterations)
+    # inside the 4096 cap; the cap path has its own dedicated test
+    DATA = [1, 5, 1000, 0, 7, 2, 3000]
+
+    def test_halving_loop(self, ctx):
+        def f(x):
+            n = 0
+            v = float(x)
+            while v > 1.0:
+                v = v / 2.0
+                n += 1
+            return (n, v)
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_linear_drain(self, ctx):
+        def f(x):
+            v = x * 1.0
+            while v > 0.5:
+                v -= 0.75
+            return v
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_int_digit_count(self, ctx):
+        def f(x):
+            d = 1
+            while x >= 10:
+                x //= 10
+                d += 1
+            return d
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_grow_to_threshold(self, ctx):
+        def f(x):
+            v = x * 1.0
+            while v < 100.0:
+                v += 7.5
+            return v
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_mult_shrink(self, ctx):
+        def f(x):
+            v = float(x)
+            k = 0
+            while v >= 2.5:
+                v *= 0.5
+                k += 1
+            return (v, k)
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_reversed_compare_orientation(self, ctx):
+        def f(x):
+            v = float(x)
+            while 1.0 < v:
+                v = v / 3.0
+            return v
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_threshold_from_local_constant(self, ctx):
+        def f(x):
+            eps = 2.0
+            v = float(x)
+            while v > eps:
+                v = v / 2.0
+            return v
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_cap_exceeded_is_loud_not_wrong(self, ctx):
+        # a row needing more iterations than the cap must become a
+        # visible RuntimeError row (documented divergence: CPython
+        # would keep iterating), NEVER a silently-wrong value
+        def f(x):
+            v = x * 1.0
+            while v > 0.5:
+                v -= 0.25
+            return v
+        ds = ctx.parallelize([2, 3, 100_000]).map(f)
+        assert ds.collect() == [f(2), f(3)] == [0.5, 0.5]
+        assert ds.exception_counts == {"RuntimeError": 1}
+
+    def test_growth_shape_falls_back(self, ctx):
+        # x *= 2 toward an upper bound does NOT terminate for x0 <= 0,
+        # so no bound proof exists -> exact Arrow fallback
+        def f(x):
+            v = x * 1.0 + 0.5
+            while v < 100.0:
+                v *= 2.0
+            return v
+        run_diff(ctx, [1, 5, 50], f, expect_compiled=False)
+
+    def test_non_invariant_threshold_falls_back(self, ctx):
+        def f(x):
+            v = float(x)
+            t = 1.0
+            while v > t:
+                v = v / 2.0
+                t = t * 1.1
+            return v
+        run_diff(ctx, self.DATA, f, expect_compiled=False)
 
 
 class TestDictBuiltins:
@@ -1361,9 +1472,13 @@ class TestSplitReplaceArgVariants:
         run_diff(ctx, ["a  b", " x ", ""], lambda s: len(s.split(None)),
                  expect_compiled=True)
 
-    def test_replace_count_falls_back(self, ctx):
+    def test_replace_positive_count_compiles(self, ctx):
+        # split-with-limit + array_join: the last part keeps the
+        # remaining occurrences, exactly CPython's count semantics
         run_diff(ctx, self.DATA, lambda s: s.replace(",", "-", 1),
-                 expect_compiled=False)
+                 expect_compiled=True)
+        run_diff(ctx, ["aaa", "a.b.c.d", ""],
+                 lambda s: s.replace(".", "|", 2), expect_compiled=True)
 
     def test_replace_count_zero_and_negative(self, ctx):
         run_diff(ctx, self.DATA, lambda s: s.replace(",", "-", 0),
@@ -1383,11 +1498,15 @@ class TestOptionalArgAudit:
 
     DATA = ["hello world hello", "abcabc", "Xyz", ""]
 
-    def test_count_bounds_fall_back(self, ctx):
+    def test_count_bounds_compile(self, ctx):
         run_diff(ctx, self.DATA, lambda s: s.count("l", 3),
-                 expect_compiled=False)
+                 expect_compiled=True)
         run_diff(ctx, self.DATA, lambda s: s.count("l", 2, 9),
-                 expect_compiled=False)
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.count("l", -7, -2),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.count("l", len(s) // 2),
+                 expect_compiled=True)
 
     def test_find_with_start_compiles(self, ctx):
         run_diff(ctx, self.DATA, lambda s: s.find("l", 4),
@@ -1400,13 +1519,39 @@ class TestOptionalArgAudit:
                       expect_compiled=True)
         assert ds.exception_counts == {"ValueError": 3}
 
-    def test_rfind_bounds_fall_back(self, ctx):
+    def test_rfind_bounds_compile(self, ctx):
         run_diff(ctx, self.DATA, lambda s: s.rfind("l", 0, 5),
-                 expect_compiled=False)
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.rfind("l", 2),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.rfind("he", -9),
+                 expect_compiled=True)
 
-    def test_startswith_bounds_fall_back(self, ctx):
+    def test_find_end_bound_and_negative(self, ctx):
+        run_diff(ctx, self.DATA, lambda s: s.find("l", 1, 4),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.find("l", -6, -1),
+                 expect_compiled=True)
+
+    def test_rindex_bounds(self, ctx):
+        ds = run_diff(ctx, self.DATA, lambda s: s.rindex("b", 0, 5),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"ValueError": 3}
+
+    def test_startswith_endswith_bounds_compile(self, ctx):
         run_diff(ctx, self.DATA, lambda s: s.startswith("l", 2),
-                 expect_compiled=False)
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.startswith("ca", 3, 5),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.endswith("ab", 0, 4),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.startswith("a", -3),
+                 expect_compiled=True)
+        # empty needle past the end is False, not the window's True
+        run_diff(ctx, self.DATA, lambda s: s.startswith("", 99),
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda s: s.startswith("", len(s)),
+                 expect_compiled=True)
 
     def test_startswith_endswith_tuple(self, ctx):
         # previously a hard AnalysisException, not even a fallback
@@ -1421,8 +1566,37 @@ class TestOptionalArgAudit:
         run_diff(ctx, self.DATA, lambda s: s.center(3),
                  expect_compiled=True)
 
-    def test_int_base_falls_back(self, ctx):
-        run_diff(ctx, ["ff", "10", "7f"], lambda s: int(s, 16),
+    def test_int_base_compiles(self, ctx):
+        run_diff(ctx, ["ff", "10", "7f", "-FF", " +0x_ff ", "0x1", "zz"],
+                 lambda s: int(s, 16), expect_compiled=True)
+        run_diff(ctx, ["101", "0b1_01", "-11", "2"],
+                 lambda s: int(s, 2), expect_compiled=True)
+        run_diff(ctx, ["z", "10", "-zz", "Zz"],
+                 lambda s: int(s, 36), expect_compiled=True)
+        run_diff(ctx, ["777", "0o17", "8"],
+                 lambda s: int(s, 8), expect_compiled=True)
+        ds = run_diff(ctx, ["12", "9", "x"], lambda s: int(s, 8),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"ValueError": 2}
+
+    def test_re_sub_count_compiles(self, ctx):
+        import re
+        run_diff(ctx, ["hello jelly lolly", "none here", ""],
+                 lambda s: re.sub("l+", "L", s, 2), expect_compiled=True)
+        run_diff(ctx, ["aaa bbb", "x"],
+                 lambda s: re.sub("[ab]+", "-", s, 1),
+                 expect_compiled=True)
+        # negative count replaces nothing (unlike str.replace)
+        run_diff(ctx, ["aaa"], lambda s: re.sub("a", "X", s, -1),
+                 expect_compiled=True)
+
+    def test_re_sub_count_backref_falls_back(self, ctx):
+        import re
+        run_diff(ctx, ["ab ab"],
+                 lambda s: re.sub("(a)b", r"\\1!", s, 1),
+                 expect_compiled=False)
+        # nullable pattern (matches empty) diverges under split
+        run_diff(ctx, ["abc"], lambda s: re.sub("x*", "-", s, 1),
                  expect_compiled=False)
 
 

@@ -53,6 +53,41 @@ class TestInference:
         ds = ctx.csv(p, columns=["x", "y"])
         assert ds.columns == ["x", "y"]
 
+    def test_multifile_schema_drift_widens(self, ctx, tmp_path):
+        # single-file sampling would type column b as int from part-0
+        # and quarantine every part-1 row into _corrupt_record; the
+        # k-file sample union must widen b to float instead
+        d = tmp_path / "drift"
+        d.mkdir()
+        (d / "part-0.csv").write_text("a,b\n1,2\n3,4\n")
+        (d / "part-1.csv").write_text("a,b\n5,6.5\n7,8.25\n")
+        ds = ctx.csv(str(d / "part-*.csv"))
+        rows = sorted(ds.collect())
+        assert rows == [(1, 2.0), (3, 4.0), (5, 6.5), (7, 8.25)]
+        assert ds.exception_counts == {}
+
+    def test_multifile_delimiter_vote(self, ctx, tmp_path):
+        # 2 of 3 files use ';' — the per-file majority vote must win
+        # over the first file's delimiter
+        d = tmp_path / "vote"
+        d.mkdir()
+        (d / "p0.csv").write_text("1;2\n3;4\n")
+        (d / "p1.csv").write_text("5;6\n7;8\n")
+        (d / "p2.csv").write_text("9;10\n11;12\n")
+        rows = sorted(ctx.csv(str(d / "p*.csv")).collect())
+        assert rows == [(1, 2), (3, 4), (5, 6), (7, 8), (9, 10), (11, 12)]
+
+    def test_multifile_null_widening(self, ctx, tmp_path):
+        # part-1 introduces NA cells in an int column: pooled sampling
+        # keeps int (nulls don't count toward the majority)
+        d = tmp_path / "nulls"
+        d.mkdir()
+        (d / "p0.csv").write_text("a,b\n1,2\n3,4\n")
+        (d / "p1.csv").write_text("a,b\n5,NA\n9,10\n")
+        ds = ctx.csv(str(d / "p*.csv"), null_values=["NA"])
+        rows = sorted(ds.collect(), key=lambda r: r[0])
+        assert rows == [(1, 2), (3, 4), (5, None), (9, 10)]
+
 
 class TestCorruptRows:
     # one bad cell in 10 rows: int stays the normal-case type

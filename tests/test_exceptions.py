@@ -185,3 +185,30 @@ class TestResolveWithRound2Shapes:
                 .map(lambda s: (s < 5) if len(s) > 3 else True) \
                 .resolve(TypeError, lambda s: False)
         assert ds.collect() == [True, False]
+
+    def test_staged_cse_resolver_stays_compiled(self, ctx):
+        """A resolver body complex enough to need staged CSE layers
+        (string-pipeline shape: find/slice/replace chains) must compile
+        onto the resolve select chain like map() bodies do — until
+        round 3 it silently demoted to the Arrow fallback."""
+        def res(s):
+            t = s.replace("-", " ").strip()
+            head = t[:t.find(" ")] if t.find(" ") >= 0 else t
+            tail = t[t.rfind(" ") + 1:]
+            mid = t.upper().replace(" ", "_")
+            return head + "|" + mid + "|" + tail + "|" + str(len(t))
+        data = ["a-bc d", "12", "  q-r  ", "one two three", "7"]
+        ds = ctx.parallelize(data) \
+                .map(lambda s: "n=" + str(int(s) * 2)) \
+                .resolve(ValueError, res)
+        plan = ds._df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan, "resolver fell back to Arrow"
+        assert "ArrowEvalPython" not in plan
+
+        def ref(s):
+            try:
+                return "n=" + str(int(s) * 2)
+            except ValueError:
+                return res(s)
+        assert ds.collect() == [ref(s) for s in data]
+        assert ds.exception_counts == {}

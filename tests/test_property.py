@@ -361,6 +361,25 @@ class TestDynamicMethodArgs:
             fn = _build_fn([expr])
             run_diff(ctx, rows, fn, columns=["a", "b", "s"])
 
+    def test_bounds_sweep(self, ctx):
+        # slice-notation start/end bounds on find/rfind/count/
+        # startswith/endswith, constant and column-derived, incl.
+        # negative and out-of-range values
+        rng = random.Random(47)
+        methods = ["count", "find", "rfind", "startswith", "endswith"]
+        bound_exprs = ["1", "-2", "0", "99", "-99", "x['a']",
+                       "len(x['s']) - 2", "x['a'] - 4"]
+        rows = [(1, 0.0, "hello world"), (3, 1.0, "aabbaabb"),
+                (0, 2.0, "x"), (7, 3.0, ""), (2, 4.0, "ll llll l")]
+        for _ in range(20):
+            m = rng.choice(methods)
+            needle = rng.choice(["'l'", "'ab'", "'he'", "'x'"])
+            b1 = rng.choice(bound_exprs)
+            use_end = rng.random() < 0.5
+            b2 = ", " + rng.choice(bound_exprs) if use_end else ""
+            fn = _build_fn([f"x['s'].{m}({needle}, {b1}{b2})"])
+            run_diff(ctx, rows, fn, columns=["a", "b", "s"])
+
 
 TRY_BODIES = ["return int(x['s'])",
               "return 10 // (x['a'] % 4)",
@@ -445,6 +464,33 @@ class TestGeneratedNewShapes:
             rng = random.Random(seed)
             for _ in range(4):
                 fn = _build_def_fn(gen_format_spec(rng))
+                run_diff(ctx, self.ROWS, fn, columns=["a", "b", "s"],
+                         expect_compiled=True)
+
+    def test_convergence_while_sweep(self, ctx):
+        # contraction whiles (x /= c, x -= c, x *= c<1, x //= c) with a
+        # constant threshold ride the F.aggregate convergence fold
+        rng = random.Random(43)
+        shapes = [
+            ("v = v / {c}", "v > {t}", lambda: (rng.uniform(1.5, 4.0),
+                                                rng.uniform(0.5, 3.0))),
+            ("v = v - {c}", "v > {t}", lambda: (rng.uniform(0.5, 2.0),
+                                                rng.uniform(-1.0, 2.0))),
+            ("v = v * {c}", "v >= {t}", lambda: (rng.uniform(0.2, 0.8),
+                                                 rng.uniform(0.5, 3.0))),
+            ("v = v + {c}", "v < {t}", lambda: (rng.uniform(0.5, 2.0),
+                                                rng.uniform(5.0, 50.0))),
+        ]
+        for upd, test, gen in shapes:
+            for _ in range(3):
+                c, t = gen()
+                fn = _build_def_fn([
+                    "v = x['b'] * 3.0 + x['a']",
+                    "n = 0",
+                    f"while {test.format(t=t)}:",
+                    f"    {upd.format(c=c)}",
+                    "    n = n + 1",
+                    "return (n, v)"])
                 run_diff(ctx, self.ROWS, fn, columns=["a", "b", "s"],
                          expect_compiled=True)
 

@@ -781,17 +781,19 @@ class DataSet:
                 col_map=remap)
         except CompileError:
             pass
-        if res_compiled is not None and res_compiled.staged:
-            # resolver bodies with staged CSE layers would need their own
-            # projection chain; resolvers are small — use the fallback
-            res_compiled = None
-
         if res_compiled is None:
             return self._resolve_fallback(op, ftor, match, in_struct)
 
         sub = self._df.select(
             *self._df.columns,
             *[payload.getField(n).alias(remap[n]) for n in names])
+        # staged CSE layers become projection columns over the parsed
+        # payload fields, exactly like _apply_compiled — the final
+        # select below never lists __t/__res_in_ columns, so they
+        # don't escape the op (previously any resolver complex enough
+        # to stage silently demoted to the Arrow fallback)
+        for tmp_name, tmp_col in res_compiled.staged:
+            sub = sub.select("*", tmp_col.alias(tmp_name))
         outs = res_compiled.as_columns()
         # if the resolver itself raises, the row's exception class becomes
         # the resolver's exception (resolvable by later resolvers) —
@@ -825,11 +827,18 @@ class DataSet:
         else:
             exprs.append((produced[0], outs[0][1]))
         sel = []
+        first_computed = True
         for v in self._columns:
             repl = dict(exprs).get(v)
             if repl is not None:
-                sel.append(F.when(resolved_ok, repl)
-                           .otherwise(F.col(v)).alias(v))
+                expr = F.when(resolved_ok, repl).otherwise(F.col(v))
+                if res_compiled.staged and first_computed:
+                    # same pushdown barrier as _apply_compiled: stop a
+                    # later filter from substituting the resolver's
+                    # expression tree through every staged layer
+                    expr = F.element_at(F.shuffle(F.array(expr)), 1)
+                    first_computed = False
+                sel.append(expr.alias(v))
             else:
                 sel.append(F.col(v))
         sel.append(new_code.alias(EXC_CODE))

@@ -24,17 +24,43 @@ MAX_DETECTION_BYTES = 256 * 1024  # reference: csv.maxDetectionMemory
 CANDIDATE_DELIMS = [",", ";", "|", "\t"]
 
 
-def sample_bytes(pattern: str, nbytes: int = MAX_DETECTION_BYTES) -> str:
-    paths = sorted(_glob.glob(pattern))
-    if not paths:
-        raise FileNotFoundError(pattern)
-    with open(paths[0], "rb") as f:
+SAMPLE_FILES = 3  # files sampled per glob: first + middle + last
+
+
+def _read_sample(path: str, nbytes: int) -> str:
+    with open(path, "rb") as f:
         data = f.read(nbytes)
     text = data.decode("utf-8", errors="replace")
     # drop a trailing partial line
     if len(data) == nbytes and "\n" in text:
         text = text[: text.rfind("\n")]
     return text
+
+
+def sample_bytes(pattern: str, nbytes: int = MAX_DETECTION_BYTES) -> str:
+    paths = sorted(_glob.glob(pattern))
+    if not paths:
+        raise FileNotFoundError(pattern)
+    return _read_sample(paths[0], nbytes)
+
+
+def sample_files(pattern: str, nbytes: int = MAX_DETECTION_BYTES,
+                 k: int = SAMPLE_FILES) -> list[str]:
+    """Per-file sample texts for up to k files of the glob (first,
+    middle, last — deterministic).  A single-file sample mis-types a
+    multi-file glob with schema drift: later files' drifted cells all
+    land in _corrupt_record quarantine at scan time (the reference
+    shares this single-file weakness, FileInputOperator.cc:47-98; at
+    100 TB the k-file union is the safer default)."""
+    paths = sorted(_glob.glob(pattern))
+    if not paths:
+        raise FileNotFoundError(pattern)
+    if len(paths) <= k:
+        chosen = paths
+    else:
+        chosen = [paths[0], paths[len(paths) // 2], paths[-1]]
+    budget = max(nbytes // max(len(chosen), 1), 4096)
+    return [_read_sample(p, budget) for p in chosen]
 
 
 def detect_delimiter(text: str) -> str:
@@ -100,37 +126,53 @@ def detect(pattern: str, delimiter: str | None, header: bool | None,
     physical lines, and the reader must parse whole records (Spark's
     multiLine mode; costs intra-file split parallelism, so it is only
     turned on when detected)."""
-    text = sample_bytes(pattern)
-    delim = delimiter or detect_delimiter(text)
+    texts = sample_files(pattern)
+    # delimiter: per-file detection, majority vote (first file breaks
+    # ties); multiline: any file with an unterminated quote line
+    if delimiter:
+        delim = delimiter
+    else:
+        votes = [detect_delimiter(t) for t in texts]
+        delim = max(dict.fromkeys(votes),
+                    key=lambda d: votes.count(d))
     multiline = any(line.count(quotechar) % 2 == 1
-                    for line in text.splitlines())
-    rows = list(_csv.reader(io.StringIO(text), delimiter=delim,
-                            quotechar=quotechar))
-    rows = [r for r in rows if r]
-    if not rows:
+                    for t in texts for line in t.splitlines())
+    per_file = []
+    for t in texts:
+        rows = list(_csv.reader(io.StringIO(t), delimiter=delim,
+                                quotechar=quotechar))
+        per_file.append([r for r in rows if r])
+    rows0 = per_file[0]
+    if not rows0:
         return delim, bool(header), [], [], multiline
-    width = max(len(r) for r in rows)
-    rows = [r for r in rows if len(r) == width]
+    width = max(len(r) for rs in per_file for r in rs)
+    per_file = [[r for r in rs if len(r) == width] for rs in per_file]
+    rows0 = per_file[0]
+    if not rows0:
+        return delim, bool(header), [], [], multiline
 
     def row_tags(r):
         return [_cell_type(c, null_values) for c in r]
 
-    body_from = 0
     has_header = header
     if has_header is None:
-        # header iff first row is all-string and differs from the body's
-        # majority tags (reference: CSVStatistic header estimation)
-        first = row_tags(rows[0])
-        body = rows[1:] or rows
+        # header iff the lead file's first row is all-string and
+        # differs from the body's majority tags (reference:
+        # CSVStatistic header estimation)
+        first = row_tags(rows0[0])
+        body = rows0[1:] or rows0
         body_majority = _majority_tags(body, null_values,
                                        normalcase_threshold)
         has_header = (all(t == "str" for t in first)
-                      and first != body_majority and len(rows) > 1)
-    if has_header:
-        body_from = 1
-    columns = rows[0] if has_header else \
+                      and first != body_majority and len(rows0) > 1)
+    columns = rows0[0] if has_header else \
         [f"column{i}" for i in range(width)]
-    tags = _majority_tags(rows[body_from:] or rows, null_values,
+    # type votes pool BODY rows of every sampled file (header=True
+    # makes the scan skip each file's first line, so drop it from
+    # every sample, not just the first)
+    body_from = 1 if has_header else 0
+    pooled = [r for rs in per_file for r in (rs[body_from:] or rs)]
+    tags = _majority_tags(pooled or rows0, null_values,
                           normalcase_threshold)
     return delim, bool(has_header), columns, tags, multiline
 

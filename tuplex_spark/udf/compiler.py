@@ -968,6 +968,8 @@ class Translator:
                             return self._exec_for(rewritten, path)
                         finally:
                             self._unroll_depth += 1
+                    if self._while_convergence_fold(st):
+                        return False, path
                     raise CompileError("dynamic while condition")
                 if not test.value:
                     return False, path
@@ -1045,6 +1047,238 @@ class Translator:
                           keywords=[]),
             body=rest if rest else [ast.Pass()],
             orelse=[])
+
+    # maximum runtime iterations for a compiled convergence while; the
+    # per-row analytic bound keeps the sequence tiny for typical rows —
+    # this cap only bounds the pathological tail (see the guard below)
+    _WHILE_FOLD_CAP = 4096
+    _WHILE_FOLD_MARGIN = 4
+
+    def _while_contraction_info(self, st: ast.While):
+        """Recognize a data-dependent ``while`` whose termination is
+        UNCONDITIONAL and whose iteration count has a per-row analytic
+        bound — the contraction-toward-a-constant-threshold shapes:
+
+            while x > t:  x  /= c     (c > 1,      t > 0)
+            while x > t:  x  *= c     (0 < c < 1,  t > 0)
+            while x > t:  x  -= c     (c > 0,      any t)
+            while x < t:  x  += c     (c > 0,      any t)
+            while x > t:  x //= c     (int c >= 2, t >= 0; >= needs t >= 1)
+
+        (either compare orientation; >=, <= variants included — the
+        overshoot the bound allows is free because iterations past
+        convergence are no-ops).  The reference compiles arbitrary
+        whiles natively (codegen/src/BlockGeneratorVisitor.cc); this
+        covers the convergence-loop subset where a bound proof exists,
+        everything else stays on the exact Arrow fallback.
+
+        Returns (driver_name, kind, c, t) or None.  kind in {'log',
+        'sub', 'add'}; for 'log' c is the per-iteration shrink ratio
+        > 1 and t the (possibly floor-div-adjusted) bound threshold."""
+        t_node = st.test
+        if not (isinstance(t_node, ast.Compare) and len(t_node.ops) == 1):
+            return None
+        op = t_node.ops[0]
+        left, right = t_node.left, t_node.comparators[0]
+        if isinstance(left, ast.Name):
+            var, thr_node, flipped = left.id, right, False
+        elif isinstance(right, ast.Name):
+            var, thr_node, flipped = right.id, left, True
+        else:
+            return None
+        # normalize to driver-on-the-left orientation
+        omap = {ast.Gt: ">", ast.GtE: ">=", ast.Lt: "<", ast.LtE: "<="}
+        o = omap.get(type(op))
+        if o is None:
+            return None
+        if flipped:
+            o = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[o]
+        thr = self.eval(thr_node)
+        if not (isinstance(thr, SConst)
+                and isinstance(thr.value, (int, float))
+                and not isinstance(thr.value, bool)):
+            return None
+        t = thr.value
+        # body: straight-line assignments, exactly one recognized
+        # update of the driver
+        body_assigned = set(_loop_assigned_names(st.body))
+        upd = None
+        for s in st.body:
+            if isinstance(s, ast.AugAssign):
+                tgts, val, bop = [s.target], s.value, s.op
+            elif isinstance(s, ast.Assign):
+                tgts, val, bop = s.targets, s.value, None
+            else:
+                return None
+            names = [n.id for tg in tgts for n in ast.walk(tg)
+                     if isinstance(n, ast.Name)]
+            if var not in names:
+                continue
+            if upd is not None or len(tgts) != 1 \
+                    or not isinstance(tgts[0], ast.Name):
+                return None
+            if bop is None:
+                if not (isinstance(val, ast.BinOp)
+                        and isinstance(val.left, ast.Name)
+                        and val.left.id == var):
+                    return None
+                bop, val = val.op, val.right
+            step_reads = {n.id for n in ast.walk(val)
+                          if isinstance(n, ast.Name)
+                          and isinstance(n.ctx, ast.Load)}
+            if step_reads & body_assigned:
+                return None  # step must be loop-invariant
+            cs = self.eval(val)
+            if not (isinstance(cs, SConst)
+                    and isinstance(cs.value, (int, float))
+                    and not isinstance(cs.value, bool)):
+                return None
+            upd = (type(bop), cs.value)
+        if upd is None or var not in self._locals:
+            return None
+        # the bound derivation needs the threshold to be loop-invariant:
+        # any name the test reads (other than the driver) must not be
+        # assigned in the body
+        thr_reads = {n.id for n in ast.walk(thr_node)
+                     if isinstance(n, ast.Name)
+                     and isinstance(n.ctx, ast.Load)}
+        if thr_reads & body_assigned:
+            return None
+        x0 = self._locals[var]
+        if getattr(x0, "tag", None) not in ("int", "float"):
+            return None
+        bop, c = upd
+        if bop is ast.Div and c > 1 and o in (">", ">=") and t > 0:
+            return var, "log", float(c), float(t)
+        if bop is ast.Mult and 0 < c < 1 and o in (">", ">=") and t > 0:
+            return var, "log", 1.0 / float(c), float(t)
+        if bop is ast.FloorDiv and isinstance(c, int) and c >= 2 \
+                and x0.tag == "int" and isinstance(t, int) \
+                and ((o == ">" and t >= 0) or (o == ">=" and t >= 1)):
+            return var, "log", float(c), float(max(t, 1))
+        if bop is ast.Sub and c > 0 and o in (">", ">="):
+            return var, "sub", float(c), float(t)
+        if bop is ast.Add and c > 0 and o in ("<", "<="):
+            return var, "add", float(c), float(t)
+        return None
+
+    def _while_convergence_fold(self, st: ast.While) -> bool:
+        """Lower a recognized contraction ``while`` (see
+        _while_contraction_info) onto ONE ``F.aggregate`` over
+        ``F.sequence(1, K_row)`` with step
+        ``when(test(acc), body(acc)).otherwise(acc)`` — the body appears
+        ONCE in the expression tree (no unroll blowup), iterations past
+        convergence are no-ops, and K_row is the per-row analytic bound
+        plus margin, capped at _WHILE_FOLD_CAP.  A row that would need
+        more than the cap (possible only for near-1 ratios or tiny
+        linear steps on huge values) gets a guarded RuntimeError row
+        instead of a silently-wrong value — the one documented
+        divergence from CPython, which would keep iterating."""
+        n_guards = len(self.guards)
+        info = self._while_contraction_info(st)
+        if info is None:
+            del self.guards[n_guards:]
+            return False
+        var, kind, c, t = info
+        assigned = _loop_assigned_names(st.body)
+        accs = [n for n in assigned if n in self._locals]
+        if set(assigned) != set(accs):
+            del self.guards[n_guards:]
+            return False
+        init = {n: self._locals[n] for n in accs}
+        if any(s.tag not in ("int", "float", "bool", "str")
+               for s in init.values()):
+            del self.guards[n_guards:]
+            return False
+
+        def run_step(acc_syms):
+            """Evaluate (test, body) under acc bindings; returns
+            (cond_sym, {acc: Sym-after})."""
+            saved_locals = dict(self._locals)
+            saved_returns = list(self._returns)
+            k_guards = len(self.guards)
+            self._branch_depth += 1
+            self._hof_depth += 1
+            try:
+                for n, s in acc_syms.items():
+                    self._locals[n] = s
+                cond = self.truthy(self.eval(st.test))
+                if self.exec_block(st.body, None) \
+                        or len(self._returns) != len(saved_returns):
+                    raise CompileError("return inside convergence while")
+                if len(self.guards) != k_guards:
+                    del self.guards[k_guards:]
+                    raise CompileError("guard-raising while body")
+                return cond, {n: self._locals[n] for n in accs}
+            finally:
+                self._branch_depth -= 1
+                self._hof_depth -= 1
+                self._locals = saved_locals
+                self._returns = saved_returns
+
+        # two dry passes to fix the accumulator struct schema (same
+        # scheme as _exec_for_fold)
+        dummy = F.lit(0)
+        try:
+            _, out = run_step({n: SCol(dummy, s.tag, s.nullable)
+                               for n, s in init.items()})
+            final = {}
+            for n in accs:
+                tg = _unify_tags(init[n].tag, out[n].tag)
+                if tg not in ("int", "float", "bool", "str"):
+                    raise CompileError(f"while accumulator widens to {tg}")
+                final[n] = tg
+            _, out2 = run_step({n: SCol(dummy, final[n], init[n].nullable)
+                                for n in accs})
+            for n in accs:
+                if _unify_tags(final[n], out2[n].tag) != final[n]:
+                    raise CompileError("while accumulator oscillates")
+        except CompileError:
+            del self.guards[n_guards:]
+            return False
+        nullable = {n: init[n].nullable or out2[n].nullable for n in accs}
+
+        # per-row iteration bound (double space, clamped BEFORE ceil so
+        # inf/1e300 never overflows ceil's long)
+        x0c = self.to_col(init[var]).cast("double")
+        if kind == "log":
+            need = x0c > t
+            raw = (F.log(x0c) - _math.log(t)) / _math.log(c)
+        elif kind == "sub":
+            need = x0c > t
+            raw = (x0c - F.lit(t)) / c
+        else:  # add
+            need = x0c < t
+            raw = (F.lit(t) - x0c) / c
+        raw = F.least(raw, F.lit(float(self._WHILE_FOLD_CAP)))
+        k = F.ceil(raw) + self._WHILE_FOLD_MARGIN
+        k = F.when(need, F.least(k, F.lit(self._WHILE_FOLD_CAP))) \
+             .otherwise(F.lit(self._WHILE_FOLD_MARGIN)).cast("int")
+
+        def cast_to(col: Column, tg: str) -> Column:
+            return col.cast(tag_to_spark(tg).simpleString())
+
+        zero = F.struct(*[
+            cast_to(self.to_col(init[n]), final[n]).alias(f"f{i}")
+            for i, n in enumerate(accs)])
+
+        def merge(acc, _x):
+            cond, res = run_step(
+                {n: SCol(acc.getField(f"f{i}"), final[n], nullable[n])
+                 for i, n in enumerate(accs)})
+            return F.when(cond, F.struct(*[
+                cast_to(self.to_col(res[n]), final[n]).alias(f"f{i}")
+                for i, n in enumerate(accs)])).otherwise(acc)
+
+        result = F.aggregate(F.sequence(F.lit(1), k), zero, merge)
+        any_null = any(getattr(s, "nullable", False) for s in init.values())
+        for i, n in enumerate(accs):
+            self._locals[n] = SCol(result.getField(f"f{i}"), final[n],
+                                   nullable[n] or any_null)
+        # cap guard: condition still true after K iterations -> the
+        # compiled bound was insufficient (CPython would keep looping)
+        self.guard(self.truthy(self.eval(st.test)), "RuntimeError")
+        return True
 
     def _unroll_with_break(self, st: ast.For, vals) -> list:
         """Unroll with break/continue lowered to boolean flags: break/
@@ -2291,10 +2525,7 @@ class Translator:
         if not args:
             return SConst(0)
         if len(args) > 1:
-            # int(s, base): conv() diverges on sign/whitespace/prefix
-            # handling — fallback (previously the base was silently
-            # IGNORED and '0xff' raised a spurious ValueError)
-            raise CompileError("int with explicit base")
+            return self._b_int_base(args)
         a = args[0]
         if isinstance(a, SConst):
             try:
@@ -2318,6 +2549,51 @@ class Translator:
             self.guard(c.isNotNull() & ~valid, "ValueError")
             return SCol(F.when(valid, t.cast("long")), "int", True)
         raise CompileError(f"int({a.tag})")
+
+    def _b_int_base(self, args):
+        """int(s, base) for constant base 2..36: validate with a regex
+        that mirrors CPython literal rules exactly (optional sign,
+        optional 0x/0o/0b prefix for the matching base, underscores
+        single-between-digits), strip sign/prefix/underscores, convert
+        the magnitude with F.conv and re-apply the sign (conv alone
+        treats '-' as unsigned 64-bit wraparound — the reason this
+        previously fell back).  Magnitudes beyond int64 null out like
+        the plain int(s) cast does."""
+        b = args[1]
+        if not (isinstance(b, SConst) and isinstance(b.value, int)
+                and not isinstance(b.value, bool)
+                and 2 <= b.value <= 36):
+            raise CompileError("int base must be a constant in 2..36")
+        base = b.value
+        a = args[0]
+        if isinstance(a, SConst):
+            try:
+                return SConst(int(a.value, base))
+            except Exception as e:
+                self.guard(F.lit(True), type(e).__name__)
+                return SConst(None)
+        if getattr(a, "tag", None) != "str":
+            raise CompileError("int(non-str, base)")
+        c = self.to_col(a)
+        t = F.trim(c)
+        if base <= 10:
+            dig = f"0-{base - 1}"
+        else:
+            last = chr(ord("a") + base - 11)
+            dig = f"0-9a-{last}A-{last.upper()}"
+        prefix = {16: "0[xX]", 8: "0[oO]", 2: "0[bB]"}.get(base)
+        pre_re = f"(?:{prefix}_?)?" if prefix else ""
+        valid = t.rlike(f"^[+-]?{pre_re}[{dig}](?:_?[{dig}])*$")
+        if a.nullable:
+            self.guard(c.isNull(), "TypeError")
+        self.guard(c.isNotNull() & ~valid, "ValueError")
+        mag = F.regexp_replace(t, "^[+-]", "")
+        if prefix:
+            mag = F.regexp_replace(mag, f"^{prefix}_?", "")
+        mag = F.replace(mag, F.lit("_"), F.lit(""))
+        val = F.conv(mag, base, 10).cast("long")
+        res = F.when(t.rlike("^-"), -val).otherwise(val)
+        return SCol(F.when(valid, res), "int", True)
 
     def _b_float(self, args):
         a = args[0]
@@ -2914,12 +3190,39 @@ class Translator:
             elif name == "fullmatch":
                 p = f"^(?:{p})$"
             return SMatch(subj, p, self)
-        if name == "sub" and len(args) == 3:
-            # the 4-arg form (count) previously crashed the compile with
-            # an unpack error instead of falling back
-            pat, repl, subj = args
+        if name == "sub" and len(args) in (3, 4):
+            pat, repl, subj = args[0], args[1], args[2]
             if not all(isinstance(x, SConst) for x in (pat, repl)):
                 raise CompileError("re.sub needs constant pattern/replacement")
+            if len(args) == 4:
+                # count-limited sub == split with limit count+1 joined
+                # on the replacement (the last part keeps the remaining
+                # matches).  Split drops the matched text, so the
+                # replacement may not backreference groups, and a
+                # pattern that can match the empty string inserts
+                # between characters (split semantics diverge) — both
+                # fall back.
+                cnt = args[3]
+                if not (isinstance(cnt, SConst)
+                        and isinstance(cnt.value, int)):
+                    raise CompileError("re.sub count must be constant")
+                if _re_mod.search(r"\\\d|\\g<|\$", repl.value):
+                    raise CompileError("re.sub count with backreferences")
+                if _re_mod.search(pat.value, "") is not None:
+                    raise CompileError("re.sub count with nullable pattern")
+                if cnt.value == 0:
+                    pass  # replace all — same as the 3-arg form below
+                elif cnt.value < 0:
+                    # CPython: negative count replaces NOTHING (unlike
+                    # str.replace, where negative means all)
+                    return SCol(self.to_col(subj), "str", subj.nullable)
+                else:
+                    return SCol(
+                        F.array_join(
+                            F.split(self.to_col(subj), pat.value,
+                                    cnt.value + 1),
+                            repl.value),
+                        "str", subj.nullable)
             repl_j = _re_mod.sub(r"\\(\d+)", r"$\1", repl.value)
             return SCol(F.regexp_replace(self.to_col(subj), pat.value, repl_j),
                         "str", subj.nullable)
@@ -3020,6 +3323,34 @@ class Translator:
             return SCol(start if name == "start" else end, "int", True)
         raise CompileError(f"match.{name}")
 
+    def _bounds_window(self, c: Column, args: list[Sym], i0: int):
+        """CPython slice-notation (start[, end]) bounds for str methods
+        (find/count/startswith/...): returns (windowed substring
+        s[start:end], normalized start lo, sign-adjusted-but-unclamped
+        start).  Bounds may be dynamic ints; None behaves like the
+        omitted bound."""
+        L = F.length(c)
+
+        def pick(i):
+            s = args[i] if len(args) > i else None
+            if isinstance(s, SConst) and s.value is None:
+                s = None
+            return s
+
+        def adj(sym, default):
+            if sym is None:
+                return default, default
+            v = self.to_col(self.num(sym, "slice bound")).cast("int")
+            a = F.when(v < 0, L + v).otherwise(v)
+            return a, F.greatest(F.least(a, L), F.lit(0))
+
+        start, end = pick(i0), pick(i0 + 1)
+        adj_start, lo = adj(start, F.lit(0))
+        _, hi = adj(end, L)
+        length = F.greatest(hi - lo, F.lit(0))
+        win = F.substring(c, (lo + 1).cast("int"), length.cast("int"))
+        return win, lo, adj_start
+
     def _str_method(self, base: Sym, name: str, args: list[Sym]) -> Sym:
         c = self.to_col(base)
         nullable = base.nullable
@@ -3063,10 +3394,14 @@ class Translator:
                 if cnt.value == 0:
                     return SCol(c, "str", nullable)
                 if cnt.value > 0:
-                    # count-limited replace has no bounded-size Column
-                    # form (an unroll re-references the accumulator 3x
-                    # per step — exponential tree); fallback
-                    raise CompileError("replace with positive count")
+                    # count-limited replace == split with limit count+1
+                    # (the last part keeps the remaining occurrences)
+                    # re-joined on `new` — bounded, single expression
+                    return SCol(
+                        F.array_join(
+                            F.split(c, _re_mod.escape(old), cnt.value + 1),
+                            new),
+                        "str", nullable)
                 # negative count = replace all, same as the 2-arg form
             return SCol(F.replace(c, F.lit(old), F.lit(new)), "str", nullable)
         if name == "translate":
@@ -3119,11 +3454,22 @@ class Translator:
                         .otherwise(F.split(t, r"\s+")), "array", nullable,
                         elem="str")
         if name in ("startswith", "endswith"):
-            if len(args) > 1:
-                # start/end bounds have no direct Column form — fallback
-                raise CompileError(f"{name} with start/end bounds")
             f = F.startswith if name == "startswith" else F.endswith
             a0 = args[0]
+            if len(args) > 1:
+                # CPython slice-notation bounds: compare inside
+                # s[start:end]; one extra rule — a start past the end
+                # of the string is False even for an empty needle
+                # ('ab'.startswith('', 3) is False), which the window
+                # alone cannot express
+                win, _, adj_start = self._bounds_window(c, args, 1)
+                if not (isinstance(a0, SConst)
+                        and isinstance(a0.value, str)):
+                    raise CompileError(f"{name} bounds need a constant "
+                                       "needle")
+                expr = f(win, F.lit(a0.value)) \
+                    & (adj_start <= F.length(c))
+                return SCol(expr, "bool", nullable)
             prefixes = None
             if isinstance(a0, SConst) and isinstance(a0.value, tuple):
                 prefixes = list(a0.value)
@@ -3148,18 +3494,16 @@ class Translator:
             if not isinstance(args[0], SConst):
                 raise CompileError("find needle must be constant")
             sub = args[0].value
-            if len(args) > 2:
-                raise CompileError("find with end bound")
             if len(args) > 1:
-                st = args[1]
-                if not (isinstance(st, SConst)
-                        and isinstance(st.value, int) and st.value >= 0) \
-                        or sub == "":
-                    raise CompileError("find start must be a non-negative "
-                                       "constant with a non-empty needle")
-                # locate's 3rd arg is a 1-based search start; a start
-                # past the end yields 0 -> -1, matching CPython
-                loc = F.locate(sub, c, st.value + 1)
+                # slice-notation bounds: search inside s[start:end] and
+                # re-base the hit position by the normalized start (an
+                # empty needle interacts with out-of-range starts in
+                # ways the window can't express — fallback)
+                if sub == "":
+                    raise CompileError("find bounds with empty needle")
+                win, lo, _ = self._bounds_window(c, args, 1)
+                loc0 = F.instr(win, sub)
+                loc = F.when(loc0 == 0, F.lit(0)).otherwise(loc0 + lo)
             else:
                 loc = F.instr(c, sub)
             res = loc - 1
@@ -3169,24 +3513,32 @@ class Translator:
             return SCol(F.when(loc == 0, -1).otherwise(res).cast("long"),
                         "int", nullable)
         if name in ("rfind", "rindex"):
-            if len(args) > 1:
-                raise CompileError(f"{name} with start/end bounds")
             sub = const_arg(0)
-            L, m = F.length(c), len(sub)
-            lr = F.instr(F.reverse(c), sub[::-1])
-            res = L - lr + 1 - m
+            tgt, lo = c, F.lit(0)
+            if len(args) > 1:
+                if sub == "":
+                    raise CompileError(f"{name} bounds with empty needle")
+                tgt, lo, _ = self._bounds_window(c, args, 1)
+            L, m = F.length(tgt), len(sub)
+            lr = F.instr(F.reverse(tgt), sub[::-1])
+            res = L - lr + 1 - m + lo
             if name == "rindex":
                 self.guard(lr == 0, "ValueError")
                 return SCol(res.cast("long"), "int", nullable)
             return SCol(F.when(lr == 0, -1).otherwise(res).cast("long"),
                         "int", nullable)
         if name == "count":
-            if len(args) > 1:
-                raise CompileError("count with start/end bounds")
             sub = const_arg(0)
+            tgt = c
+            if len(args) > 1:
+                if sub == "":
+                    raise CompileError("count bounds with empty needle")
+                tgt, _, _ = self._bounds_window(c, args, 1)
             if not sub:
-                return SCol((F.length(c) + 1).cast("long"), "int", nullable)
-            diff = F.length(c) - F.length(F.replace(c, F.lit(sub), F.lit("")))
+                return SCol((F.length(tgt) + 1).cast("long"), "int",
+                            nullable)
+            diff = F.length(tgt) \
+                - F.length(F.replace(tgt, F.lit(sub), F.lit("")))
             return SCol((diff / len(sub)).cast("long"), "int", nullable)
         if name == "join":
             a = args[0]
