@@ -978,6 +978,40 @@ def q_events_sessions(spark, sf_dir):
         "user_id", "n_events", "sum_value")
 
 
+def q_sample_hash(spark, sf_dir):
+    """Deterministic content-addressed Bernoulli sample (tuplex_spark/
+    functions/sampling.py) — membership is a pure function of the row
+    key, so the DuckDB oracle reproduces the EXACT row set (hash
+    compare), not just a count."""
+    from tuplex_spark.functions import sampling
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (sampling.hash_sample(docs, 0.25, "doc_id")
+            .select("doc_id", "lang", "n_chars"))
+
+
+def q_sample_stratified(spark, sf_dir):
+    from tuplex_spark.functions import sampling
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, "lang", {"en": 0.1, "de": 0.5}, "doc_id", default=1.0)
+    return (out.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
+
+
+def q_sample_split(spark, sf_dir):
+    from tuplex_spark.functions import sampling
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    col = sampling.split_column(F.col("doc_id"), [0.8, 0.1, 0.1])
+    return (docs.groupBy(col.alias("split"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("doc_id").alias("id_sum")))
+
+
 def q_events_json(spark, sf_dir):
     _prep(spark)
     ev = _t(spark, sf_dir, "events")
@@ -1084,6 +1118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean": q_pipeline_clean,
     }
     overflow = {
+        # deterministic sampling family (functions/sampling.py) — exact
+        # row-set oracle parity, graded by selfcheck in the tail
+        "sample_hash": q_sample_hash,
+        "sample_stratified": q_sample_stratified,
+        "sample_split": q_sample_split,
         "tpch_q21": q_tpch_q21,  # shape twin: events_sessions/q2 window
         "tpch_q18": q_tpch_q18,  # shape twin: big-agg filter + join ~ q3/q13
         "tpch_q7": q_tpch_q7,
@@ -1102,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from tuplex_spark.functions import dedup, pipeline, text
+    from tuplex_spark.functions import sampling as sampling_mod
 
     sqls = {
         "tpch_q1": """
@@ -1516,6 +1556,22 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
        event_type, count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2""",
+        "sample_hash": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            + sampling_mod.hash_sample_sql("documents", 0.25, "doc_id")
+            + ")"),
+        "sample_stratified": (
+            "SELECT lang, count(*)::BIGINT AS n_kept, "
+            "min(doc_id) AS min_id, max(doc_id) AS max_id FROM ("
+            + sampling_mod.stratified_sample_sql(
+                "documents", "lang", {"en": 0.1, "de": 0.5}, "doc_id",
+                default=1.0)
+            + ") GROUP BY lang"),
+        "sample_split": (
+            "SELECT "
+            + sampling_mod.split_column_sql("doc_id", [0.8, 0.1, 0.1])
+            + "::INT AS split, count(*)::BIGINT AS n, "
+            "sum(doc_id)::BIGINT AS id_sum FROM documents GROUP BY 1"),
         "events_json": """
 SELECT event_type,
        sum(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT

@@ -37,6 +37,83 @@ HEADLINE = [
 ]
 
 
+# Heavy subset re-measured at the synthetic sf1 (10x sf0.1): most
+# headline queries finish sub-0.5s at sf0.1, where job-launch overhead
+# drowns real regressions — the dedup/pipeline work only becomes
+# readable at sf1.
+SF1_HEADLINE = [
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
+    "dedup_embedding", "pipeline_clean", "ann_topk",
+    "text_quality", "events_windowed", "events_sessions",
+    "tpch_q1", "tpch_q3",
+]
+SF1_REPLICAS = 10
+
+
+def ensure_sf1(spark, base: str, out: str) -> None:
+    """Materialize a deterministic 10x replication of the sf0.1 tables
+    the SF1_HEADLINE subset reads (cached behind a _READY marker;
+    TIMING data only — correctness is graded against DuckDB at
+    sf0.01).  Replicas are decorrelated so candidate-pair structure
+    scales ~linearly instead of x45 per duplicate group: document text
+    gets a replica prefix + vowel rotation, embeddings rotate their
+    vector components, TPC-H keys shift per replica (join-consistent
+    across lineitem/orders/customer)."""
+    from pyspark.sql import functions as F
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return
+    os.makedirs(out, exist_ok=True)
+    t0 = time.time()
+    OFF_O, OFF_C = 10_000_000, 1_000_000
+
+    def rep(name, build):
+        src = spark.read.parquet(os.path.join(base, f"{name}.parquet"))
+        parts = [build(src, k) for k in range(SF1_REPLICAS)]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionAll(p)
+        df.write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet"))
+
+    vows = "aeiou"
+    rep("documents", lambda s, k: s.select(
+        (F.col("doc_id") + k * 1_000_000).alias("doc_id"),
+        F.concat(F.lit(f"r{k} "),
+                 F.translate("text", vows, vows[k % 5:] + vows[:k % 5]))
+         .alias("text"),
+        "lang", "source", "n_chars"))
+    rep("embeddings", lambda s, k: s.select(
+        (F.col("vec_id") + k * 1_000_000).alias("vec_id"),
+        F.concat(F.slice("embedding", k + 1, 1 << 20),
+                 F.slice("embedding", 1, k)).alias("embedding"),
+        "label"))
+    rep("events", lambda s, k: s.select(
+        (F.col("event_id") + k * 10_000_000).alias("event_id"),
+        (F.col("ts") + F.expr(f"INTERVAL {k} SECOND")).alias("ts"),
+        (F.col("user_id") + k * 100_000).alias("user_id"),
+        "event_type", "value", "props"))
+    rep("lineitem", lambda s, k: s.select(
+        (F.col("l_orderkey") + k * OFF_O).alias("l_orderkey"),
+        *[c for c in s.columns if c != "l_orderkey"]))
+    rep("orders", lambda s, k: s.select(
+        (F.col("o_orderkey") + k * OFF_O).alias("o_orderkey"),
+        (F.col("o_custkey") + k * OFF_C).alias("o_custkey"),
+        *[c for c in s.columns
+          if c not in ("o_orderkey", "o_custkey")]))
+    rep("customer", lambda s, k: s.select(
+        (F.col("c_custkey") + k * OFF_C).alias("c_custkey"),
+        *[c for c in s.columns if c != "c_custkey"]))
+    # small dimension tables: link the originals unchanged
+    for name in ("region", "nation", "supplier", "part"):
+        dst = os.path.join(out, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(base, f"{name}.parquet"), dst)
+    with open(marker, "w") as f:
+        f.write("ok")
+    print(f"# sf1 build: {time.time() - t0:.1f}s", file=sys.stderr)
+
+
 def run_once(qs, name, spark, sf_dir) -> float:
     t0 = time.time()
     df = qs[name](spark, sf_dir)
@@ -82,6 +159,36 @@ def main():
                   file=sys.stderr)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+
+    sf1: dict = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and not sys.argv[1:]:
+        sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_data", "sf1")
+        try:
+            ensure_sf1(spark, sf_dir, sf1_dir)
+            t1, s1 = {}, {}
+            for name in SF1_HEADLINE:
+                try:
+                    run_once(qs, name, spark, sf1_dir)
+                    samples = [run_once(qs, name, spark, sf1_dir)
+                               for _ in range(iters)]
+                    t1[name] = round(statistics.median(samples), 3)
+                    s1[name] = {"min": round(min(samples), 3),
+                                "max": round(max(samples), 3)}
+                    print(f"# sf1 {name}: median={t1[name]}s",
+                          file=sys.stderr)
+                except Exception as e:
+                    t1[name] = -1.0
+                    print(f"# sf1 {name}: FAILED {type(e).__name__}: {e}",
+                          file=sys.stderr)
+            sf1 = {"queries": t1, "spread": s1,
+                   "total": round(sum(t for t in t1.values() if t >= 0),
+                                  3),
+                   "replicas": SF1_REPLICAS}
+        except Exception as e:
+            print(f"# sf1 section skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
@@ -90,6 +197,7 @@ def main():
         "spread": spread,
         "iters": iters,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf1": sf1,
     }))
 
 

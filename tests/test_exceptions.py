@@ -186,6 +186,30 @@ class TestResolveWithRound2Shapes:
                 .resolve(TypeError, lambda s: False)
         assert ds.collect() == [True, False]
 
+    def test_resolver_sees_exact_timestamp_payload(self, ctx):
+        """Payloads round-trip through to_json/from_json; the default
+        timestampFormat truncated microseconds, so a resolver reading a
+        timestamp column got a subtly different value than the failing
+        UDF saw (reference semantics: the exact input row)."""
+        import datetime
+        rows = [(1, datetime.datetime(2021, 3, 4, 5, 6, 7, 123456)),
+                (0, datetime.datetime(2022, 1, 2, 3, 4, 5, 987654)),
+                (2, datetime.datetime(2020, 6, 7, 8, 9, 10, 1))]
+        ds = ctx.parallelize(rows, columns=["k", "ts"]) \
+                .map(lambda x: 100 // x["k"]) \
+                .resolve(ZeroDivisionError,
+                         lambda x: x["ts"].microsecond)
+        assert ds.collect() == [100, 987654, 50]
+        assert ds.exception_counts == {}
+
+    def test_resolver_sees_exact_binary_payload(self, ctx):
+        rows = [(1, b"ok"), (0, b"\x00\xff weird \x01"), (5, b"")]
+        ds = ctx.parallelize(rows, columns=["k", "b"]) \
+                .map(lambda x: 100 // x["k"]) \
+                .resolve(ZeroDivisionError, lambda x: len(x["b"]))
+        assert ds.collect() == [100, len(b"\x00\xff weird \x01"), 20]
+        assert ds.exception_counts == {}
+
     def test_staged_cse_resolver_stays_compiled(self, ctx):
         """A resolver body complex enough to need staged CSE layers
         (string-pipeline shape: find/slice/replace chains) must compile

@@ -140,3 +140,96 @@ class TestPipelineCompose:
         kept = pipeline.clean_corpus(docs).count()
         total = docs.count()
         assert 0 < kept < total, (kept, total)
+
+
+class TestSampling:
+    """Deterministic content-addressed sampling (functions/sampling.py):
+    membership must be a pure function of the row key — stable under
+    repartitioning (where df.sample(seed) is NOT), engine-portable
+    (DuckDB twin selects the identical rows), and splits disjoint +
+    exhaustive by construction."""
+
+    def test_hash_sample_stable_under_repartition(self, spark):
+        from tuplex_spark.functions import sampling
+        docs = spark.read.parquet(DOC)
+        a = {r.doc_id for r in
+             sampling.hash_sample(docs, 0.3, "doc_id").collect()}
+        b = {r.doc_id for r in
+             sampling.hash_sample(docs.repartition(17), 0.3,
+                                  "doc_id").collect()}
+        c = {r.doc_id for r in
+             sampling.hash_sample(docs.coalesce(1), 0.3,
+                                  "doc_id").collect()}
+        assert a == b == c and a
+        n = docs.count()
+        assert abs(len(a) / n - 0.3) < 0.05
+
+    def test_hash_sample_matches_duckdb_rowset(self, spark, con):
+        from tuplex_spark.functions import sampling
+        docs = spark.read.parquet(DOC)
+        got = sorted(r.doc_id for r in
+                     sampling.hash_sample(docs, 0.12, "doc_id")
+                     .select("doc_id").collect())
+        want = sorted(r[0] for r in con.execute(
+            "SELECT doc_id FROM ("
+            + sampling.hash_sample_sql("documents", 0.12, "doc_id")
+            + ")").fetchall())
+        assert got == want
+
+    def test_salt_decorrelates(self, spark):
+        from tuplex_spark.functions import sampling
+        docs = spark.read.parquet(DOC)
+        a = {r.doc_id for r in
+             sampling.hash_sample(docs, 0.3, "doc_id").collect()}
+        b = {r.doc_id for r in
+             sampling.hash_sample(docs, 0.3, "doc_id",
+                                  salt="x").collect()}
+        overlap = len(a & b) / len(a)
+        assert 0.1 < overlap < 0.6  # ~0.3 expected for independence
+
+    def test_stratified_fractions(self, spark):
+        from tuplex_spark.functions import sampling
+        docs = spark.read.parquet(DOC)
+        out = sampling.stratified_sample(
+            docs, "lang", {"en": 0.1}, "doc_id", default=1.0)
+        base = {r.lang: r.n for r in
+                docs.groupBy("lang").agg(
+                    __import__("pyspark.sql.functions",
+                               fromlist=["count"]).count("*").alias("n"))
+                .collect()}
+        kept = {r.lang: r.n for r in
+                out.groupBy("lang").agg(
+                    __import__("pyspark.sql.functions",
+                               fromlist=["count"]).count("*").alias("n"))
+                .collect()}
+        assert abs(kept["en"] / base["en"] - 0.1) < 0.06
+        for lang, n in base.items():
+            if lang != "en":
+                assert kept.get(lang) == n  # default=1.0 keeps all
+
+    def test_split_disjoint_exhaustive_deterministic(self, spark):
+        from tuplex_spark.functions import sampling
+        docs = spark.read.parquet(DOC)
+        tr, va, te = sampling.train_val_test_split(docs, "doc_id")
+        ids = [frozenset(r.doc_id for r in d.select("doc_id").collect())
+               for d in (tr, va, te)]
+        n = docs.count()
+        assert sum(len(s) for s in ids) == n          # exhaustive
+        assert not (ids[0] & ids[1] or ids[0] & ids[2]
+                    or ids[1] & ids[2])               # disjoint
+        assert abs(len(ids[0]) / n - 0.8) < 0.05
+        tr2 = sampling.train_val_test_split(docs.repartition(7),
+                                            "doc_id")[0]
+        assert frozenset(r.doc_id
+                         for r in tr2.select("doc_id").collect()) == ids[0]
+
+    def test_sample_is_scan_adjacent_no_shuffle(self, spark):
+        # the decision must be a codegen'd filter over the scan: no
+        # exchange, no python, and the parquet scan prunes columns
+        from tuplex_spark.functions import sampling
+        out = sampling.hash_sample(
+            spark.read.parquet(DOC), 0.2, "doc_id").select("doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "MapInPandas" not in plan

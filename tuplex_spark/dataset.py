@@ -37,6 +37,15 @@ from .udf.fallback import EXC_CODE, EXC_OP, EXC_PAYLOAD
 
 _HIDDEN = (EXC_CODE, EXC_PAYLOAD, EXC_OP)
 
+# exception payloads round-trip through to_json/from_json; the default
+# timestampFormat keeps only milliseconds, silently handing resolvers a
+# truncated value (reference semantics: the resolver sees the EXACT
+# failing input row) — pin a microsecond format on both directions
+_PAYLOAD_JSON = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
+
 
 class UDFOpInfo:
     """What resolve()/ignore() need to know about the preceding UDF op."""
@@ -260,7 +269,8 @@ class DataSet:
         for g, c in guards:
             code = F.when(g, c) if code is None else code.when(g, c)
         code = code.otherwise(0) if code is not None else F.lit(0)
-        payload_src = F.to_json(F.struct(*[F.col(c) for c in self._columns]))
+        payload_src = F.to_json(
+            F.struct(*[F.col(c) for c in self._columns]), _PAYLOAD_JSON)
         if not self._has_exc:
             new_fail = code != 0
             return (code, F.when(new_fail, payload_src),
@@ -767,7 +777,7 @@ class DataSet:
         in_struct = T.StructType([
             T.StructField(f.name, f.dataType, True)
             for f in op.in_schema.fields])
-        payload = F.from_json(F.col(EXC_PAYLOAD), in_struct)
+        payload = F.from_json(F.col(EXC_PAYLOAD), in_struct, _PAYLOAD_JSON)
         match = (F.col(EXC_OP) == op.name) & F.col(EXC_CODE).isin(codes)
 
         # bind the resolver's column references onto the parsed payload
@@ -851,6 +861,34 @@ class DataSet:
 
     def _resolve_fallback(self, op, ftor, match, in_struct):
         names = [f.name for f in in_struct.fields]
+        # json.loads hands back strings for binary (base64) and
+        # timestamp/date (ISO) columns — the resolver must see the
+        # exact typed values the failing UDF saw (reference semantics,
+        # ResolveTask.cc)
+        coerce_kind = {}
+        for f_ in in_struct.fields:
+            if isinstance(f_.dataType, T.BinaryType):
+                coerce_kind[f_.name] = "bin"
+            elif isinstance(f_.dataType,
+                            (T.TimestampType, T.TimestampNTZType)):
+                coerce_kind[f_.name] = "ts"
+            elif isinstance(f_.dataType, T.DateType):
+                coerce_kind[f_.name] = "date"
+
+        def _coerce(nm, v):
+            k = coerce_kind.get(nm)
+            if v is None or k is None or not isinstance(v, str):
+                return v
+            import base64 as _b64
+            import datetime as _dt
+            if k == "bin":
+                return _b64.b64decode(v)
+            if k == "ts":
+                # session TZ is pinned UTC: strip the zone back to the
+                # naive datetime the original UDF received
+                return _dt.datetime.fromisoformat(
+                    v.replace("Z", "+00:00")).replace(tzinfo=None)
+            return _dt.date.fromisoformat(v)
         out_cols = list(self._df.columns)
         schema = self._df.schema
         fn = ftor
@@ -871,7 +909,8 @@ class DataSet:
                         continue
                     try:
                         row = json.loads(pdf[EXC_PAYLOAD].iloc[i])
-                        vals = tuple(row.get(nm) for nm in names)
+                        vals = tuple(_coerce(nm, row.get(nm))
+                                     for nm in names)
                         arity = getattr(getattr(fn, "__code__", None),
                                         "co_argcount", 1)
                         r = fallback._apply(

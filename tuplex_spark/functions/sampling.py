@@ -1,0 +1,141 @@
+"""Deterministic, content-addressed sampling for training-data curation.
+
+Spark's built-in ``df.sample(fraction, seed)`` draws per-partition
+pseudo-random numbers: the selected set CHANGES whenever the input is
+repartitioned, files are split differently, or AQE re-plans — at 100 TB
+that means a "fixed seed" does not give a reproducible corpus, and two
+runs of the same pipeline can train on different data.  Every operator
+here instead keys the decision on a hash of the ROW KEY (md5, uniform in
+its low bits), so membership is a pure function of the data:
+
+- stable under repartitioning / split planning / executor count,
+- consistent across engines (the DuckDB oracle computes the identical
+  md5 decision, so the driver hash-compares exact row sets, not just
+  counts),
+- and disjoint train/val/test splits are guaranteed by construction
+  (bucket arithmetic, not independent coin flips).
+
+All decisions are single codegen'd projections — no shuffle, no UDF;
+the sample predicate sits directly above the scan so Parquet row-group
+pruning and column pruning still apply.
+
+Reference parity note: the reference has no sampling operators (its
+LogicalOperatorType enum, core/include/logical/LogicalOperatorType.h,
+stops at CACHE) — this module is part of the beyond-reference
+training-pipeline surface, like functions/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# md5 low-32-bits bucket space; 2^32 buckets keep fraction resolution
+# at ~2.3e-10 — fine-grained enough for ppm-level sampling of 100 TB
+_BUCKETS = 1 << 32
+
+
+def _hash_bucket(key: Column, salt: str = "") -> Column:
+    """Uniform int64 in [0, 2^32) from the row key (+ optional salt so
+    independent samples of the same table decorrelate)."""
+    s = F.concat(key.cast("string"), F.lit(salt))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _hash_bucket_sql(key_expr: str, salt: str = "") -> str:
+    salted = f"CAST({key_expr} AS VARCHAR) || '{salt}'" if salt \
+        else f"CAST({key_expr} AS VARCHAR)"
+    return f"CAST(('0x' || substr(md5({salted}), 1, 8)) AS BIGINT)"
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str,
+                salt: str = "") -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff
+    hash(key) < fraction * 2^32.  Same rows come back no matter how the
+    input is partitioned or which cluster runs it."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cut = int(fraction * _BUCKETS)
+    return df.filter(_hash_bucket(F.col(key_col), salt) < cut)
+
+
+def hash_sample_sql(table: str, fraction: float, key_col: str,
+                    salt: str = "") -> str:
+    cut = int(fraction * _BUCKETS)
+    return (f"SELECT * FROM {table} "
+            f"WHERE {_hash_bucket_sql(key_col, salt)} < {cut}")
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict, key_col: str,
+                      default: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downweight a dominant
+    language while keeping the tail): ``fractions`` maps stratum value
+    -> keep fraction; strata absent from the map keep ``default``.
+    One codegen'd CASE over the hash — no per-stratum scans, no
+    shuffle (contrast df.stat.sampleBy: per-partition RNG, same
+    reproducibility failure as sample())."""
+    h = _hash_bucket(F.col(key_col), salt)
+    cut = F.lit(int(default * _BUCKETS))
+    for val, frac in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {val!r} out of [0, 1]")
+        cut = F.when(F.col(strata_col) == val,
+                     int(frac * _BUCKETS)).otherwise(cut)
+    return df.filter(h < cut)
+
+
+def stratified_sample_sql(table: str, strata_col: str, fractions: dict,
+                          key_col: str, default: float = 0.0,
+                          salt: str = "") -> str:
+    arms = " ".join(
+        f"WHEN {strata_col} = '{val}' THEN {int(frac * _BUCKETS)}"
+        for val, frac in sorted(fractions.items(),
+                                key=lambda kv: str(kv[0])))
+    return (f"SELECT * FROM {table} WHERE {_hash_bucket_sql(key_col, salt)}"
+            f" < (CASE {arms} ELSE {int(default * _BUCKETS)} END)")
+
+
+def split_column(key: Column, weights: list[float],
+                 salt: str = "split") -> Column:
+    """0-based split index for disjoint train/val/test partitions:
+    cumulative-weight bucketing of the key hash.  Disjointness and
+    exhaustiveness hold by construction (a row lands in exactly one
+    cumulative interval) — unlike composing independent samples, which
+    double-draws or drops rows."""
+    total = sum(weights)
+    if total <= 0:
+        raise ValueError("weights must sum > 0")
+    h = _hash_bucket(key, salt)
+    acc = 0.0
+    expr = None
+    for i, w in enumerate(weights[:-1]):
+        acc += w / total
+        cond = h < int(acc * _BUCKETS)
+        expr = F.when(cond, i) if expr is None else expr.when(cond, i)
+    last = len(weights) - 1
+    return (expr.otherwise(last) if expr is not None
+            else F.lit(last)).cast("int")
+
+
+def train_val_test_split(df: DataFrame, key_col: str,
+                         weights: list[float] | None = None,
+                         salt: str = "split") -> list[DataFrame]:
+    """[train, val, test, ...] DataFrames — disjoint, exhaustive,
+    deterministic.  Each split is a filter over the same hash, so a
+    downstream union re-planning never duplicates rows."""
+    weights = weights or [0.8, 0.1, 0.1]
+    col = split_column(F.col(key_col), weights, salt)
+    return [df.filter(col == i) for i in range(len(weights))]
+
+
+def split_column_sql(key_expr: str, weights: list[float],
+                     salt: str = "split") -> str:
+    total = sum(weights)
+    h = _hash_bucket_sql(key_expr, salt)
+    acc = 0.0
+    arms = []
+    for i, w in enumerate(weights[:-1]):
+        acc += w / total
+        arms.append(f"WHEN {h} < {int(acc * _BUCKETS)} THEN {i}")
+    return f"(CASE {' '.join(arms)} ELSE {len(weights) - 1} END)"
