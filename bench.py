@@ -189,7 +189,11 @@ def main():
             print(f"# sf1 section skipped: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
-    print(json.dumps({
+    # The driver captures only a bounded stdout tail: keep the final
+    # line COMPACT (metric/value/queries/sf + sf1 totals only — round 3's
+    # full-detail line outgrew the capture window and parsed as null).
+    # Full detail (spreads, per-query sf1) goes to stderr + a sidecar.
+    detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -198,6 +202,22 @@ def main():
         "iters": iters,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "sf1": sf1,
+    }
+    print("# detail: " + json.dumps(detail), file=sys.stderr)
+    try:
+        side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_detail.json")
+        with open(side, "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf1_total": sf1.get("total") if sf1 else None,
     }))
 
 

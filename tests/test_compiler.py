@@ -1626,11 +1626,6 @@ class TestReFlagsAndFormatNumbering:
                  lambda s: bool(re.match("ab", s, re.I)),
                  op="filter", expect_compiled=True)
 
-    def test_sub_with_count_falls_back(self, ctx):
-        import re
-        run_diff(ctx, self.DATA, lambda s: re.sub("X", "-", s, 1),
-                 expect_compiled=False)
-
     def test_format_explicit_indices(self, ctx):
         run_diff(ctx, self.DATA, lambda s: "{1}:{0}".format(s, len(s)),
                  expect_compiled=True)

@@ -71,6 +71,37 @@ class TestDedup:
         df = dedup.simhash_pairs(spark.read.parquet(DOC))
         assert_matches(df, con, dedup.simhash_pairs_sql())
 
+    def test_embedding_adaptive_matches_oracle(self, spark, con):
+        # the adaptive-nbits path must stay bitwise-locked to the SQL
+        # twin when both derive nbits from the same row count
+        import pyarrow.parquet as pq
+        from tuplex_spark.functions import dedup
+        n = pq.ParquetFile(EMB).metadata.num_rows
+        df = dedup.embedding_dup_pairs(spark.read.parquet(EMB),
+                                       threshold=0.45, n_rows=n)
+        assert_matches(df, con,
+                       dedup.embedding_dup_pairs_sql(threshold=0.45,
+                                                     n_rows=n))
+
+    def test_adaptive_nbits_keeps_occupancy_bounded(self):
+        # fixed nbits made candidates quadratic: at 20k vectors the old
+        # nbits=6 meant ~312 rows/bucket — above the max_bucket=200 skew
+        # guard, i.e. silent recall loss on UNIFORM data.  The adaptive
+        # formula must keep expected occupancy within [target/2, 2*target]
+        # (cap excursions at the lo/hi clamps aside) across the SFs we
+        # bench plus 100x-scale corpus sizes.
+        from tuplex_spark.functions.dedup import adaptive_nbits
+        target, max_bucket = 32, 200
+        for n in (500, 2_000, 20_000, 200_000, 2_000_000, 10**8, 10**9):
+            nbits = adaptive_nbits(n, target_occupancy=target)
+            occ = n / float(2 ** nbits)
+            assert occ <= max_bucket / 2, (n, nbits, occ)
+            if 2 ** 6 * target <= n <= 2 ** 24 * target:  # inside clamps
+                assert target / 2 <= occ <= target, (n, nbits, occ)
+        # monotone, clamped
+        assert adaptive_nbits(0) == 6
+        assert adaptive_nbits(10**12) == 24
+
     def test_exact_dedup_finds_planted_dup(self, ctx):
         from tuplex_spark.functions import dedup
         df = ctx.spark.createDataFrame(

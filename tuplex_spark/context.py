@@ -516,6 +516,11 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
          .config("spark.sql.optimizer.excludedRules",
                  "org.apache.spark.sql.catalyst.optimizer."
                  "InferFiltersFromGenerate")
+         # keep Python UDF workers alive across stages/jobs: the Arrow
+         # signature stages (dedup_embedding, multimodal) otherwise pay
+         # interpreter fork + numpy import per stage — the dominant term
+         # in their run-to-run variance at sf1 (measured 2.4x max/min)
+         .config("spark.python.worker.reuse", "true")
          .config("spark.driver.memory",
                  options.get("tuplex.driverMemory")
                  or os.environ.get("SPARK_DRIVER_MEMORY", "90g")))

@@ -410,12 +410,34 @@ def srp_band_keys(vec: Column, dim: int, nbits: int, bands: int,
     return keys_udf(vec.cast("array<double>"))
 
 
+def adaptive_nbits(n_rows: int, target_occupancy: int = 32,
+                   lo: int = 6, hi: int = 24) -> int:
+    """Bits per SRP band so expected bucket occupancy stays ~constant
+    (``n_rows / 2**nbits ~= target_occupancy``) as the corpus grows.
+
+    A FIXED nbits makes candidate pairs quadratic in corpus size: each
+    band key has 2^nbits values regardless of N, so occupancy grows
+    linearly and intra-bucket pairs quadratically — measured 14x
+    super-linear for 10x data at nbits=6, with the skew cap silently
+    truncating uniform buckets (recall loss).  Deriving nbits from N
+    keeps per-row pair work constant: 100x more rows -> ~6.6 more bits,
+    same occupancy.  Deterministic in N, so the DuckDB oracle twin
+    computes the identical value from the same row count."""
+    import math
+    if n_rows <= 0:
+        return lo
+    raw = math.ceil(math.log2(max(n_rows / float(target_occupancy), 1.0)))
+    return max(lo, min(hi, raw))
+
+
 def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         threshold: float = 0.9,
-                        dim: int = 64, nbits: int = 6, bands: int = 8,
+                        dim: int = 64, nbits: int | None = None,
+                        bands: int = 8,
                         max_bucket: int = 200,
-                        seed: int = 0x5EED) -> DataFrame:
+                        seed: int = 0x5EED,
+                        n_rows: int | None = None) -> DataFrame:
     """Near-duplicate pairs by cosine similarity, SRP-LSH blocked.
 
     Candidates are single-pass intra-bucket combinations on (band,
@@ -423,10 +445,16 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     LSH — then exact cosine verifies each candidate.  Buckets reflect actual vector
     geometry (sign patterns of random projections), unlike blocking on a
     metadata label, which degrades to a per-class quadratic join and has
-    recall only by luck.  With nbits=6/bands=8: P(candidate) ≈ 98% at
-    cosine 0.9, and each band key has 64 values per band whose occupancy
-    spreads with corpus size; ``max_bucket`` caps degenerate clusters
-    deterministically.
+    recall only by luck.
+
+    ``nbits=None`` (default) derives the band-key granularity from the
+    corpus size via :func:`adaptive_nbits`, keeping expected bucket
+    occupancy constant (~32) as the corpus scales — a fixed nbits makes
+    candidate pairs quadratic in N (see adaptive_nbits).  ``n_rows``
+    supplies the count when the caller already knows it (skipping the
+    count job — on a bare parquet scan Spark answers it from footer
+    metadata anyway); ``max_bucket`` remains as a SKEW-ONLY guard that
+    should not bind on uniform data at the target occupancy.
 
     Cost shape: the bucket shuffle carries only (id, band, key) — no
     vectors; candidate pairs are DEDUPLICATED across bands *before* any
@@ -435,6 +463,9 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     joins and the verify cosine is one Arrow-vectorized dot per unique
     pair."""
     from .similarity import _pcos
+    if nbits is None:
+        n = n_rows if n_rows is not None else df.count()
+        nbits = adaptive_nbits(n)
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("v"))
     keyed = base.select(
@@ -604,8 +635,14 @@ SELECT * FROM j WHERE jaccard >= {threshold}"""
 
 def embedding_dup_pairs_sql(table="embeddings", vec_col="embedding",
                             id_col="vec_id", threshold=0.9,
-                            dim=64, nbits=6, bands=8, max_bucket=200,
-                            seed=0x5EED):
+                            dim=64, nbits=None, bands=8, max_bucket=200,
+                            seed=0x5EED, n_rows=None):
+    """DuckDB twin of :func:`embedding_dup_pairs`.  ``nbits=None``
+    mirrors the Spark side's corpus-adaptive granularity: pass the same
+    row count via ``n_rows`` and the identical ``adaptive_nbits`` value
+    is baked into the generated SQL, keeping the two bitwise-locked."""
+    if nbits is None:
+        nbits = adaptive_nbits(n_rows if n_rows is not None else 0)
     signs = _srp_signs(bands * nbits, dim, seed)
 
     def band_key(b):
