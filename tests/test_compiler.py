@@ -1046,6 +1046,34 @@ class TestConvergenceWhile:
             return v
         run_diff(ctx, self.DATA, f, expect_compiled=True)
 
+    def test_float_drift_exceeds_naive_bound(self, ctx):
+        # at x0=1e17 the ulp is 16, so `v -= 40` rounds each step to a
+        # multiple of 16 (effectively 32): CPython needs 125 iterations
+        # where the naive ceil((x0-t)/c)=100 bound (+4 margin) falls
+        # short and the cap guard raised a spurious RuntimeError.  The
+        # drift-aware bound divides by the worst-case effective step
+        # c - ulp/2 instead.
+        def f(x):
+            v = 1e17 + x
+            n = 0
+            while v > 1e17 - 4000.0:
+                v -= 40.0
+                n += 1
+            return n
+        run_diff(ctx, [0, 1], f, expect_compiled=True)
+
+    def test_int_linear_drain_still_exact(self, ctx):
+        # pure-int driver/step/threshold: long arithmetic is exact, the
+        # analytic bound must stay tight (no drift slack needed)
+        def f(x):
+            v = x
+            n = 0
+            while v > 3:
+                v -= 7
+                n += 1
+            return (v, n)
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
     def test_threshold_from_local_constant(self, ctx):
         def f(x):
             eps = 2.0
@@ -1592,11 +1620,53 @@ class TestOptionalArgAudit:
 
     def test_re_sub_count_backref_falls_back(self, ctx):
         import re
+        # a REAL group reference can't ride the split rewrite
+        run_diff(ctx, ["ab ab"],
+                 lambda s: re.sub("(a)b", r"\1!", s, 1),
+                 expect_compiled=False)
+        # ... but r"\\1!" is a LITERAL backslash + "1!" in CPython's
+        # template grammar (not a backref) — the template parser
+        # compiles it where the old backslash-digit regex check bailed
         run_diff(ctx, ["ab ab"],
                  lambda s: re.sub("(a)b", r"\\1!", s, 1),
-                 expect_compiled=False)
+                 expect_compiled=True)
         # nullable pattern (matches empty) diverges under split
         run_diff(ctx, ["abc"], lambda s: re.sub("x*", "-", s, 1),
+                 expect_compiled=False)
+
+    def test_re_sub_count_contextual_zero_width_falls_back(self, ctx):
+        import re
+        # matches empty only IN CONTEXT (never on ""), so a
+        # search(pat, "") probe misses it; min-width parse catches it
+        run_diff(ctx, ["xab xb"],
+                 lambda s: re.sub("(?<=x)b*", "-", s, 1),
+                 expect_compiled=False)
+        run_diff(ctx, ["ab b"], lambda s: re.sub("a?", "_", s, 2),
+                 expect_compiled=False)
+
+    def test_re_sub_repl_escapes_expand(self, ctx):
+        import re
+        # \\\\ is ONE literal backslash in CPython's template; \\n and
+        # \\t are control chars — previously passed through verbatim
+        run_diff(ctx, ["a b a"], lambda s: re.sub(" ", "\\\\", s),
+                 expect_compiled=True)
+        run_diff(ctx, ["a b"], lambda s: re.sub(" ", "\\n", s),
+                 expect_compiled=True)
+        run_diff(ctx, ["x,y,z"], lambda s: re.sub(",", "\\t", s, 1),
+                 expect_compiled=True)
+
+    def test_re_sub_repl_literal_dollar(self, ctx):
+        import re
+        # $ is literal in Python templates but a group ref in Java's —
+        # must be Java-escaped, not forwarded
+        run_diff(ctx, ["price 5"], lambda s: re.sub("price ", "$", s),
+                 expect_compiled=True)
+        run_diff(ctx, ["(a)(b)"], lambda s: re.sub(r"\((\w)\)", r"$\1;", s),
+                 expect_compiled=True)
+
+    def test_re_sub_repl_missing_group_falls_back(self, ctx):
+        import re
+        run_diff(ctx, ["ab"], lambda s: re.sub("(a)b", r"\2", s),
                  expect_compiled=False)
 
 

@@ -66,6 +66,22 @@ class TestInference:
         assert rows == [(1, 2.0), (3, 4.0), (5, 6.5), (7, 8.25)]
         assert ds.exception_counts == {}
 
+    def test_multifile_extra_column_keeps_lead_schema(self, ctx, tmp_path):
+        # a later file GAINED a column: schema width must come from the
+        # lead file (a global-max width discarded every lead-file row
+        # and inference returned empty -> misleading '(empty file?)'
+        # error); the wider file's rows are quarantined at scan time
+        d = tmp_path / "gain"
+        d.mkdir()
+        (d / "p0.csv").write_text("a,b,c\n1,2,x\n3,4,y\n")
+        (d / "p1.csv").write_text("a,b,c\n5,6,z\n7,8,w\n")
+        (d / "p2.csv").write_text("a,b,c,d\n9,10,v,99\n11,12,u,98\n")
+        ds = ctx.csv(str(d / "p*.csv"))
+        assert ds.columns == ["a", "b", "c"]
+        rows = sorted(ds.collect())
+        assert rows == [(1, 2, "x"), (3, 4, "y"), (5, 6, "z"), (7, 8, "w")]
+        assert ds.exception_counts.get("BadParseInput", 0) >= 2
+
     def test_multifile_delimiter_vote(self, ctx, tmp_path):
         # 2 of 3 files use ';' — the per-file majority vote must win
         # over the first file's delimiter

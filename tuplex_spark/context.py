@@ -516,6 +516,14 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
          .config("spark.sql.optimizer.excludedRules",
                  "org.apache.spark.sql.catalyst.optimizer."
                  "InferFiltersFromGenerate")
+         # CSV malformation detection must not depend on which columns a
+         # query touches: with parser column pruning, a row with extra
+         # tokens is corrupt under the full parse (collect drops it) but
+         # CLEAN under the pruned parse (the exception-count aggregation,
+         # which requires only one anchor column + _corrupt_record, sees
+         # 0 bad rows) — inconsistent quarantine accounting.  Full-row
+         # parsing only affects CSV scans; parquet pruning is untouched.
+         .config("spark.sql.csv.parser.columnPruning.enabled", "false")
          # keep Python UDF workers alive across stages/jobs: the Arrow
          # signature stages (dedup_embedding, multimodal) otherwise pay
          # interpreter fork + numpy import per stage — the dominant term

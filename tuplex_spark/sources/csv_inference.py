@@ -145,7 +145,17 @@ def detect(pattern: str, delimiter: str | None, header: bool | None,
     rows0 = per_file[0]
     if not rows0:
         return delim, bool(header), [], [], multiline
-    width = max(len(r) for rs in per_file for r in rs)
+    # Schema width comes from the LEAD file (its modal row width), never
+    # a global max across sampled files: if a later file gained a column,
+    # a global-max width would discard every lead-file row and inference
+    # would come back empty.  Other files' rows only join the type vote
+    # when they match the lead width; drifted files' rows land in
+    # _corrupt_record quarantine at scan time, same as the single-file
+    # behavior (reference: FileInputOperator.cc:47-98 samples one file).
+    widths: dict[int, int] = {}
+    for r in rows0:
+        widths[len(r)] = widths.get(len(r), 0) + 1
+    width = max(widths, key=lambda w: (widths[w], w))
     per_file = [[r for r in rs if len(r) == width] for rs in per_file]
     rows0 = per_file[0]
     if not rows0:

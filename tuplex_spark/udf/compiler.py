@@ -58,6 +58,76 @@ def _target_names(t) -> list[str]:
     raise CompileError("assignment target shape")
 
 
+_PY_REPL_ESC = {"n": "\n", "t": "\t", "r": "\r", "v": "\v", "f": "\f",
+                "a": "\a", "b": "\b", "\\": "\\"}
+
+
+def _parse_py_repl_template(repl: str) -> list[tuple[str, object]]:
+    """CPython re.sub replacement template -> [('lit', str)|('grp', int)]
+    with escapes EXPANDED (\\\\ -> one backslash, \\n -> newline) and
+    group refs resolved (\\1..\\99, \\g<2>).  Bad escapes, \\g<name>, and
+    octal \\0 raise CompileError (fallback keeps exact semantics).  The
+    raw source text must never reach the sink: array_join inserts it
+    literally and Java's replaceAll has its own escape grammar."""
+    out: list[tuple[str, object]] = []
+    lit: list[str] = []
+    i, n = 0, len(repl)
+    while i < n:
+        ch = repl[i]
+        if ch != "\\":
+            lit.append(ch)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise CompileError("re.sub repl: bad escape at end")
+        nxt = repl[i + 1]
+        if nxt == "0":
+            raise CompileError("re.sub repl: octal escape")
+        if nxt.isdigit():
+            j = i + 2
+            if j < n and repl[j].isdigit():  # CPython: max two digits
+                j += 1
+            if lit:
+                out.append(("lit", "".join(lit)))
+                lit = []
+            out.append(("grp", int(repl[i + 1:j])))
+            i = j
+            continue
+        if nxt == "g":
+            m = _re_mod.match(r"\\g<(\d+)>", repl[i:])
+            if not m:
+                raise CompileError("re.sub repl: \\g<name>")
+            if lit:
+                out.append(("lit", "".join(lit)))
+                lit = []
+            out.append(("grp", int(m.group(1))))
+            i += m.end()
+            continue
+        if nxt in _PY_REPL_ESC:
+            lit.append(_PY_REPL_ESC[nxt])
+            i += 2
+            continue
+        raise CompileError(f"re.sub repl: bad escape \\{nxt}")
+    if lit:
+        out.append(("lit", "".join(lit)))
+    return out
+
+
+def _pattern_min_width(pat: str) -> int:
+    """Minimum number of characters a regex can consume in a match —
+    0 means it can match empty SOMEWHERE (possibly only in context:
+    lookbehinds, x*, a?), which is what Java-split-based rewrites must
+    reject.  Parsed statically; unparseable -> 0 (conservative)."""
+    try:
+        from re import _parser as _sre
+    except ImportError:  # pragma: no cover - pre-3.11 layout
+        import sre_parse as _sre  # type: ignore
+    try:
+        return _sre.parse(pat).getwidth()[0]
+    except Exception:
+        return 0
+
+
 def _loop_assigned_names(stmts) -> list[str]:
     """Names assigned anywhere in a fold-loop body (order-preserving).
     Statements other than Assign/AugAssign/If/Expr/Pass make the body
@@ -1148,18 +1218,25 @@ class Translator:
         if getattr(x0, "tag", None) not in ("int", "float"):
             return None
         bop, c = upd
+        # exact linear bound only when every term is an int (Spark long
+        # arithmetic is exact); any float in driver/step/threshold means
+        # each `x -= c` can round, so the true iteration count can
+        # exceed ceil((x0-t)/c) by far more than the additive margin —
+        # the fold then divides by the worst-case EFFECTIVE step instead
+        exact = (x0.tag == "int" and isinstance(c, int)
+                 and isinstance(t, int))
         if bop is ast.Div and c > 1 and o in (">", ">=") and t > 0:
-            return var, "log", float(c), float(t)
+            return var, "log", float(c), float(t), False
         if bop is ast.Mult and 0 < c < 1 and o in (">", ">=") and t > 0:
-            return var, "log", 1.0 / float(c), float(t)
+            return var, "log", 1.0 / float(c), float(t), False
         if bop is ast.FloorDiv and isinstance(c, int) and c >= 2 \
                 and x0.tag == "int" and isinstance(t, int) \
                 and ((o == ">" and t >= 0) or (o == ">=" and t >= 1)):
-            return var, "log", float(c), float(max(t, 1))
+            return var, "log", float(c), float(max(t, 1)), False
         if bop is ast.Sub and c > 0 and o in (">", ">="):
-            return var, "sub", float(c), float(t)
+            return var, "sub", float(c), float(t), exact
         if bop is ast.Add and c > 0 and o in ("<", "<="):
-            return var, "add", float(c), float(t)
+            return var, "add", float(c), float(t), exact
         return None
 
     def _while_convergence_fold(self, st: ast.While) -> bool:
@@ -1179,7 +1256,7 @@ class Translator:
         if info is None:
             del self.guards[n_guards:]
             return False
-        var, kind, c, t = info
+        var, kind, c, t, exact = info
         assigned = _loop_assigned_names(st.body)
         accs = [n for n in assigned if n in self._locals]
         if set(assigned) != set(accs):
@@ -1244,12 +1321,30 @@ class Translator:
         if kind == "log":
             need = x0c > t
             raw = (F.log(x0c) - _math.log(t)) / _math.log(c)
-        elif kind == "sub":
-            need = x0c > t
-            raw = (x0c - F.lit(t)) / c
-        else:  # add
-            need = x0c < t
-            raw = (F.lit(t) - x0c) / c
+        else:
+            need = (x0c > t) if kind == "sub" else (x0c < t)
+            span = (x0c - F.lit(t)) if kind == "sub" else (F.lit(t) - x0c)
+            if exact:
+                step = F.lit(c)  # pure-long arithmetic: bound is exact
+            else:
+                # float drift: fl(x -/+ c) moves by at least
+                # c - ulp(x)/2 per iteration, so divide by that
+                # worst-case EFFECTIVE step, with ulp bounded over the
+                # whole trajectory by ulp(max(|x0|, |t|)) =
+                # 2^(floor(log2(ax)) - 52).  A naive (x0-t)/c bound
+                # undercounts whenever c is within a few ulps of the
+                # driver (e.g. x0=1e17, c=40: real step rounds to 32,
+                # 125 CPython iterations vs ceil=100) and the cap guard
+                # then raises spuriously.  If the step can round to
+                # zero (c <= ulp/2), CPython itself may never
+                # terminate: send the row to the guarded cap.
+                ax = F.greatest(F.abs(x0c), F.lit(abs(t)))
+                ulp = F.when(ax > 0, F.pow(F.lit(2.0),
+                                           F.floor(F.log2(ax)) - 52)) \
+                       .otherwise(F.lit(0.0))
+                step = F.lit(c) - ulp / 2
+            raw = F.when(step > 0, span / step) \
+                   .otherwise(F.lit(float(self._WHILE_FOLD_CAP)))
         raw = F.least(raw, F.lit(float(self._WHILE_FOLD_CAP)))
         k = F.ceil(raw) + self._WHILE_FOLD_MARGIN
         k = F.when(need, F.least(k, F.lit(self._WHILE_FOLD_CAP))) \
@@ -3194,21 +3289,27 @@ class Translator:
             pat, repl, subj = args[0], args[1], args[2]
             if not all(isinstance(x, SConst) for x in (pat, repl)):
                 raise CompileError("re.sub needs constant pattern/replacement")
+            toks = _parse_py_repl_template(repl.value)
+            ngroups = _re_mod.compile(pat.value).groups
+            if any(t == "grp" and not 0 < v <= ngroups for t, v in toks):
+                raise CompileError("re.sub repl references missing group")
             if len(args) == 4:
                 # count-limited sub == split with limit count+1 joined
                 # on the replacement (the last part keeps the remaining
                 # matches).  Split drops the matched text, so the
                 # replacement may not backreference groups, and a
-                # pattern that can match the empty string inserts
-                # between characters (split semantics diverge) — both
-                # fall back.
+                # pattern whose MINIMUM match width is 0 can match empty
+                # IN CONTEXT (x*, a?, lookarounds like (?<=a)) where
+                # Java split's zero-width insertion points diverge from
+                # CPython's — checking re.search(pat, "") missed the
+                # context-only cases, so use the parsed min width.
                 cnt = args[3]
                 if not (isinstance(cnt, SConst)
                         and isinstance(cnt.value, int)):
                     raise CompileError("re.sub count must be constant")
-                if _re_mod.search(r"\\\d|\\g<|\$", repl.value):
+                if any(t == "grp" for t, _ in toks):
                     raise CompileError("re.sub count with backreferences")
-                if _re_mod.search(pat.value, "") is not None:
+                if _pattern_min_width(pat.value) == 0:
                     raise CompileError("re.sub count with nullable pattern")
                 if cnt.value == 0:
                     pass  # replace all — same as the 3-arg form below
@@ -3217,14 +3318,29 @@ class Translator:
                     # str.replace, where negative means all)
                     return SCol(self.to_col(subj), "str", subj.nullable)
                 else:
+                    # array_join inserts LITERALLY: use the template
+                    # with CPython escapes already expanded (\\ -> \,
+                    # \n -> newline), never the raw source text
+                    lit = "".join(v for t, v in toks if t == "lit")
                     return SCol(
                         F.array_join(
                             F.split(self.to_col(subj), pat.value,
                                     cnt.value + 1),
-                            repl.value),
+                            lit),
                         "str", subj.nullable)
-            repl_j = _re_mod.sub(r"\\(\d+)", r"$\1", repl.value)
-            return SCol(F.regexp_replace(self.to_col(subj), pat.value, repl_j),
+            # Java replacement template: group refs are $n, and literal
+            # '\' / '$' must be Java-escaped — passing Python source
+            # text through turned \n into a literal 'n' and a literal $
+            # into a group reference
+            parts = []
+            for t, v in toks:
+                if t == "grp":
+                    parts.append(f"${v}")
+                else:
+                    parts.append(v.replace("\\", "\\\\")
+                                  .replace("$", "\\$"))
+            return SCol(F.regexp_replace(self.to_col(subj), pat.value,
+                                         "".join(parts)),
                         "str", subj.nullable)
         raise CompileError(f"re.{name}/{len(args)}")
 
