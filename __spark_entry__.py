@@ -52,10 +52,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_CTX_CACHE: dict = {}
+
+
 def _ctx(spark: SparkSession):
+    # one Context per session: Context carries the scan cache (reader
+    # plan + driver sample), so re-building it per query re-paid ~0.2s
+    # of parquet footer analysis + sample collect on every plan build
     import tuplex_spark as tx
     _prep(spark)
-    return tx.Context(spark=spark)
+    key = id(spark)
+    if key not in _CTX_CACHE:
+        _CTX_CACHE[key] = tx.Context(spark=spark)
+    return _CTX_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -298,6 +298,38 @@ class TestExtendedStrings:
     def test_reverse_slice(self, ctx):
         run_diff(ctx, self.EDGE, lambda x: x[::-1])
 
+    def test_step_slices_positive(self, ctx):
+        run_diff(ctx, self.EDGE, lambda x: x[::2], expect_compiled=True)
+        run_diff(ctx, self.EDGE, lambda x: x[1::3], expect_compiled=True)
+        run_diff(ctx, self.EDGE, lambda x: x[1:5:2], expect_compiled=True)
+        run_diff(ctx, self.EDGE, lambda x: x[-4::2], expect_compiled=True)
+
+    def test_step_slices_negative(self, ctx):
+        run_diff(ctx, self.EDGE, lambda x: x[::-2], expect_compiled=True)
+        run_diff(ctx, self.EDGE, lambda x: x[4:1:-2],
+                 expect_compiled=True)
+        run_diff(ctx, self.EDGE, lambda x: x[-1:-6:-3],
+                 expect_compiled=True)
+        run_diff(ctx, self.EDGE, lambda x: x[5::-1], expect_compiled=True)
+        run_diff(ctx, self.EDGE, lambda x: x[:2:-1], expect_compiled=True)
+
+    def test_step_slice_dynamic_bounds(self, ctx):
+        run_diff(ctx, self.EDGE,
+                 lambda x: x[len(x) - 5::2], expect_compiled=True)
+        run_diff(ctx, self.EDGE,
+                 lambda x: x[len(x) - 1::-2], expect_compiled=True)
+
+    def test_step_slice_on_array(self, ctx):
+        run_diff(ctx, self.EDGE,
+                 lambda x: x.split(" ")[::2], expect_compiled=True)
+        run_diff(ctx, self.EDGE,
+                 lambda x: x.split(" ")[::-2], expect_compiled=True)
+
+    def test_zero_step_raises(self, ctx):
+        ds = ctx.parallelize(["abcdef"]).map(lambda x: x[::0])
+        assert ds.collect() == []
+        assert ds.exception_counts == {"ValueError": 1}
+
 
 class TestExtendedMath:
     PAIRS2 = [(3, 4.0), (-7, 3.0), (0, -2.5), (5, 0.5), (-1, -1.5)]
@@ -1096,15 +1128,69 @@ class TestConvergenceWhile:
         assert ds.collect() == [f(2), f(3)] == [0.5, 0.5]
         assert ds.exception_counts == {"RuntimeError": 1}
 
-    def test_growth_shape_falls_back(self, ctx):
-        # x *= 2 toward an upper bound does NOT terminate for x0 <= 0,
-        # so no bound proof exists -> exact Arrow fallback
+    def test_growth_loop_compiles(self, ctx):
+        # x *= c (c > 1) toward an upper bound: k = ceil(log(t/x0)/
+        # log c) for x0 > 0; non-positive starts hang CPython and
+        # become guarded RuntimeError rows (tested separately)
         def f(x):
             v = x * 1.0 + 0.5
+            n = 0
+            while v < 100.0:
+                v *= 2.0
+                n += 1
+            return (v, n)
+        run_diff(ctx, [1, 5, 50, 1000], f, expect_compiled=True)
+
+    def test_growth_div_by_fraction_compiles(self, ctx):
+        def f(x):
+            v = x * 1.0 + 0.25
+            while v <= 64.0:
+                v /= 0.5
+            return v
+        run_diff(ctx, [1, 5, 50, 1000], f, expect_compiled=True)
+
+    def test_growth_int_accumulator(self, ctx):
+        def f(x):
+            v = x + 1
+            while v < 1000:
+                v *= 3
+            return v
+        run_diff(ctx, [0, 1, 7, 2000], f, expect_compiled=True)
+
+    def test_growth_nonpositive_start_is_loud(self, ctx):
+        # x0 <= 0 never reaches the positive threshold: CPython would
+        # hang; the compiled path raises a RuntimeError row instead
+        # (documented divergence, never a silently-wrong value)
+        def f(x):
+            v = x * 1.0
             while v < 100.0:
                 v *= 2.0
             return v
-        run_diff(ctx, [1, 5, 50], f, expect_compiled=False)
+        ds = ctx.parallelize([4.0, 0.0, -3.0, 256.0]).map(f)
+        assert ds.collect() == [128.0, 256.0]
+        assert ds.exception_counts == {"RuntimeError": 2}
+
+    def test_growth_nonpositive_start_int_is_loud(self, ctx):
+        # int accumulators shift to exactly 0 under long wraparound —
+        # the t > 0 requirement keeps the guard loud for those rows too
+        def f(x):
+            v = x
+            while v < 1000:
+                v *= 2
+            return v
+        ds = ctx.parallelize([3, -5, 0]).map(f)
+        assert ds.collect() == [1536]
+        assert ds.exception_counts == {"RuntimeError": 2}
+
+    def test_growth_nonpositive_threshold_falls_back(self, ctx):
+        # t <= 0: entered rows hang CPython and a wrapped long could
+        # exit the guard with a wrong 0 — stays on the exact fallback
+        def f(x):
+            v = x * 1.0
+            while v < -1.0:
+                v *= 2.0
+            return v
+        run_diff(ctx, [5.0, 0.0], f, expect_compiled=False)
 
     def test_non_invariant_threshold_falls_back(self, ctx):
         def f(x):

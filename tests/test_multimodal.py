@@ -30,6 +30,64 @@ class TestExtract:
                    and "NotImplementedError" in r["decode_error"]
                    for r in out)
 
+    def test_real_decoder_ppm_bmp_end_to_end(self, spark):
+        # REAL bytes through the real-decode branch: a synthetic 4x2 PPM
+        # and the equivalent 24-bit BMP must decode to identical dims,
+        # pixel-derived features, and no decode_error
+        import struct as st
+        from tuplex_spark.functions import multimodal as mm
+        w, h = 4, 2
+        rgb = bytes([(x * 37 + y * 11 + c * 5) % 256
+                     for y in range(h) for x in range(w)
+                     for c in range(3)])
+        ppm = mm.encode_ppm(w, h, rgb)
+        # hand-rolled bottom-up BGR BMP of the same pixels
+        stride = (w * 3 + 3) & ~3
+        px = bytearray()
+        for row in range(h - 1, -1, -1):
+            line = bytearray()
+            for x in range(w):
+                r, g, b = rgb[(row * w + x) * 3:(row * w + x) * 3 + 3]
+                line += bytes([b, g, r])
+            px += line.ljust(stride, b"\0")
+        bmp = (b"BM" + st.pack("<IHHI", 54 + len(px), 0, 0, 54)
+               + st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px),
+                         2835, 2835, 0, 0) + bytes(px))
+        assets = spark.createDataFrame(
+            [(1, bytearray(ppm)), (2, bytearray(bmp)),
+             (3, bytearray(b"\x89PNG not decodable here"))],
+            "asset_id long, payload binary")
+        rows = {r["asset_id"]: r for r in
+                mm.extract_features(assets, decoder="image/real")
+                .collect()}
+        assert rows[1]["decode_error"] is None
+        assert rows[2]["decode_error"] is None
+        assert (rows[1]["width"], rows[1]["height"]) == (w, h)
+        assert (rows[2]["width"], rows[2]["height"]) == (w, h)
+        # same pixels -> identical real features regardless of container
+        assert rows[1]["features"] == rows[2]["features"]
+        # features are real pixel statistics: mean R channel
+        exp_r = round(sum(rgb[0::3]) / (255.0 * w * h), 6)
+        assert abs(rows[1]["features"][0] - exp_r) < 1e-6
+        # undecodable format still lands in decode_error, not a crash
+        assert "NotImplementedError" in rows[3]["decode_error"]
+
+    def test_real_resize_ppm_roundtrip(self, spark):
+        from tuplex_spark.functions import multimodal as mm
+        w, h = 4, 4
+        rgb = bytes([(x * 61 + y * 17 + c) % 256
+                     for y in range(h) for x in range(w)
+                     for c in range(3)])
+        assets = spark.createDataFrame(
+            [(7, bytearray(mm.encode_ppm(w, h, rgb)))],
+            "asset_id long, payload binary")
+        out = mm.resize_images(assets, 2, 2).collect()[0]
+        assert out["resize_error"] is None
+        nw, nh, npx = mm._decode_ppm(bytes(out["payload"]))
+        assert (nw, nh) == (2, 2)
+        # nearest-neighbor: output pixel (0,0) samples source (0,0)
+        assert npx[0:3] == rgb[0:3]
+
     def test_meta_struct_contract(self, spark):
         from tuplex_spark.functions import multimodal as mm
         assets = mm.make_asset_frame(spark, n=3)

@@ -138,3 +138,78 @@ class TestPartitionedWrite:
         with pytest.raises(ValueError):
             li.toparquet(str(tmp_path / "x"), bucket_by="l_orderkey",
                          partition_by="l_returnflag")
+
+
+class TestLSHScaling:
+    """Scaling-exponent canaries for the dedup/LSH family: candidate-
+    pair work must grow ~linearly with a DECORRELATED corpus, never
+    quadratically.  dedup_embedding regressed exactly this way once (a
+    fixed 2^6-value band space made occupancy linear in N and pairs
+    quadratic — 14x super-linear at 10x data); these tests lock the
+    corpus-adaptive granularity so a parameter change can't silently
+    reintroduce it."""
+
+    def _replicated_embeddings(self, spark, k):
+        # decorrelated replicas: rotating vector components changes
+        # SRP signatures, so replicas don't form cross-replica pairs
+        emb = spark.read.parquet(os.path.join(SF_DIR, "..", "sf0.01",
+                                              "embeddings.parquet"))
+        parts = [emb.select(
+            (F.col("vec_id") + i * 1_000_000).alias("vec_id"),
+            F.concat(F.slice("embedding", i + 1, 1 << 20),
+                     F.slice("embedding", 1, i)).alias("embedding"))
+            for i in range(k)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    def _candidate_count(self, df, n):
+        from tuplex_spark.functions import dedup
+        nbits = dedup.adaptive_nbits(n)
+        base = df.select(F.col("vec_id").alias("id"),
+                         F.col("embedding").alias("v"))
+        keyed = base.select(
+            "id", dedup.srp_band_keys(F.col("v"), 64, nbits, 8)
+            .alias("ks"))
+        buckets = keyed.select("id", F.posexplode("ks").alias("band", "h"))
+        return dedup._bucket_pairs(buckets, 200).count()
+
+    def test_embedding_candidates_linearish(self, spark):
+        # adaptive nbits pins expected occupancy to (16, 32], which
+        # bounds candidate pairs PER ROW by bands*(occ-1)/2 ~ 124 —
+        # assert that absolute bound (2x skew slack), and assert
+        # ~linear growth between two sizes of EQUAL occupancy
+        # (5000@nbits8 and 10000@nbits9 both sit at occ 19.5; the
+        # fixed-nbits failure mode grew pairs ~4x here, occ 78->156)
+        c10 = self._candidate_count(
+            self._replicated_embeddings(spark, 10), 5000)
+        c20 = self._candidate_count(
+            self._replicated_embeddings(spark, 20), 10000)
+        assert c10 > 0
+        assert c10 <= 5000 * 124 * 2, c10
+        assert c20 <= 10000 * 124 * 2, c20
+        assert c20 <= 2 * c10 * 1.75, (c10, c20)
+
+    def test_minhash_jaccard_pairs_linearish(self, spark):
+        # decorrelated text replicas (vowel rotation): reported pairs
+        # for minhash and inverted-index jaccard must grow ~linearly
+        from tuplex_spark.functions import dedup
+        doc = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        vows = "aeiou"
+        parts = [doc.select(
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+            F.concat(F.lit(f"r{i} "),
+                     F.translate("text", vows,
+                                 vows[i % 5:] + vows[:i % 5]))
+            .alias("text"))
+            for i in range(4)]
+        doc4 = parts[0]
+        for p in parts[1:]:
+            doc4 = doc4.unionAll(p)
+        m1 = dedup.minhash_lsh_pairs(doc).count()
+        m4 = dedup.minhash_lsh_pairs(doc4).count()
+        j1 = dedup.ngram_jaccard_pairs(doc, n=2, threshold=0.2).count()
+        j4 = dedup.ngram_jaccard_pairs(doc4, n=2, threshold=0.2).count()
+        assert m4 <= 4 * max(m1, 1) * 2.5, (m1, m4)
+        assert j4 <= 4 * max(j1, 1) * 2.5, (j1, j4)

@@ -124,6 +124,12 @@ class Context:
         self.spark = spark
         from .metrics import Metrics
         self._metrics = Metrics()
+        # (pattern, columns, mtime) -> (DataFrame, sample): repeated
+        # scans of the same files otherwise pay parquet footer analysis
+        # plus a driver-side sample collect per call (~0.2s each) —
+        # plan-build overhead that dominated sub-second queries.  The
+        # mtime key drops the entry when the files change.
+        self._scan_cache: dict = {}
 
     @property
     def metrics(self):
@@ -438,11 +444,19 @@ class Context:
         Files with TIMESTAMP(NANOS) columns (which Spark's reader rejects)
         are read with nanos-as-long and truncated to micros, matching what
         DuckDB/Arrow do."""
+        key = ("parquet", pattern, tuple(columns or ()),
+               _scan_mtime(pattern))
+        hit = self._scan_cache.get(key)
+        if hit is not None:
+            df, sample = hit
+            return DataSet(self, df, df.columns, sample=sample)
         df = self._read_parquet_nanos_safe(pattern)
         if columns:
             df = df.toDF(*columns)
-        return DataSet(self, df, df.columns,
-                       sample=self._sample_from_df(df))
+        sample = self._sample_from_df(df)
+        if len(self._scan_cache) < 256:
+            self._scan_cache[key] = (df, sample)
+        return DataSet(self, df, df.columns, sample=sample)
 
     def _read_parquet_nanos_safe(self, pattern: str):
         from pyspark.sql import functions as F  # noqa: F811
@@ -477,6 +491,24 @@ class Context:
         if len(df.columns) == 1:
             return [r[0] for r in rows]
         return [tuple(r) for r in rows]
+
+
+def _scan_mtime(pattern: str) -> float:
+    """Latest mtime across the glob (for directories, the directory
+    entry itself — it changes when part files are added/replaced).
+    Missing paths return -1; the subsequent read raises the real error."""
+    import glob as _glob
+    import os as _os
+    try:
+        paths = _glob.glob(pattern) or [pattern]
+        ts = []
+        for p in paths:
+            ts.append(_os.stat(p).st_mtime)
+            if _os.path.isdir(p):  # in-place part-file rewrites
+                ts.extend(e.stat().st_mtime for e in _os.scandir(p))
+        return max(ts)
+    except OSError:
+        return -1.0
 
 
 def build_session(name: str, options: dict | None = None) -> SparkSession:

@@ -148,6 +148,36 @@ def _py_value(v):
     return v
 
 
+class _SampleBudgetExceeded(Exception):
+    """Plan-time sample evaluation ran past its line budget."""
+
+
+def _apply_budgeted(fn, row, arity, names, budget: int = 200_000):
+    """fallback._apply under a line-event budget: plan-time samples run
+    REAL CPython, so a row on which the UDF never terminates (compiled
+    plans guard such rows into RuntimeError; CPython itself would hang)
+    must abort instead of freezing the driver.  200k line events covers
+    thousands of loop iterations; tracing costs ~ms and only applies to
+    the <= 100 sample rows, never to cluster-side execution."""
+    import sys
+    count = 0
+
+    def tracer(frame, event, arg):
+        nonlocal count
+        if event == "line":
+            count += 1
+            if count > budget:
+                raise _SampleBudgetExceeded()
+        return tracer
+
+    old = sys.gettrace()
+    sys.settrace(tracer)
+    try:
+        return fallback._apply(fn, row, arity, names)
+    finally:
+        sys.settrace(old)
+
+
 class DataSet:
     def __init__(self, ctx, df: DataFrame, columns: list[str],
                  sample: list | None = None, parked=None, last_op=None,
@@ -195,12 +225,17 @@ class DataSet:
         return f"{kind}_{self._op_seq}"
 
     def _sample_apply(self, fn, mode="map"):
-        """Propagate the plan-time sample through a UDF (drop raising rows)."""
+        """Propagate the plan-time sample through a UDF (drop raising
+        rows).  Evaluation is BUDGETED (line-trace cap per row): a
+        sample row that never terminates in CPython — e.g. a growth
+        while from a non-positive start, which the compiled plan turns
+        into a guarded RuntimeError row — must not hang plan building
+        on the driver."""
         out = []
         arity = getattr(getattr(fn, "__code__", None), "co_argcount", 1)
         for row in self._sample:
             try:
-                r = fallback._apply(fn, row, arity, self._columns)
+                r = _apply_budgeted(fn, row, arity, self._columns)
             except Exception:
                 continue
             if mode == "filter":

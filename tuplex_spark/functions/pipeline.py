@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_sql, \
     normalize_text
-from .text import language_id, language_id_sql, quality_score, \
-    quality_score_sql
+from .text import language_id_expr, language_id_sql, \
+    quality_score_expr, quality_score_sql
 
 
 def clean_corpus(df: DataFrame, text_col: str = "text",
@@ -33,12 +33,22 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     representative of their normalized-text group, and (4) are not the
     greater id of any verified near-duplicate pair (exact n-gram
     Jaccard >= threshold over the surviving docs)."""
-    q = quality_score(df, text_col, id_col).select(id_col, "quality")
-    lg = language_id(df, text_col, id_col)
-    s0 = (df.select(id_col, text_col)
-          .join(q, id_col).join(lg, id_col)
+    # quality + language are pure projections: compute them INLINE in
+    # the scan projection (whole-stage codegen) — the previous form
+    # joined the corpus to itself twice just to attach the two columns,
+    # two full-corpus shuffles for nothing.  The nondeterministic
+    # identity on quality (same barrier trick as dataset.py's compiled
+    # path) keeps the filter from INLINING the heavy token expressions
+    # into its predicate, which would evaluate them twice per row.
+    # The oracle twin keeps its CTE joins (1:1 on id, identical set).
+    qual = F.element_at(F.shuffle(F.array(
+        quality_score_expr(text_col))), 1)
+    s0 = (df.select(F.col(id_col), F.col(text_col),
+                    qual.alias("quality"),
+                    language_id_expr(text_col).alias("detected_lang"))
           .filter((F.col("quality") >= min_quality)
-                  & (F.col("detected_lang") == lang)))
+                  & (F.col("detected_lang") == lang))
+          .select(id_col, text_col, "quality"))
     key = F.md5(normalize_text(text_col))
     keep = (s0.select(F.col(id_col), key.alias("__k"))
             .groupBy("__k").agg(F.min(id_col).alias(id_col)))

@@ -45,10 +45,10 @@ def token_count(df: DataFrame, text_col: str = "text",
                      bpe.alias("n_subwords"))
 
 
-def quality_score(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality score in [0,1] from length / punctuation /
-    stopword signals (the usual pretraining-corpus filters)."""
+def _quality_parts(text_col: str):
+    """(chars, punct_ratio, stop_ratio, score) Column quad — expression
+    builders so composed pipelines (clean_corpus) can fuse the scoring
+    into the scan projection instead of joining the corpus to itself."""
     t = F.col(text_col)
     toks = tokens(text_col)
     n_tok = F.size(toks).cast("double")
@@ -67,6 +67,19 @@ def quality_score(df: DataFrame, text_col: str = "text",
                                                   F.lit(1.0)))
              + F.lit(0.2) * F.least(stop_ratio * F.lit(3.0), F.lit(1.0))
              + F.lit(0.2) * F.least(mean_tok_len / F.lit(10.0), F.lit(1.0)))
+    return n_char, punct_ratio, stop_ratio, score
+
+
+def quality_score_expr(text_col: str = "text") -> Column:
+    """Rounded quality score as a single Column (see _quality_parts)."""
+    return F.round(_quality_parts(text_col)[3], 6)
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality score in [0,1] from length / punctuation /
+    stopword signals (the usual pretraining-corpus filters)."""
+    n_char, punct_ratio, stop_ratio, score = _quality_parts(text_col)
     return df.select(
         F.col(id_col),
         F.round(n_char, 6).alias("chars"),
@@ -75,10 +88,9 @@ def quality_score(df: DataFrame, text_col: str = "text",
         F.round(score, 6).alias("quality"))
 
 
-def language_id(df: DataFrame, text_col: str = "text",
-                id_col: str = "doc_id") -> DataFrame:
-    """Stopword-hit language ID (n-gram-free heuristic; deterministic
-    tie-break by fixed language priority)."""
+def language_id_expr(text_col: str = "text") -> Column:
+    """Detected-language Column (stopword-hit heuristic, deterministic
+    tie-break by fixed language priority) — expression form for fusion."""
     dist = F.array_distinct(tokens(text_col))
     hits = {}
     for lang in _LANG_ORDER:
@@ -88,7 +100,15 @@ def language_id(df: DataFrame, text_col: str = "text",
     expr = F.when(best <= 0, F.lit("unknown"))
     for lang in _LANG_ORDER:
         expr = expr.when(hits[lang] == best, F.lit(lang))
-    return df.select(F.col(id_col), expr.alias("detected_lang"))
+    return expr
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID (n-gram-free heuristic; deterministic
+    tie-break by fixed language priority)."""
+    return df.select(F.col(id_col),
+                     language_id_expr(text_col).alias("detected_lang"))
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text",

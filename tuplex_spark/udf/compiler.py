@@ -1134,6 +1134,10 @@ class Translator:
             while x > t:  x  -= c     (c > 0,      any t)
             while x < t:  x  += c     (c > 0,      any t)
             while x > t:  x //= c     (int c >= 2, t >= 0; >= needs t >= 1)
+            while x < t:  x  *= c     (c > 1; terminates only for
+            while x < t:  x  /= c      x0 > 0 — non-positive starts
+                                       (0 < c < 1) hang CPython, so they
+                                       become guarded RuntimeError rows)
 
         (either compare orientation; >=, <= variants included — the
         overshoot the bound allows is free because iterations past
@@ -1229,6 +1233,18 @@ class Translator:
             return var, "log", float(c), float(t), False
         if bop is ast.Mult and 0 < c < 1 and o in (">", ">=") and t > 0:
             return var, "log", 1.0 / float(c), float(t), False
+        # growth toward an upper bound: k = ceil(log(t/x0)/log(c)) for
+        # x0 > 0; x0 <= 0 never terminates in CPython -> guarded row.
+        # t > 0 is required: with t <= 0 a wrapped long accumulator
+        # (x0<0 shifts to exactly 0 within 64 iters) could exit the
+        # guard with a silently-wrong 0 where CPython hangs.  t*c <
+        # 2^62 keeps the final value (<= t*c) clear of long overflow.
+        if bop is ast.Mult and c > 1 and o in ("<", "<=") \
+                and 0 < t and abs(t) * c < 2 ** 62:
+            return var, "grow", float(c), float(t), False
+        if bop is ast.Div and 0 < c < 1 and o in ("<", "<=") \
+                and 0 < t and abs(t) / c < 2 ** 62:
+            return var, "grow", 1.0 / float(c), float(t), False
         if bop is ast.FloorDiv and isinstance(c, int) and c >= 2 \
                 and x0.tag == "int" and isinstance(t, int) \
                 and ((o == ">" and t >= 0) or (o == ">=" and t >= 1)):
@@ -1321,6 +1337,19 @@ class Translator:
         if kind == "log":
             need = x0c > t
             raw = (F.log(x0c) - _math.log(t)) / _math.log(c)
+        elif kind == "grow":
+            need = x0c < t
+            # a non-positive start never reaches the (positive)
+            # threshold under x *= c — CPython hangs.  The post-loop
+            # condition guard alone is NOT sufficient: a long
+            # accumulator can wrap into a positive value >= t and exit
+            # "cleanly" (e.g. -5 * 2^61 = 0x6000...0), so the x0 > 0
+            # precondition is emitted as its own guard row below.
+            raw = F.when(x0c > 0,
+                         (F.log(F.lit(float(t))) - F.log(x0c))
+                         / _math.log(c)) \
+                   .otherwise(F.lit(float(self._WHILE_FOLD_CAP)))
+            precond_bad = F.coalesce((x0c <= 0) & need, F.lit(False))
         else:
             need = (x0c > t) if kind == "sub" else (x0c < t)
             span = (x0c - F.lit(t)) if kind == "sub" else (F.lit(t) - x0c)
@@ -1371,8 +1400,13 @@ class Translator:
             self._locals[n] = SCol(result.getField(f"f{i}"), final[n],
                                    nullable[n] or any_null)
         # cap guard: condition still true after K iterations -> the
-        # compiled bound was insufficient (CPython would keep looping)
-        self.guard(self.truthy(self.eval(st.test)), "RuntimeError")
+        # compiled bound was insufficient (CPython would keep looping);
+        # grow additionally guards its termination PREcondition (see
+        # precond_bad above — wrapped longs can fake a clean exit)
+        guard_cond = self.truthy(self.eval(st.test))
+        if kind == "grow":
+            guard_cond = guard_cond | precond_bad
+        self.guard(guard_cond, "RuntimeError")
         return True
 
     def _unroll_with_break(self, st: ast.For, vals) -> list:
@@ -2073,17 +2107,61 @@ class Translator:
             raise CompileError("tuple slice step")
         if not isinstance(base, SCol) or base.tag not in ("str", "array"):
             raise CompileError(f"slice on {base.tag}")
-        # step: only [::-1] reverse supported
+        # constant int steps compile, both signs.  k > 1 keeps every
+        # k-th element of the contiguous [lo:hi] segment; k < 0 maps to
+        # a positive-step slice of reverse(s): index p <-> n-1-p flips
+        # the descending CPython index walk into an ascending one.
+        step_v = None
         if sl.step is not None:
             step = self.eval(sl.step)
-            if isinstance(step, SConst) and step.value == -1 \
-                    and sl.lower is None and sl.upper is None:
+            if not (isinstance(step, SConst)
+                    and isinstance(step.value, int)
+                    and not isinstance(step.value, bool)):
+                raise CompileError("slice step must be a constant int")
+            step_v = step.value
+            if step_v == 0:
+                self.guard(F.lit(True), "ValueError")
+                return SConst(None)
+            if step_v == -1 and sl.lower is None and sl.upper is None:
                 return SCol(F.reverse(base.col), base.tag, base.nullable)
-            if isinstance(step, SConst) and step.value == 1:
-                pass  # explicit step 1 == no step
-            else:
-                raise CompileError("slice step")
         L = F.length(base.col) if base.tag == "str" else F.size(base.col)
+
+        def seg_of(col, start0, length):
+            if base.tag == "str":
+                return F.substring(col, (start0 + 1).cast("int"),
+                                   length.cast("int"))
+            return F.slice(col, (start0 + 1).cast("int"),
+                           length.cast("int"))
+
+        def stepped(seg, k):
+            if k == 1:
+                return SCol(seg, base.tag, base.nullable)
+            if base.tag == "str":
+                # each match eats up to k chars, keeps the first; (?s)
+                # so newlines count like any char (CPython indexing)
+                return SCol(
+                    F.regexp_replace(seg, f"(?s)(.).{{0,{k - 1}}}", "$1"),
+                    "str", base.nullable)
+            return SCol(F.filter(seg, lambda x, i: i % k == 0),
+                        "array", base.nullable)
+
+        if step_v is not None and step_v < 0:
+            k = -step_v
+            # CPython negative-step normalization: defaults lo=n-1,
+            # hi=-1 (exclusive sentinel); negatives wrap by +n then
+            # clamp to [-1, n-1]
+            def norm_neg(node, default_col):
+                if node is None:
+                    return default_col
+                v = self.to_col(self.num(self.eval(node), "slice bound"))
+                v = F.when(v < 0, L + v).otherwise(v)
+                return F.when(v < 0, F.lit(-1)).otherwise(
+                    F.least(v, L - 1))
+            lo_p = norm_neg(sl.lower, L - 1)
+            hi_p = norm_neg(sl.upper, F.lit(-1))
+            start = L - 1 - lo_p  # position of lo in reverse(s)
+            length = F.greatest((L - 1 - hi_p) - start, F.lit(0))
+            return stepped(seg_of(F.reverse(base.col), start, length), k)
 
         def norm(node, default):
             if node is None:
@@ -2094,11 +2172,8 @@ class Translator:
         lo = norm(sl.lower, F.lit(0))
         hi = norm(sl.upper, L)
         length = F.greatest(hi - lo, F.lit(0))
-        if base.tag == "str":
-            return SCol(F.substring(base.col, (lo + 1).cast("int"),
-                                    length.cast("int")), "str", base.nullable)
-        return SCol(F.slice(base.col, (lo + 1).cast("int"),
-                            length.cast("int")), "array", base.nullable)
+        return stepped(seg_of(base.col, lo, length),
+                       step_v if step_v is not None else 1)
 
     # -- operators -------------------------------------------------------
     def _ev_BinOp(self, node):
@@ -3986,12 +4061,84 @@ def _unify_tags(a: str, b: str) -> str:
     raise CompileError(f"incompatible result types {a} and {b}")
 
 
+_COMPILE_CACHE: dict = {}
+_COMPILE_CACHE_MAX = 512
+_MISS = object()
+
+
+def _freeze_value(v, depth: int = 0):
+    """Hashable, VALUE-based key component for a closure cell / global
+    the UDF reads — the compiler embeds these as constants, so the cache
+    key must change when they do.  Unsupported types raise TypeError
+    (the caller then skips caching rather than risk a stale plan)."""
+    if isinstance(v, (int, float, str, bytes, bool, type(None),
+                      frozenset)):
+        return v
+    if isinstance(v, tuple) and depth < 3:
+        return tuple(_freeze_value(x, depth + 1) for x in v)
+    import types as _types
+    if isinstance(v, _types.ModuleType):
+        return ("mod", v.__name__)
+    if isinstance(v, type):
+        return ("cls", v)
+    if callable(v) and hasattr(v, "__code__") and depth < 3:
+        cells = tuple(_freeze_value(c.cell_contents, depth + 1)
+                      for c in (v.__closure__ or ()))
+        return ("fn", v.__code__,
+                tuple(_freeze_value(d, depth + 1)
+                      for d in (v.__defaults__ or ())), cells)
+    raise TypeError(f"uncacheable closure value {type(v)}")
+
+
+def _compile_cache_key(fn, schema, with_guards, col_map):
+    try:
+        cells = tuple(_freeze_value(c.cell_contents)
+                      for c in (fn.__closure__ or ()))
+        gl = getattr(fn, "__globals__", {})
+        names = tuple(
+            (n, _freeze_value(gl[n])) for n in fn.__code__.co_names
+            if n in gl)
+        key = (fn.__code__, cells, names,
+               tuple(_freeze_value(d) for d in (fn.__defaults__ or ())),
+               schema.json(), with_guards,
+               tuple(sorted((col_map or {}).items())))
+        hash(key)
+        return key
+    except Exception:
+        return None
+
+
 def compile_udf(fn, schema: T.StructType, env: dict | None = None,
                 with_guards: bool = True,
                 col_map: dict | None = None) -> CompiledUDF:
     """Compile ``fn`` against ``schema``; raises CompileError on failure.
 
     ``col_map`` redirects schema field names to physical DataFrame column
-    names (used by resolve() to bind the resolver onto payload fields)."""
-    tr = Translator(schema, env or {}, with_guards, col_map)
-    return tr.compile(fn)
+    names (used by resolve() to bind the resolver onto payload fields).
+
+    Results are memoized per (code object, closure/global VALUES, schema,
+    guards, col_map): plan BUILD time — recognizer trials plus the py4j
+    round trips that construct the Column trees — dominated sub-second
+    queries (measured 0.57s build vs 0.24s execute), and repeated
+    pipelines re-create textually identical lambdas every call.  Failures
+    are cached too, so fallback UDFs skip the recognizer gauntlet on
+    re-runs.  Columns are immutable expression handles bound to names,
+    so one CompiledUDF is safely shared across same-schema DataFrames."""
+    key = None if env else _compile_cache_key(fn, schema, with_guards,
+                                              col_map)
+    if key is not None:
+        hit = _COMPILE_CACHE.get(key, _MISS)
+        if hit is not _MISS:
+            if hit is None:
+                raise CompileError("cached compile failure")
+            return hit
+    try:
+        tr = Translator(schema, env or {}, with_guards, col_map)
+        out = tr.compile(fn)
+    except CompileError:
+        if key is not None and len(_COMPILE_CACHE) < _COMPILE_CACHE_MAX:
+            _COMPILE_CACHE[key] = None
+        raise
+    if key is not None and len(_COMPILE_CACHE) < _COMPILE_CACHE_MAX:
+        _COMPILE_CACHE[key] = out
+    return out
