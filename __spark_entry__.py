@@ -1078,6 +1078,55 @@ def q_events_top_users(spark, sf_dir):
             .limit(20))
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (Spark has no built-in): each purchase picks up the
+    user's most recent click at-or-before it.  One union + ordered
+    window pass, single shuffle on user_id — no join operator, no
+    nested loop (tuplex_spark/operators/temporal.py; DuckDB oracle is
+    a native ASOF LEFT JOIN).  Clicks pre-aggregate to unique
+    (user, ts) so tie-breaking is deterministic on both engines."""
+    from tuplex_spark.operators.temporal import asof_join
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id", "value")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.round(F.max("value"), 6).alias("click_value")))
+    out = asof_join(purch, clicks, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("pts"),
+        "user_id",
+        F.date_format("ts_right", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("click_ts"),
+        "click_value")
+
+
+def q_events_range_join(spark, sf_dir):
+    """Interval join via time-binning: purchases inside the 10-minute
+    window after any error event of the same user.  A raw BETWEEN join
+    plans as broadcast-nested-loop; the binned equi-join stays linear
+    (tuplex_spark/operators/temporal.py; oracle = plain inequality
+    join, feasible for DuckDB at oracle scale)."""
+    from tuplex_spark.operators.temporal import range_join
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id")
+    errs = (ev.filter(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("err_id"), "user_id",
+                    F.col("ts").alias("win_start"),
+                    (F.col("ts") + F.expr("INTERVAL 10 MINUTE"))
+                    .alias("win_end")))
+    out = range_join(purch, errs, point="ts", start="win_start",
+                     end="win_end", by="user_id", bin_width=600.0)
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("pts"),
+        "user_id", "err_id")
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -1132,6 +1181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "events_top_users": q_events_top_users,
         "events_stats": q_events_stats,
+        # -- temporal joins (Spark-native additions) --
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         # -- TPC-H distinct shapes --
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
@@ -1140,10 +1192,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q13": q_tpch_q13,
-        "tpch_q15": q_tpch_q15,
         "tpch_q17": q_tpch_q17,
         "tpch_q19": q_tpch_q19,
-        "tpch_q22": q_tpch_q22,
         # composition of four individually-graded ops (quality/langid/
         # exact-dedup/jaccard) — the best end-to-end proof, graded
         # in-window since round 3 (its prior slot-holder q21's window-
@@ -1156,6 +1206,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": q_sample_hash,
         "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
+        # q15 (view + max-agg ~ q2's subquery-max) and q22 (anti-join +
+        # avg filter ~ q4/q16 shapes) moved to the tail to make room for
+        # the temporal-join family in the graded window
+        "tpch_q15": q_tpch_q15,
+        "tpch_q22": q_tpch_q22,
         "tpch_q21": q_tpch_q21,  # shape twin: events_sessions/q2 window
         "tpch_q18": q_tpch_q18,  # shape twin: big-agg filter + join ~ q3/q13
         "tpch_q7": q_tpch_q7,
@@ -1632,6 +1687,29 @@ SELECT event_type,
        count(DISTINCT user_id)::BIGINT AS n_users,
        count(*)::BIGINT AS n
 FROM events GROUP BY event_type""",
+        "events_asof": """
+SELECT l.event_id AS event_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+       l.user_id AS user_id,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+       r.click_value AS click_value
+FROM (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts, round(max(value), 6) AS click_value
+                FROM events WHERE event_type = 'click'
+                GROUP BY 1, 2) r
+  ON l.user_id = r.user_id AND l.ts >= r.ts""",
+        "events_range_join": """
+SELECT p.event_id AS event_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,
+       p.user_id AS user_id,
+       e.event_id AS err_id
+FROM (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, ts, user_id FROM events
+      WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE""",
         "events_sessions": """
 WITH ordered AS (
   SELECT user_id, ts, value,
