@@ -2181,6 +2181,97 @@ class TestWhileCounterRewrite:
             return acc
         run_diff(ctx, self.DATA, f, expect_compiled=False)
 
+    def test_counter_while_with_break(self, ctx):
+        # break lowers to a flag accumulator in the range fold:
+        # post-break iterations become no-ops
+        def f(x):
+            i = 0
+            acc = 0
+            while i < x:
+                if acc > 20:
+                    break
+                acc += i * 3
+                i += 1
+            return acc
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_counter_while_with_continue_falls_back(self, ctx):
+        # continue skips the hoisted i += 1 in CPython (potential
+        # infinite loop) — must NOT rewrite to a range fold
+        def f(x):
+            i = 0
+            acc = 0
+            while i < x:
+                if i == 2:
+                    i += 2
+                    continue
+                acc += i
+                i += 1
+            return acc
+        run_diff(ctx, self.DATA, f, expect_compiled=False)
+
+    def test_while_true_break_falls_back(self, ctx):
+        def f(x):
+            acc = x
+            while True:
+                acc += 1
+                if acc > 5:
+                    break
+            return acc
+        run_diff(ctx, self.DATA, f, expect_compiled=False)
+
+
+class TestDynamicFoldBreakContinue:
+    """break/continue inside folds over DYNAMIC arrays (split results,
+    dynamic ranges) compile via flag accumulators — previously an
+    unconditional Arrow fallback."""
+
+    TEXTS = ["a bb stop ccc", "xx yy zz", "stop", "", "a b c d e f g"]
+
+    def test_break_in_split_fold(self, ctx):
+        def f(s):
+            total = 0
+            for t in s.split(" "):
+                if t == "stop":
+                    break
+                total += len(t)
+            return total
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_continue_in_split_fold(self, ctx):
+        def f(s):
+            total = 0
+            for t in s.split(" "):
+                if len(t) % 2 == 0:
+                    continue
+                total += len(t)
+            return total
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_break_and_continue_combined(self, ctx):
+        def f(s):
+            total = 0
+            n = 0
+            for t in s.split(" "):
+                if t == "stop":
+                    break
+                if t == "yy":
+                    continue
+                total += len(t)
+                n += 1
+            return (total, n)
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_break_in_dynamic_range(self, ctx):
+        def f(x):
+            acc = 0
+            for i in range(x):
+                if i * i > 20:
+                    break
+                acc += i
+            return acc
+        run_diff(ctx, [0, 1, 3, 7, 10, 50], f, expect_compiled=True)
+
 
 class TestEnumerateStartZip3:
     TEXTS = ["a bb ccc", "x", ""]

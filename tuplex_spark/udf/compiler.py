@@ -180,6 +180,16 @@ def _contains_break_continue(node) -> bool:
     return False
 
 
+def _contains_continue(node) -> bool:
+    """``continue`` in this statement, not descending into nested loops."""
+    if isinstance(node, ast.Continue):
+        return True
+    if isinstance(node, (ast.For, ast.While, ast.FunctionDef,
+                         ast.AsyncFunctionDef, ast.Lambda)):
+        return False
+    return any(_contains_continue(c) for c in ast.iter_child_nodes(node))
+
+
 def _flag_assign(name: str, value: bool) -> ast.Assign:
     return ast.Assign(targets=[ast.Name(id=name, ctx=ast.Store())],
                       value=_SymExpr(SConst(value)))
@@ -1025,7 +1035,17 @@ class Translator:
         if st.orelse:
             raise CompileError("while-else")
         if any(_contains_break_continue(s) for s in st.body):
-            raise CompileError("break/continue in while")
+            # `continue` would skip the counter rewrite's hoisted
+            # `i += 1` (CPython loops forever where the range fold
+            # terminates) — reject it; `break` exits without further
+            # updates on both forms, so it rides the for-range fold's
+            # flag lowering.
+            if any(_contains_continue(s) for s in st.body):
+                raise CompileError("continue in while")
+            rewritten = self._while_counter_rewrite(st)
+            if rewritten is not None:
+                return self._exec_for(rewritten, path)
+            raise CompileError("break in non-counter while")
         self._unroll_depth += 1
         try:
             for _ in range(self._MAX_UNROLL):
@@ -1581,7 +1601,25 @@ class Translator:
 
     def _exec_for_fold(self, st: ast.For, path: Column | None):
         arr, tags, is_struct, arr_nullable = self._iter_array(st.iter)
-        assigned = _loop_assigned_names(st.body)
+        body = list(st.body)
+        flag_names: list[str] = []
+        if any(_contains_break_continue(s) for s in body):
+            # break/continue lower to boolean flag ACCUMULATORS: the
+            # whole iteration runs under `if not __brk`, so post-break
+            # iterations still traverse the sequence but do no work
+            # (when(brk, acc) no-ops), and `continue` skips the rest of
+            # one iteration via the same `if not __cont` wrapping the
+            # static unroll uses.
+            n = self._loop_flag_id = getattr(self, "_loop_flag_id", 0) + 1
+            brk, cont = f"__brk{n}", f"__cont{n}"
+            lowered = _lower_break_continue(body, brk, cont)
+            body = [ast.If(test=_not_name(brk),
+                           body=[_flag_assign(cont, False)] + lowered,
+                           orelse=[])]
+            self._locals[brk] = SCol(F.lit(False), "bool", False)
+            self._locals[cont] = SCol(F.lit(False), "bool", False)
+            flag_names = [brk, cont]
+        assigned = _loop_assigned_names(body)
         accs = [n for n in assigned if n in self._locals]
         if not accs:
             raise CompileError("dynamic loop with no accumulators")
@@ -1602,7 +1640,7 @@ class Translator:
                 for n, s in acc_syms.items():
                     self._locals[n] = s
                 self._bind_loop_target(st.target, x, tags, is_struct)
-                if self.exec_block(st.body, None) \
+                if self.exec_block(body, None) \
                         or len(self._returns) != len(saved_returns):
                     raise CompileError("return/raise inside dynamic loop")
                 if len(self.guards) != n_guards:
@@ -1663,6 +1701,8 @@ class Translator:
             if n not in accs:
                 self._locals.pop(n, None)
         for n in _target_names(st.target):
+            self._locals.pop(n, None)
+        for n in flag_names:
             self._locals.pop(n, None)
 
     def _merge_envs(self, cond, t_env, f_env, saved):
