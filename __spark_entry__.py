@@ -1078,6 +1078,36 @@ def q_events_top_users(spark, sf_dir):
             .limit(20))
 
 
+def q_sketch_distinct(spark, sf_dir):
+    """KMV distinct sketch over three columns of two tables — the
+    deterministic (content-addressed md5 order statistic) cardinality
+    estimator whose DuckDB twin reproduces it bit-for-bit, unlike
+    HLL (functions/sketch.py).  distinct -> TakeOrdered(k) keeps the
+    driver-side state at exactly k doubles per column at any scale."""
+    from tuplex_spark.functions import sketch
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    a = sketch.kmv_distinct(li, "l_partkey", k=256) \
+        .select(F.lit("l_partkey").alias("col"), "estimate", "k_used",
+                "kth_hash")
+    b = sketch.kmv_distinct(li, "l_suppkey", k=256) \
+        .select(F.lit("l_suppkey").alias("col"), "estimate", "k_used",
+                "kth_hash")
+    c = sketch.kmv_distinct(orders, "o_custkey", k=256) \
+        .select(F.lit("o_custkey").alias("col"), "estimate", "k_used",
+                "kth_hash")
+    return a.unionByName(b).unionByName(c)
+
+
+def q_sketch_topk(spark, sf_dir):
+    """Exact heavy hitters via bounded TakeOrdered (functions/sketch.py)."""
+    from tuplex_spark.functions import sketch
+    _prep(spark)
+    return sketch.exact_heavy_hitters(_t(spark, sf_dir, "lineitem"),
+                                      "l_quantity", k=10)
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join (Spark has no built-in): each purchase picks up the
     user's most recent click at-or-before it.  One union + ordered
@@ -1184,11 +1214,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- temporal joins (Spark-native additions) --
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
+        # -- deterministic sketches --
+        "sketch_distinct": q_sketch_distinct,
         # -- TPC-H distinct shapes --
         "tpch_q1": q_tpch_q1,
         "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
-        "tpch_q4": q_tpch_q4,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "tpch_q13": q_tpch_q13,
@@ -1211,6 +1242,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the temporal-join family in the graded window
         "tpch_q15": q_tpch_q15,
         "tpch_q22": q_tpch_q22,
+        # q4's EXISTS shape is covered by q21/q22 in the tail; its slot
+        # funds the sketch family.  sketch_topk's groupBy+TakeOrdered
+        # shape is already in-window as events_top_users.
+        "tpch_q4": q_tpch_q4,
+        "sketch_topk": q_sketch_topk,
         "tpch_q21": q_tpch_q21,  # shape twin: events_sessions/q2 window
         "tpch_q18": q_tpch_q18,  # shape twin: big-agg filter + join ~ q3/q13
         "tpch_q7": q_tpch_q7,
@@ -1230,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from tuplex_spark.functions import dedup, pipeline, text
     from tuplex_spark.functions import sampling as sampling_mod
+    from tuplex_spark.functions import sketch as sketch_mod
 
     sqls = {
         "tpch_q1": """
@@ -1687,6 +1724,16 @@ SELECT event_type,
        count(DISTINCT user_id)::BIGINT AS n_users,
        count(*)::BIGINT AS n
 FROM events GROUP BY event_type""",
+        "sketch_distinct": (
+            "SELECT 'l_partkey' AS col, * FROM ("
+            + sketch_mod.kmv_distinct_sql("lineitem", "l_partkey", 256)
+            + ") UNION ALL SELECT 'l_suppkey' AS col, * FROM ("
+            + sketch_mod.kmv_distinct_sql("lineitem", "l_suppkey", 256)
+            + ") UNION ALL SELECT 'o_custkey' AS col, * FROM ("
+            + sketch_mod.kmv_distinct_sql("orders", "o_custkey", 256)
+            + ")"),
+        "sketch_topk": sketch_mod.exact_heavy_hitters_sql(
+            "lineitem", "l_quantity", 10),
         "events_asof": """
 SELECT l.event_id AS event_id,
        strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,

@@ -159,6 +159,43 @@ class TestSimilarity:
         assert m and "centroid" in m.group(1), plan
 
 
+class TestSketch:
+    def test_kmv_matches_duckdb_bitwise(self, spark, con):
+        from tuplex_spark.functions import sketch
+        doc = spark.read.parquet(DOC)
+        got = tuple(sketch.kmv_distinct(doc, "doc_id", k=64).collect()[0])
+        want = con.execute(
+            sketch.kmv_distinct_sql("documents", "doc_id", 64)).fetchone()
+        assert got == want
+
+    def test_kmv_exact_below_k(self, spark):
+        # fewer than k distinct values -> the estimate IS the exact count
+        from tuplex_spark.functions import sketch
+        df = spark.createDataFrame([(i % 37,) for i in range(500)],
+                                   "v long")
+        row = sketch.kmv_distinct(df, "v", k=256).collect()[0]
+        assert row["estimate"] == 37.0 and row["k_used"] == 37
+
+    def test_kmv_accuracy(self, spark):
+        # SE ~ 1/sqrt(k-2): k=1024 -> ~3.1%; assert within 4 SE
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import sketch
+        n = 20_000
+        df = spark.range(n).select((F.col("id") * 7919).alias("v"))
+        est = sketch.kmv_distinct(df, "v", k=1024).collect()[0]["estimate"]
+        assert abs(est - n) / n < 0.125, est
+
+    def test_heavy_hitters_exact(self, spark, con):
+        from tuplex_spark.functions import sketch
+        doc = spark.read.parquet(DOC)
+        got = [tuple(r) for r in
+               sketch.exact_heavy_hitters(doc, "lang", k=3).collect()]
+        want = con.execute(
+            sketch.exact_heavy_hitters_sql("documents", "lang", 3)) \
+            .fetchall()
+        assert got == [tuple(r) for r in want]
+
+
 class TestPipelineCompose:
     def test_clean_corpus_matches_oracle(self, spark, con):
         from tuplex_spark.functions import pipeline

@@ -1,0 +1,91 @@
+"""Deterministic cardinality / frequency sketches.
+
+Spark ships approx_count_distinct (HLL++) and DuckDB ships its own HLL —
+different algorithms, so their estimates never agree and an oracle
+cannot grade them.  The sketches here are chosen to be DETERMINISTIC
+functions of the data (content-addressed md5 order statistics), so the
+DuckDB twin reproduces them bit-for-bit while the plan shape stays the
+one you want at 100 TB.
+
+KMV (k-minimum-values) distinct estimate: hash every value to a uniform
+64-bit point, keep the k smallest distinct hashes, estimate
+``(k-1) / max_k`` in the unit interval.  The k-smallest step is
+``distinct -> TakeOrdered(k)`` — Spark computes per-partition top-k and
+merges on the driver, so the shuffle carries at most k rows per
+partition regardless of corpus size (no collect of the distinct set).
+Standard error ~ 1/sqrt(k-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# md5 high-8-bytes (big-endian hex parse) as unsigned 64-bit value.
+# Spark: conv(hex, 16, 10) yields the unsigned decimal as a string;
+# DuckDB: '0x'-prefixed cast to UBIGINT parses the same big-endian hex
+# (DuckDB's md5_number_upper is little-endian — NOT equivalent).
+_HASH64 = "conv(substring(md5(cast({c} as string)), 1, 16), 16, 10)"
+_HASH64_DUCK = \
+    "('0x' || substring(md5(CAST({c} AS VARCHAR)), 1, 16))::UBIGINT"
+
+
+def _hash_frac(col: str):
+    # 2^64-1 exceeds a Java long: route the literal through a string
+    h = F.expr(_HASH64.format(c=col)).cast("decimal(20,0)")
+    full = F.expr("CAST('18446744073709551615' AS DECIMAL(20,0))")
+    return (h / full).cast("double")
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+    """One-row DataFrame ``(estimate, k_used, kth_hash)``: KMV distinct
+    estimate of ``col``.  When the column has fewer than k distinct
+    values the count is exact (we saw them all).
+
+    Plan: project hash -> distinct (partial aggregation) ->
+    TakeOrdered(k) -> tiny final agg.  Nothing unbounded crosses the
+    shuffle; the candidate set on the driver is exactly k doubles."""
+    hashed = df.select(_hash_frac(col).alias("h")).distinct()
+    smallest = hashed.orderBy("h").limit(k)
+    return (smallest
+            .agg(F.count("h").alias("n"), F.max("h").alias("kth"))
+            .select(
+                F.when(F.col("n") < k, F.col("n").cast("double"))
+                 .otherwise(F.round((F.col("n") - 1) / F.col("kth"), 6))
+                 .alias("estimate"),
+                F.col("n").cast("long").alias("k_used"),
+                F.round("kth", 6).alias("kth_hash")))
+
+
+def kmv_distinct_sql(table: str, col: str, k: int = 1024) -> str:
+    """DuckDB twin — identical hash, identical order statistic."""
+    h64 = _HASH64_DUCK.format(c=col)
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT
+    CAST({h64} AS DECIMAL(20,0)) / CAST(18446744073709551615 AS DECIMAL(20,0))
+      AS h
+  FROM {table}
+), smallest AS (
+  SELECT CAST(h AS DOUBLE) AS h FROM hashed ORDER BY h LIMIT {k}
+)
+SELECT CASE WHEN count(h) < {k} THEN CAST(count(h) AS DOUBLE)
+            ELSE round((count(h) - 1) / max(h), 6) END AS estimate,
+       count(h)::BIGINT AS k_used,
+       round(max(h), 6) AS kth_hash
+FROM smallest"""
+
+
+def exact_heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
+    """Exact top-k frequent values — the deterministic baseline the
+    sketch family is judged against.  groupBy count partial-aggregates
+    map-side; TakeOrdered bounds what reaches the driver to k rows."""
+    return (df.groupBy(F.col(col).alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("value"))
+            .limit(k))
+
+
+def exact_heavy_hitters_sql(table: str, col: str, k: int = 20) -> str:
+    return f"""
+SELECT {col} AS value, count(*)::BIGINT AS cnt
+FROM {table} GROUP BY 1 ORDER BY cnt DESC, value LIMIT {k}"""
