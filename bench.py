@@ -34,6 +34,7 @@ HEADLINE = [
     "dedup_embedding", "pipeline_clean",
     "ann_topk", "text_quality", "text_langid", "mm_decode",
     "events_windowed", "events_top_users",
+    "events_asof", "events_range_join", "sketch_distinct",
 ]
 
 
@@ -46,6 +47,7 @@ SF1_HEADLINE = [
     "dedup_embedding", "pipeline_clean", "ann_topk",
     "text_quality", "events_windowed", "events_sessions",
     "tpch_q1", "tpch_q3",
+    "events_asof", "sketch_distinct",
 ]
 SF1_REPLICAS = 10
 
