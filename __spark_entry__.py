@@ -1108,6 +1108,24 @@ def q_sketch_topk(spark, sf_dir):
                                       "l_quantity", k=10)
 
 
+def q_ds_json_udf(spark, sf_dir):
+    """Compiled json.loads through the DataSet UDF path (parity-PLUS:
+    the reference has no json UDF support, SURVEY 2.6) — value types
+    dispatch per row on schema_of_variant, so int()/get()/== carry
+    CPython semantics without a Python worker."""
+    import json
+    c = _ctx(spark)
+    ds = (c.parquet(os.path.join(sf_dir, "events.parquet"))
+          .selectColumns(["event_id", "event_type", "props"])
+          .map(lambda x: {"event_id": x["event_id"],
+                          "k2": int(json.loads(x["props"])["k"]) * 2,
+                          "kf": float(json.loads(x["props"])
+                                      .get("k", 0)) / 4.0})
+          .filter(lambda r: r["k2"] >= 40))
+    return ds.toDF().select("event_id", "k2",
+                            F.round("kf", 6).alias("kf"))
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join (Spark has no built-in): each purchase picks up the
     user's most recent click at-or-before it.  One union + ordered
@@ -1247,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shape is already in-window as events_top_users.
         "tpch_q4": q_tpch_q4,
         "sketch_topk": q_sketch_topk,
+        "ds_json_udf": q_ds_json_udf,
         "tpch_q21": q_tpch_q21,  # shape twin: events_sessions/q2 window
         "tpch_q18": q_tpch_q18,  # shape twin: big-agg filter + join ~ q3/q13
         "tpch_q7": q_tpch_q7,
@@ -1734,6 +1753,12 @@ FROM events GROUP BY event_type""",
             + ")"),
         "sketch_topk": sketch_mod.exact_heavy_hitters_sql(
             "lineitem", "l_quantity", 10),
+        "ds_json_udf": """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k2,
+       round(CAST(json_extract(props, '$.k') AS DOUBLE) / 4.0, 6) AS kf
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) * 2 >= 40""",
         "events_asof": """
 SELECT l.event_id AS event_id,
        strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS pts,

@@ -2410,3 +2410,115 @@ class TestDatetimeAccessors:
         self._diff(ctx, ds, lambda x: {"e": x["event_id"],
                                        "v": x["ts"].strftime("%A")},
                    expect_compiled=False)
+
+
+class TestJsonLoads:
+    """Compiled json.loads (parity-PLUS: the reference has no json UDF
+    support at all, SURVEY 2.6 JSON row).  Value types are data-
+    dependent, so consumers dispatch per row on schema_of_variant;
+    CPython error semantics (TypeError on non-objects / null values,
+    KeyError on missing keys, ValueError on bad parses) ride the guard
+    machinery."""
+
+    DOCS = ['{"k": 3, "s": "hi", "f": 2.5, "b": true, "n": null}',
+            '{"k": "12", "s": "hi"}',
+            '{"k": 4.9}',
+            '{"k": true}']
+
+    def test_int_extraction_type_dispatch(self, ctx):
+        import json
+        # int over BIGINT / numeric-string / DOUBLE (truncates) / bool
+        run_diff(ctx, self.DOCS, lambda s: int(json.loads(s)["k"]),
+                 expect_compiled=True)
+
+    def test_float_extraction(self, ctx):
+        import json
+        run_diff(ctx, self.DOCS, lambda s: float(json.loads(s)["k"]),
+                 expect_compiled=True)
+
+    def test_eq_string_and_number(self, ctx):
+        import json
+        # type families must match: 3 == "3" is False; True == 1 is True
+        run_diff(ctx, ['{"k": 3}', '{"k": "3"}', '{"k": 3.0}',
+                       '{"k": true}', '{"k": null}', '{"k": [1]}'],
+                 lambda s: (json.loads(s)["k"] == 3,
+                            json.loads(s)["k"] == "3",
+                            json.loads(s)["k"] == 1,
+                            json.loads(s)["k"] is None),
+                 expect_compiled=True)
+
+    def test_missing_key_raises_keyerror(self, ctx):
+        import json
+        ds = run_diff(ctx, self.DOCS + ['{"other": 1}'],
+                      lambda s: int(json.loads(s)["k"]),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"KeyError": 1}
+
+    def test_non_object_raises_typeerror(self, ctx):
+        import json
+        ds = run_diff(ctx, ['{"k": 1}', '[1,2]', '"str"', '3', 'null'],
+                      lambda s: int(json.loads(s)["k"]),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"TypeError": 4}
+
+    def test_invalid_json_raises_valueerror(self, ctx):
+        import json
+        ds = run_diff(ctx, ['{"k": 1}', 'not json', '{broken'],
+                      lambda s: int(json.loads(s)["k"]),
+                      expect_compiled=True)
+        # json.JSONDecodeError subclasses ValueError
+        assert ds.exception_counts == {"ValueError": 2}
+
+    def test_null_value_int_raises_typeerror(self, ctx):
+        import json
+        ds = run_diff(ctx, ['{"k": 1}', '{"k": null}'],
+                      lambda s: int(json.loads(s)["k"]),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"TypeError": 1}
+
+    def test_get_with_default(self, ctx):
+        import json
+        run_diff(ctx, ['{"k": 5}', '{"other": 1}', '{}'],
+                 lambda s: int(json.loads(s).get("k", 7)),
+                 expect_compiled=True)
+        run_diff(ctx, ['{"k": "x"}', '{}'],
+                 lambda s: json.loads(s).get("k", "d") == "x",
+                 expect_compiled=True)
+
+    def test_get_no_default_missing_is_typeerror(self, ctx):
+        import json
+        ds = run_diff(ctx, ['{"k": 5}', '{}'],
+                      lambda s: int(json.loads(s).get("k")),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"TypeError": 1}
+
+    def test_nested_objects(self, ctx):
+        import json
+        run_diff(ctx, ['{"a": {"b": 2}}', '{"a": {"b": "9"}}'],
+                 lambda s: int(json.loads(s)["a"]["b"]),
+                 expect_compiled=True)
+
+    def test_json_string_value_is_not_an_object(self, ctx):
+        import json
+        # a STRING value that looks like JSON stays a string: subscript
+        # raises TypeError exactly as CPython
+        ds = run_diff(ctx, ['{"a": {"x": 1}}', '{"a": "{\\"x\\": 1}"}'],
+                      lambda s: (json.loads(s)["a"] == "nope",),
+                      expect_compiled=True)
+        assert ds.exception_counts == {}
+
+    def test_string_compare_on_string_value(self, ctx):
+        import json
+        run_diff(ctx, ['{"s": "abc"}', '{"s": "xyz"}', '{"s": 3}'],
+                 lambda s: json.loads(s)["s"] == "abc",
+                 op="filter", expect_compiled=True)
+
+    def test_ordering_comparison_falls_back(self, ctx):
+        import json
+        run_diff(ctx, ['{"k": 3}'], lambda s: json.loads(s)["k"] > 1,
+                 expect_compiled=False)
+
+    def test_bare_value_falls_back(self, ctx):
+        import json
+        run_diff(ctx, ['{"k": 3}', '{"k": "x"}'],
+                 lambda s: json.loads(s)["k"], expect_compiled=False)

@@ -23,6 +23,7 @@ the "general case".
 from __future__ import annotations
 
 import ast
+import json as _json_mod
 import math as _math
 import re as _re_mod
 import string as _string_mod
@@ -336,6 +337,26 @@ class SMatch(Sym):
     def __init__(self, subject: Sym, pattern: str, translator):
         self.subject, self.pattern, self.tr = subject, pattern, translator
         self.nullable = True
+
+
+class SJson(Sym):
+    """A ``json.loads`` result (or a value reached from one by constant-
+    key subscripts / .get): the raw TEXT column plus a JSON path.  The
+    value's TYPE is data-dependent, so every consumer (int(), float(),
+    == literal, further subscript) dispatches per row on
+    ``schema_of_variant`` — exactness the reference cannot offer (it has
+    no json.loads support at all, SURVEY §2.6 JSON row).
+
+    ``exists``/``default`` carry .get() semantics: when ``exists`` is
+    false for a row, consumers use the COMPILE-TIME ``default`` value
+    (int(default), default == lit, ... computed in Python)."""
+    tag = "json"
+    nullable = True
+
+    def __init__(self, s_col: Column, path: str,
+                 exists: Column | None = None, default=None):
+        self.s_col, self.path = s_col, path
+        self.exists, self.default = exists, default
 
 
 def _pytag(v) -> str:
@@ -1824,7 +1845,8 @@ class Translator:
             return self._locals[node.id]
         if node.id in self.env:
             v = self.env[node.id]
-            if v in (_math, _re_mod, _string_mod, _random_mod):
+            if v in (_math, _re_mod, _string_mod, _random_mod,
+                     _json_mod):
                 return SModule(v)
             if isinstance(v, (int, float, str, bool, tuple, list, dict)) \
                     or v is None:
@@ -2068,6 +2090,8 @@ class Translator:
 
     def _subscript(self, base: Sym, idx: Sym) -> Sym:
         fields = self.schema.fields
+        if isinstance(base, SJson):
+            return self._json_subscript(base, idx)
         if isinstance(base, SRow):
             if not isinstance(idx, SConst):
                 raise CompileError("row subscript must be constant")
@@ -2467,6 +2491,18 @@ class Translator:
         return SCol(out, "bool")
 
     def _compare(self, op, l: Sym, r: Sym) -> Column:
+        if isinstance(l, SJson) or isinstance(r, SJson):
+            jv, other = (l, r) if isinstance(l, SJson) else (r, l)
+            if isinstance(other, SJson) or not isinstance(other, SConst):
+                raise CompileError("json value compared to non-constant")
+            if isinstance(op, (ast.Is, ast.IsNot)) \
+                    and other.value is not None:
+                raise CompileError("json `is` non-None")
+            if isinstance(op, (ast.Eq, ast.Is)):
+                return self._json_eq(jv, other)
+            if isinstance(op, (ast.NotEq, ast.IsNot)):
+                return ~self._json_eq(jv, other)
+            raise CompileError("json value ordering comparison")
         if isinstance(op, (ast.Is, ast.IsNot)):
             if isinstance(r, SConst) and r.value is None:
                 c = self.to_col(l).isNull()
@@ -2737,6 +2773,8 @@ class Translator:
         if len(args) > 1:
             return self._b_int_base(args)
         a = args[0]
+        if isinstance(a, SJson):
+            return self._json_to_num(a, "int")
         if isinstance(a, SConst):
             try:
                 return SConst(int(a.value))
@@ -2807,6 +2845,8 @@ class Translator:
 
     def _b_float(self, args):
         a = args[0]
+        if isinstance(a, SJson):
+            return self._json_to_num(a, "float")
         if isinstance(a, SConst):
             try:
                 return SConst(float(a.value))
@@ -3257,6 +3297,8 @@ class Translator:
                 F.regexp_replace(s, r"^\s+|\s+$", ""), r"\s+", " ")
             return SCol(F.initcap(F.lower(collapsed)), "str",
                         args[0].nullable)
+        if mod is _json_mod and name == "loads" and len(args) == 1:
+            return self._json_loads(args[0])
         if mod is _random_mod and name == "choice":
             a = args[0]
             if isinstance(a, SConst) and isinstance(a.value, str) \
@@ -3267,6 +3309,193 @@ class Translator:
                 idx = (F.rand() * len(a.value) + 1).cast("int")
                 return SCol(F.element_at(arr, idx), _pytag(a.value[0]))
         raise CompileError(f"module call {name}")
+
+    # -- json.loads ------------------------------------------------------
+
+    _JSON_KEY_RE = _re_mod.compile(r"^[A-Za-z0-9_ -]+$")
+
+    def _json_loads(self, arg: Sym) -> SJson:
+        """json.loads(s) -> SJson rooted at '$'.  Guards: TypeError for
+        None input, ValueError for unparseable text.  Documented
+        divergence: CPython's json accepts the non-RFC literals
+        NaN/Infinity/-Infinity, which Spark's parser rejects — such rows
+        become ValueError rows (loud, never a silently-wrong value)."""
+        if isinstance(arg, SConst):
+            if not isinstance(arg.value, str):
+                self.guard(F.lit(True), "TypeError")
+                return SConst(None)
+            arg = SCol(F.lit(arg.value), "str", False)
+        if arg.tag != "str":
+            raise CompileError(f"json.loads({arg.tag})")
+        s = self.to_col(arg)
+        if arg.nullable:
+            self.guard(s.isNull(), "TypeError")
+        self.guard(s.isNotNull() & F.try_parse_json(s).isNull(),
+                   "ValueError")
+        return SJson(s, "$")
+
+    def _jv_variant(self, jv: SJson) -> Column:
+        v = F.try_parse_json(jv.s_col)
+        if jv.path == "$":
+            return v
+        return F.try_variant_get(v, jv.path, "variant")
+
+    def _jv_typeof(self, jv: SJson) -> Column:
+        return F.schema_of_variant(self._jv_variant(jv))
+
+    def _jv_get(self, jv: SJson, t: str) -> Column:
+        return F.try_variant_get(F.try_parse_json(jv.s_col), jv.path, t)
+
+    @staticmethod
+    def _jv_kinds(tv: Column) -> dict[str, Column]:
+        # DECIMAL(p,0) with p<=18 is long-safe int; scale>0 decimals are
+        # Python floats ("1.20" parses as 1.2); DECIMAL(p>18,0) would
+        # silently overflow a long -> loud guard in the consumers
+        dec0_small = tv.rlike(r"^DECIMAL\((?:[1-9]|1[0-8]),0\)$")
+        return {
+            "int": tv.isin("BIGINT", "INT", "SMALLINT", "TINYINT")
+                   | dec0_small,
+            "float": tv.isin("DOUBLE", "FLOAT")
+                     | (tv.startswith("DECIMAL") & ~dec0_small
+                        & ~tv.rlike(r"^DECIMAL\(\d+,0\)$")),
+            "bigdec": tv.rlike(r"^DECIMAL\((?:19|[2-9]\d|\d{3,}),0\)$"),
+            "str": tv == "STRING",
+            "bool": tv == "BOOLEAN",
+            "void": tv == "VOID",
+            "container": tv.startswith("OBJECT") | tv.startswith("ARRAY"),
+        }
+
+    def _json_subscript(self, base: SJson, idx: Sym) -> SJson:
+        """d["k"]: TypeError when the value at ``base`` is not an object
+        (CPython: list/str/int subscripts with a str key all raise
+        TypeError), KeyError when the key is absent.  A JSON-string
+        value that LOOKS like an object stays a string (typeof
+        dispatch), exactly as CPython."""
+        if base.exists is not None:
+            raise CompileError("subscript on .get() result")
+        if not (isinstance(idx, SConst) and isinstance(idx.value, str)):
+            raise CompileError("json subscript must be a constant str")
+        if not self._JSON_KEY_RE.match(idx.value):
+            raise CompileError("json key charset")
+        tv = self._jv_typeof(base)
+        is_obj = tv.startswith("OBJECT")
+        self.guard(tv.isNotNull() & ~is_obj, "TypeError")
+        keys = F.json_object_keys(F.to_json(self._jv_variant(base)))
+        self.guard(F.coalesce(is_obj
+                              & ~F.array_contains(keys, idx.value),
+                              F.lit(False)), "KeyError")
+        return SJson(base.s_col, f"{base.path}.{idx.value}")
+
+    def _json_get(self, base: SJson, args: list[Sym]) -> SJson:
+        """d.get(k[, default]): AttributeError when the value is not an
+        object (CPython: .get on list/str/int), default on missing."""
+        if base.exists is not None:
+            raise CompileError(".get on .get() result")
+        if not (1 <= len(args) <= 2):
+            raise CompileError("dict.get arity")
+        k = args[0]
+        if not (isinstance(k, SConst) and isinstance(k.value, str)
+                and self._JSON_KEY_RE.match(k.value)):
+            raise CompileError("json .get key must be a constant str")
+        default = None
+        if len(args) == 2:
+            if not isinstance(args[1], SConst):
+                raise CompileError("json .get default must be constant")
+            default = args[1].value
+        tv = self._jv_typeof(base)
+        is_obj = tv.startswith("OBJECT")
+        self.guard(tv.isNotNull() & ~is_obj, "AttributeError")
+        keys = F.json_object_keys(F.to_json(self._jv_variant(base)))
+        exists = F.coalesce(F.array_contains(keys, k.value), F.lit(False))
+        return SJson(base.s_col, f"{base.path}.{k.value}",
+                     exists=exists, default=default)
+
+    def _json_to_num(self, jv: SJson, want: str) -> Sym:
+        """int(jv) / float(jv) with CPython semantics per VALUE type:
+        numbers cast (toward-zero for int-of-float), booleans are 0/1,
+        strings parse with CPython's grammar, null/containers raise
+        TypeError.  Ints beyond int64 (JSON DECIMAL(p>18,0)) would
+        silently overflow the engine's i64 model (the reference is
+        i64-bound too) -> guarded RuntimeError row, loud not wrong."""
+        tv = self._jv_typeof(jv)
+        k = self._jv_kinds(tv)
+        s_raw = self._jv_get(jv, "string")
+        t = F.trim(s_raw)
+        if want == "int":
+            str_ok = t.rlike(r"^[+-]?[0-9]+$")
+            val = (F.when(k["int"], self._jv_get(jv, "bigint"))
+                   .when(k["bool"],
+                         self._jv_get(jv, "boolean").cast("long"))
+                   .when(k["float"],
+                         self._jv_get(jv, "double").cast("long"))
+                   .when(k["str"] & str_ok, t.cast("long")))
+            out_tag = "int"
+        else:
+            # CPython float(str): optional sign, decimal/exponent forms,
+            # inf/infinity/nan (case-insensitive)
+            str_ok = t.rlike(
+                r"(?i)^[+-]?((\d+\.?\d*|\.\d+)(e[+-]?\d+)?"
+                r"|inf(inity)?|nan)$")
+            val = (F.when(k["int"] | k["float"],
+                          self._jv_get(jv, "double"))
+                   .when(k["bool"],
+                         self._jv_get(jv, "boolean").cast("double"))
+                   .when(k["str"] & str_ok, t.cast("double")))
+            out_tag = "float"
+        self.guard(F.coalesce(k["void"] | k["container"], F.lit(False)),
+                   "TypeError")
+        self.guard(F.coalesce(k["str"] & ~str_ok, F.lit(False)),
+                   "ValueError")
+        self.guard(F.coalesce(k["bigdec"], F.lit(False)), "RuntimeError")
+        if jv.exists is not None:
+            try:
+                dval = int(jv.default) if want == "int" \
+                    else float(jv.default)
+            except TypeError:
+                self.guard(~jv.exists, "TypeError")
+                return SCol(F.when(jv.exists, val), out_tag, True)
+            except ValueError:
+                self.guard(~jv.exists, "ValueError")
+                return SCol(F.when(jv.exists, val), out_tag, True)
+            val = F.when(jv.exists, val).otherwise(F.lit(dval))
+        return SCol(val, out_tag, True)
+
+    def _json_eq(self, jv: SJson, const: SConst) -> Column:
+        """jv == constant, CPython equality: type families must match
+        (3 == "3" is False), bools are ints (True == 1), JSON null only
+        equals None.  Never raises."""
+        tv = self._jv_typeof(jv)
+        k = self._jv_kinds(tv)
+        v = const.value
+        if v is None:
+            eq = k["void"]
+        elif isinstance(v, str):
+            eq = k["str"] & (self._jv_get(jv, "string") == F.lit(v))
+        elif isinstance(v, (bool, int, float)):
+            if isinstance(v, (bool, int)):
+                iv, fv, integral = int(v), float(int(v)), True
+            else:
+                integral = v == v and v not in (float("inf"),
+                                                float("-inf")) \
+                    and v == int(v)
+                iv, fv = (int(v) if integral else 0), v
+            int_eq = (self._jv_get(jv, "bigint") == F.lit(iv)) \
+                if integral else F.lit(False)
+            eq = ((k["int"] & int_eq)
+                  | (k["float"] & (self._jv_get(jv, "double")
+                                   == F.lit(fv)))
+                  | (k["bool"] & (self._jv_get(jv, "boolean")
+                                  .cast("double") == F.lit(fv))))
+        else:
+            raise CompileError("json == non-scalar constant")
+        eq = F.coalesce(eq, F.lit(False))
+        if jv.exists is not None:
+            try:
+                deq = bool(jv.default == v)
+            except Exception:
+                raise CompileError("json .get default equality")
+            eq = F.when(jv.exists, eq).otherwise(F.lit(deq))
+        return eq
 
     def _call_math(self, name, args):
         if all(isinstance(a, SConst) for a in args) and hasattr(_math, name):
@@ -3466,6 +3695,10 @@ class Translator:
     def _call_method(self, base: Sym, name: str, args: list[Sym]) -> Sym:
         if isinstance(base, SMatch):
             return self._match_method(base, name, args)
+        if isinstance(base, SJson):
+            if name == "get":
+                return self._json_get(base, args)
+            raise CompileError(f"json value method {name}")
         if isinstance(base, SCol) and base.tag in ("timestamp", "date"):
             if name == "weekday" and not args:
                 # CPython Monday=0; Spark dayofweek Sunday=1
