@@ -2522,3 +2522,46 @@ class TestJsonLoads:
         import json
         run_diff(ctx, ['{"k": 3}', '{"k": "x"}'],
                  lambda s: json.loads(s)["k"], expect_compiled=False)
+
+    def test_len_per_type(self, ctx):
+        import json
+        run_diff(ctx, ['{"k": "abc"}', '{"k": [1,2,3,4]}',
+                       '{"k": {"a": 1, "b": 2}}'],
+                 lambda s: len(json.loads(s)["k"]),
+                 expect_compiled=True)
+
+    def test_len_of_number_raises(self, ctx):
+        import json
+        ds = run_diff(ctx, ['{"k": "ab"}', '{"k": 3}', '{"k": null}'],
+                      lambda s: len(json.loads(s)["k"]),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"TypeError": 2}
+
+    def test_truthiness_filter(self, ctx):
+        import json
+        run_diff(ctx, ['{"k": ""}', '{"k": "x"}', '{"k": 0}',
+                       '{"k": 2}', '{"k": null}', '{"k": []}',
+                       '{"k": [1]}', '{"k": {}}', '{"k": {"a":1}}',
+                       '{"k": false}', '{"k": true}', '{"k": 0.0}'],
+                 lambda s: bool(json.loads(s)["k"]),
+                 op="filter", expect_compiled=True)
+
+    def test_membership(self, ctx):
+        import json
+        # substring in strings, KEY test in objects, typed element
+        # equality in arrays ("1" must NOT match the number 1)
+        run_diff(ctx, ['{"k": "abcdef"}', '{"k": {"cd": 1}}',
+                       '{"k": ["x", "cd"]}', '{"k": [1, 2]}',
+                       '{"k": ["1"]}'],
+                 lambda s: "cd" in json.loads(s)["k"],
+                 expect_compiled=True)
+        run_diff(ctx, ['{"k": ["1"]}', '{"k": [1]}'],
+                 lambda s: "1" in json.loads(s)["k"],
+                 expect_compiled=True)
+
+    def test_membership_in_number_raises(self, ctx):
+        import json
+        ds = run_diff(ctx, ['{"k": "xcdy"}', '{"k": 5}'],
+                      lambda s: "cd" in json.loads(s)["k"],
+                      expect_compiled=True)
+        assert ds.exception_counts == {"TypeError": 1}

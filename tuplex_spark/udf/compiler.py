@@ -597,6 +597,8 @@ class Translator:
         raise CompileError(f"cannot materialize {type(s).__name__}")
 
     def truthy(self, s: Sym) -> Column:
+        if isinstance(s, SJson):
+            return self._json_truthy(s)
         if isinstance(s, SConst):
             return F.lit(bool(s.value))
         if isinstance(s, SMatch):
@@ -2491,7 +2493,8 @@ class Translator:
         return SCol(out, "bool")
 
     def _compare(self, op, l: Sym, r: Sym) -> Column:
-        if isinstance(l, SJson) or isinstance(r, SJson):
+        if (isinstance(l, SJson) or isinstance(r, SJson)) \
+                and not isinstance(op, (ast.In, ast.NotIn)):
             jv, other = (l, r) if isinstance(l, SJson) else (r, l)
             if isinstance(other, SJson) or not isinstance(other, SConst):
                 raise CompileError("json value compared to non-constant")
@@ -2541,6 +2544,8 @@ class Translator:
                 ast.Gt: lc > rc, ast.GtE: lc >= rc}[type(op)]
 
     def _membership(self, item: Sym, container: Sym) -> Column:
+        if isinstance(container, SJson):
+            return self._json_membership(item, container)
         if isinstance(container, SConst) and isinstance(container.value,
                                                        (list, tuple, set)):
             return self.to_col(item).isin(*container.value)
@@ -2879,6 +2884,8 @@ class Translator:
 
     def _b_len(self, args):
         a = args[0]
+        if isinstance(a, SJson):
+            return self._json_len(a)
         if isinstance(a, SConst):
             return SConst(len(a.value))
         if isinstance(a, (STuple, SDict)):
@@ -3496,6 +3503,78 @@ class Translator:
                 raise CompileError("json .get default equality")
             eq = F.when(jv.exists, eq).otherwise(F.lit(deq))
         return eq
+
+    def _json_len(self, jv: SJson) -> Sym:
+        """len(jv): chars for strings, elements for arrays, keys for
+        objects; numbers/bools/null raise TypeError (CPython)."""
+        tv = self._jv_typeof(jv)
+        k = self._jv_kinds(tv)
+        val = (F.when(k["str"], F.length(self._jv_get(jv, "string")))
+               .when(tv.startswith("ARRAY"),
+                     F.size(self._jv_get(jv, "array<variant>")))
+               .when(tv.startswith("OBJECT"),
+                     F.size(F.json_object_keys(
+                         F.to_json(self._jv_variant(jv)))))).cast("long")
+        bad = k["int"] | k["float"] | k["bool"] | k["void"] | k["bigdec"]
+        self.guard(F.coalesce(bad, F.lit(False)), "TypeError")
+        if jv.exists is not None:
+            try:
+                dlen = len(jv.default)
+            except TypeError:
+                self.guard(~jv.exists, "TypeError")
+                return SCol(F.when(jv.exists, val), "int", True)
+            val = F.when(jv.exists, val).otherwise(F.lit(dlen))
+        return SCol(val, "int", True)
+
+    def _json_truthy(self, jv: SJson) -> Column:
+        """CPython truthiness per value type — never raises."""
+        tv = self._jv_typeof(jv)
+        k = self._jv_kinds(tv)
+        t = (F.when(k["void"], F.lit(False))
+             .when(k["bool"], self._jv_get(jv, "boolean"))
+             .when(k["int"], self._jv_get(jv, "bigint") != 0)
+             .when(k["float"], self._jv_get(jv, "double") != 0.0)
+             .when(k["bigdec"], F.lit(True))  # 0 is BIGINT, never DECIMAL
+             .when(k["str"],
+                   F.length(self._jv_get(jv, "string")) > 0)
+             .when(tv.startswith("ARRAY"),
+                   F.size(self._jv_get(jv, "array<variant>")) > 0)
+             .when(tv.startswith("OBJECT"),
+                   F.size(F.json_object_keys(
+                       F.to_json(self._jv_variant(jv)))) > 0))
+        t = F.coalesce(t, F.lit(False))
+        if jv.exists is not None:
+            t = F.when(jv.exists, t).otherwise(F.lit(bool(jv.default)))
+        return t
+
+    def _json_membership(self, item: Sym, jv: SJson) -> Column:
+        """``x in jv``: substring for strings, key test for objects,
+        per-element typed equality for arrays (a string item only
+        matches STRING elements — "1" is not in [1]); numbers/null
+        raise TypeError like CPython."""
+        if jv.exists is not None:
+            raise CompileError("membership in .get() result")
+        if not (item.tag == "str" or (isinstance(item, SConst)
+                                      and isinstance(item.value, str))):
+            raise CompileError("json membership item must be str")
+        item_c = self.to_col(item)
+        tv = self._jv_typeof(jv)
+        k = self._jv_kinds(tv)
+        arr = self._jv_get(jv, "array<variant>")
+        res = (F.when(k["str"],
+                      F.contains(self._jv_get(jv, "string"), item_c))
+               .when(tv.startswith("OBJECT"),
+                     F.array_contains(
+                         F.json_object_keys(
+                             F.to_json(self._jv_variant(jv))), item_c))
+               .when(tv.startswith("ARRAY"),
+                     F.exists(arr, lambda e:
+                              (F.schema_of_variant(e) == "STRING")
+                              & (F.try_variant_get(e, "$", "string")
+                                 == item_c))))
+        bad = k["int"] | k["float"] | k["bool"] | k["void"] | k["bigdec"]
+        self.guard(F.coalesce(bad, F.lit(False)), "TypeError")
+        return F.coalesce(res, F.lit(False))
 
     def _call_math(self, name, args):
         if all(isinstance(a, SConst) for a in args) and hasattr(_math, name):
