@@ -1088,6 +1088,10 @@ def q_sketch_distinct(spark, sf_dir):
     _prep(spark)
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
+    # three independent TakeOrdered jobs beat a fused union+window plan
+    # 5-7x here (measured sf1 1.9s vs 13.7s): orderBy+limit lowers to
+    # per-partition top-k with partial-aggregated distincts, while the
+    # fused window must co-locate every distinct hash per tag
     a = sketch.kmv_distinct(li, "l_partkey", k=256) \
         .select(F.lit("l_partkey").alias("col"), "estimate", "k_used",
                 "kth_hash")
