@@ -2104,15 +2104,95 @@ class TestCompiledTryExcept:
                 return y  # value depends on where the raise happened
         run_diff(ctx, self.STRS, f, expect_compiled=False)
 
-    def test_finally_falls_back(self, ctx):
+    def test_finally_compiles_when_guard_free(self, ctx):
+        # finally with pure assignments compiles (value-consistent:
+        # CPython evaluates return values BEFORE finally runs)
+        def f(s):
+            n = 0
+            try:
+                n = int(s)
+            except ValueError:
+                n = -1
+            finally:
+                n = n * 10
+            return n
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
+
+    def test_try_finally_without_except(self, ctx):
+        def f(s):
+            n = len(s)
+            try:
+                n = n + 1
+            finally:
+                n = n * 2
+            return n
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
+
+    def test_raising_finally_replaces_and_beats_return(self, ctx):
+        # an exception in finally REPLACES the in-flight one AND beats
+        # the body's return (CPython); the finally guard masks this
+        # try's earlier guards and fails the row
         def f(s):
             try:
-                return int(s)
-            except ValueError:
-                return -1
+                return len(s)
             finally:
-                pass
-        run_diff(ctx, self.STRS, f, expect_compiled=False)
+                _ = int(s)
+        ds = run_diff(ctx, self.STRS, f, expect_compiled=True)
+        assert ds.exception_counts == {"ValueError": 2}
+
+    def test_finally_exception_class_replacement(self, ctx):
+        # body raises ValueError, finally raises ZeroDivisionError for
+        # the same rows: the FINALLY class must win (replacement)
+        def f(s):
+            try:
+                n = int(s)
+            finally:
+                n2 = 10 // (len(s) - 3)
+            return n + n2
+        ds = ctx.parallelize(["abc", "12", "123x"]).map(f)
+        # "abc": int raises ValueError, len=3 -> finally ZeroDivision
+        #        REPLACES it; "123x": int raises, len=4 -> ValueError
+        assert ds.collect() == [f("12")]
+        assert ds.exception_counts == {"ZeroDivisionError": 1,
+                                       "ValueError": 1}
+
+    def test_else_runs_only_without_exception(self, ctx):
+        def f(s):
+            try:
+                n = int(s)
+            except ValueError:
+                n = -1
+            else:
+                n = n + 100
+            return n
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
+
+    def test_else_exception_not_caught_by_handlers(self, ctx):
+        # a raise in else must NOT dispatch to this try's handlers
+        def f(s):
+            try:
+                n = len(s)
+            except ValueError:
+                n = -1
+            else:
+                n = n + int(s)  # ValueError here stays a row failure
+            return n
+        ds = run_diff(ctx, self.STRS, f, expect_compiled=True)
+        assert ds.exception_counts.get("ValueError", 0) >= 1
+
+    def test_else_and_finally_combined(self, ctx):
+        def f(s):
+            flag = 0
+            try:
+                n = int(s)
+            except ValueError:
+                n = -5
+            else:
+                flag = 1
+            finally:
+                flag = flag + 10
+            return (n, flag)
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
 
     def test_as_name_falls_back(self, ctx):
         def f(s):

@@ -949,13 +949,22 @@ class Translator:
         are classified in emission order and each condition is masked by
         the disjunction of earlier raising conditions, so the handler
         (or failure) of the FIRST raising subexpression wins per row.
-        Unsupported pieces (finally/else, `as name` bindings, handlers
-        reading names the body assigns — whose value would depend on
-        where the raise happened) fall back.
+
+        ``else`` runs under the no-body-raise condition and its guards
+        are NOT caught by this try's handlers (CPython); ``finally``
+        executes unconditionally at the end — value-consistent because
+        CPython evaluates return values BEFORE finally runs.  Still
+        falling back: `as name` bindings, handlers reading names the
+        body assigns (their value would depend on where the raise
+        happened), raising/returning/breaking finally bodies (an
+        exception in finally REPLACES the in-flight one, which the
+        append-only guard model cannot express).
 
         Returns (all_paths_terminated, narrowed_path)."""
-        if st.finalbody or st.orelse:
-            raise CompileError("try finally/else")
+        for s in st.finalbody:
+            if _contains_break_continue(s) or any(
+                    isinstance(n, ast.Return) for n in ast.walk(s)):
+                raise CompileError("control flow in finally")
         handler_codes: list[set[int] | None] = []
         for h in st.handlers:
             if h.name:
@@ -1007,10 +1016,20 @@ class Translator:
             for conds in per_handler:
                 for c in conds:
                     handled = c if handled is None else (handled | c)
+            # ---- else: only when the body completed without raising --
+            else_term = False
+            if st.orelse and not body_term:
+                e_path = path if handled is None else \
+                    (~handled if path is None else (path & ~handled))
+                self._locals = body_env
+                else_term = self.exec_block(st.orelse, e_path)
+                body_env = self._locals
+            norm_term = body_term or else_term
             if handled is None:
                 # no handler-matching guard: the try wrapper is inert
                 self._locals = body_env
-                return body_term, path
+                self._run_finally(st, path, n_guards)
+                return norm_term, path
             # body returns stand only where no handled raise fired
             for i in range(start_returns, len(self._returns)):
                 c, v = self._returns[i]
@@ -1019,7 +1038,7 @@ class Translator:
                 self._returns[i] = (nc, v)
             # run each handler under its raise condition, merging locals
             env = body_env
-            all_term = body_term
+            all_term = norm_term
             for h, conds in zip(st.handlers, per_handler):
                 if not conds:
                     continue
@@ -1033,6 +1052,7 @@ class Translator:
                 all_term = all_term and h_term
                 env = self._merge_envs(hcond, h_env, env, saved)
             self._locals = env
+            self._run_finally(st, path, n_guards)
             if all_term:
                 return True, path
             # narrow for returns captured inside this construct
@@ -1044,6 +1064,31 @@ class Translator:
             return False, path
         finally:
             self._branch_depth -= 1
+
+    def _run_finally(self, st: ast.Try, path: Column | None,
+                     n_guards: int) -> None:
+        """Execute a finally block unconditionally (side effects merge
+        into the current env).  CPython REPLACES an in-flight exception
+        with one raised in finally: guards the finally block emits MASK
+        every guard this try construct emitted (body kept + handlers +
+        else, i.e. list indices >= ``n_guards``) so the finally class
+        wins for doubly-raising rows.  Guards from BEFORE the try stay
+        first-fail — those rows never entered the try."""
+        if not st.finalbody:
+            return
+        m = len(self.guards)
+        r0 = len(self._returns)
+        if self.exec_block(st.finalbody, path) \
+                or len(self._returns) != r0:
+            raise CompileError("return inside finally")
+        new = self.guards[m:]
+        if new:
+            f_any = None
+            for c, _ in new:
+                f_any = c if f_any is None else (f_any | c)
+            for i in range(n_guards, m):
+                c, code = self.guards[i]
+                self.guards[i] = (c & ~f_any, code)
 
     def _exec_while(self, st: ast.While, path: Column | None):
         """Compile ``while`` by ITERATIVE unrolling: execute the body as
