@@ -2101,8 +2101,37 @@ class TestCompiledTryExcept:
                 y = len(s) * 2
                 return int(s) + y
             except ValueError:
-                return y  # value depends on where the raise happened
-        run_diff(ctx, self.STRS, f, expect_compiled=False)
+                return y  # raise-point snapshot: y as of the int() raise
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
+
+    def test_handler_sees_raise_point_values(self, ctx):
+        # two raise sites with DIFFERENT values of y: the handler must
+        # see the value as of whichever raise fired per row
+        def f(s):
+            y = 0
+            try:
+                y = 1
+                a = 10 // len(s)      # raises for ""
+                y = 2
+                b = int(s)            # raises for "abc"
+                return a + b + y
+            except (ValueError, ZeroDivisionError):
+                return y
+        ds = run_diff(ctx, ["4", "abc", ""], f, expect_compiled=True)
+        assert ds.collect() == [f("4"), f("abc"), f("")] == [16, 2, 1]
+
+    def test_handler_prefix_value_before_any_assignment(self, ctx):
+        # raise BEFORE the body assigns the name: handler sees the
+        # pre-try value
+        def f(s):
+            y = 99
+            try:
+                n = int(s)
+                y = n * 2
+                return y
+            except ValueError:
+                return y
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
 
     def test_finally_compiles_when_guard_free(self, ctx):
         # finally with pure assignments compiles (value-consistent:

@@ -480,6 +480,10 @@ class Translator:
         # projection exists — tracked by _hof_depth.
         self.staged: list[tuple[str, Column]] = []
         self._hof_depth = 0
+        # (snap_dict, names): active while a try body whose handlers
+        # read body-assigned names executes — guard() then records the
+        # named locals AS OF each raise point (CPython handler scope)
+        self._snap_to: tuple[dict, set] | None = None
 
     # -- public entry ----------------------------------------------------
     def compile(self, fn) -> CompiledUDF:
@@ -575,6 +579,10 @@ class Translator:
         if self._path is not None:
             cond = self._path & cond
         self.guards.append((cond, code_for(exc)))
+        if self._snap_to is not None:
+            snaps, names = self._snap_to
+            snaps[len(self.guards) - 1] = {
+                n: self._locals[n] for n in names if n in self._locals}
 
     # -- conversions -----------------------------------------------------
     def to_col(self, s: Sym) -> Column:
@@ -983,38 +991,52 @@ class Translator:
         body_assigned = {n.id for bs in st.body for n in ast.walk(bs)
                          if isinstance(n, ast.Name)
                          and isinstance(n.ctx, ast.Store)}
+        handler_reads: set[str] = set()
         for h in st.handlers:
-            reads = {n.id for hs in h.body for n in ast.walk(hs)
-                     if isinstance(n, ast.Name)
-                     and isinstance(n.ctx, ast.Load)}
-            if reads & body_assigned:
-                raise CompileError("handler reads body-assigned name")
+            handler_reads |= {n.id for hs in h.body for n in ast.walk(hs)
+                              if isinstance(n, ast.Name)
+                              and isinstance(n.ctx, ast.Load)}
+        rw = handler_reads & body_assigned
+        if rw and any(isinstance(n, ast.Try)
+                      for bs in st.body for n in ast.walk(bs)):
+            # a nested try re-bases guard list positions, which would
+            # invalidate the index-keyed raise-point snapshots
+            raise CompileError("handler reads body name across nested try")
 
         saved = dict(self._locals)
         n_guards = len(self.guards)
         start_returns = len(self._returns)
         self._branch_depth += 1  # blocks dict mutation aliasing inside
+        snaps: dict[int, dict] = {}
+        old_snap = self._snap_to
+        if rw:
+            # handlers see body-assigned names AS OF the raise point
+            # (CPython handler scope): guard() records them per guard
+            self._snap_to = (snaps, rw)
         try:
             body_term = self.exec_block(st.body, path)
+            self._snap_to = old_snap
             body_env = self._locals
             new_guards = self.guards[n_guards:]
             del self.guards[n_guards:]
             kept: list[tuple[Column, int]] = []
-            per_handler: list[list[Column]] = [[] for _ in st.handlers]
+            per_handler: list[list[tuple[Column, int]]] = \
+                [[] for _ in st.handlers]
             prior: Column | None = None
-            for cond, code in new_guards:
+            for gi, (cond, code) in enumerate(new_guards,
+                                              start=n_guards):
                 hi = next((i for i, hc in enumerate(handler_codes)
                            if hc is None or code in hc), None)
                 eff = cond if prior is None else (cond & ~prior)
                 if hi is None:
                     kept.append((eff, code))
                 else:
-                    per_handler[hi].append(eff)
+                    per_handler[hi].append((eff, gi))
                 prior = cond if prior is None else (prior | cond)
             self.guards.extend(kept)
             handled = None
             for conds in per_handler:
-                for c in conds:
+                for c, _ in conds:
                     handled = c if handled is None else (handled | c)
             # ---- else: only when the body completed without raising --
             else_term = False
@@ -1042,11 +1064,27 @@ class Translator:
             for h, conds in zip(st.handlers, per_handler):
                 if not conds:
                     continue
-                hcond = conds[0]
-                for c in conds[1:]:
+                hcond = conds[0][0]
+                for c, _ in conds[1:]:
                     hcond = hcond | c
                 hpath = hcond if path is None else (path & hcond)
                 self._locals = dict(saved)
+                # bind body-assigned names the handler reads to their
+                # raise-point values: the eff conditions are DISJOINT
+                # (each is masked by ~prior), so a when-chain over the
+                # handler's guards picks the right snapshot per row
+                for name in rw:
+                    arms = []
+                    for eff, gi in conds:
+                        s = snaps.get(gi, {}).get(name, saved.get(name))
+                        if s is None:
+                            raise CompileError(
+                                "handler reads possibly-unbound name")
+                        arms.append((eff, s))
+                    merged = arms[-1][1]
+                    for eff, s in reversed(arms[:-1]):
+                        merged = self._merge_vals(eff, s, merged)
+                    self._locals[name] = merged
                 h_term = self.exec_block(h.body, hpath)
                 h_env = self._locals
                 all_term = all_term and h_term
@@ -1064,6 +1102,7 @@ class Translator:
             return False, path
         finally:
             self._branch_depth -= 1
+            self._snap_to = old_snap
 
     def _run_finally(self, st: ast.Try, path: Column | None,
                      n_guards: int) -> None:
