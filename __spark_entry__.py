@@ -1130,6 +1130,24 @@ def q_ds_json_udf(spark, sf_dir):
                             F.round("kf", 6).alias("kf"))
 
 
+def q_text_redact(spark, sf_dir):
+    """PII scrub (emails/phones/IPs/SSNs -> [KIND] tags): a pure
+    regexp_replace chain, whole-stage codegen, zero shuffle — patterns
+    shared verbatim with the DuckDB twin (no lookaround, so Java and
+    RE2 match identically)."""
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.redact_pii(_t(spark, sf_dir, "documents"))
+
+
+def q_text_vocab(spark, sf_dir):
+    """Corpus vocabulary with frequencies: explode + partial-aggregated
+    groupBy; min_count prunes the hapax tail in the aggregation."""
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.vocabulary(_t(spark, sf_dir, "documents"), min_count=3)
+
+
 def q_events_asof(spark, sf_dir):
     """As-of join (Spark has no built-in): each purchase picks up the
     user's most recent click at-or-before it.  One union + ordered
@@ -1270,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4": q_tpch_q4,
         "sketch_topk": q_sketch_topk,
         "ds_json_udf": q_ds_json_udf,
+        "text_redact": q_text_redact,
+        "text_vocab": q_text_vocab,
         "tpch_q21": q_tpch_q21,  # shape twin: events_sessions/q2 window
         "tpch_q18": q_tpch_q18,  # shape twin: big-agg filter + join ~ q3/q13
         "tpch_q7": q_tpch_q7,
@@ -1757,6 +1777,8 @@ FROM events GROUP BY event_type""",
             + ")"),
         "sketch_topk": sketch_mod.exact_heavy_hitters_sql(
             "lineitem", "l_quantity", 10),
+        "text_redact": text.redact_pii_sql(),
+        "text_vocab": text.vocabulary_sql(min_count=3),
         "ds_json_udf": """
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS BIGINT) * 2 AS k2,

@@ -301,3 +301,27 @@ class TestSampling:
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan
         assert "MapInPandas" not in plan
+
+
+class TestRedactVocab:
+    def test_redact_matches_oracle(self, spark, con):
+        from tuplex_spark.functions import text
+        df = text.redact_pii(spark.read.parquet(DOC))
+        assert_matches(df, con, text.redact_pii_sql())
+
+    def test_redact_scrubs_known_pii(self, spark):
+        from tuplex_spark.functions import text
+        df = spark.createDataFrame(
+            [(1, "bob@x.io called 415-555-0199 from 10.0.0.1, "
+                 "ssn 123-45-6789")],
+            "doc_id long, text string")
+        r = text.redact_pii(df).collect()[0]
+        assert "[EMAIL]" in r["text"] and "[PHONE]" in r["text"]
+        assert "[IPV4]" in r["text"] and "[SSN]" in r["text"]
+        assert "bob@x.io" not in r["text"]
+        assert r["n_redactions"] == 4
+
+    def test_vocabulary_matches_oracle(self, spark, con):
+        from tuplex_spark.functions import text
+        df = text.vocabulary(spark.read.parquet(DOC), min_count=3)
+        assert_matches(df, con, text.vocabulary_sql(min_count=3))

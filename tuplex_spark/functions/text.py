@@ -122,6 +122,73 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text",
 
 # ---- SQL twins (DuckDB oracle) -------------------------------------------
 
+# PII patterns shared verbatim by Spark (Java regex) and DuckDB (RE2):
+# no lookaround/backrefs, so both engines match identically.  ORDER is
+# load-bearing: the greedy phone pattern would swallow SSNs and dotted
+# IPs, so the more specific shapes run first.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\[\]. -]{7,}[0-9]"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Scrub emails/phones/IPs/SSNs to ``[KIND]`` tags — the standard
+    pretraining-corpus privacy pass, as a pure regexp_replace chain
+    (whole-stage codegen, zero shuffle).  ``n_redactions`` counts the
+    replaced spans so downstream filters can drop PII-dense documents."""
+    out = F.col(text_col)
+    for kind, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
+    n = F.size(F.regexp_extract_all(
+        out, F.lit(r"\[(EMAIL|PHONE|IPV4|SSN)\]"), 0))
+    return df.select(F.col(id_col), out.alias("text"),
+                     n.cast("long").alias("n_redactions"))
+
+
+def redact_pii_sql(table="documents", text_col="text",
+                   id_col="doc_id") -> str:
+    expr = text_col
+    for kind, pat in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '[{kind.upper()}]', 'g')"
+    return f"""
+SELECT {id_col},
+       {expr} AS text,
+       len(regexp_extract_all({expr},
+           '\\[(EMAIL|PHONE|IPV4|SSN)\\]'))::BIGINT AS n_redactions
+FROM {table}"""
+
+
+def vocabulary(df: DataFrame, text_col: str = "text",
+               min_count: int = 2) -> DataFrame:
+    """Corpus vocabulary with document frequencies: one explode + one
+    partial-aggregated groupBy — the shuffle carries (token, partial
+    counts), never documents.  ``min_count`` prunes the hapax tail
+    BEFORE any downstream join against embedding tables."""
+    toks = tokens(text_col)
+    # stage the token array so the explode does not re-tokenize per row
+    staged = df.select(toks.alias("__toks"))
+    tok = staged.select(F.explode("__toks").alias("token"))
+    return (tok.filter(F.length("token") > 0)
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .filter(F.col("tf") >= min_count))
+
+
+def vocabulary_sql(table="documents", text_col="text",
+                   min_count=2) -> str:
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+SELECT token, count(*)::BIGINT AS tf
+FROM (SELECT unnest({toks}) AS token FROM {table})
+WHERE len(token) > 0
+GROUP BY token HAVING count(*) >= {min_count}"""
+
+
 TOKENS_SQL = "str_split_regex(trim(lower({c})), '\\s+')"
 
 
