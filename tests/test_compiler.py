@@ -2674,3 +2674,30 @@ class TestJsonLoads:
                       lambda s: "cd" in json.loads(s)["k"],
                       expect_compiled=True)
         assert ds.exception_counts == {"TypeError": 1}
+
+
+class TestCasefold:
+    """Full Unicode case folding from the static table (CPython's own
+    str.casefold enumerated at compile time) — lower() alone diverges
+    on ~1400 chars (sharp-s, ligatures, Greek finals, Deseret...)."""
+
+    def test_casefold_known_divergences(self, ctx):
+        run_diff(ctx, ["Straße", "ǅungla", "µ-sign", "ΐ", "İstanbul",
+                       "ﬁligature ﬆ", "ẞHOUT", "plain", "",
+                       "\U00010400deseret"],
+                 lambda s: s.casefold(), expect_compiled=True)
+
+    def test_casefold_equals_cpython_on_full_delta_table(self, ctx):
+        # every char whose casefold differs from itself, in 64-char
+        # chunks — the compiled output must equal CPython exactly
+        delta = [chr(i) for i in range(0x110000)
+                 if chr(i).casefold() != chr(i)]
+        chunks = ["".join(delta[i:i + 64])
+                  for i in range(0, len(delta), 64)]
+        run_diff(ctx, chunks, lambda s: s.casefold(),
+                 expect_compiled=True)
+
+    def test_casefold_comparison_idiom(self, ctx):
+        run_diff(ctx, ["STRASSE", "straße", "Strasse", "nope"],
+                 lambda s: s.casefold() == "strasse",
+                 op="filter", expect_compiled=True)

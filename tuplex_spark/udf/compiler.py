@@ -129,6 +129,32 @@ def _pattern_min_width(pat: str) -> int:
         return 0
 
 
+_CASEFOLD_TABLES = None
+
+
+def _casefold_tables():
+    """(multi_replacements, translate_from, translate_to): every char
+    whose casefold differs from itself, split into expanding (len>1)
+    replaces and 1:1 translate pairs.  Enumerated once from CPython's
+    own str.casefold, so the compiled output is definitionally in sync
+    with the interpreter the fallback would use."""
+    global _CASEFOLD_TABLES
+    if _CASEFOLD_TABLES is None:
+        multi, f, t = [], [], []
+        for i in range(0x110000):
+            ch = chr(i)
+            cf = ch.casefold()
+            if cf == ch:
+                continue
+            if len(cf) == 1:
+                f.append(ch)
+                t.append(cf)
+            else:
+                multi.append((ch, cf))
+        _CASEFOLD_TABLES = (multi, "".join(f), "".join(t))
+    return _CASEFOLD_TABLES
+
+
 def _loop_assigned_names(stmts) -> list[str]:
     """Names assigned anywhere in a fold-loop body (order-preserving).
     Statements other than Assign/AugAssign/If/Expr/Pass make the body
@@ -4283,10 +4309,21 @@ class Translator:
                     F.when(pv.rlike(cased), F.lower(ch))
                      .otherwise(F.upper(ch))).otherwise(ch))
             return SCol(F.concat_ws("", titled), "str", nullable)
-        # casefold() NOT compiled on purpose: full Unicode case folding
-        # (ß -> ss, ligature expansion) != lower(); caught by fuzzing.
-        # The reference compiles neither title nor casefold
-        # (SymbolTable.cc:366-419) — title here is parity-plus.
+        if name == "casefold" and not args:
+            # full Unicode case folding from the STATIC table (Python's
+            # own str.casefold enumerated at compile time, cached as
+            # module state): ~100 expanding chars (ss for sharp-s,
+            # ligatures) as literal replaces, then one translate for
+            # the ~1300 1:1 folds.  Folded chars are fixpoints, so the
+            # translate never touches a replace's output.  lower()
+            # alone diverged on exactly these chars — found by fuzzing;
+            # the reference compiles no casefold at all
+            # (SymbolTable.cc:366-419).
+            multi, tr_from, tr_to = _casefold_tables()
+            out = c
+            for s_ch, repl in multi:
+                out = F.replace(out, F.lit(s_ch), F.lit(repl))
+            return SCol(F.translate(out, tr_from, tr_to), "str", nullable)
         if name == "swapcase":
             # per-char Unicode flip (an ASCII translate() left 'é'
             # unchanged); lowercase -> upper, upper/titlecase -> lower,
