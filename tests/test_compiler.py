@@ -2223,13 +2223,21 @@ class TestCompiledTryExcept:
             return (n, flag)
         run_diff(ctx, self.STRS, f, expect_compiled=True)
 
-    def test_as_name_falls_back(self, ctx):
+    def test_as_name_read_falls_back(self, ctx):
         def f(s):
             try:
                 return int(s)
             except ValueError as e:
-                return len(str(e))
+                return len(str(e))  # exact messages need CPython repr
         run_diff(ctx, self.STRS, f, expect_compiled=False)
+
+    def test_as_name_unread_compiles(self, ctx):
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:  # bound but never read
+                return -1
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
 
 
 class TestWhileCounterRewrite:

@@ -1002,7 +1002,16 @@ class Translator:
         handler_codes: list[set[int] | None] = []
         for h in st.handlers:
             if h.name:
-                raise CompileError("except ... as name")
+                # binding the exception instance is fine as long as the
+                # handler never READS it (exact messages would need
+                # CPython repr of the operands); CPython unbinds the
+                # name after the handler anyway
+                reads_exc = any(
+                    isinstance(n, ast.Name) and n.id == h.name
+                    and isinstance(n.ctx, ast.Load)
+                    for hs in h.body for n in ast.walk(hs))
+                if reads_exc:
+                    raise CompileError("handler reads `as` binding")
             if h.type is None:
                 handler_codes.append(None)  # bare except: catches all
             else:
