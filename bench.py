@@ -168,6 +168,12 @@ def main():
                                ".bench_data", "sf1")
         try:
             ensure_sf1(spark, sf_dir, sf1_dir)
+            # ~900 stages of sf0.1 benching leave the JVM heap churned;
+            # without a GC nudge the first sf1 heavies absorb a
+            # collection mid-measurement (observed: minhash 1.7-7.9s
+            # in-bench vs 1.3-2.2s standalone)
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
             t1, s1 = {}, {}
             for name in SF1_HEADLINE:
                 try:
