@@ -277,12 +277,14 @@ def q_tpch_q15(spark, sf_dir):
            .agg(F.round(F.sum(F.col("l_extendedprice")
                               * (1 - F.col("l_discount"))), 2)
                 .alias("total_revenue")))
-    # global max via an unpartitioned window over the ALREADY-AGGREGATED
-    # per-supplier relation (one small row per supplier) — the agg + join
-    # back shape executed the whole lineitem aggregate twice
-    from pyspark.sql import Window
-    rev = rev.withColumn("m", F.max("total_revenue").over(
-        Window.partitionBy()))
+    # global max: 1-row aggregate broadcast-joined back on a constant
+    # key (BroadcastHashJoin).  An unpartitioned window sorts every
+    # supplier on ONE task — fine today, a cliff at 100x; with the
+    # join-back shape the per-supplier aggregate's exchange is reused
+    # across both branches (ReusedExchange), so lineitem scans once.
+    mx = (rev.agg(F.max("total_revenue").alias("m"))
+          .withColumn("__k", F.lit(1)))
+    rev = rev.withColumn("__k", F.lit(1)).join(F.broadcast(mx), "__k")
     return (rev.filter(F.col("total_revenue") == F.col("m"))
             .join(F.broadcast(su), rev.l_suppkey == su.s_suppkey)
             .select(F.col("s_suppkey"), F.col("s_name"),
@@ -415,12 +417,15 @@ def q_tpch_q11(spark, sf_dir):
            .groupBy("l_partkey")
            .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
                 .alias("v")))
-    # group-over-total via an unpartitioned window on the per-part
-    # aggregate (small) instead of agg + join back, which executed the
-    # lineitem join+aggregate twice
-    from pyspark.sql import Window
-    val = val.withColumn("thresh",
-                         (F.sum("v").over(Window.partitionBy()) * 0.001))
+    # group-over-total: 1-row global aggregate broadcast-joined back on
+    # a constant key.  An unpartitioned window would sort the whole
+    # per-part relation on ONE task (grows with part count — ~20M rows
+    # at SF100); here the total is a 1-row BroadcastHashJoin and the
+    # per-part aggregate's shuffle exchange is shared by both branches
+    # (ReusedExchange), so lineitem is still scanned/joined once.
+    total = (val.agg((F.sum("v") * 0.001).alias("thresh"))
+             .withColumn("__k", F.lit(1)))
+    val = val.withColumn("__k", F.lit(1)).join(F.broadcast(total), "__k")
     return (val.filter(F.col("v") > F.col("thresh"))
             .select(F.col("l_partkey").alias("p_key"),
                     F.round("v", 2).alias("value")))

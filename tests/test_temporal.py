@@ -117,6 +117,23 @@ class TestRangeJoin:
             bin_width=10.0, how="left").collect()}
         assert rows == {1: 10, 2: None}
 
+    def test_left_outer_null_payload_not_duplicated(self, spark):
+        # ADVICE r4 (high): the old inner-join + left_anti shape used
+        # null-unsafe equality on every left column, so a MATCHED left
+        # row carrying a NULL payload also failed to match itself in
+        # the anti-join and was re-emitted null-padded.  The single
+        # left-outer join (residual folded into the condition) can't.
+        from tuplex_spark.operators.temporal import range_join
+        pts = spark.createDataFrame(
+            [(1, 5.0, "K", None), (2, 99.0, "K", "x"), (3, 7.0, "K", None)],
+            "pid long, t double, k string, payload string")
+        iv = spark.createDataFrame(
+            [(10, 0.0, 10.0, "K")], "iid long, lo double, hi double, k string")
+        rows = sorted((r["pid"], r["iid"]) for r in range_join(
+            pts, iv, point="t", start="lo", end="hi", by="k",
+            bin_width=10.0, how="left").collect())
+        assert rows == [(1, 10), (2, None), (3, 10)]
+
     def test_plan_has_no_nested_loop(self, spark):
         from tuplex_spark.operators.temporal import range_join
         pts = spark.createDataFrame(

@@ -129,11 +129,14 @@ def _epoch_seconds(df: DataFrame, col: str) -> Column:
     """Column as double seconds: timestamps (incl. TIMESTAMP_NTZ, which
     can't cast to double) via unix_micros under the session-UTC zone,
     numerics as-is."""
+    return _epoch_seconds_expr(df.schema[col].dataType, F.col(col))
+
+
+def _epoch_seconds_expr(dt, col: Column) -> Column:
     from pyspark.sql import types as T
-    dt = df.schema[col].dataType
     if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
-        return F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1e6)
-    return F.col(col).cast("double")
+        return F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
+    return col.cast("double")
 
 
 def range_join(left: DataFrame, right: DataFrame,
@@ -154,7 +157,13 @@ def range_join(left: DataFrame, right: DataFrame,
     in exactly one shared bucket, so no dedup step is needed.  Choose
     ``bin_width`` near the typical interval length: much smaller
     multiplies the explode factor, much larger inflates candidate
-    pairs per bucket."""
+    pairs per bucket.
+
+    ``how="left"`` folds the residual BETWEEN into the join condition
+    and runs ONE left-outer sort-merge join (equi keys __bin + by,
+    BETWEEN as the residual) — no anti-join pass, so NULL-bearing left
+    rows can't be double-emitted and unmatched lefts cost nothing
+    extra."""
     if how not in ("inner", "left"):
         raise ValueError(f"range_join how={how!r}")
     by_cols = [by] if isinstance(by, str) else list(by or [])
@@ -165,7 +174,7 @@ def range_join(left: DataFrame, right: DataFrame,
     s = _epoch_seconds(right, start)
     e = _epoch_seconds(right, end)
     lbin = F.floor(p / F.lit(float(bin_width)))
-    l_k = left.select(*lcols, lbin.alias("__bin"))
+    l_k = left.select(*lcols, lbin.alias("__bin")).alias("__L")
     r_exp = right.select(
         *by_cols, *[F.col(c) for c in rcols],
         F.explode(F.sequence(F.floor(s / F.lit(float(bin_width))),
@@ -174,24 +183,26 @@ def range_join(left: DataFrame, right: DataFrame,
     renames = {c: (c + right_suffix if c in lcols else c) for c in rcols}
     r_exp = r_exp.select(
         *by_cols, "__bin",
-        *[F.col(c).alias(renames[c]) for c in rcols])
+        *[F.col(c).alias(renames[c]) for c in rcols]).alias("__R")
 
-    on = ["__bin"] + by_cols
-    joined = l_k.join(r_exp, on, how="inner")
-    jp = _epoch_seconds(joined, point)
-    cond = (jp >= _epoch_seconds(joined, renames.get(start, start))) & \
-           (jp <= _epoch_seconds(joined, renames.get(end, end)))
-    matched = joined.filter(cond).drop("__bin")
-    if how == "inner":
-        return matched
-    # left outer: anti-join the unmatched left rows back with nulls
-    unmatched = l_k.drop("__bin").join(
-        matched.select(*lcols), lcols, "left_anti")
-    for c in rcols:
-        unmatched = unmatched.withColumn(
-            renames[c], F.lit(None).cast(
-                right.schema[c].dataType))
-    return matched.unionByName(unmatched)
+    # equi keys (__bin, by) + residual BETWEEN, all in ONE join
+    # condition: Catalyst extracts the equi keys for a shuffled join and
+    # keeps the BETWEEN as the in-join residual, so `how` maps directly
+    # to inner / left-outer semantics with correctly-typed NULL padding.
+    jp = _epoch_seconds_expr(left.schema[point].dataType,
+                             F.col(f"__L.{point}"))
+    cond = F.col("__L.__bin") == F.col("__R.__bin")
+    for b in by_cols:
+        cond = cond & (F.col(f"__L.{b}") == F.col(f"__R.{b}"))
+    cond = cond & \
+        (jp >= _epoch_seconds_expr(right.schema[start].dataType,
+                                   F.col(f"__R.{renames[start]}"))) & \
+        (jp <= _epoch_seconds_expr(right.schema[end].dataType,
+                                   F.col(f"__R.{renames[end]}")))
+    joined = l_k.join(r_exp, cond, how=how)
+    return joined.select(
+        *[F.col(f"__L.{c}").alias(c) for c in lcols],
+        *[F.col(f"__R.{renames[c]}").alias(renames[c]) for c in rcols])
 
 
 # ---- SQL twins (DuckDB oracle) -------------------------------------------
