@@ -278,10 +278,16 @@ def q_tpch_q15(spark, sf_dir):
                               * (1 - F.col("l_discount"))), 2)
                 .alias("total_revenue")))
     # global max: 1-row aggregate broadcast-joined back on a constant
-    # key (BroadcastHashJoin).  An unpartitioned window sorts every
-    # supplier on ONE task — fine today, a cliff at 100x; with the
-    # join-back shape the per-supplier aggregate's exchange is reused
-    # across both branches (ReusedExchange), so lineitem scans once.
+    # key.  An unpartitioned window sorts every supplier on ONE task —
+    # fine today, a cliff at 100x.  The per-supplier aggregate is
+    # persisted because it feeds TWO consumers (the max and the
+    # join-back): Catalyst does NOT emit a ReusedExchange across the
+    # branches — without the persist the lineitem⋈...⋈aggregate subtree
+    # is planned and scanned twice (verified on the executed adaptive
+    # plan).  The cached relation is tiny (one row per supplier —
+    # ~1M rows at SF100), the upstream scan+join runs once
+    # (plan-asserted in tests/test_plans.py).
+    rev = rev.persist()
     mx = (rev.agg(F.max("total_revenue").alias("m"))
           .withColumn("__k", F.lit(1)))
     rev = rev.withColumn("__k", F.lit(1)).join(F.broadcast(mx), "__k")
@@ -420,9 +426,16 @@ def q_tpch_q11(spark, sf_dir):
     # group-over-total: 1-row global aggregate broadcast-joined back on
     # a constant key.  An unpartitioned window would sort the whole
     # per-part relation on ONE task (grows with part count — ~20M rows
-    # at SF100); here the total is a 1-row BroadcastHashJoin and the
-    # per-part aggregate's shuffle exchange is shared by both branches
-    # (ReusedExchange), so lineitem is still scanned/joined once.
+    # at SF100).  The per-part aggregate feeds TWO consumers (the total
+    # and the join-back) and Catalyst does NOT reuse the exchange across
+    # them — without a persist the lineitem⋈supplier⋈nation+aggregate
+    # subtree is planned and scanned twice (verified on the executed
+    # adaptive plan), 2× the dominant scan cost at 100 TB.  Persisting
+    # the small per-part aggregate makes single-execution actually true
+    # (plan-asserted in tests/test_plans.py).  Note: the constant-key
+    # join plans as a BroadcastNestedLoopJoin (the lit(1)==lit(1) key
+    # constant-folds away) — benign, the build side is exactly 1 row.
+    val = val.persist()
     total = (val.agg((F.sum("v") * 0.001).alias("thresh"))
              .withColumn("__k", F.lit(1)))
     val = val.withColumn("__k", F.lit(1)).join(F.broadcast(total), "__k")

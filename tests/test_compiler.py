@@ -2709,3 +2709,77 @@ class TestCasefold:
         run_diff(ctx, ["STRASSE", "straße", "Strasse", "nope"],
                  lambda s: s.casefold() == "strasse",
                  op="filter", expect_compiled=True)
+
+
+_G_NESTED = 100  # mutated by TestCompileCacheStaleness
+
+
+class TestCompileCacheStaleness:
+    """The compile cache must key on globals read ANYWHERE in the UDF —
+    including inside nested code objects (lambdas, comprehensions).
+    Regression: co_names was taken only from the outer code object, so
+    mutating a global read solely inside a sorted(key=lambda ...) body
+    returned a stale cached plan with the old value baked in."""
+
+    def test_cache_key_changes_on_nested_lambda_global(self):
+        import tuplex_spark.udf.compiler as C
+        from pyspark.sql import types as T
+        schema = T.StructType([T.StructField("x", T.LongType())])
+        fn = lambda x: sorted([x, 3, 1], key=lambda y: _G_NESTED - y)[0]
+        k1 = C._compile_cache_key(fn, schema, True, None)
+        globals()["_G_NESTED"] = 101
+        try:
+            k2 = C._compile_cache_key(fn, schema, True, None)
+        finally:
+            globals()["_G_NESTED"] = 100
+        assert k1 is not None and k2 is not None
+        assert k1 != k2, "cache key ignored a nested-lambda global"
+
+    def test_mutated_global_in_nested_lambda_recompiles(self, ctx):
+        # abs(G - y) genuinely reorders when G moves (a monotonic
+        # G - y would not — order independent of G)
+        data = [1, 2, 9]
+        fn = lambda x: sorted([x, 5], key=lambda y: abs(_G_NESTED - y))[0]
+        got1 = ctx.parallelize(data).map(fn).collect()
+        globals()["_G_NESTED"] = 0  # flips which element sorts first
+        try:
+            got2 = ctx.parallelize(data).map(fn).collect()
+            want1 = [sorted([x, 5], key=lambda y: abs(100 - y))[0]
+                     for x in data]
+            want2 = [sorted([x, 5], key=lambda y: abs(0 - y))[0]
+                     for x in data]
+        finally:
+            globals()["_G_NESTED"] = 100
+        assert got1 == want1
+        assert want1 != want2, "test is vacuous"
+        assert got2 == want2, \
+            "stale compile cache: old global value baked into plan"
+
+    def test_mutated_global_in_outer_body_still_keyed(self, ctx):
+        # control: the previously-working case keeps working
+        fn = lambda x: x + _G_NESTED
+        got1 = ctx.parallelize([1, 2]).map(fn).collect()
+        globals()["_G_NESTED"] = 7
+        try:
+            got2 = ctx.parallelize([1, 2]).map(fn).collect()
+        finally:
+            globals()["_G_NESTED"] = 100
+        assert got1 == [101, 102] and got2 == [8, 9]
+
+    def test_global_read_by_referenced_helper(self, ctx):
+        # a global FUNCTION the UDF calls reads another global inside a
+        # nested lambda of its own — the frozen-callable branch must
+        # key on those values too
+        def helper(x):
+            return max([x, 4], key=lambda y: abs(_G_NESTED - y))
+        globals()["_G_HELPER"] = helper
+        try:
+            fn = lambda x: _G_HELPER(x)
+            got1 = ctx.parallelize([1, 9]).map(fn).collect()
+            globals()["_G_NESTED"] = 0
+            got2 = ctx.parallelize([1, 9]).map(fn).collect()
+        finally:
+            globals()["_G_NESTED"] = 100
+            globals().pop("_G_HELPER", None)
+        assert got1 == [1, 4]   # closest-to-100 wins the max
+        assert got2 == [4, 9]   # farthest-from-0 wins the max

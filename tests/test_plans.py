@@ -308,3 +308,84 @@ class TestAllTpchPlansNative:
                 ._jdf.queryExecution().executedPlan().toString()
             assert "Exchange" not in plan, name
             assert "Python" not in plan, name
+
+
+def _scans_outside_cache(plan: str, table: str) -> int:
+    """Count FileScan mentions of ``table`` NOT under an InMemoryRelation
+    ancestor.  Spark prints executed adaptive plans with Final+Initial
+    sections (every subtree appears twice), so raw substring counts
+    over-count; walking the indentation tree is exact for the question
+    that matters: is any scan of ``table`` planned OUTSIDE the cache?"""
+    lines = plan.splitlines()
+
+    def indent(ln):
+        m = ln.find("+-")
+        if m >= 0:
+            return m
+        return len(ln) - len(ln.lstrip(" :"))
+
+    n = 0
+    for i, ln in enumerate(lines):
+        if "FileScan" not in ln or table not in ln:
+            continue
+        min_d, covered = indent(ln), False
+        for j in range(i - 1, -1, -1):
+            dj = indent(lines[j])
+            if dj < min_d:
+                if "InMemoryRelation" in lines[j]:
+                    covered = True
+                    break
+                min_d = dj
+                if dj == 0:
+                    break
+        if not covered:
+            n += 1
+    return n
+
+
+class TestGroupOverTotalSingleExecution:
+    """q11/q15 group-over-total: the per-key aggregate feeds TWO
+    consumers (global max/total + join-back).  Catalyst does NOT emit a
+    ReusedExchange across the branches, so without the persist the whole
+    lineitem⋈...⋈aggregate subtree executes twice — 2× the dominant
+    scan+join cost at 100 TB.  These assert the executed adaptive plan:
+    every lineitem scan sits under the cached relation, the cache is
+    read by both branches, and no unpartitioned Window reappears."""
+
+    def _executed(self, spark, q):
+        df = q(spark, SF_DIR)
+        df.collect()  # AQE plans are final only after an action
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_q15_lineitem_behind_cache_no_window(self, spark):
+        import __spark_entry__ as em
+        plan = self._executed(spark, em.q_tpch_q15)
+        assert _scans_outside_cache(plan, "lineitem") == 0, plan
+        assert "InMemoryTableScan" in plan
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_q11_lineitem_behind_cache_no_window(self, spark):
+        import __spark_entry__ as em
+        plan = self._executed(spark, em.q_tpch_q11)
+        assert _scans_outside_cache(plan, "lineitem") == 0, plan
+        assert "InMemoryTableScan" in plan
+        assert "Window" not in plan
+        # the lit(1)==lit(1) key constant-folds away -> BNLJ, benign
+        # ONLY because the build side is a global aggregate (exactly 1
+        # row).  Guarded table-wide in test_every_tpch_plan below.
+
+    def test_every_tpch_plan_bnlj_discipline(self, spark):
+        """No TPC-H plan may contain a BroadcastNestedLoopJoin except
+        the group-over-total / scalar-subquery queries whose build side
+        is a 1-row global aggregate (q11/q15 constant-key join-back,
+        q22's c_acctbal > avg inequality join)."""
+        import __spark_entry__ as em
+        allowed = {"tpch_q11", "tpch_q15", "tpch_q22"}
+        for name, q in em.queries().items():
+            if not name.startswith("tpch_"):
+                continue
+            plan = q(spark, SF_DIR) \
+                ._jdf.queryExecution().executedPlan().toString()
+            if name not in allowed:
+                assert "BroadcastNestedLoopJoin" not in plan, name

@@ -4548,6 +4548,22 @@ _COMPILE_CACHE_MAX = 512
 _MISS = object()
 
 
+def _all_co_names(code, depth: int = 0) -> frozenset:
+    """co_names of ``code`` plus every code object nested in its
+    co_consts (lambdas, comprehensions, nested defs).  A global read
+    ONLY inside a nested lambda — ``sorted(xs, key=lambda y: G - y)`` —
+    lives in the nested code object's co_names, not the outer one's;
+    keying the cache on the outer co_names alone let a mutated ``G``
+    return a stale plan with the old value baked in as a constant."""
+    import types as _types
+    names = set(code.co_names)
+    if depth < 4:
+        for c in code.co_consts:
+            if isinstance(c, _types.CodeType):
+                names |= _all_co_names(c, depth + 1)
+    return frozenset(names)
+
+
 def _freeze_value(v, depth: int = 0):
     """Hashable, VALUE-based key component for a closure cell / global
     the UDF reads — the compiler embeds these as constants, so the cache
@@ -4566,9 +4582,16 @@ def _freeze_value(v, depth: int = 0):
     if callable(v) and hasattr(v, "__code__") and depth < 3:
         cells = tuple(_freeze_value(c.cell_contents, depth + 1)
                       for c in (v.__closure__ or ()))
+        # globals the referenced function reads (recursively through its
+        # own nested code objects) are inlined as constants too — freeze
+        # their values, not just the code object
+        vg = getattr(v, "__globals__", None) or {}
+        gnames = tuple(sorted(
+            (n, _freeze_value(vg[n], depth + 1))
+            for n in _all_co_names(v.__code__) if n in vg))
         return ("fn", v.__code__,
                 tuple(_freeze_value(d, depth + 1)
-                      for d in (v.__defaults__ or ())), cells)
+                      for d in (v.__defaults__ or ())), cells, gnames)
     raise TypeError(f"uncacheable closure value {type(v)}")
 
 
@@ -4577,9 +4600,9 @@ def _compile_cache_key(fn, schema, with_guards, col_map):
         cells = tuple(_freeze_value(c.cell_contents)
                       for c in (fn.__closure__ or ()))
         gl = getattr(fn, "__globals__", {})
-        names = tuple(
-            (n, _freeze_value(gl[n])) for n in fn.__code__.co_names
-            if n in gl)
+        names = tuple(sorted(
+            (n, _freeze_value(gl[n]))
+            for n in _all_co_names(fn.__code__) if n in gl))
         key = (fn.__code__, cells, names,
                tuple(_freeze_value(d) for d in (fn.__defaults__ or ())),
                schema.json(), with_guards,
