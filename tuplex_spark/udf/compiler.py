@@ -367,7 +367,8 @@ class SMatch(Sym):
 
 class SJson(Sym):
     """A ``json.loads`` result (or a value reached from one by constant-
-    key subscripts / .get): the raw TEXT column plus a JSON path.  The
+    key subscripts / .get): the parsed VARIANT column plus a JSON path.
+    The
     value's TYPE is data-dependent, so every consumer (int(), float(),
     == literal, further subscript) dispatches per row on
     ``schema_of_variant`` — exactness the reference cannot offer (it has
@@ -379,9 +380,9 @@ class SJson(Sym):
     tag = "json"
     nullable = True
 
-    def __init__(self, s_col: Column, path: str,
+    def __init__(self, v_col: Column, path: str,
                  exists: Column | None = None, default=None):
-        self.s_col, self.path = s_col, path
+        self.v_col, self.path = v_col, path
         self.exists, self.default = exists, default
 
 
@@ -505,6 +506,7 @@ class Translator:
         # path condition) but NOT inside HOF lambda scopes, where no
         # projection exists — tracked by _hof_depth.
         self.staged: list[tuple[str, Column]] = []
+        self._json_staged: dict[str, Column] = {}
         self._hof_depth = 0
         # (snap_dict, names): active while a try body whose handlers
         # read body-assigned names executes — guard() then records the
@@ -3442,7 +3444,12 @@ class Translator:
 
     def _json_loads(self, arg: Sym) -> SJson:
         """json.loads(s) -> SJson rooted at '$'.  Guards: TypeError for
-        None input, ValueError for unparseable text.  Documented
+        None input, ValueError for unparseable text.  The parse is
+        staged ONCE as a CSE projection column — every downstream
+        consumer (typeof dispatch, int(), ==, subscripts) references the
+        parsed variant instead of re-invoking parse_json per reference,
+        which previously re-parsed the source text dozens of times per
+        row in multi-access UDFs.  Documented
         divergence: CPython's json accepts the non-RFC literals
         NaN/Infinity/-Infinity, which Spark's parser rejects — such rows
         become ValueError rows (loud, never a silently-wrong value)."""
@@ -3454,23 +3461,33 @@ class Translator:
         if arg.tag != "str":
             raise CompileError(f"json.loads({arg.tag})")
         s = self.to_col(arg)
+        parsed = F.try_parse_json(s)
+        # one staged parse per distinct source expression: repeated
+        # json.loads(x["props"]) calls in one UDF share the column
+        if self._hof_depth == 0 and len(self.staged) < self._MAX_STAGED:
+            skey = s._jc.toString()
+            hit = self._json_staged.get(skey)
+            if hit is None:
+                name = f"__t{len(self.staged)}"
+                self.staged.append((name, parsed))
+                hit = F.col(name)
+                self._json_staged[skey] = hit
+            parsed = hit
         if arg.nullable:
             self.guard(s.isNull(), "TypeError")
-        self.guard(s.isNotNull() & F.try_parse_json(s).isNull(),
-                   "ValueError")
-        return SJson(s, "$")
+        self.guard(s.isNotNull() & parsed.isNull(), "ValueError")
+        return SJson(parsed, "$")
 
     def _jv_variant(self, jv: SJson) -> Column:
-        v = F.try_parse_json(jv.s_col)
         if jv.path == "$":
-            return v
-        return F.try_variant_get(v, jv.path, "variant")
+            return jv.v_col
+        return F.try_variant_get(jv.v_col, jv.path, "variant")
 
     def _jv_typeof(self, jv: SJson) -> Column:
         return F.schema_of_variant(self._jv_variant(jv))
 
     def _jv_get(self, jv: SJson, t: str) -> Column:
-        return F.try_variant_get(F.try_parse_json(jv.s_col), jv.path, t)
+        return F.try_variant_get(jv.v_col, jv.path, t)
 
     @staticmethod
     def _jv_kinds(tv: Column) -> dict[str, Column]:
@@ -3510,7 +3527,7 @@ class Translator:
         self.guard(F.coalesce(is_obj
                               & ~F.array_contains(keys, idx.value),
                               F.lit(False)), "KeyError")
-        return SJson(base.s_col, f"{base.path}.{idx.value}")
+        return SJson(base.v_col, f"{base.path}.{idx.value}")
 
     def _json_get(self, base: SJson, args: list[Sym]) -> SJson:
         """d.get(k[, default]): AttributeError when the value is not an
@@ -3533,7 +3550,7 @@ class Translator:
         self.guard(tv.isNotNull() & ~is_obj, "AttributeError")
         keys = F.json_object_keys(F.to_json(self._jv_variant(base)))
         exists = F.coalesce(F.array_contains(keys, k.value), F.lit(False))
-        return SJson(base.s_col, f"{base.path}.{k.value}",
+        return SJson(base.v_col, f"{base.path}.{k.value}",
                      exists=exists, default=default)
 
     def _json_to_num(self, jv: SJson, want: str) -> Sym:
