@@ -1225,8 +1225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fell off the end and had no CORRECTNESS rows).  Every distinct
     operator family therefore sits inside the top-50 window; the
     overflow tail holds TPC-H variants whose *shapes* are already
-    covered by an in-window twin (q7~q5, q8/q9~q5+year-agg, q10~q3,
-    q11~q15, q12~q4, q14~q19, q16~q22-anti, q18~q3+q13, q20~q4-semi)."""
+    covered by an in-window twin (q5~q3+broadcast, q7~q5, q8/q9~q5+
+    year-agg, q10~q3, q13~ds_leftjoin+agg, q17~q11-subquery, q19~q6+q3,
+    q12~q4, q14~q19, q16~q22-anti, q18~q3+q13, q20~q4-semi)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
@@ -1274,15 +1275,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         # -- deterministic sketches --
         "sketch_distinct": q_sketch_distinct,
-        # -- TPC-H distinct shapes --
+        # -- TPC-H distinct shapes --  (round-6 rotation: the queries
+        # that keep CHANGING — q11/q15's persist+join-back, the staged
+        # json.loads, redact, stratified sampling — moved in-window;
+        # their slots came from shape-twins whose plans are covered by
+        # tests (q5 broadcast: test_plans; q2 window-min: test_plans;
+        # q13 leftjoin+agg ~ ds_leftjoin/ds_agg_bykey; q17 ~ q2/q11
+        # subquery; q19 ~ q6+q3 filter-join-agg)
         "tpch_q1": q_tpch_q1,
-        "tpch_q2": q_tpch_q2,
         "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
-        "tpch_q13": q_tpch_q13,
-        "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q15": q_tpch_q15,
+        "ds_json_udf": q_ds_json_udf,
+        "text_redact": q_text_redact,
+        "sample_stratified": q_sample_stratified,
         # composition of four individually-graded ops (quality/langid/
         # exact-dedup/jaccard) — the best end-to-end proof, graded
         # in-window since round 3 (its prior slot-holder q21's window-
@@ -1291,30 +1298,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     overflow = {
         # deterministic sampling family (functions/sampling.py) — exact
-        # row-set oracle parity, graded by selfcheck in the tail
+        # row-set oracle parity; stratified is graded in-window, these
+        # two by selfcheck in the tail
         "sample_hash": q_sample_hash,
-        "sample_stratified": q_sample_stratified,
         "sample_split": q_sample_split,
-        # q15 (view + max-agg ~ q2's subquery-max) and q22 (anti-join +
-        # avg filter ~ q4/q16 shapes) moved to the tail to make room for
-        # the temporal-join family in the graded window
-        "tpch_q15": q_tpch_q15,
         "tpch_q22": q_tpch_q22,
         # q4's EXISTS shape is covered by q21/q22 in the tail; its slot
         # funds the sketch family.  sketch_topk's groupBy+TakeOrdered
         # shape is already in-window as events_top_users.
         "tpch_q4": q_tpch_q4,
         "sketch_topk": q_sketch_topk,
-        "ds_json_udf": q_ds_json_udf,
-        "text_redact": q_text_redact,
         "text_vocab": q_text_vocab,
+        # round-6 rotation: shape-twins of in-window queries (see the
+        # graded block comment) — each stays green in selfcheck
+        "tpch_q2": q_tpch_q2,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,  # shape twin: events_sessions/q2 window
         "tpch_q18": q_tpch_q18,  # shape twin: big-agg filter + join ~ q3/q13
         "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
-        "tpch_q11": q_tpch_q11,
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
         "tpch_q16": q_tpch_q16,
