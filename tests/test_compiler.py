@@ -2783,3 +2783,123 @@ class TestCompileCacheStaleness:
             globals().pop("_G_HELPER", None)
         assert got1 == [1, 4]   # closest-to-100 wins the max
         assert got2 == [4, 9]   # farthest-from-0 wins the max
+
+
+class TestReSubCountEdges:
+    """Count-limited re.sub lowers to split+array_join; that rewrite is
+    only sound when the pattern can NEVER match empty (in context) and
+    the replacement's escapes are expanded before array_join inserts it
+    literally.  Differential coverage for the two historical edges."""
+
+    def test_count_with_pure_lookbehind_falls_back_correct(self, ctx):
+        # (?<=a)X? can match zero-width in context -> split rewrite
+        # must be refused; fallback keeps CPython semantics
+        run_diff(ctx, ["aXbaXc", "XX", "", "aX"],
+                 lambda s: re.sub(r"(?<=a)X?", "-", s, 1))
+
+    def test_count_with_consuming_lookbehind(self, ctx):
+        run_diff(ctx, ["ab ab ab", "b ab", "zzz", ""],
+                 lambda s: re.sub(r"(?<=a)b", "Y", s, 2))
+
+    def test_count_with_lookahead(self, ctx):
+        run_diff(ctx, ["a1 b2 a3", "a1a2a3", "b9"],
+                 lambda s: re.sub(r"a(?=\d)", "_", s, 2))
+
+    def test_count_literal_backslash_replacement(self, ctx):
+        run_diff(ctx, ["a,b,c", ",x", "", "nocomma"],
+                 lambda s: re.sub(",", "\\\\", s, 1))
+
+    def test_count_newline_tab_escape_replacement(self, ctx):
+        run_diff(ctx, ["a,b,c", ",,", ""],
+                 lambda s: re.sub(",", "\\n\\t", s, 2))
+
+
+class TestWhileTrueAndContinue:
+    """Round-6 loop coverage: `while True` + statically-resolvable
+    break compiles via flag-lowered unrolling; increment-first counter
+    whiles tolerate break AND continue (the counter advances before
+    either transfers control).  Reference parity:
+    codegen/src/BlockGeneratorVisitor.cc compiles all whiles natively."""
+
+    def test_while_true_trailing_break(self, ctx):
+        def f(x):
+            s, i = x, 0
+            while True:
+                s += i
+                i += 1
+                if i >= 4:
+                    break
+            return s
+        run_diff(ctx, NUMS, f, expect_compiled=True)
+
+    def test_while_true_leading_break_guarded_rest(self, ctx):
+        def f(x):
+            i = 0
+            acc = 0
+            while True:
+                if i == 3:
+                    break
+                acc += x * i
+                i += 1
+            return acc
+        run_diff(ctx, NUMS, f, expect_compiled=True)
+
+    def test_incfirst_while_with_continue_static(self, ctx):
+        def f(x):
+            i = 0
+            total = 0
+            while i < 6:
+                i += 1
+                if i % 2 == 0:
+                    continue
+                total += i * x
+            return total
+        run_diff(ctx, NUMS, f, expect_compiled=True)
+
+    def test_incfirst_while_continue_dynamic_stop(self, ctx):
+        def f(n):
+            i = 0
+            c = 0
+            while i < n % 7:
+                i += 1
+                if i == 2:
+                    continue
+                c += i
+            return c
+        run_diff(ctx, [0, 1, 2, 5, 13, 20], f)
+
+    def test_incfirst_while_with_break_dynamic_stop(self, ctx):
+        def f(n):
+            i = 0
+            c = 0
+            while i < n % 9:
+                i += 1
+                if i > 4:
+                    break
+                c += i * 2
+            return c
+        run_diff(ctx, [0, 1, 3, 8, 17, 26], f)
+
+    def test_while_true_data_dependent_break_falls_back(self, ctx):
+        # break condition never folds -> no unroll bound -> exact
+        # CPython fallback, still correct
+        def f(x):
+            i = 0
+            while True:
+                i += 1
+                if i > x % 5 + 1:
+                    break
+            return i
+        run_diff(ctx, NUMS, f, expect_compiled=False)
+
+    def test_counter_value_after_incfirst_loop(self, ctx):
+        # i must equal the bound after the loop (or start if never
+        # entered) — the rewrite's trailing sync
+        def f(n):
+            i = 0
+            while i < n % 4:
+                i += 1
+                if i == 99:
+                    continue
+            return i * 100 + n
+        run_diff(ctx, [0, 1, 2, 3, 4, 7], f)

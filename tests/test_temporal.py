@@ -145,3 +145,17 @@ class TestRangeJoin:
             ._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoop" not in plan, plan
         assert "Cartesian" not in plan, plan
+
+
+def test_range_join_rejects_interval_col_in_by(spark):
+    """start/end listed in `by` would silently drop the interval bounds
+    from the join condition (and previously raised a bare KeyError) —
+    must be a clear ValueError instead."""
+    import pytest
+    from tuplex_spark.operators.temporal import range_join
+    l = spark.createDataFrame([(1, 5.0)], "k long, ts double")
+    r = spark.createDataFrame([(1, 0.0, 10.0)],
+                              "k long, lo double, hi double")
+    with pytest.raises(ValueError, match="cannot also be"):
+        range_join(l, r, point="ts", start="lo", end="hi",
+                   by=["k", "lo"])

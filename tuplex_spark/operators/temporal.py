@@ -167,6 +167,13 @@ def range_join(left: DataFrame, right: DataFrame,
     if how not in ("inner", "left"):
         raise ValueError(f"range_join how={how!r}")
     by_cols = [by] if isinstance(by, str) else list(by or [])
+    bad = [c for c in (start, end) if c in by_cols]
+    if bad:
+        # rcols excludes by columns, so the interval bounds would vanish
+        # from the join condition (and renames[start/end] would KeyError)
+        raise ValueError(
+            f"range_join: interval column(s) {bad} cannot also be `by` "
+            "group keys — group on a separate key column")
     lcols = _side_cols(left, [])
     rcols = [c for c in right.columns if c not in by_cols]
 

@@ -1179,17 +1179,25 @@ class Translator:
         if st.orelse:
             raise CompileError("while-else")
         if any(_contains_break_continue(s) for s in st.body):
-            # `continue` would skip the counter rewrite's hoisted
+            # increment-FIRST counter loops (`while i < n: i += 1; ...`)
+            # tolerate both break and continue: the counter is already
+            # advanced before either can skip anything, so the for-range
+            # rewrite (loop var j, body `i = j + 1; rest`) is exact.
+            rewritten = self._while_counter_rewrite_incfirst(st)
+            if rewritten is not None:
+                return self._exec_for(rewritten, path)
+            # increment-LAST form: `continue` would skip the trailing
             # `i += 1` (CPython loops forever where the range fold
             # terminates) — reject it; `break` exits without further
             # updates on both forms, so it rides the for-range fold's
             # flag lowering.
-            if any(_contains_continue(s) for s in st.body):
-                raise CompileError("continue in while")
-            rewritten = self._while_counter_rewrite(st)
-            if rewritten is not None:
-                return self._exec_for(rewritten, path)
-            raise CompileError("break in non-counter while")
+            if not any(_contains_continue(s) for s in st.body):
+                rewritten = self._while_counter_rewrite(st)
+                if rewritten is not None:
+                    return self._exec_for(rewritten, path)
+            # `while True:` (or any statically-foldable test) with
+            # statically-resolvable breaks: unroll with flag lowering
+            return self._exec_while_unroll_break(st, path)
         self._unroll_depth += 1
         try:
             for _ in range(self._MAX_UNROLL):
@@ -1281,6 +1289,114 @@ class Translator:
                           keywords=[]),
             body=rest if rest else [ast.Pass()],
             orelse=[])
+
+    def _while_counter_rewrite_incfirst(self, st: ast.While):
+        """``while i < stop: i += 1; <rest>`` (increment FIRST) rewrites
+        to ``for __wi in range(i0, stop): i = __wi + 1; <rest>`` —
+        unlike the increment-last form this is exact even when <rest>
+        contains break/continue, because CPython has already advanced
+        the counter before either can transfer control.  Conditions
+        mirror _while_counter_rewrite: test ``i < stop``/``i <= stop``
+        (either orientation), nothing else assigns i, loop-invariant
+        stop.  Returns the synthesized ast.For or None."""
+        t = st.test
+        if not (isinstance(t, ast.Compare) and len(t.ops) == 1):
+            return None
+        op = t.ops[0]
+        left, right = t.left, t.comparators[0]
+        if isinstance(left, ast.Name) and isinstance(op, (ast.Lt, ast.LtE)):
+            var, stop_node, le = left.id, right, isinstance(op, ast.LtE)
+        elif isinstance(right, ast.Name) \
+                and isinstance(op, (ast.Gt, ast.GtE)):
+            var, stop_node, le = right.id, left, isinstance(op, ast.GtE)
+        else:
+            return None
+        if not st.body:
+            return None
+        first = st.body[0]
+        if not (isinstance(first, ast.AugAssign)
+                and isinstance(first.op, ast.Add)
+                and isinstance(first.target, ast.Name)
+                and first.target.id == var
+                and isinstance(first.value, ast.Constant)
+                and first.value.value == 1):
+            return None
+        rest = st.body[1:]
+        assigned = {n.id for bs in rest for n in ast.walk(bs)
+                    if isinstance(n, ast.Name)
+                    and isinstance(n.ctx, ast.Store)}
+        if var in assigned:
+            return None
+        stop_reads = {n.id for n in ast.walk(stop_node)
+                      if isinstance(n, ast.Name)
+                      and isinstance(n.ctx, ast.Load)}
+        if stop_reads & (assigned | {var}):
+            return None  # stop must be loop-invariant
+        if var not in self._locals:
+            return None
+        start_sym = self._locals[var]
+        stop_sym = self.eval(stop_node)
+        stop_sym = self.num(stop_sym, "while bound")
+        if stop_sym.tag == "float":
+            if le:
+                raise CompileError("while <= float bound")
+            stop_sym = SCol(F.ceil(self.to_col(stop_sym)).cast("long"),
+                            "int", stop_sym.nullable)
+        elif le:
+            stop_sym = self._binop(ast.Add(), stop_sym, SConst(1))
+        n = self._loop_flag_id = getattr(self, "_loop_flag_id", 0) + 1
+        j = f"__wi{n}"
+        sync = ast.Assign(
+            targets=[ast.Name(id=var, ctx=ast.Store())],
+            value=ast.BinOp(left=ast.Name(id=j, ctx=ast.Load()),
+                            op=ast.Add(), right=ast.Constant(value=1)))
+        return ast.For(
+            target=ast.Name(id=j, ctx=ast.Store()),
+            iter=ast.Call(func=ast.Name(id="range", ctx=ast.Load()),
+                          args=[_SymExpr(start_sym), _SymExpr(stop_sym)],
+                          keywords=[]),
+            body=[sync] + rest,
+            orelse=[])
+
+    def _exec_while_unroll_break(self, st: ast.While, path):
+        """``while True: ... break ...`` (or any test that folds
+        constant per iteration) with breaks whose conditions RESOLVE
+        statically during unrolling: break/continue lower to flag
+        assignments (the static-for scheme) and iterations unroll until
+        the break flag folds to True or the test folds to False.  A
+        break whose condition stays data-dependent leaves the flag
+        symbolic — the unroll cannot terminate, so it falls back (the
+        reference compiles these natively as real jumps,
+        codegen/src/BlockGeneratorVisitor.cc; an expression tree has no
+        jumps and no bound to unroll to)."""
+        n = self._loop_flag_id = getattr(self, "_loop_flag_id", 0) + 1
+        brk, cont = f"__brk{n}", f"__cont{n}"
+        lowered = _lower_break_continue(list(st.body), brk, cont)
+        self._locals[brk] = SConst(False)
+        self._unroll_depth += 1
+        try:
+            for _ in range(self._MAX_UNROLL):
+                b = self._locals.get(brk)
+                if not isinstance(b, SConst):
+                    raise CompileError("data-dependent break in while")
+                if b.value:
+                    return False, path
+                test = self.eval(st.test)
+                if not isinstance(test, SConst):
+                    raise CompileError("dynamic while condition")
+                if not test.value:
+                    return False, path
+                start = len(self._returns)
+                stmts = [_flag_assign(cont, False)] + lowered
+                if self.exec_block(stmts, path):
+                    return True, path
+                for cond, _ in self._returns[start:]:
+                    if cond is not None:
+                        path = ~cond if path is None else (path & ~cond)
+                self._path = path
+            raise CompileError("while exceeds unroll limit")
+        finally:
+            self._unroll_depth -= 1
 
     # maximum runtime iterations for a compiled convergence while; the
     # per-row analytic bound keeps the sequence tiny for typical rows —
