@@ -325,3 +325,55 @@ class TestRedactVocab:
         from tuplex_spark.functions import text
         df = text.vocabulary(spark.read.parquet(DOC), min_count=3)
         assert_matches(df, con, text.vocabulary_sql(min_count=3))
+
+
+class TestRedactCountAndScanMtime:
+    def test_redact_count_ignores_preexisting_tags(self, spark):
+        """A document already containing literal '[EMAIL]' must not
+        inflate n_redactions — counts come from the input side."""
+        from tuplex_spark.functions.text import redact_pii, redact_pii_sql
+        import duckdb
+        rows = [(1, "mail me at a@b.com or [EMAIL] maybe"),
+                (2, "[PHONE] [SSN] nothing real here"),
+                (3, "ssn 123-45-6789 then ip 10.0.0.1"),
+                (4, "plain text")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["n_redactions"]
+               for r in redact_pii(df).collect()}
+        assert got == {1: 1, 2: 0, 3: 2, 4: 0}, got
+        # SQL twin stays value-locked
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        oracle = {r[0]: r[2]
+                  for r in con.execute(redact_pii_sql()).fetchall()}
+        assert oracle == got
+
+    def test_scan_mtime_sees_nested_inplace_rewrite(self, tmp_path):
+        """In-place rewrite of a part file nested in a partition dir
+        must change the scan mtime (ancestor dir mtimes don't move)."""
+        import os, time
+        from tuplex_spark.context import _scan_mtime
+        part = tmp_path / "out" / "year=2024"
+        part.mkdir(parents=True)
+        f = part / "part-0.parquet"
+        f.write_bytes(b"v1")
+        m1 = _scan_mtime(str(tmp_path / "out"))
+        time.sleep(0.02)
+        with open(f, "r+b") as fh:  # in-place: parent mtimes unchanged
+            fh.write(b"v2")
+        m2 = _scan_mtime(str(tmp_path / "out"))
+        assert m2 > m1, (m1, m2)
+
+    def test_scan_mtime_budget_degrades_to_miss(self, tmp_path):
+        import tuplex_spark.context as cmod
+        d = tmp_path / "big"
+        d.mkdir()
+        for i in range(12):
+            (d / f"f{i}").write_bytes(b"x")
+        old = cmod._SCAN_MTIME_CAP
+        cmod._SCAN_MTIME_CAP = 5
+        try:
+            assert cmod._scan_mtime(str(d)) == float("inf")
+        finally:
+            cmod._SCAN_MTIME_CAP = old

@@ -168,3 +168,55 @@ class TestFrameSampling:
             per.setdefault(r["asset_id"], 0)
             per[r["asset_id"]] += 1
         assert all(n == 1 for n in per.values())
+
+
+class TestNetpbmFamily:
+    """PGM (P5) and PBM (P4) decode natively alongside PPM/BMP —
+    verified against hand-computable payloads."""
+
+    def test_pgm_grayscale(self):
+        from tuplex_spark.functions.multimodal import decode_image_real
+        # 2x2 grayscale: 0, 85, 170, 255
+        payload = b"P5\n# cmt\n2 2\n255\n" + bytes([0, 85, 170, 255])
+        d = decode_image_real(payload)
+        assert (d["width"], d["height"]) == (2, 2)
+        # mean gray = (0+85+170+255)/4/255 = 0.5; R=G=B means
+        assert abs(d["features"][0] - 0.5) < 1e-6
+        assert abs(d["features"][3] - 0.5) < 1e-6  # luma of gray = gray
+
+    def test_pbm_bitmap(self):
+        from tuplex_spark.functions.multimodal import decode_image_real
+        # 4x2: row0 = 1010 (black,white,black,white), row1 = 0101
+        payload = b"P4\n4 2\n" + bytes([0b10100000, 0b01010000])
+        d = decode_image_real(payload)
+        assert (d["width"], d["height"]) == (4, 2)
+        # half the pixels white -> mean channel = 0.5
+        assert abs(d["features"][0] - 0.5) < 1e-6
+
+    def test_pgm_truncated_is_loud(self):
+        import pytest
+        from tuplex_spark.functions.multimodal import decode_image_real
+        with pytest.raises(ValueError, match="truncated PGM"):
+            decode_image_real(b"P5\n4 4\n255\n" + b"\x00" * 3)
+
+    def test_pbm_row_padding(self):
+        from tuplex_spark.functions.multimodal import decode_image_real
+        # 9 wide -> 2 bytes per row; all black
+        payload = b"P4\n9 2\n" + bytes([0xFF, 0x80, 0xFF, 0x80])
+        d = decode_image_real(payload)
+        assert (d["width"], d["height"]) == (9, 2)
+        assert abs(d["features"][0] - 0.0) < 1e-6
+
+    def test_pgm_through_extract_features(self, spark):
+        """End-to-end through the Arrow mapInPandas plumbing."""
+        from tuplex_spark.functions.multimodal import extract_features
+        rows = [(1, b"P5\n2 1\n255\n" + bytes([100, 200])),
+                (2, b"P4\n2 1\n" + bytes([0b01000000])),
+                (3, b"\x89PNG....")]
+        df = spark.createDataFrame(rows, "asset_id long, payload binary")
+        out = {r["asset_id"]: r for r in
+               extract_features(df, decoder="image/real").collect()}
+        assert out[1]["width"] == 2 and out[1]["decode_error"] is None
+        assert out[2]["width"] == 2 and out[2]["decode_error"] is None
+        assert out[3]["decode_error"] is not None \
+            and "NotImplementedError" in out[3]["decode_error"]

@@ -493,19 +493,35 @@ class Context:
         return [tuple(r) for r in rows]
 
 
+_SCAN_MTIME_CAP = 4096  # stat budget per cache probe
+
+
 def _scan_mtime(pattern: str) -> float:
-    """Latest mtime across the glob (for directories, the directory
-    entry itself — it changes when part files are added/replaced).
-    Missing paths return -1; the subsequent read raises the real error."""
+    """Latest mtime across the glob, descending into directories (a
+    bounded os.walk): an IN-PLACE part-file rewrite changes only the
+    file's own mtime — not any ancestor directory's — so nested
+    partitioned layouts (out/year=2024/part-*.parquet) need the files
+    themselves statted, not just one scandir level.  Directories past
+    the _SCAN_MTIME_CAP stat budget return +inf, degrading to a cache
+    miss (always re-scan) rather than ever serving a stale sample.
+    Missing paths return -1; the subsequent read raises the real
+    error."""
     import glob as _glob
     import os as _os
     try:
         paths = _glob.glob(pattern) or [pattern]
         ts = []
+        budget = _SCAN_MTIME_CAP
         for p in paths:
             ts.append(_os.stat(p).st_mtime)
             if _os.path.isdir(p):  # in-place part-file rewrites
-                ts.extend(e.stat().st_mtime for e in _os.scandir(p))
+                for root, dirs, files in _os.walk(p):
+                    for name in dirs + files:
+                        budget -= 1
+                        if budget < 0:
+                            return float("inf")
+                        ts.append(_os.stat(
+                            _os.path.join(root, name)).st_mtime)
         return max(ts)
     except OSError:
         return -1.0

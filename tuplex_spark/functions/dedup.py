@@ -327,7 +327,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # growing cache churn; persist [1.2, 2.1, 2.9, 2.7]s vs no-persist
     # [0.8, 0.8, 0.7, 0.6]s across repeated sf0.1 runs), and at 100 TB
     # pinning the whole inverted index in executor memory is exactly
-    # what you don't want.
+    # what you don't want.  localCheckpoint(eager=False) on the grouped
+    # index re-measured at sf1 (round 6, clean session): ~7x slower at
+    # n=2 (1.4s -> 9.2s median) and ~3x slower at n=3 (15.9s -> 46.7s)
+    # — RDD materialization of the array column loses to recomputing
+    # the codegen'd scan->explode->agg both times.
     grouped = (inv.groupBy("s")
                .agg(F.sort_array(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") <= max_bucket))

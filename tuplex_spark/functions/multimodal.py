@@ -45,14 +45,15 @@ def _fake_decode_image(payload: bytes) -> dict:
     return {"width": w, "height": ht, "features": feats}
 
 
-def _ppm_header(payload: bytes):
-    """Parse a binary PPM (P6) header: returns (width, height, maxval,
-    pixel_offset).  Whitespace-delimited tokens with '#' comments per
-    the Netpbm spec."""
-    if payload[:2] != b"P6":
-        raise ValueError("not a P6 PPM")
+def _netpbm_header(payload: bytes, magic: bytes, ntoks: int):
+    """Parse a binary Netpbm header (P4/P5/P6): returns (tokens,
+    pixel_offset).  Whitespace-delimited integer tokens with '#'
+    comments per the Netpbm spec; pixel data starts after exactly one
+    whitespace character following the last token."""
+    if payload[:2] != magic:
+        raise ValueError(f"not a {magic.decode()} netpbm")
     toks, i, n = [], 2, len(payload)
-    while len(toks) < 3 and i < n:
+    while len(toks) < ntoks and i < n:
         c = payload[i:i + 1]
         if c == b"#":  # comment to end of line
             while i < n and payload[i:i + 1] not in (b"\n", b"\r"):
@@ -65,22 +66,60 @@ def _ppm_header(payload: bytes):
                 j += 1
             toks.append(int(payload[i:j]))
             i = j
-    if len(toks) != 3:
-        raise ValueError("truncated PPM header")
-    w, h, maxval = toks
-    if not (0 < w and 0 < h and 0 < maxval < 65536):
-        raise ValueError(f"bad PPM dims {w}x{h} maxval={maxval}")
-    return w, h, maxval, i + 1  # single whitespace after maxval
+    if len(toks) != ntoks:
+        raise ValueError("truncated netpbm header")
+    return toks, i + 1  # single whitespace after the last token
 
 
 def _decode_ppm(payload: bytes):
-    w, h, maxval, off = _ppm_header(payload)
+    (w, h, maxval), off = _netpbm_header(payload, b"P6", 3)
+    if not (0 < w and 0 < h and 0 < maxval < 65536):
+        raise ValueError(f"bad PPM dims {w}x{h} maxval={maxval}")
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     px = payload[off:off + w * h * 3]
     if len(px) < w * h * 3:
         raise ValueError("truncated PPM pixel data")
     return w, h, px  # row-major RGB triples
+
+
+def _decode_pgm(payload: bytes):
+    """Binary PGM (P5, 8-bit grayscale) -> row-major RGB triples (gray
+    replicated across channels, the standard gray->RGB embedding)."""
+    (w, h, maxval), off = _netpbm_header(payload, b"P5", 3)
+    if not (0 < w and 0 < h and 0 < maxval < 65536):
+        raise ValueError(f"bad PGM dims {w}x{h} maxval={maxval}")
+    if maxval > 255:
+        raise ValueError("16-bit PGM not supported")
+    px = payload[off:off + w * h]
+    if len(px) < w * h:
+        raise ValueError("truncated PGM pixel data")
+    out = bytearray(w * h * 3)
+    out[0::3] = px
+    out[1::3] = px
+    out[2::3] = px
+    return w, h, bytes(out)
+
+
+def _decode_pbm(payload: bytes):
+    """Binary PBM (P4, 1-bit) -> row-major RGB triples.  Rows are packed
+    MSB-first, each row padded to a whole byte; 1 = black per spec."""
+    (w, h), off = _netpbm_header(payload, b"P4", 2)
+    if not (0 < w and 0 < h):
+        raise ValueError(f"bad PBM dims {w}x{h}")
+    stride = (w + 7) // 8
+    px = payload[off:off + stride * h]
+    if len(px) < stride * h:
+        raise ValueError("truncated PBM pixel data")
+    out = bytearray(w * h * 3)
+    for y in range(h):
+        rowbase = y * stride
+        for x in range(w):
+            bit = (px[rowbase + (x >> 3)] >> (7 - (x & 7))) & 1
+            v = 0 if bit else 255
+            p = (y * w + x) * 3
+            out[p] = out[p + 1] = out[p + 2] = v
+    return w, h, bytes(out)
 
 
 def _decode_bmp(payload: bytes):
@@ -146,19 +185,25 @@ def _rgb_features(px: bytes, w: int, h: int) -> list[float]:
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """REAL image decode for the codec-less sandbox: binary PPM (P6)
-    and uncompressed 24-bit BMP parse natively (pure Python); formats
-    that need codec libraries (PNG/JPEG/...) raise NotImplementedError
-    so the error surfaces in ``decode_error`` instead of a wrong value."""
+    """REAL image decode for the codec-less sandbox: the full binary
+    Netpbm family — PPM (P6), PGM (P5), PBM (P4) — and uncompressed
+    24-bit BMP parse natively (pure Python); formats that need codec
+    libraries (PNG/JPEG/...) raise NotImplementedError so the error
+    surfaces in ``decode_error`` instead of a wrong value."""
     if payload[:2] == b"P6":
         w, h, px = _decode_ppm(payload)
+    elif payload[:2] == b"P5":
+        w, h, px = _decode_pgm(payload)
+    elif payload[:2] == b"P4":
+        w, h, px = _decode_pbm(payload)
     elif payload[:2] == b"BM":
         w, h, px = _decode_bmp(payload)
     else:
         raise NotImplementedError(
             "codec libraries (PIL/soundfile/ffmpeg) are not installed in "
-            "this environment; PPM(P6) and 24-bit BMP decode natively, "
-            "other formats need a library or the deterministic fake")
+            "this environment; Netpbm P4/P5/P6 and 24-bit BMP decode "
+            "natively, other formats need a library or the "
+            "deterministic fake")
     return {"width": w, "height": h, "features": _rgb_features(px, w, h)}
 
 

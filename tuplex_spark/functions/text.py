@@ -140,11 +140,18 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     pretraining-corpus privacy pass, as a pure regexp_replace chain
     (whole-stage codegen, zero shuffle).  ``n_redactions`` counts the
     replaced spans so downstream filters can drop PII-dense documents."""
+    # count each stage's matches on its INPUT (the text after the
+    # previous replacements) — exactly the spans that stage replaces.
+    # Counting [KIND] tags in the final output over-counted documents
+    # that already contained literal "[EMAIL]"-style text.
     out = F.col(text_col)
+    counts = []
     for kind, pat in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(out, F.lit(pat), 0)))
         out = F.regexp_replace(out, pat, f"[{kind.upper()}]")
-    n = F.size(F.regexp_extract_all(
-        out, F.lit(r"\[(EMAIL|PHONE|IPV4|SSN)\]"), 0))
+    n = counts[0]
+    for c in counts[1:]:
+        n = n + c
     return df.select(F.col(id_col), out.alias("text"),
                      n.cast("long").alias("n_redactions"))
 
@@ -152,14 +159,15 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 def redact_pii_sql(table="documents", text_col="text",
                    id_col="doc_id") -> str:
     expr = text_col
+    n_terms = []
     for kind, pat in PII_PATTERNS:
         p = pat.replace("'", "''")
+        n_terms.append(f"len(regexp_extract_all({expr}, '{p}', 0))")
         expr = f"regexp_replace({expr}, '{p}', '[{kind.upper()}]', 'g')"
     return f"""
 SELECT {id_col},
        {expr} AS text,
-       len(regexp_extract_all({expr},
-           '\\[(EMAIL|PHONE|IPV4|SSN)\\]'))::BIGINT AS n_redactions
+       ({' + '.join(n_terms)})::BIGINT AS n_redactions
 FROM {table}"""
 
 
