@@ -220,3 +220,176 @@ class TestNetpbmFamily:
         assert out[2]["width"] == 2 and out[2]["decode_error"] is None
         assert out[3]["decode_error"] is not None \
             and "NotImplementedError" in out[3]["decode_error"]
+
+
+class TestPngDecode:
+    """Pure-stdlib PNG decode: round-trip against encode_png for every
+    supported filter, plus gray/RGBA/palette color types built by hand."""
+
+    def _rgb(self, w, h):
+        return bytes((x * 7 + y * 13 + c * 29) % 256
+                     for y in range(h) for x in range(w) for c in range(3))
+
+    def test_rgb_roundtrip_filters(self):
+        from tuplex_spark.functions.multimodal import (_decode_png,
+                                                       encode_png)
+        rgb = self._rgb(5, 4)
+        for ft in (0, 1, 2):
+            w, h, out = _decode_png(encode_png(5, 4, rgb, filter_type=ft))
+            assert (w, h) == (5, 4)
+            assert out == rgb, f"filter {ft} mismatch"
+
+    def _chunk(self, typ, data):
+        import struct, zlib
+        return struct.pack(">I", len(data)) + typ + data + \
+            struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    def _png(self, w, h, colort, raw, plte=None):
+        import struct, zlib
+        from tuplex_spark.functions.multimodal import _PNG_SIG
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, colort, 0, 0, 0)
+        out = _PNG_SIG + self._chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += self._chunk(b"PLTE", plte)
+        return out + self._chunk(b"IDAT", zlib.compress(raw)) + \
+            self._chunk(b"IEND", b"")
+
+    def test_grayscale(self):
+        from tuplex_spark.functions.multimodal import _decode_png
+        # 2x2 gray, filter 0 rows
+        raw = b"\x00" + bytes([10, 200]) + b"\x00" + bytes([60, 255])
+        w, h, rgb = _decode_png(self._png(2, 2, 0, raw))
+        assert (w, h) == (2, 2)
+        assert rgb == bytes([10] * 3 + [200] * 3 + [60] * 3 + [255] * 3)
+
+    def test_rgba_drops_alpha(self):
+        from tuplex_spark.functions.multimodal import _decode_png
+        raw = b"\x00" + bytes([1, 2, 3, 9, 4, 5, 6, 9])
+        w, h, rgb = _decode_png(self._png(2, 1, 6, raw))
+        assert rgb == bytes([1, 2, 3, 4, 5, 6])
+
+    def test_palette(self):
+        from tuplex_spark.functions.multimodal import _decode_png
+        plte = bytes([255, 0, 0, 0, 255, 0])  # red, green
+        raw = b"\x00" + bytes([1, 0])
+        w, h, rgb = _decode_png(self._png(2, 1, 3, raw, plte=plte))
+        assert rgb == bytes([0, 255, 0, 255, 0, 0])
+
+    def test_paeth_and_average_via_reference_vectors(self):
+        """Filters 3/4 decoded against a hand-computed reference."""
+        from tuplex_spark.functions.multimodal import _decode_png
+        # 2x2 RGB; row0 filter 0 raw, row1 filter 3 (average)
+        row0 = bytes([10, 20, 30, 50, 60, 70])
+        # raw row1 = [12, 22, 32, 40, 50, 60]; avg pred for x<3 = up/2,
+        # for x>=3 = (left + up)//2
+        r1 = [12, 22, 32, 40, 50, 60]
+        enc1 = []
+        for x in range(6):
+            a = r1[x - 3] if x >= 3 else 0
+            b = row0[x]
+            enc1.append((r1[x] - ((a + b) >> 1)) & 0xFF)
+        raw = b"\x00" + row0 + b"\x03" + bytes(enc1)
+        w, h, rgb = _decode_png(self._png(2, 2, 2, raw))
+        assert list(rgb[6:]) == r1
+        # paeth row: same raw values, filter 4
+        enc2 = []
+        for x in range(6):
+            a = r1[x - 3] if x >= 3 else 0
+            b = row0[x]
+            c = row0[x - 3] if x >= 3 else 0
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc2.append((r1[x] - pr) & 0xFF)
+        raw = b"\x00" + row0 + b"\x04" + bytes(enc2)
+        w, h, rgb = _decode_png(self._png(2, 2, 2, raw))
+        assert list(rgb[6:]) == r1
+
+    def test_png_through_extract_features(self, spark):
+        from tuplex_spark.functions.multimodal import (extract_features,
+                                                       encode_png)
+        df = spark.createDataFrame(
+            [(1, encode_png(4, 4, self._rgb(4, 4), filter_type=1))],
+            "asset_id long, payload binary")
+        r = extract_features(df, decoder="image/real").collect()[0]
+        assert (r["width"], r["height"]) == (4, 4)
+        assert r["decode_error"] is None
+        assert len(r["features"]) == 16
+
+    def test_interlaced_rejected_loud(self):
+        import struct, zlib, pytest
+        from tuplex_spark.functions.multimodal import (_decode_png,
+                                                       _PNG_SIG)
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 1)
+        png = _PNG_SIG + self._chunk(b"IHDR", ihdr) + \
+            self._chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00" * 6)) + \
+            self._chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="interlaced"):
+            _decode_png(png)
+
+
+class TestWavDecode:
+    def test_wav_roundtrip_mono(self):
+        from tuplex_spark.functions.multimodal import (decode_audio_real,
+                                                       encode_wav)
+        import math
+        # 1 second of a constant half-amplitude signal at 8 kHz
+        samples = [16384] * 8000
+        d = decode_audio_real(encode_wav(8000, samples))
+        assert d["sample_rate"] == 8000
+        assert d["duration_ms"] == 1000
+        assert d["channels"] == 1
+        # RMS of constant 0.5 = 0.5 in every segment + overall
+        assert all(abs(f - 0.5) < 1e-4 for f in d["features"])
+        assert len(d["features"]) == 9
+
+    def test_wav_stereo_mixdown(self):
+        from tuplex_spark.functions.multimodal import (decode_audio_real,
+                                                       encode_wav)
+        # L = +0.5, R = -0.5 -> mono mixdown 0 -> RMS 0
+        # (8000 interleaved samples = 4000 frames @ 8 kHz = 500 ms)
+        inter = [16384, -16384] * 4000
+        d = decode_audio_real(encode_wav(8000, inter, channels=2))
+        assert d["channels"] == 2 and d["duration_ms"] == 500
+        assert all(f < 1e-6 for f in d["features"])
+
+    def test_non_pcm_rejected(self):
+        import struct, pytest
+        from tuplex_spark.functions.multimodal import decode_audio_real
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 16)  # float
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+            + b"data" + struct.pack("<I", 0)
+        with pytest.raises(ValueError, match="non-PCM"):
+            decode_audio_real(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+    def test_mp3_not_implemented(self):
+        import pytest
+        from tuplex_spark.functions.multimodal import decode_audio_real
+        with pytest.raises(NotImplementedError):
+            decode_audio_real(b"ID3\x04....")
+
+    def test_audio_extract_dataframe(self, spark):
+        from tuplex_spark.functions.multimodal import (
+            extract_audio_features, encode_wav)
+        rows = [(1, encode_wav(4000, [0] * 4000)),
+                (2, b"OggS....")]
+        df = spark.createDataFrame(rows, "asset_id long, payload binary")
+        out = {r["asset_id"]: r
+               for r in extract_audio_features(df).collect()}
+        assert out[1]["duration_ms"] == 1000
+        assert out[1]["decode_error"] is None
+        assert out[2]["decode_error"] is not None
+
+
+def test_resize_png_real(spark):
+    from tuplex_spark.functions.multimodal import (resize_images,
+                                                   encode_png,
+                                                   _decode_png)
+    rgb = bytes((x * 11 + y * 3 + c) % 256
+                for y in range(6) for x in range(6) for c in range(3))
+    df = spark.createDataFrame([(1, encode_png(6, 6, rgb))],
+                               "asset_id long, payload binary")
+    r = resize_images(df, 3, 3).collect()[0]
+    assert r["resize_error"] is None
+    w, h, out = _decode_png(bytes(r["payload"]))
+    assert (w, h) == (3, 3) and len(out) == 27

@@ -1,11 +1,15 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema contracts, Arrow batch
-shapes, mapInPandas partitioning — while the actual codec work is stubbed
-behind ``DECODERS`` (the image/audio libraries are not available in this
-environment).  Swap a decoder entry for a real implementation (PIL/ffmpeg)
-and nothing else changes: the batch iterator, output schema, and
-partitioning behavior are already exercised by tests/test_multimodal.py.
+shapes, mapInPandas partitioning — and a useful codec subset decodes
+NATIVELY in pure Python/stdlib: PNG (8-bit, zlib inflate + unfilter),
+the binary Netpbm family (P4/P5/P6), uncompressed 24-bit BMP, and PCM
+WAV audio.  Formats that genuinely need external codec libraries
+(JPEG/WebP, mp3/ogg, video) stay behind honest NotImplementedError /
+deterministic stubs in ``DECODERS``.  Swap a decoder entry for a real
+implementation (PIL/ffmpeg) and nothing else changes: the batch
+iterator, output schema, and partitioning behavior are already
+exercised by tests/test_multimodal.py.
 
 Design: binary payloads stay opaque to the JVM (BinaryType column);
 feature extraction happens in Arrow-batched Python (mapInPandas) because
@@ -122,6 +126,153 @@ def _decode_pbm(payload: bytes):
     return w, h, bytes(out)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes):
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter) ->
+    (w, h, row-major RGB).  Supports 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced —
+    the overwhelming majority of real-world PNGs.  Alpha is dropped
+    (features come from color channels).  Chunk CRCs are not verified:
+    truncation/corruption surfaces as a zlib or length error instead."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, n = 8, len(payload)
+    w = h = bitd = colort = interlace = None
+    idat, plte = [], None
+    while i + 8 <= n:
+        ln = struct.unpack(">I", payload[i:i + 4])[0]
+        typ = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            bitd, colort, comp, filt, interlace = data[8:13]
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter")
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    if not (0 < w and 0 < h):
+        raise ValueError(f"bad PNG dims {w}x{h}")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    if bitd != 8:
+        raise ValueError(f"PNG bit depth {bitd} not supported")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(colort)
+    if ch is None:
+        raise ValueError(f"PNG color type {colort}")
+    if colort == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing/odd PLTE")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG pixel data")
+    out = bytearray(stride * h)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        o = y * stride
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif ft == 2:  # Up
+            if y:
+                for x in range(stride):
+                    line[x] = (line[x] + out[o - stride + x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = out[o - stride + x] if y else 0
+                line[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = out[o - stride + x] if y else 0
+                c = out[o - stride + x - ch] if (y and x >= ch) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft}")
+        out[o:o + stride] = line
+    if colort == 2:
+        return w, h, bytes(out)
+    rgb = bytearray(w * h * 3)
+    if colort == 0:
+        rgb[0::3] = out
+        rgb[1::3] = out
+        rgb[2::3] = out
+    elif colort == 4:
+        g = out[0::2]
+        rgb[0::3] = g
+        rgb[1::3] = g
+        rgb[2::3] = g
+    elif colort == 6:
+        rgb[0::3] = out[0::4]
+        rgb[1::3] = out[1::4]
+        rgb[2::3] = out[2::4]
+    else:  # palette
+        npal = len(plte) // 3
+        for j, idx in enumerate(out):
+            if idx >= npal:
+                raise ValueError("PNG palette index out of range")
+            rgb[3 * j:3 * j + 3] = plte[3 * idx:3 * idx + 3]
+    return w, h, bytes(rgb)
+
+
+def encode_png(width: int, height: int, rgb: bytes,
+               filter_type: int = 0) -> bytes:
+    """Minimal PNG (8-bit RGB, non-interlaced) encoder — the write side
+    of _decode_png for tests and payload synthesis.  ``filter_type``
+    applies one filter to every scanline (0/1/2 supported) so decode
+    paths are exercisable."""
+    import zlib
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != w*h*3")
+    stride = width * 3
+    lines = []
+    for y in range(height):
+        row = bytearray(rgb[y * stride:(y + 1) * stride])
+        if filter_type == 0:
+            pass
+        elif filter_type == 1:
+            for x in range(stride - 1, 2, -1):
+                row[x] = (row[x] - row[x - 3]) & 0xFF
+        elif filter_type == 2:
+            if y:
+                prev = rgb[(y - 1) * stride:y * stride]
+                for x in range(stride):
+                    row[x] = (row[x] - prev[x]) & 0xFF
+        else:
+            raise ValueError("encode_png filter 0/1/2 only")
+        lines.append(bytes([filter_type]) + bytes(row))
+    comp = zlib.compress(b"".join(lines))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + typ + data \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) \
+        + chunk(b"IEND", b"")
+
+
 def _decode_bmp(payload: bytes):
     """Uncompressed 24-bit BMP (BITMAPINFOHEADER) -> (w, h, row-major
     RGB bytes).  BMP stores rows bottom-up, BGR, padded to 4 bytes."""
@@ -185,12 +336,15 @@ def _rgb_features(px: bytes, w: int, h: int) -> list[float]:
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """REAL image decode for the codec-less sandbox: the full binary
-    Netpbm family — PPM (P6), PGM (P5), PBM (P4) — and uncompressed
-    24-bit BMP parse natively (pure Python); formats that need codec
-    libraries (PNG/JPEG/...) raise NotImplementedError so the error
+    """REAL image decode for the codec-less sandbox: PNG (8-bit,
+    stdlib-zlib inflate), the full binary Netpbm family — PPM (P6),
+    PGM (P5), PBM (P4) — and uncompressed 24-bit BMP all parse
+    natively (pure Python); formats that genuinely need codec
+    libraries (JPEG/WebP/...) raise NotImplementedError so the error
     surfaces in ``decode_error`` instead of a wrong value."""
-    if payload[:2] == b"P6":
+    if payload[:8] == _PNG_SIG:
+        w, h, px = _decode_png(payload)
+    elif payload[:2] == b"P6":
         w, h, px = _decode_ppm(payload)
     elif payload[:2] == b"P5":
         w, h, px = _decode_pgm(payload)
@@ -201,8 +355,8 @@ def decode_image_real(payload: bytes) -> dict:
     else:
         raise NotImplementedError(
             "codec libraries (PIL/soundfile/ffmpeg) are not installed in "
-            "this environment; Netpbm P4/P5/P6 and 24-bit BMP decode "
-            "natively, other formats need a library or the "
+            "this environment; PNG, Netpbm P4/P5/P6 and 24-bit BMP "
+            "decode natively, other formats need a library or the "
             "deterministic fake")
     return {"width": w, "height": h, "features": _rgb_features(px, w, h)}
 
@@ -213,6 +367,133 @@ def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
     if len(rgb) != width * height * 3:
         raise ValueError("rgb length != w*h*3")
     return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+AUDIO_FEATURE_SEGS = 8
+
+
+def _parse_wav(payload: bytes):
+    """RIFF/WAVE chunk walk -> (channels, sample_rate, bits, data)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    i, n = 12, len(payload)
+    fmt = data = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        sz = struct.unpack("<I", payload[i + 4:i + 8])[0]
+        body = payload[i + 8:i + 8 + sz]
+        if len(body) < sz:
+            raise ValueError("truncated WAV chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + sz + (sz & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    afmt, nch, rate = struct.unpack("<HHI", fmt[:8])
+    bits = struct.unpack("<H", fmt[14:16])[0]
+    if afmt != 1:
+        raise ValueError(f"WAV non-PCM format {afmt} not supported")
+    if bits not in (8, 16):
+        raise ValueError(f"WAV {bits}-bit not supported")
+    if nch < 1 or rate == 0:
+        raise ValueError("bad WAV fmt chunk")
+    return nch, rate, bits, data
+
+
+def decode_audio_real(payload: bytes) -> dict:
+    """REAL audio decode: PCM WAV (8/16-bit, any channel count) parses
+    natively via struct — sample rate, duration, and per-segment RMS
+    energy features (AUDIO_FEATURE_SEGS segments + overall).  Compressed
+    formats (mp3/ogg/flac) raise NotImplementedError so the error lands
+    in ``decode_error``."""
+    import math
+    if payload[:4] != b"RIFF":
+        raise NotImplementedError(
+            "audio codec libraries are not installed; PCM WAV decodes "
+            "natively, compressed formats need a library")
+    nch, rate, bits, data = _parse_wav(payload)
+    if bits == 16:
+        cnt = len(data) // 2
+        samples = struct.unpack(f"<{cnt}h", data[:cnt * 2])
+        scale = 32768.0
+    else:
+        samples = [b - 128 for b in data]
+        scale = 128.0
+    frames = len(samples) // nch
+    if frames == 0:
+        raise ValueError("empty WAV data")
+    mono = samples if nch == 1 else \
+        [sum(samples[j * nch:(j + 1) * nch]) / nch for j in range(frames)]
+    feats = []
+    for s in range(AUDIO_FEATURE_SEGS):
+        a = frames * s // AUDIO_FEATURE_SEGS
+        b = frames * (s + 1) // AUDIO_FEATURE_SEGS
+        seg = mono[a:b]
+        feats.append(
+            round(math.sqrt(sum((x / scale) ** 2 for x in seg)
+                            / len(seg)), 6) if seg else 0.0)
+    feats.append(round(math.sqrt(
+        sum((x / scale) ** 2 for x in mono) / frames), 6))
+    return {"sample_rate": rate,
+            "duration_ms": frames * 1000 // rate,
+            "channels": nch, "features": feats}
+
+
+def encode_wav(sample_rate: int, samples, channels: int = 1) -> bytes:
+    """Minimal 16-bit PCM WAV encoder — the write side of
+    decode_audio_real for tests and payload synthesis."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType(), False),
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    T.StructField("decode_error", T.StringType(), True),
+])
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload",
+                           id_col: str = "asset_id") -> DataFrame:
+    """Decode + featurize binary audio assets via Arrow-batched
+    mapInPandas (narrow, partition-preserving) — same exception-model
+    contract as extract_features: bad assets land in decode_error."""
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "sample_rate",
+                                    "duration_ms", "channels",
+                                    "features", "decode_error")}
+            for i in range(len(pdf)):
+                rows["asset_id"].append(int(pdf[id_col].iloc[i]))
+                payload = pdf[payload_col].iloc[i]
+                try:
+                    d = decode_audio_real(
+                        bytes(payload) if payload is not None else b"")
+                    rows["sample_rate"].append(d["sample_rate"])
+                    rows["duration_ms"].append(d["duration_ms"])
+                    rows["channels"].append(d["channels"])
+                    rows["features"].append(d["features"])
+                    rows["decode_error"].append(None)
+                except Exception as e:
+                    for k in ("sample_rate", "duration_ms", "channels",
+                              "features"):
+                        rows[k].append(None)
+                    rows["decode_error"].append(
+                        f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 DECODERS = {
@@ -295,12 +576,17 @@ def _resize_rgb_nearest(px: bytes, w: int, h: int,
 
 
 def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
-    """PPM(P6) payloads get a REAL nearest-neighbor resize (round-trips
-    through _decode_ppm/encode_ppm); anything else falls back to the
-    deterministic stub — same honest split as decode_image_real."""
+    """PPM(P6) and PNG payloads get a REAL nearest-neighbor resize
+    (round-tripping through their decoders/encoders); anything else
+    falls back to the deterministic stub — same honest split as
+    decode_image_real."""
     if payload[:2] == b"P6":
         w, h, px = _decode_ppm(payload)
         return encode_ppm(width, height,
+                          _resize_rgb_nearest(px, w, h, width, height))
+    if payload[:8] == _PNG_SIG:
+        w, h, px = _decode_png(payload)
+        return encode_png(width, height,
                           _resize_rgb_nearest(px, w, h, width, height))
     return _fake_resize(payload, width, height)
 
