@@ -872,6 +872,38 @@ def q_mm_decode(spark, sf_dir):
         "decode_error")
 
 
+def q_mm_audio(spark, sf_dir):
+    """multimodal audio: synthesized PCM WAV payloads -> native stdlib
+    decode (functions/multimodal.py decode_audio_real) -> sample rate,
+    duration, per-segment RMS features via Arrow mapInPandas.  The
+    synthetic amplitude is k/16 of full scale (exact binary fractions),
+    so the RMS features are analytically computable by the DuckDB
+    oracle with zero float drift."""
+    from tuplex_spark.functions import multimodal
+    _prep(spark)
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 2000 + (d % 5) * 1000
+                amp = ((d % 15) + 1) * 2048
+                payloads.append(multimodal.encode_wav(4000, [amp] * n))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    assets = ids.mapInPandas(make, schema="asset_id long, payload binary")
+    out = multimodal.extract_audio_features(assets)
+    return out.select(
+        "asset_id", "sample_rate", "duration_ms", "channels",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}")
+          for i in range(multimodal.AUDIO_FEATURE_SEGS + 1)],
+        "decode_error")
+
+
 # ======================================================================
 # Training-data pipeline ops (scale extensions; functions/)
 # ======================================================================
@@ -1326,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
+        "mm_audio": q_mm_audio,
     }
     assert len(graded) <= 50, "graded window overflow — rebalance"
     return {**graded, **overflow}
@@ -1733,6 +1766,16 @@ SELECT asset_id,
             f"AS BIGINT) / 65535.0, 6) AS f{i}" for i in range(16)) + """,
        NULL::VARCHAR AS decode_error
 FROM h""",
+        "mm_audio": """
+SELECT doc_id AS asset_id,
+       4000::INT AS sample_rate,
+       ((2000 + (doc_id % 5) * 1000) // 4)::BIGINT AS duration_ms,
+       1::INT AS channels,
+""" + ",\n".join(
+            f"       round(((doc_id % 15) + 1) / 16.0, 6) AS f{i}"
+            for i in range(9)) + """,
+       NULL::VARCHAR AS decode_error
+FROM documents""",
         "text_token_count": text.token_count_sql(),
         "text_quality": text.quality_score_sql(),
         "text_langid": text.language_id_sql(),
