@@ -2903,3 +2903,51 @@ class TestWhileTrueAndContinue:
                     continue
             return i * 100 + n
         run_diff(ctx, [0, 1, 2, 3, 4, 7], f)
+
+
+class TestDynamicSliceStep:
+    """Slices with data-dependent steps — both signs selected per row
+    at runtime, CPython clamp/default semantics for the bounds."""
+
+    STRS = ["abcdefghij", "ab", "", "xyzw"]
+
+    def test_str_dynamic_positive_step(self, ctx):
+        run_diff(ctx, [1, 2, 3, 4], lambda k: "abcdefghij"[::k],
+                 expect_compiled=True)
+
+    def test_str_dynamic_step_with_bounds(self, ctx):
+        run_diff(ctx, [1, 2, 3], lambda k: "abcdefghij"[1:8:k],
+                 expect_compiled=True)
+
+    def test_str_dynamic_negative_step(self, ctx):
+        run_diff(ctx, [1, 2, 3], lambda k: "abcdefghij"[::-k],
+                 expect_compiled=True)
+
+    def test_str_dynamic_negative_with_bounds(self, ctx):
+        run_diff(ctx, [1, 2, 3], lambda k: "abcdefghij"[8:2:-k],
+                 expect_compiled=True)
+
+    def test_dynamic_step_sign_varies_per_row(self, ctx):
+        run_diff(ctx, [-3, -2, -1, 1, 2, 3],
+                 lambda k: "abcdefghij"[::k], expect_compiled=True)
+
+    def test_dynamic_step_zero_raises(self, ctx):
+        ds = ctx.parallelize([2, 0, 1]).map(lambda k: "abcdef"[::k])
+        got = ds.collect()
+        assert got == ["ace", "abcdef"]
+        assert ds.exception_counts == {"ValueError": 1}
+
+    def test_array_dynamic_step(self, ctx):
+        run_diff(ctx, [1, 2, 3],
+                 lambda k: ",".join("a0 b1 c2 d3 e4 f5".split(" ")[::k]),
+                 expect_compiled=True)
+
+    def test_array_dynamic_negative_step(self, ctx):
+        run_diff(ctx, [1, 2],
+                 lambda k: ",".join("a0 b1 c2 d3 e4".split(" ")[1:5:-k]
+                                    or ["~"]),
+                 expect_compiled=False)  # `or` on list falls back; diff only
+
+    def test_dynamic_bounds_and_step_together(self, ctx):
+        run_diff(ctx, [(1, 2), (2, 3), (0, 1), (7, 2)],
+                 lambda a, k: "abcdefghij"[a:a + 5:k])

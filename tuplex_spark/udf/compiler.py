@@ -2410,23 +2410,31 @@ class Translator:
             raise CompileError("tuple slice step")
         if not isinstance(base, SCol) or base.tag not in ("str", "array"):
             raise CompileError(f"slice on {base.tag}")
-        # constant int steps compile, both signs.  k > 1 keeps every
-        # k-th element of the contiguous [lo:hi] segment; k < 0 maps to
-        # a positive-step slice of reverse(s): index p <-> n-1-p flips
-        # the descending CPython index walk into an ascending one.
+        # int steps compile, both signs, constant or DYNAMIC.  k > 1
+        # keeps every k-th element of the contiguous [lo:hi] segment;
+        # k < 0 maps to a positive-step slice of reverse(s): index
+        # p <-> n-1-p flips the descending CPython index walk into an
+        # ascending one.  A dynamic step composes BOTH sign branches
+        # under when(k < 0, ...) — the sign cannot be resolved at
+        # compile time.
         step_v = None
         if sl.step is not None:
             step = self.eval(sl.step)
-            if not (isinstance(step, SConst)
-                    and isinstance(step.value, int)
-                    and not isinstance(step.value, bool)):
-                raise CompileError("slice step must be a constant int")
-            step_v = step.value
-            if step_v == 0:
-                self.guard(F.lit(True), "ValueError")
-                return SConst(None)
-            if step_v == -1 and sl.lower is None and sl.upper is None:
-                return SCol(F.reverse(base.col), base.tag, base.nullable)
+            if isinstance(step, SConst):
+                if not (isinstance(step.value, int)
+                        and not isinstance(step.value, bool)):
+                    raise CompileError("slice step must be int")
+                step_v = step.value
+                if step_v == 0:
+                    self.guard(F.lit(True), "ValueError")
+                    return SConst(None)
+                if step_v == -1 and sl.lower is None and sl.upper is None:
+                    return SCol(F.reverse(base.col), base.tag,
+                                base.nullable)
+            elif isinstance(step, SCol) and step.tag in ("int", "bool"):
+                return self._slice_dynamic_step(base, sl, step)
+            else:
+                raise CompileError("slice step must be int")
         L = F.length(base.col) if base.tag == "str" else F.size(base.col)
 
         def seg_of(col, start0, length):
@@ -2477,6 +2485,66 @@ class Translator:
         length = F.greatest(hi - lo, F.lit(0))
         return stepped(seg_of(base.col, lo, length),
                        step_v if step_v is not None else 1)
+
+    def _slice_dynamic_step(self, base: SCol, sl: ast.Slice,
+                            step: SCol) -> Sym:
+        """Slice with a DATA-DEPENDENT step: evaluate the bounds once,
+        build the positive-step and negative-step segment expressions,
+        and select per row with when(k < 0).  Stepping uses an
+        index-filter HOF (chars for strings), so any |k| >= 1 works
+        without a compile-time constant."""
+        k = self.to_col(step)
+        if step.nullable:
+            self.guard(k.isNull(), "TypeError")
+        self.guard(k.isNotNull() & (k == 0), "ValueError")
+        L = F.length(base.col) if base.tag == "str" else F.size(base.col)
+
+        def seg_of(col, start0, length):
+            if base.tag == "str":
+                return F.substring(col, (start0 + 1).cast("int"),
+                                   length.cast("int"))
+            return F.slice(col, (start0 + 1).cast("int"),
+                           length.cast("int"))
+
+        def rawb(node):
+            if node is None:
+                return None
+            return self.to_col(self.num(self.eval(node), "slice bound"))
+
+        lo_raw, hi_raw = rawb(sl.lower), rawb(sl.upper)
+        # positive branch (CPython clamp to [0, n])
+        def normp(v, default):
+            if v is None:
+                return default
+            return F.greatest(
+                F.least(F.when(v < 0, L + v).otherwise(v), L), F.lit(0))
+        lo = normp(lo_raw, F.lit(0))
+        hi = normp(hi_raw, L)
+        pos_seg = seg_of(base.col, lo, F.greatest(hi - lo, F.lit(0)))
+        # negative branch (defaults lo=n-1, hi=-1 exclusive sentinel)
+        def normn(v, default):
+            if v is None:
+                return default
+            v2 = F.when(v < 0, L + v).otherwise(v)
+            return F.when(v2 < 0, F.lit(-1)).otherwise(
+                F.least(v2, L - 1))
+        lo_p = normn(lo_raw, L - 1)
+        hi_p = normn(hi_raw, F.lit(-1))
+        nstart = L - 1 - lo_p
+        nlen = F.greatest((L - 1 - hi_p) - nstart, F.lit(0))
+        neg_seg = seg_of(F.reverse(base.col), nstart, nlen)
+        ka = F.abs(k)
+
+        def stepped(seg):
+            if base.tag == "str":
+                return F.array_join(
+                    F.filter(F.split(seg, ""),
+                             lambda x, i: i % ka == 0), "")
+            return F.filter(seg, lambda x, i: i % ka == 0)
+
+        return SCol(F.when(k < 0, stepped(neg_seg))
+                    .otherwise(stepped(pos_seg)),
+                    base.tag, base.nullable)
 
     # -- operators -------------------------------------------------------
     def _ev_BinOp(self, node):
