@@ -2951,3 +2951,89 @@ class TestDynamicSliceStep:
     def test_dynamic_bounds_and_step_together(self, ctx):
         run_diff(ctx, [(1, 2), (2, 3), (0, 1), (7, 2)],
                  lambda a, k: "abcdefghij"[a:a + 5:k])
+
+
+class TestNestedTryRaisePointReads:
+    """Handlers reading body-assigned names across NESTED tries: the
+    snapshot stack + guard-index remap must bind raise-point values at
+    every level (previously an unconditional fallback)."""
+
+    def test_outer_reads_across_inner_catch(self, ctx):
+        def f(s):
+            r = 0
+            try:
+                r = 1
+                try:
+                    x = int(s)
+                except ValueError:
+                    x = -1
+                r = 2
+                y = 10 // x
+                r = 3
+            except ZeroDivisionError:
+                return r * 100
+            return r + y
+        run_diff(ctx, ["abc", "0", "5", "2", ""], f,
+                 expect_compiled=True)
+
+    def test_inner_uncaught_propagates_with_raise_point_value(self, ctx):
+        def g(s):
+            acc = 0
+            try:
+                acc = 1
+                try:
+                    acc = 2
+                    v = 10 // int(s)
+                except KeyError:
+                    v = 0
+                acc = 3
+            except ValueError:
+                return acc * 10
+            except ZeroDivisionError:
+                return acc * 100
+            return acc + v
+        run_diff(ctx, ["abc", "0", "5", "10"], g, expect_compiled=True)
+
+    def test_both_levels_read_raise_point_values(self, ctx):
+        def h(s):
+            a = 0
+            try:
+                a = 1
+                try:
+                    b = 5
+                    c = int(s)
+                    b = 6
+                    d = 10 // (c - 1)
+                except ZeroDivisionError:
+                    return b * 1000
+                a = 2
+                e = 10 // (c - 2)
+            except ValueError:
+                return a * 10
+            except ZeroDivisionError:
+                return a * 100
+            return a + d + e
+        run_diff(ctx, ["1", "abc", "2", "3", "7"], h,
+                 expect_compiled=True)
+
+    def test_uncaught_beyond_both_levels_still_fails_row(self, ctx):
+        def k(s):
+            n = 0
+            try:
+                n = 1
+                try:
+                    n = 2
+                    v = int(s)
+                except KeyError:
+                    v = -1
+                n = 3
+            except ValueError:
+                return n * 10
+            return 100 // v + n
+        ds = ctx.parallelize(["abc", "0", "4"]).map(k)
+        got = ds.collect()
+        # "abc" -> ValueError handler (n==2 at raise) -> 20;
+        # "0" -> ZeroDivision after the try, uncaught -> row dropped;
+        # "4" -> 100 // 4 + 3 = 28
+        assert got == [20, 28]
+        assert ds.exception_counts == {"ZeroDivisionError": 1}

@@ -508,10 +508,13 @@ class Translator:
         self.staged: list[tuple[str, Column]] = []
         self._json_staged: dict[str, Column] = {}
         self._hof_depth = 0
-        # (snap_dict, names): active while a try body whose handlers
-        # read body-assigned names executes — guard() then records the
+        # stack of (snap_dict, names): one entry per enclosing try body
+        # whose handlers read body-assigned names — guard() records the
         # named locals AS OF each raise point (CPython handler scope)
-        self._snap_to: tuple[dict, set] | None = None
+        # into EVERY active entry, so nested tries keep all levels'
+        # snapshots.  Guard-index rebasing in _exec_try remaps ancestor
+        # entries when a nested try consumes guards.
+        self._snap_stack: list[tuple[dict, set]] = []
 
     # -- public entry ----------------------------------------------------
     def compile(self, fn) -> CompiledUDF:
@@ -607,8 +610,7 @@ class Translator:
         if self._path is not None:
             cond = self._path & cond
         self.guards.append((cond, code_for(exc)))
-        if self._snap_to is not None:
-            snaps, names = self._snap_to
+        for snaps, names in self._snap_stack:
             snaps[len(self.guards) - 1] = {
                 n: self._locals[n] for n in names if n in self._locals}
 
@@ -989,10 +991,14 @@ class Translator:
         ``else`` runs under the no-body-raise condition and its guards
         are NOT caught by this try's handlers (CPython); ``finally``
         executes unconditionally at the end — value-consistent because
-        CPython evaluates return values BEFORE finally runs.  Still
-        falling back: `as name` bindings, handlers reading names the
-        body assigns (their value would depend on where the raise
-        happened), raising/returning/breaking finally bodies (an
+        CPython evaluates return values BEFORE finally runs.  Handlers
+        that read body-assigned names see their values AS OF the raise
+        point (per-guard snapshots, merged by disjoint raise
+        conditions) — including across NESTED tries: the snapshot stack
+        records every enclosing level and guard-index rebasing remaps
+        ancestor entries.  Still falling back: handlers READING the
+        `as name` binding (exact messages would need CPython repr of
+        the operands), raising/returning/breaking finally bodies (an
         exception in finally REPLACES the in-flight one, which the
         append-only guard model cannot express).
 
@@ -1034,29 +1040,28 @@ class Translator:
                               if isinstance(n, ast.Name)
                               and isinstance(n.ctx, ast.Load)}
         rw = handler_reads & body_assigned
-        if rw and any(isinstance(n, ast.Try)
-                      for bs in st.body for n in ast.walk(bs)):
-            # a nested try re-bases guard list positions, which would
-            # invalidate the index-keyed raise-point snapshots
-            raise CompileError("handler reads body name across nested try")
 
         saved = dict(self._locals)
         n_guards = len(self.guards)
         start_returns = len(self._returns)
         self._branch_depth += 1  # blocks dict mutation aliasing inside
         snaps: dict[int, dict] = {}
-        old_snap = self._snap_to
+        entry = (snaps, rw)
         if rw:
             # handlers see body-assigned names AS OF the raise point
             # (CPython handler scope): guard() records them per guard
-            self._snap_to = (snaps, rw)
+            # (into this entry AND every enclosing try's entry)
+            self._snap_stack.append(entry)
         try:
             body_term = self.exec_block(st.body, path)
-            self._snap_to = old_snap
+            if rw:
+                self._snap_stack = [e for e in self._snap_stack
+                                    if e is not entry]
             body_env = self._locals
             new_guards = self.guards[n_guards:]
             del self.guards[n_guards:]
             kept: list[tuple[Column, int]] = []
+            kept_old: list[int] = []
             per_handler: list[list[tuple[Column, int]]] = \
                 [[] for _ in st.handlers]
             prior: Column | None = None
@@ -1067,10 +1072,20 @@ class Translator:
                 eff = cond if prior is None else (cond & ~prior)
                 if hi is None:
                     kept.append((eff, code))
+                    kept_old.append(gi)
                 else:
                     per_handler[hi].append((eff, gi))
                 prior = cond if prior is None else (prior | cond)
             self.guards.extend(kept)
+            # guard indices >= n_guards just moved (handled ones were
+            # consumed): remap every ENCLOSING try's snapshot dict so
+            # its index keys track the surviving guards
+            for osnaps, _ in self._snap_stack:
+                pending = {g: osnaps.pop(g)
+                           for g in [g for g in osnaps if g >= n_guards]}
+                for new_i, gi_old in enumerate(kept_old, start=n_guards):
+                    if gi_old in pending:
+                        osnaps[new_i] = pending[gi_old]
             handled = None
             for conds in per_handler:
                 for c, _ in conds:
@@ -1139,7 +1154,8 @@ class Translator:
             return False, path
         finally:
             self._branch_depth -= 1
-            self._snap_to = old_snap
+            self._snap_stack = [e for e in self._snap_stack
+                                if e is not entry]
 
     def _run_finally(self, st: ast.Try, path: Column | None,
                      n_guards: int) -> None:
