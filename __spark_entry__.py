@@ -968,6 +968,20 @@ def q_dedup_jaccard(spark, sf_dir):
                                      n=2, threshold=0.2)
 
 
+def q_dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: the corpus minus documents sharing
+    >= 1 distinct word 8-gram with the 'benchmark' subset (doc_id
+    divisible by 17 — which therefore removes at least that subset
+    itself plus its near-duplicates).  Reference shingles broadcast;
+    the only corpus shuffle is the per-doc overlap count
+    (functions/dedup.py decontaminate)."""
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 17 == 0)
+    return dedup.decontaminate(docs, ref, n=8).select("doc_id")
+
+
 def _parquet_nrows(path: str) -> int | None:
     """Row count straight from parquet footer metadata (no Spark job) —
     feeds the corpus-adaptive SRP granularity.  Handles both single-file
@@ -1359,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
         "mm_audio": q_mm_audio,
+        "dedup_decontaminate": q_dedup_decontaminate,
     }
     assert len(graded) <= 50, "graded window overflow — rebalance"
     return {**graded, **overflow}
@@ -1784,6 +1799,9 @@ FROM documents""",
         "dedup_minhash": dedup.minhash_lsh_pairs_sql(),
         "dedup_simhash": dedup.simhash_pairs_sql(),
         "dedup_jaccard": dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2),
+        "dedup_decontaminate": "SELECT doc_id FROM ("
+        + dedup.decontaminate_sql(ref_where="doc_id % 17 = 0", n=8)
+        + ") q",
         # nbits must match the Spark side's corpus-adaptive choice: the
         # driver grades the oracle at sf0.01, so count that table's rows
         # the same way q_dedup_embedding does (parquet footer metadata)

@@ -377,3 +377,59 @@ class TestRedactCountAndScanMtime:
             assert cmod._scan_mtime(str(d)) == float("inf")
         finally:
             cmod._SCAN_MTIME_CAP = old
+
+
+class TestDecontaminate:
+    def _corpus(self, spark):
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "completely unrelated text about spark execution plans"),
+            # shares an 8-gram with doc 1
+            (3, "x quick brown fox jumps over the lazy dog y z"),
+            (4, "short doc"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_drop_removes_ref_and_overlaps(self, spark):
+        from tuplex_spark.functions.dedup import decontaminate
+        docs = self._corpus(spark)
+        ref = docs.filter("doc_id = 1")
+        kept = sorted(r["doc_id"]
+                      for r in decontaminate(docs, ref, n=8).collect())
+        # 1 matches itself, 3 shares "quick brown fox jumps over the
+        # lazy dog" 8-gram; 2 and 4 (too short) survive
+        assert kept == [2, 4]
+
+    def test_flag_mode_counts(self, spark):
+        from tuplex_spark.functions.dedup import decontaminate
+        docs = self._corpus(spark)
+        ref = docs.filter("doc_id = 1")
+        out = {r["doc_id"]: r for r in
+               decontaminate(docs, ref, n=8, mode="flag").collect()}
+        assert len(out) == 4
+        assert out[1]["contaminated"] and out[3]["contaminated"]
+        assert not out[2]["contaminated"] and not out[4]["contaminated"]
+        assert out[2]["n_overlap"] == 0 and out[1]["n_overlap"] >= 1
+
+    def test_min_overlap_threshold(self, spark):
+        from tuplex_spark.functions.dedup import decontaminate
+        docs = self._corpus(spark)
+        ref = docs.filter("doc_id = 1")
+        kept = sorted(r["doc_id"] for r in
+                      decontaminate(docs, ref, n=8,
+                                    min_overlap=3).collect())
+        # doc 3 shares fewer than 3 distinct 8-grams -> survives
+        assert 3 in kept and 2 in kept and 4 in kept and 1 not in kept
+
+    def test_plan_broadcasts_ref_no_cartesian(self, spark):
+        import os
+        from tuplex_spark.functions.dedup import decontaminate
+        from conftest import SF_DIR
+        docs = spark.read.parquet(os.path.join(SF_DIR,
+                                               "documents.parquet"))
+        ref = docs.filter("doc_id % 17 = 0")
+        plan = decontaminate(docs, ref, n=8) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

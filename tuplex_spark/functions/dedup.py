@@ -193,6 +193,76 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .distinct())
 
 
+def decontaminate(df: DataFrame, ref: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ref_text_col: str | None = None,
+                  n: int = 8, min_overlap: int = 1,
+                  mode: str = "drop") -> DataFrame:
+    """Benchmark decontamination: drop (or flag) corpus documents that
+    share >= ``min_overlap`` distinct word ``n``-grams with ANY
+    reference document — the standard test-set-overlap pass for
+    pretraining corpora (n=8..13 word-gram matching).
+
+    Scale design (100 TB corpus): benchmark suites are tiny relative to
+    the corpus, so the reference's DISTINCT shingle set broadcasts and
+    the overlap test is a map-side broadcast hash join on the corpus'
+    shingle explode; the only corpus shuffle is the per-doc overlap
+    count (partial agg on doc id).  ``mode="drop"`` finishes with an
+    anti join of the contaminated id list (AQE broadcasts it when
+    small); ``mode="flag"`` returns every row with an ``n_overlap``
+    column instead of filtering."""
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"decontaminate mode={mode!r}")
+    ref_text = ref_text_col or text_col
+    rsh = (ref.select(tokens(ref_text).alias("__toks"))
+           .filter(F.size("__toks") >= n)
+           .select(F.explode(
+               word_shingles_from(F.col("__toks"), n)).alias("s"))
+           .distinct())
+    dsh = _staged_shingles(df, text_col, id_col, n) \
+        .select("id", F.explode("sh").alias("s"))
+    # per-doc shingles are already distinct -> count == distinct overlap
+    hits = (dsh.join(F.broadcast(rsh), "s")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .filter(F.col("n_overlap") >= min_overlap)
+            .select(F.col("id").alias("__hit_id"), "n_overlap"))
+    if mode == "flag":
+        out = df.join(hits, df[id_col] == F.col("__hit_id"), "left")
+        return out.select(
+            *df.columns,
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap)
+            .alias("contaminated"))
+    return df.join(hits, df[id_col] == F.col("__hit_id"), "left_anti")
+
+
+def decontaminate_sql(table="documents", ref_where="TRUE",
+                      text_col="text", id_col="doc_id",
+                      n=8, min_overlap=1) -> str:
+    """DuckDB twin of decontaminate(mode="drop") with the reference set
+    selected from the same table by ``ref_where``."""
+    toks = TOKENS_SQL.format(c=text_col)
+    sh = _shingles_sql(text_col, n)
+    toks_d = TOKENS_SQL.format(c="d." + text_col)
+    sh_d = _shingles_sql("d." + text_col, n)
+    return f"""
+WITH rsh AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest({sh}) AS s FROM {table}
+    WHERE ({ref_where}) AND len({toks}) >= {n})
+), hits AS (
+  SELECT id FROM (
+    SELECT id, count(*) AS n_overlap FROM (
+      SELECT d.{id_col} AS id, unnest({sh_d}) AS s
+      FROM {table} d WHERE len({toks_d}) >= {n}
+    ) ds JOIN rsh USING (s)
+    GROUP BY id
+  ) WHERE n_overlap >= {min_overlap}
+)
+SELECT t.* FROM {table} t ANTI JOIN hits ON t.{id_col} = hits.id"""
+
+
 _SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed 64-bit long in
                     # both Spark and DuckDB (16 chars could exceed 2^63)
 
