@@ -433,3 +433,40 @@ class TestDecontaminate:
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestDupComponents:
+    def test_chain_star_and_islands(self, spark):
+        from tuplex_spark.functions.dedup import dup_components
+        # chain 1-2-3-4, star 10-(11,12,13), pair 20-21
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13),
+             (20, 21)], "id_a long, id_b long")
+        got = {r["id"]: r["comp"] for r in dup_components(pairs).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                       10: 10, 11: 10, 12: 10, 13: 10,
+                       20: 20, 21: 20}
+
+    def test_long_path_converges_via_pointer_jumping(self, spark):
+        from tuplex_spark.functions.dedup import dup_components
+        n = 64  # path of 64 nodes: naive propagation needs 63 rounds
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "id_a long, id_b long")
+        got = {r["id"]: r["comp"]
+               for r in dup_components(pairs, max_iter=10).collect()}
+        assert all(v == 0 for v in got.values()), got
+
+    def test_survivor_selection_composes(self, spark):
+        from tuplex_spark.functions.dedup import dup_components
+        from pyspark.sql import functions as F
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(6)], "doc_id long, text string")
+        pairs = spark.createDataFrame([(0, 3), (3, 5)],
+                                      "id_a long, id_b long")
+        comp = dup_components(pairs)
+        losers = comp.filter(F.col("id") != F.col("comp")) \
+            .select(F.col("id").alias("doc_id"))
+        kept = sorted(r["doc_id"]
+                      for r in docs.join(losers, "doc_id",
+                                         "left_anti").collect())
+        assert kept == [0, 1, 2, 4]

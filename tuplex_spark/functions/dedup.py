@@ -263,6 +263,75 @@ WITH rsh AS (
 SELECT t.* FROM {table} t ANTI JOIN hits ON t.{id_col} = hits.id"""
 
 
+def dup_components(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b",
+                   max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate PAIRS -> (id, component)
+    with component = the smallest id reachable — the step that turns an
+    LSH pair list into per-cluster survivors/delete-lists (keep rows
+    where id == component).
+
+    Iterative min-label propagation with POINTER JUMPING: each round
+    takes the min over direct neighbors' labels, then label-of-label
+    (comp <- comp[comp]), so convergence is O(log diameter) rounds
+    instead of O(diameter) — dup clusters are shallow, so this is
+    typically 2-4 rounds.  Each round localCheckpoints the label table
+    (truncating lineage that would otherwise grow exponentially) and
+    the driver checks a single converged-count aggregate; only ids
+    appearing in pairs are carried — at 100 TB the label table is
+    bounded by the candidate-pair id set, far smaller than the corpus,
+    and each round is two shuffles on id.  Rows not in any pair are
+    singleton components (callers union them back unchanged)."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+    labels = (edges.select("src").distinct()
+              .select(F.col("src").alias("id"),
+                      F.col("src").alias("comp"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nb = (edges.join(labels, edges.src == labels.id)
+              .groupBy("dst").agg(F.min("comp").alias("nb_min")))
+        stepped = (labels.join(nb, labels.id == nb.dst, "left")
+                   .select(F.col("id"),
+                           F.least(F.col("comp"),
+                                   F.coalesce("nb_min", F.col("comp")))
+                           .alias("comp")))
+        jump = stepped.select(F.col("id").alias("jid"),
+                              F.col("comp").alias("jcomp"))
+        new_labels = (stepped.join(jump,
+                                   stepped.comp == F.col("jid"), "left")
+                      .select(F.col("id"),
+                              F.coalesce("jcomp", "comp").alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_components_sql(pairs_sql: str, id_a: str = "id_a",
+                       id_b: str = "id_b") -> str:
+    """DuckDB twin: transitive closure via WITH RECURSIVE, component =
+    min reachable id (feasible at oracle scale)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}
+), edges AS (
+  SELECT {id_a} AS src, {id_b} AS dst FROM pairs
+  UNION ALL
+  SELECT {id_b} AS src, {id_a} AS dst FROM pairs
+), reach(id, lbl) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+)
+SELECT id, min(lbl) AS comp FROM reach GROUP BY id"""
+
+
 _SIMHASH_BITS = 60  # 15 md5 hex chars -> fits a signed 64-bit long in
                     # both Spark and DuckDB (16 chars could exceed 2^63)
 
