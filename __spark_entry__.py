@@ -982,6 +982,16 @@ def q_dedup_decontaminate(spark, sf_dir):
     return dedup.decontaminate(docs, ref, n=8).select("doc_id")
 
 
+def q_text_pack(spark, sf_dir):
+    """Sequence packing: (bucket, block, off) placement of every
+    document into fixed 512-token training blocks — bucketed running
+    sums, one window shuffle (functions/text.py pack_sequences)."""
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.pack_sequences(_t(spark, sf_dir, "documents"),
+                               budget=512, n_buckets=16)
+
+
 def q_dedup_components(spark, sf_dir):
     """Connected components over the jaccard near-dup pairs: the
     survivor-selection step of a dedup pipeline (keep id == comp).
@@ -1388,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio": q_mm_audio,
         "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_components": q_dedup_components,
+        "text_pack": q_text_pack,
     }
     assert len(graded) <= 50, "graded window overflow — rebalance"
     return {**graded, **overflow}
@@ -1818,6 +1829,7 @@ FROM documents""",
         + ") q",
         "dedup_components": dedup.dup_components_sql(
             dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2)),
+        "text_pack": text.pack_sequences_sql(budget=512, n_buckets=16),
         # nbits must match the Spark side's corpus-adaptive choice: the
         # driver grades the oracle at sf0.01, so count that table's rows
         # the same way q_dedup_embedding does (parquet footer metadata)

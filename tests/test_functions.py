@@ -470,3 +470,52 @@ class TestDupComponents:
                       for r in docs.join(losers, "doc_id",
                                          "left_anti").collect())
         assert kept == [0, 1, 2, 4]
+
+
+class TestPackSequences:
+    def test_blocks_and_offsets(self, spark):
+        from tuplex_spark.functions.text import pack_sequences
+        # single bucket: docs of 3, 4, 5, 2 tokens, budget 6
+        docs = spark.createDataFrame(
+            [(0, "a b c"), (16, "a b c d"), (32, "a b c d e"),
+             (48, "a b")], "doc_id long, text string")
+        got = {r["doc_id"]: (r["bucket"], r["block"], r["off"])
+               for r in pack_sequences(docs, budget=6,
+                                       n_buckets=16).collect()}
+        # starts: 0, 3, 7, 12 -> blocks 0,0,1,2; offs 0,3,1,0
+        assert got == {0: (0, 0, 0), 16: (0, 0, 3),
+                       32: (0, 1, 1), 48: (0, 2, 0)}
+
+    def test_buckets_pack_independently(self, spark):
+        from tuplex_spark.functions.text import pack_sequences
+        docs = spark.createDataFrame(
+            [(0, "a b c"), (1, "x y"), (2, "p q r s"), (17, "m n")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["bucket"], r["block"], r["off"])
+               for r in pack_sequences(docs, budget=4,
+                                       n_buckets=16).collect()}
+        assert got[0] == (0, 0, 0)
+        assert got[1] == (1, 0, 0)       # own bucket, fresh sum
+        assert got[17] == (1, 0, 2)      # after doc 1 in bucket 1
+        assert got[2] == (2, 0, 0)
+
+    def test_empty_doc_zero_tokens(self, spark):
+        from tuplex_spark.functions.text import pack_sequences
+        docs = spark.createDataFrame(
+            [(0, ""), (16, "a b")], "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["off"])
+               for r in pack_sequences(docs, budget=8,
+                                       n_buckets=16).collect()}
+        assert got[0] == (0, 0) and got[16] == (2, 0)
+
+    def test_plan_single_window_shuffle(self, spark):
+        import os
+        from conftest import SF_DIR
+        from tuplex_spark.functions.text import pack_sequences
+        docs = spark.read.parquet(os.path.join(SF_DIR,
+                                               "documents.parquet"))
+        plan = pack_sequences(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Exchange SinglePartition" not in plan, \
+            "packing must never global-sort"

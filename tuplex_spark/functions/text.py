@@ -197,6 +197,61 @@ WHERE len(token) > 0
 GROUP BY token HAVING count(*) >= {min_count}"""
 
 
+def pack_sequences(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", budget: int = 2048,
+                   n_buckets: int = 64) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document a
+    (bucket, block, off) placement in fixed ``budget``-token training
+    blocks — the standard GPT-style packing where documents are
+    concatenated in a deterministic order and sliced into equal-size
+    blocks.
+
+    Scale design: a single global running sum would be one partition's
+    sort; instead documents bucket deterministically (id % n_buckets)
+    and each bucket packs independently — packing groups are
+    independent by construction, so the window partitions by bucket and
+    100 TB packs with an ordinary shuffle.  block = the block index the
+    document STARTS in (within its bucket); off = its token offset
+    inside that block.  Pure window arithmetic, exact integers — the
+    DuckDB twin (pack_sequences_sql) reproduces it bit-for-bit."""
+    from pyspark.sql import Window
+    t = F.col(text_col)
+    ntok = F.when(F.length(F.trim(t)) == 0, F.lit(0)) \
+        .otherwise(F.size(tokens(text_col))).cast("long")
+    base = df.select(F.col(id_col).alias("id"),
+                     ntok.alias("n_tokens"),
+                     (F.col(id_col) % n_buckets).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return base.select(
+        F.col("id").alias(id_col), "n_tokens", "bucket",
+        F.floor(start / budget).cast("long").alias("block"),
+        (start % budget).cast("long").alias("off"))
+
+
+def pack_sequences_sql(table="documents", text_col="text",
+                       id_col="doc_id", budget=2048,
+                       n_buckets=64) -> str:
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         CASE WHEN length(trim({text_col})) = 0 THEN 0
+              ELSE len({toks}) END::BIGINT AS n_tokens,
+         ({id_col} % {n_buckets})::BIGINT AS bucket
+  FROM {table}
+), cum AS (
+  SELECT id, n_tokens, bucket,
+         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY id)
+           - n_tokens AS start
+  FROM base
+)
+SELECT id AS {id_col}, n_tokens, bucket,
+       (start // {budget})::BIGINT AS block,
+       (start % {budget})::BIGINT AS off
+FROM cum"""
+
+
 TOKENS_SQL = "str_split_regex(trim(lower({c})), '\\s+')"
 
 
