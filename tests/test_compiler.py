@@ -3037,3 +3037,37 @@ class TestNestedTryRaisePointReads:
         # "4" -> 100 // 4 + 3 = 28
         assert got == [20, 28]
         assert ds.exception_counts == {"ZeroDivisionError": 1}
+
+
+class TestFStringReprNumeric:
+    """!r on numbers/bools equals str() — compiled; !r on strings needs
+    CPython repr quoting/escaping and stays on the exact fallback."""
+
+    def test_repr_int_bool(self, ctx):
+        run_diff(ctx, [1, -5, 0, 7],
+                 lambda x: f"v={x!r} b={(x > 2)!r}",
+                 expect_compiled=True)
+
+    def test_repr_float(self, ctx):
+        run_diff(ctx, [1.5, -0.25, 2.0, 1e20, 0.0001],
+                 lambda x: f"{x!r}", expect_compiled=True)
+
+    def test_repr_str_falls_back_exact(self, ctx):
+        run_diff(ctx, ["plain", "it's", 'say "hi"', "a\nb", ""],
+                 lambda s: f"{s!r}", expect_compiled=False)
+
+
+class TestWhileTrueContinuePlusBreak:
+    def test_while_true_with_continue_and_break(self, ctx):
+        def f(x):
+            i = 0
+            tot = 0
+            while True:
+                i += 1
+                if i >= 6:
+                    break
+                if i % 2 == 0:
+                    continue
+                tot += i * x
+            return tot
+        run_diff(ctx, NUMS, f, expect_compiled=True)

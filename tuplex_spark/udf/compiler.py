@@ -2920,7 +2920,7 @@ class Translator:
                     # escapes (no Column form) — fallback unless the
                     # value is numeric (previously !r was IGNORED)
                     if v.conversion == 114 and getattr(val, "tag", None) \
-                            in ("int", "float"):
+                            in ("int", "float", "bool"):
                         pass
                     else:
                         raise CompileError("f-string conversion")
