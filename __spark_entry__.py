@@ -982,6 +982,15 @@ def q_dedup_decontaminate(spark, sf_dir):
     return dedup.decontaminate(docs, ref, n=8).select("doc_id")
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup-token / top-unigram /
+    top-bigram fractions) — one scan, one tagged explode, two
+    partial-aggregated shuffles (functions/text.py)."""
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
 def q_text_pack(spark, sf_dir):
     """Sequence packing: (bucket, block, off) placement of every
     document into fixed 512-token training blocks — bucketed running
@@ -1399,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_components": q_dedup_components,
         "text_pack": q_text_pack,
+        "text_repetition": q_text_repetition,
     }
     assert len(graded) <= 50, "graded window overflow — rebalance"
     return {**graded, **overflow}
@@ -1830,6 +1840,7 @@ FROM documents""",
         "dedup_components": dedup.dup_components_sql(
             dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2)),
         "text_pack": text.pack_sequences_sql(budget=512, n_buckets=16),
+        "text_repetition": text.repetition_scores_sql(),
         # nbits must match the Spark side's corpus-adaptive choice: the
         # driver grades the oracle at sf0.01, so count that table's rows
         # the same way q_dedup_embedding does (parquet footer metadata)

@@ -519,3 +519,30 @@ class TestPackSequences:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Exchange SinglePartition" not in plan, \
             "packing must never global-sort"
+
+
+class TestRepetitionScores:
+    def test_hand_computed(self, spark):
+        from tuplex_spark.functions.text import repetition_scores
+        docs = spark.createDataFrame(
+            [(1, "a a a a"),            # 4 tokens, 1 distinct
+             (2, "w x y z"),            # all distinct
+             (3, "go go stop go go")],  # top bigram "go go" = 2/4
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+        assert got[1]["n_tokens"] == 4
+        assert abs(got[1]["dup_token_frac"] - 0.75) < 1e-9
+        assert abs(got[1]["top_token_frac"] - 1.0) < 1e-9
+        assert abs(got[1]["top_bigram_frac"] - 1.0) < 1e-9
+        assert got[2]["dup_token_frac"] == 0.0
+        assert abs(got[2]["top_bigram_frac"] - (1 / 3)) < 1e-6
+        assert abs(got[3]["top_token_frac"] - 0.8) < 1e-9
+        assert abs(got[3]["top_bigram_frac"] - 0.5) < 1e-9
+
+    def test_single_token_doc(self, spark):
+        from tuplex_spark.functions.text import repetition_scores
+        docs = spark.createDataFrame([(1, "solo")],
+                                     "doc_id long, text string")
+        r = repetition_scores(docs).collect()[0]
+        assert r["n_tokens"] == 1
+        assert r["top_bigram_frac"] == 0.0

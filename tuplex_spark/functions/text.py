@@ -197,6 +197,94 @@ WHERE len(token) > 0
 GROUP BY token HAVING count(*) >= {min_count}"""
 
 
+def repetition_scores(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition filters at token granularity:
+    ``dup_token_frac`` (1 - distinct/total tokens), ``top_token_frac``
+    and ``top_bigram_frac`` (most-frequent unigram/bigram share) — the
+    standard signals for dropping looping/boilerplate documents from a
+    pretraining corpus.
+
+    One scan: unigrams and bigrams explode from the SAME staged token
+    array with a kind tag, then a two-level aggregation ((id, kind,
+    gram) counts -> per-id max/sum/distinct) — two shuffles total, both
+    partial-aggregated, nothing quadratic."""
+    tk = F.col("__toks")
+    bigrams = F.when(F.size(tk) < 2, F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i),
+                                  F.element_at(tk, i + 1))))
+    staged = df.select(F.col(id_col).alias("id"),
+                       tokens(text_col).alias("__toks"))
+    ex = (staged
+          .select("id", F.explode(F.concat(
+              F.transform(tk, lambda t: F.struct(
+                  F.lit("u").alias("kind"), t.alias("gram"))),
+              F.transform(bigrams, lambda g: F.struct(
+                  F.lit("b").alias("kind"), g.alias("gram")))))
+              .alias("kg"))
+          .select("id", F.col("kg.kind").alias("kind"),
+                  F.col("kg.gram").alias("gram")))
+    g1 = ex.groupBy("id", "kind", "gram").agg(
+        F.count(F.lit(1)).alias("c"))
+    u = F.col("kind") == "u"
+    b = F.col("kind") == "b"
+    g2 = g1.groupBy("id").agg(
+        F.max(F.when(u, F.col("c"))).alias("top_u"),
+        F.sum(F.when(u, F.col("c"))).alias("tot_u"),
+        F.sum(F.when(u, F.lit(1))).alias("n_u"),
+        F.max(F.when(b, F.col("c"))).alias("top_b"),
+        F.sum(F.when(b, F.col("c"))).alias("tot_b"))
+    totu = F.greatest(F.col("tot_u"), F.lit(1)).cast("double")
+    totb = F.greatest(F.coalesce(F.col("tot_b"), F.lit(0)),
+                      F.lit(1)).cast("double")
+    return g2.select(
+        F.col("id").alias(id_col),
+        F.col("tot_u").cast("long").alias("n_tokens"),
+        F.round(1 - F.col("n_u") / totu, 6).alias("dup_token_frac"),
+        F.round(F.col("top_u") / totu, 6).alias("top_token_frac"),
+        F.round(F.coalesce(F.col("top_b"), F.lit(0)) / totb, 6)
+        .alias("top_bigram_frac"))
+
+
+def repetition_scores_sql(table="documents", text_col="text",
+                          id_col="doc_id") -> str:
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS t FROM {table}
+), withb AS (
+  SELECT id, t,
+         CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+              ELSE list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i + 1]) END AS bg
+  FROM base
+), ex AS (
+  SELECT id, 'u' AS kind, unnest(t) AS gram FROM withb
+  UNION ALL
+  SELECT id, 'b' AS kind, unnest(bg) AS gram FROM withb
+), g1 AS (
+  SELECT id, kind, gram, count(*) AS c FROM ex GROUP BY id, kind, gram
+), agg AS (
+  SELECT id,
+         max(CASE WHEN kind = 'u' THEN c END) AS top_u,
+         sum(CASE WHEN kind = 'u' THEN c END) AS tot_u,
+         sum(CASE WHEN kind = 'u' THEN 1 END) AS n_u,
+         max(CASE WHEN kind = 'b' THEN c END) AS top_b,
+         sum(CASE WHEN kind = 'b' THEN c END) AS tot_b
+  FROM g1 GROUP BY id
+)
+SELECT id AS {id_col},
+       tot_u::BIGINT AS n_tokens,
+       round(1 - n_u / greatest(tot_u, 1)::DOUBLE, 6) AS dup_token_frac,
+       round(top_u / greatest(tot_u, 1)::DOUBLE, 6) AS top_token_frac,
+       round(coalesce(top_b, 0)
+             / greatest(coalesce(tot_b, 0), 1)::DOUBLE, 6)
+         AS top_bigram_frac
+FROM agg"""
+
+
 def pack_sequences(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", budget: int = 2048,
                    n_buckets: int = 64) -> DataFrame:
