@@ -3071,3 +3071,43 @@ class TestWhileTrueContinuePlusBreak:
                 tot += i * x
             return tot
         run_diff(ctx, NUMS, f, expect_compiled=True)
+
+
+class TestHandlerTypeName:
+    """`except X as e` where e is read ONLY as type(e).__name__
+    compiles: the class is statically known per guard.  Any other read
+    still falls back exactly."""
+
+    def test_single_class_handler(self, ctx):
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                return -len(type(e).__name__)
+        run_diff(ctx, ["12", "abc", "7", ""], f, expect_compiled=True)
+
+    def test_multi_class_handler_names_differ(self, ctx):
+        def g(s):
+            try:
+                v = int(s)
+                return 100 // v
+            except (ValueError, ZeroDivisionError) as e:
+                return len(type(e).__name__)
+        # ValueError (10) vs ZeroDivisionError (17) rows differ
+        run_diff(ctx, ["abc", "0", "4", "25"], g, expect_compiled=True)
+
+    def test_name_in_fstring(self, ctx):
+        def h(s):
+            try:
+                return f"ok:{int(s)}"
+            except ValueError as e:
+                return f"err:{type(e).__name__}"
+        run_diff(ctx, ["3", "nope", ""], h, expect_compiled=True)
+
+    def test_other_reads_still_fall_back(self, ctx):
+        def k(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                return len(str(e))  # message read -> exact fallback
+        run_diff(ctx, ["5", "xyz"], k, expect_compiled=False)

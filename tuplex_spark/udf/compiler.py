@@ -217,6 +217,47 @@ def _contains_continue(node) -> bool:
     return any(_contains_continue(c) for c in ast.iter_child_nodes(node))
 
 
+def _reads_only_type_name(handler: ast.ExceptHandler) -> bool:
+    """True when every Load of the handler's ``as`` name is exactly
+    ``type(<name>).__name__`` — the one read the compiled path can
+    answer (the class is statically known per guard)."""
+    name = handler.name
+    ok: set[int] = set()
+    for hs in handler.body:
+        for n in ast.walk(hs):
+            if (isinstance(n, ast.Attribute) and n.attr == "__name__"
+                    and isinstance(n.value, ast.Call)
+                    and isinstance(n.value.func, ast.Name)
+                    and n.value.func.id == "type"
+                    and len(n.value.args) == 1 and not n.value.keywords
+                    and isinstance(n.value.args[0], ast.Name)
+                    and n.value.args[0].id == name):
+                ok.add(id(n.value.args[0]))
+    for hs in handler.body:
+        for n in ast.walk(hs):
+            if (isinstance(n, ast.Name) and n.id == name
+                    and isinstance(n.ctx, ast.Load) and id(n) not in ok):
+                return False
+    return True
+
+
+class _TypeNameRewriter(ast.NodeTransformer):
+    """Replace ``type(<name>).__name__`` with a pre-evaluated Sym."""
+
+    def __init__(self, name: str, sym):
+        self.name, self.sym = name, sym
+
+    def visit_Attribute(self, node):
+        v = node.value
+        if (node.attr == "__name__" and isinstance(v, ast.Call)
+                and isinstance(v.func, ast.Name) and v.func.id == "type"
+                and len(v.args) == 1 and not v.keywords
+                and isinstance(v.args[0], ast.Name)
+                and v.args[0].id == self.name):
+            return _SymExpr(self.sym)
+        return self.generic_visit(node)
+
+
 def _flag_assign(name: str, value: bool) -> ast.Assign:
     return ast.Assign(targets=[ast.Name(id=name, ctx=ast.Store())],
                       value=_SymExpr(SConst(value)))
@@ -1008,18 +1049,26 @@ class Translator:
                     isinstance(n, ast.Return) for n in ast.walk(s)):
                 raise CompileError("control flow in finally")
         handler_codes: list[set[int] | None] = []
+        typename_handlers: list[bool] = []
         for h in st.handlers:
+            uses_typename = False
             if h.name:
                 # binding the exception instance is fine as long as the
-                # handler never READS it (exact messages would need
-                # CPython repr of the operands); CPython unbinds the
-                # name after the handler anyway
+                # handler reads it at most as ``type(e).__name__`` (the
+                # class name is statically known per guard — a when()
+                # chain over the handler's raise conditions); any other
+                # read would need exact CPython messages.  CPython
+                # unbinds the name after the handler anyway.
                 reads_exc = any(
                     isinstance(n, ast.Name) and n.id == h.name
                     and isinstance(n.ctx, ast.Load)
                     for hs in h.body for n in ast.walk(hs))
                 if reads_exc:
-                    raise CompileError("handler reads `as` binding")
+                    if _reads_only_type_name(h):
+                        uses_typename = True
+                    else:
+                        raise CompileError("handler reads `as` binding")
+            typename_handlers.append(uses_typename)
             if h.type is None:
                 handler_codes.append(None)  # bare except: catches all
             else:
@@ -1113,13 +1162,31 @@ class Translator:
             # run each handler under its raise condition, merging locals
             env = body_env
             all_term = norm_term
-            for h, conds in zip(st.handlers, per_handler):
+            for h, conds, wants_name in zip(st.handlers, per_handler,
+                                            typename_handlers):
                 if not conds:
                     continue
                 hcond = conds[0][0]
                 for c, _ in conds[1:]:
                     hcond = hcond | c
                 hpath = hcond if path is None else (path & hcond)
+                hbody = h.body
+                if wants_name:
+                    # type(e).__name__: the class is static per guard —
+                    # a when() chain over the handler's DISJOINT raise
+                    # conditions picks the right name per row
+                    from ..exceptions import name_for_code
+                    ncol = None
+                    for eff, gi in conds:
+                        nm = name_for_code(
+                            new_guards[gi - n_guards][1])
+                        ncol = F.when(eff, F.lit(nm)) if ncol is None \
+                            else ncol.when(eff, F.lit(nm))
+                    import copy as _copy
+                    rw_t = _TypeNameRewriter(
+                        h.name, SCol(ncol, "str", False))
+                    hbody = [rw_t.visit(_copy.deepcopy(s))
+                             for s in h.body]
                 self._locals = dict(saved)
                 # bind body-assigned names the handler reads to their
                 # raise-point values: the eff conditions are DISJOINT
@@ -1137,7 +1204,7 @@ class Translator:
                     for eff, s in reversed(arms[:-1]):
                         merged = self._merge_vals(eff, s, merged)
                     self._locals[name] = merged
-                h_term = self.exec_block(h.body, hpath)
+                h_term = self.exec_block(hbody, hpath)
                 h_env = self._locals
                 all_term = all_term and h_term
                 env = self._merge_envs(hcond, h_env, env, saved)
