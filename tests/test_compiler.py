@@ -1887,11 +1887,20 @@ class TestFormatSpecs:
                       expect_compiled=True)
         assert ds.exception_counts == {"ValueError": 4}
 
-    def test_unsupported_specs_fall_back(self, ctx):
-        # alignment/sign/comma specs are outside the audited subset
+    def test_previously_unsupported_specs_now_compile(self, ctx):
+        # alignment/sign compile since round 6 (see
+        # TestFormatSpecExtended for the full matrix)
         run_diff(ctx, self.DATA, lambda x: f"{x:>6}",
-                 expect_compiled=False)
+                 expect_compiled=True)
         run_diff(ctx, self.DATA, lambda x: f"{x:+d}",
+                 expect_compiled=True)
+
+    def test_unsupported_specs_fall_back(self, ctx):
+        # alt-form / exponent / hex types stay outside the audited
+        # subset — exact fallback
+        run_diff(ctx, self.DATA, lambda x: f"{x:#x}",
+                 expect_compiled=False)
+        run_diff(ctx, self.DATA, lambda x: f"{x:e}",
                  expect_compiled=False)
 
     def test_percent_literal_in_format_pattern(self, ctx):
@@ -3111,3 +3120,46 @@ class TestHandlerTypeName:
             except ValueError as e:
                 return len(str(e))  # message read -> exact fallback
         run_diff(ctx, ["5", "xyz"], k, expect_compiled=False)
+
+
+class TestFormatSpecExtended:
+    """fill/align/sign/comma format specs — CPython-differential."""
+
+    def test_align_str(self, ctx):
+        run_diff(ctx, ["ab", "", "abcdefgh"],
+                 lambda s: f"[{s:<6}][{s:>6}][{s:^7}][{s:*^8}]",
+                 expect_compiled=True)
+
+    def test_align_int(self, ctx):
+        run_diff(ctx, [-42, 0, 7, 123456],
+                 lambda x: f"[{x:<8d}][{x:>8}][{x:^8d}][{x:.>6d}]",
+                 expect_compiled=True)
+
+    def test_sign_int(self, ctx):
+        run_diff(ctx, [-42, 0, 7],
+                 lambda x: f"[{x:+d}][{x: d}][{x:+6d}]",
+                 expect_compiled=True)
+
+    def test_zero_equals_pad(self, ctx):
+        run_diff(ctx, [-42, 7],
+                 lambda x: f"[{x:=6d}][{x:0=7d}][{x:+08d}]",
+                 expect_compiled=True)
+
+    def test_comma_grouping(self, ctx):
+        run_diff(ctx, [1234567, -9876, 5, 0],
+                 lambda x: f"[{x:,}][{x:+,d}][{x:15,d}]",
+                 expect_compiled=True)
+
+    def test_float_sign_comma_align(self, ctx):
+        run_diff(ctx, [12345.678, -0.5, 0.0],
+                 lambda x: f"[{x:+.2f}][{x:,.1f}][{x:>12.3f}][{x:^12.1f}]",
+                 expect_compiled=True)
+
+    def test_explicit_s_on_number_raises(self, ctx):
+        ds = ctx.parallelize([3, 4]).map(lambda x: f"{x:5s}")
+        assert ds.collect() == []
+        assert ds.exception_counts == {"ValueError": 2}
+
+    def test_center_left_bias_exact(self, ctx):
+        # pad 3 -> left gets 1, right gets 2 (CPython bias)
+        run_diff(ctx, ["ab"], lambda s: f"{s:^5}", expect_compiled=True)

@@ -3045,7 +3045,7 @@ class Translator:
         'f' accepts ints (cast to double so Java's %f doesn't throw)."""
         m = self._SPEC_RE.match(spec)
         if not m:
-            raise CompileError(f"format spec {spec!r}")
+            return self._format_spec_full(spec, val)
         zero, width, prec, typ = m.groups()
         tag = getattr(val, "tag", None)
         if isinstance(val, SConst):
@@ -3089,8 +3089,11 @@ class Translator:
         else:
             if zero:
                 raise CompileError(f"format spec {spec!r}")  # 0-pad str
-            if tag not in ("str", None) and prec is not None:
-                self.guard(F.lit(True), "ValueError")  # .Ns on numbers
+            if tag not in ("str", None):
+                # explicit 's' on numbers: CPython raises regardless of
+                # precision ("Unknown format code 's'") — padding the
+                # stringified number was silently wrong
+                self.guard(F.lit(True), "ValueError")
                 return F.lit(None).cast("string")
             c = self._to_str(val)
             # CPython left-aligns strings by default; printf %Ns
@@ -3099,6 +3102,91 @@ class Translator:
                 fmt = "%" + "-" + width + \
                     (f".{prec}" if prec is not None else "")
         return F.format_string(fmt + typ, c)
+
+    _SPEC_FULL_RE = _re_mod.compile(
+        r"^(?:(?P<fill>.)?(?P<align>[<>^=]))?(?P<sign>[-+ ]?)(?P<zero>0?)"
+        r"(?P<width>\d*)(?P<comma>,?)(?:\.(?P<prec>\d+))?"
+        r"(?P<typ>[dfs]?)$")
+
+    def _format_spec_full(self, spec: str, val: Sym) -> Column:
+        """Extended format-spec subset: fill/align (``<>^=``), sign
+        (``+``/space), thousands comma — on top of the width/precision/
+        type core.  Alignment is built from repeat/concat (CPython's
+        exact padding split, incl. the ``^`` left-bias and ``=``
+        pad-after-sign); signs and commas ride java.util.Formatter,
+        whose en-US grouping matches CPython's ',' (probed).  Specs
+        outside this grammar still fall back."""
+        m = self._SPEC_FULL_RE.match(spec)
+        if not m:
+            raise CompileError(f"format spec {spec!r}")
+        fill, align, sign, zero, width, comma, prec, typ = m.group(
+            "fill", "align", "sign", "zero", "width", "comma", "prec",
+            "typ")
+        tag = getattr(val, "tag", None)
+        if isinstance(val, SConst):
+            tag = _pytag(val.value)
+        if not typ:
+            if tag == "str":
+                typ = "s"
+            elif tag in ("int", "bool"):
+                typ = "d"
+            elif tag == "float" and prec is not None:
+                typ = "f"
+            else:
+                raise CompileError(f"format spec {spec!r}")
+        err = lambda: (self.guard(F.lit(True), "ValueError"),
+                       F.lit(None).cast("string"))[1]
+        if typ == "s":
+            if tag not in ("str", None):
+                return err()  # 's' on numbers: CPython ValueError
+            if sign in ("+", " ") or comma or align == "=" \
+                    or (zero and not align):
+                return err()  # sign/comma/'='/0-pad on strings
+            core = self._to_str(val)
+            if prec is not None:
+                core = F.substring(core, 1, int(prec))
+        elif typ == "d":
+            if tag == "float" or prec is not None:
+                return err()
+            jfmt = "%" + ("+" if sign == "+" else " " if sign == " "
+                          else "") + ("," if comma else "") + "d"
+            core = F.format_string(jfmt,
+                                   self.to_col(val).cast("long"))
+        else:  # 'f'
+            if tag == "str":
+                return err()
+            p = int(prec) if prec is not None else 6
+            rounded = self._cpython_fixed_round(
+                self.to_col(val).cast("double"), p)
+            jfmt = "%" + ("+" if sign == "+" else " " if sign == " "
+                          else "") + ("," if comma else "") + f".{p}f"
+            core = F.format_string(jfmt, rounded)
+        w = int(width) if width else 0
+        if w == 0:
+            return core
+        fill_ch = fill if fill is not None else \
+            ("0" if (zero and typ != "s" and not align) else " ")
+        al = align or ("=" if (zero and typ != "s")
+                       else ("<" if typ == "s" else ">"))
+        pad = F.greatest(F.lit(w) - F.length(core), F.lit(0))
+
+        def rep(n):
+            return F.repeat(F.lit(fill_ch), n.cast("int"))
+
+        if al == "<":
+            return F.concat(core, rep(pad))
+        if al == ">":
+            return F.concat(rep(pad), core)
+        if al == "^":
+            left = F.floor(pad / 2)
+            return F.concat(rep(left), core, rep(pad - left))
+        # '=': padding goes between the sign and the digits
+        first = F.substring(core, 1, 1)
+        has_sign = first.isin("-", "+", " ")
+        rest = F.substring(core, 2, 1 << 30)
+        return F.when(has_sign,
+                      F.concat(first, rep(pad), rest)) \
+            .otherwise(F.concat(rep(pad), core))
 
     def _to_str(self, s: Sym) -> Column:
         if isinstance(s, SConst):
