@@ -3163,3 +3163,25 @@ class TestFormatSpecExtended:
     def test_center_left_bias_exact(self, ctx):
         # pad 3 -> left gets 1, right gets 2 (CPython bias)
         run_diff(ctx, ["ab"], lambda s: f"{s:^5}", expect_compiled=True)
+
+
+class TestFormatSpecIntPresentation:
+    def test_hex_octal_binary(self, ctx):
+        run_diff(ctx, [255, -255, 0, 5, 1023],
+                 lambda x: f"[{x:x}][{x:X}][{x:o}][{x:b}]",
+                 expect_compiled=True)
+
+    def test_alt_prefixes(self, ctx):
+        run_diff(ctx, [255, -5, 0],
+                 lambda x: f"[{x:#x}][{x:#X}][{x:#o}][{x:#b}]",
+                 expect_compiled=True)
+
+    def test_zero_pad_after_prefix(self, ctx):
+        run_diff(ctx, [255, -255, 1],
+                 lambda x: f"[{x:#010x}][{x:08b}][{x:+#8x}]",
+                 expect_compiled=True)
+
+    def test_aligned_hex(self, ctx):
+        run_diff(ctx, [255, -1],
+                 lambda x: f"[{x:>8x}][{x:<8x}][{x:^9x}]",
+                 expect_compiled=True)

@@ -3104,9 +3104,10 @@ class Translator:
         return F.format_string(fmt + typ, c)
 
     _SPEC_FULL_RE = _re_mod.compile(
-        r"^(?:(?P<fill>.)?(?P<align>[<>^=]))?(?P<sign>[-+ ]?)(?P<zero>0?)"
+        r"^(?:(?P<fill>.)?(?P<align>[<>^=]))?(?P<sign>[-+ ]?)"
+        r"(?P<alt>#?)(?P<zero>0?)"
         r"(?P<width>\d*)(?P<comma>,?)(?:\.(?P<prec>\d+))?"
-        r"(?P<typ>[dfs]?)$")
+        r"(?P<typ>[dfsxXob]?)$")
 
     def _format_spec_full(self, spec: str, val: Sym) -> Column:
         """Extended format-spec subset: fill/align (``<>^=``), sign
@@ -3119,9 +3120,11 @@ class Translator:
         m = self._SPEC_FULL_RE.match(spec)
         if not m:
             raise CompileError(f"format spec {spec!r}")
-        fill, align, sign, zero, width, comma, prec, typ = m.group(
-            "fill", "align", "sign", "zero", "width", "comma", "prec",
-            "typ")
+        fill, align, sign, alt, zero, width, comma, prec, typ = m.group(
+            "fill", "align", "sign", "alt", "zero", "width", "comma",
+            "prec", "typ")
+        if alt and typ not in ("x", "X", "o", "b", "d"):
+            raise CompileError(f"format spec {spec!r}")  # '#' with f/s
         tag = getattr(val, "tag", None)
         if isinstance(val, SConst):
             tag = _pytag(val.value)
@@ -3152,6 +3155,36 @@ class Translator:
                           else "") + ("," if comma else "") + "d"
             core = F.format_string(jfmt,
                                    self.to_col(val).cast("long"))
+        elif typ in ("x", "X", "o", "b"):
+            # integer presentation types: sign + optional 0x/0o/0b
+            # prefix + base digits; CPython renders negatives as
+            # -<digits> (not two's complement), and '=' zero-padding
+            # fills BETWEEN the prefix and the digits
+            if tag == "float" or prec is not None or comma:
+                return err()
+            c = self.to_col(val).cast("long")
+            a = F.abs(c)
+            digits = {"x": F.format_string("%x", a),
+                      "X": F.format_string("%X", a),
+                      "o": F.format_string("%o", a),
+                      "b": F.bin(a)}[typ]
+            prefix = {"x": "0x", "X": "0X", "o": "0o", "b": "0b"}[typ] \
+                if alt else ""
+            sgn = F.when(c < 0, F.lit("-")).otherwise(
+                F.lit("+" if sign == "+" else " " if sign == " "
+                      else ""))
+            w = int(width) if width else 0
+            al = align or ("=" if zero else ">")
+            if w and al == "=":
+                fill_ch = fill if fill is not None else \
+                    ("0" if zero else " ")
+                padn = F.greatest(
+                    F.lit(w) - F.length(sgn) - F.lit(len(prefix))
+                    - F.length(digits), F.lit(0))
+                return F.concat(sgn, F.lit(prefix),
+                                F.repeat(F.lit(fill_ch),
+                                         padn.cast("int")), digits)
+            core = F.concat(sgn, F.lit(prefix), digits)
         else:  # 'f'
             if tag == "str":
                 return err()
