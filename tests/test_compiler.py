@@ -1896,11 +1896,11 @@ class TestFormatSpecs:
                  expect_compiled=True)
 
     def test_unsupported_specs_fall_back(self, ctx):
-        # alt-form / exponent / hex types stay outside the audited
-        # subset — exact fallback
-        run_diff(ctx, self.DATA, lambda x: f"{x:#x}",
-                 expect_compiled=False)
+        # exponent/percent types and '_' grouping stay outside the
+        # audited subset — exact fallback
         run_diff(ctx, self.DATA, lambda x: f"{x:e}",
+                 expect_compiled=False)
+        run_diff(ctx, self.DATA, lambda x: f"{x:_d}",
                  expect_compiled=False)
 
     def test_percent_literal_in_format_pattern(self, ctx):
