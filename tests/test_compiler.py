@@ -3185,3 +3185,24 @@ class TestFormatSpecIntPresentation:
         run_diff(ctx, [255, -1],
                  lambda x: f"[{x:>8x}][{x:<8x}][{x:^9x}]",
                  expect_compiled=True)
+
+
+class TestPercentHexOctal:
+    def test_hex_octal(self, ctx):
+        run_diff(ctx, [255, -255, 0, 9],
+                 lambda x: "%x|%X|%o" % (x, x, x),
+                 expect_compiled=True)
+
+    def test_hex_flags_width(self, ctx):
+        run_diff(ctx, [255, -255, 1],
+                 lambda x: "%08x|%-8x|%8x|%+x" % (x, x, x, x),
+                 expect_compiled=True)
+
+    def test_hex_alt_prefix(self, ctx):
+        run_diff(ctx, [255, -5],
+                 lambda x: "%#x|%#o|%#010x" % (x, x, x),
+                 expect_compiled=True)
+
+    def test_hex_precision_falls_back(self, ctx):
+        run_diff(ctx, [255], lambda x: "%.5x" % x,
+                 expect_compiled=False)

@@ -2758,7 +2758,7 @@ class Translator:
         if not isinstance(l, SConst):
             raise CompileError("dynamic %-format string")
         fmt = l.value
-        spec = _re_mod.compile(r"%(?:%|[-+0 ]*\d*(?:\.\d+)?[sdif])")
+        spec = _re_mod.compile(r"%(?:%|[-+0 #]*\d*(?:\.\d+)?[sdifxXo])")
         specs = [m for m in spec.findall(fmt) if m != "%%"]
         # every % must belong to a recognized specifier
         if spec.sub("", fmt).count("%"):
@@ -2781,7 +2781,30 @@ class Translator:
                     continue
                 a = args[ai]
                 ai += 1
-                if m.endswith(("d", "i")):
+                if m.endswith(("x", "X", "o")):
+                    # CPython renders negatives as -<digits>, java %x
+                    # as two's complement — route through the spec
+                    # machinery ('-'/'0'/'#' flags map onto align/fill)
+                    pm = _re_mod.match(r"%([-+0 #]*)(\d*)$", m[:-1])
+                    if pm is None:
+                        raise CompileError(
+                            f"unsupported %-format {m!r}")  # precision
+                    flags, width = pm.groups()
+                    a = self.num(a, "%-format")
+                    s = ("+" if "+" in flags else
+                         " " if " " in flags else "") \
+                        + ("#" if "#" in flags else "")
+                    if "-" in flags and width:
+                        s = "<" + s + width
+                    elif "0" in flags and width:
+                        s += "0" + width
+                    else:
+                        s += width
+                    cols.append(self._format_spec_full(s + m[-1], a))
+                    out += "%s"
+                elif "#" in m:
+                    raise CompileError(f"unsupported %-format {m!r}")
+                elif m.endswith(("d", "i")):
                     a = self.num(a, "%-format")
                     cols.append(self.to_col(a).cast("long"))
                     out += m[:-1] + "d"
