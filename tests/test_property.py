@@ -514,3 +514,59 @@ class TestGeneratedNewShapes:
                 fn = _build_def_fn(gen_sorted_key(rng))
                 run_diff(ctx, self.ROWS, fn, columns=["a", "b", "s"],
                          expect_compiled=True)
+
+
+class TestRound6Sweeps:
+    """Fuzz sweeps for the round-6 compiled paths: dynamic slice steps
+    (bounds × step sign × emptiness) and the extended format-spec
+    grammar (fill/align/sign/comma/presentation-type matrix)."""
+
+    def test_dynamic_slice_step_sweep(self, ctx):
+        import random as _r
+        rng = _r.Random(61)
+        data = [-4, -3, -2, -1, 1, 2, 3, 4, 5]
+        for _ in range(12):
+            lo = rng.choice(["", str(rng.randint(-12, 12))])
+            hi = rng.choice(["", str(rng.randint(-12, 12))])
+            base = rng.choice(['"abcdefghijk"', '"ab"', '""'])
+            fn = _build_def_fn([
+                "k = x if x != 0 else 1",
+                f"return {base}[{lo}:{hi}:k]"])
+            run_diff(ctx, data, fn, expect_compiled=True)
+
+    def test_format_spec_matrix_sweep(self, ctx):
+        import random as _r
+        rng = _r.Random(62)
+        ints = [-1234567, -42, 0, 7, 999, 123456789]
+        for _ in range(18):
+            fill = rng.choice(["", "*", ".", "0", "x"])
+            align = rng.choice(["<", ">", "^", "="])
+            sign = rng.choice(["", "+", " "])
+            width = rng.choice(["", "4", "9", "14"])
+            comma = rng.choice(["", ","])
+            typ = rng.choice(["d", ""])
+            spec = (fill + align if (fill or rng.random() < 0.7)
+                    else "") + sign + width + comma + typ
+            if not spec:
+                continue
+            fn = _build_def_fn([f'return f"[{{x:{spec}}}]"'])
+            want_ok = True
+            try:
+                format(3, spec)
+            except ValueError:
+                want_ok = False
+            if want_ok:
+                run_diff(ctx, ints, fn)
+
+    def test_presentation_type_sweep(self, ctx):
+        import random as _r
+        rng = _r.Random(63)
+        ints = [-255, -1, 0, 1, 255, 4095, 123456]
+        for _ in range(12):
+            alt = rng.choice(["", "#"])
+            zero = rng.choice(["", "0"])
+            width = rng.choice(["", "6", "12"])
+            typ = rng.choice(["x", "X", "o", "b"])
+            spec = alt + (zero + width if width else "") + typ
+            fn = _build_def_fn([f'return f"[{{x:{spec}}}]"'])
+            run_diff(ctx, ints, fn, expect_compiled=True)

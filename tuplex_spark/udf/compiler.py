@@ -3148,6 +3148,11 @@ class Translator:
             "prec", "typ")
         if alt and typ not in ("x", "X", "o", "b", "d"):
             raise CompileError(f"format spec {spec!r}")  # '#' with f/s
+        if comma and (zero or align == "="):
+            # CPython threads the comma grouping THROUGH the zero
+            # padding ('{:08,d}' -> '0,000,042', even exceeding the
+            # width when a comma would lead) — no faithful Column form
+            raise CompileError(f"format spec {spec!r}")
         tag = getattr(val, "tag", None)
         if isinstance(val, SConst):
             tag = _pytag(val.value)
