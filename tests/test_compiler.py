@@ -1899,11 +1899,11 @@ class TestFormatSpecs:
                  expect_compiled=True)
 
     def test_unsupported_specs_fall_back(self, ctx):
-        # exponent/percent types and '_' grouping stay outside the
-        # audited subset — exact fallback
+        # exponent/general types stay outside the audited subset —
+        # exact fallback
         run_diff(ctx, self.DATA, lambda x: f"{x:e}",
                  expect_compiled=False)
-        run_diff(ctx, self.DATA, lambda x: f"{x:_d}",
+        run_diff(ctx, self.DATA, lambda x: f"{x:g}",
                  expect_compiled=False)
 
     def test_percent_literal_in_format_pattern(self, ctx):
@@ -3208,4 +3208,26 @@ class TestPercentHexOctal:
 
     def test_hex_precision_falls_back(self, ctx):
         run_diff(ctx, [255], lambda x: "%.5x" % x,
+                 expect_compiled=False)
+
+
+class TestUnderscoreGrouping:
+    def test_int_underscore(self, ctx):
+        run_diff(ctx, [1234567, -9876543, 42, 0, -1],
+                 lambda x: f"[{x:_d}][{x:_}][{x:+_d}][{x:15_d}]",
+                 expect_compiled=True)
+
+    def test_base_underscore_groups_of_four(self, ctx):
+        run_diff(ctx, [0xABCDE, -0xFFFF1, 255, 0],
+                 lambda x: f"[{x:_x}][{x:_b}][{x:#_x}]",
+                 expect_compiled=True)
+
+    def test_float_underscore_integer_part(self, ctx):
+        run_diff(ctx, [1234567.891, -98765.4, 0.5],
+                 lambda x: f"[{x:_.2f}][{x:_.0f}]",
+                 expect_compiled=True)
+
+    def test_underscore_zero_pad_falls_back(self, ctx):
+        # grouping threads through zero padding (same as ',')
+        run_diff(ctx, [42, 1234], lambda x: f"{x:08_d}",
                  expect_compiled=False)

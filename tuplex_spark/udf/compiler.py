@@ -3129,7 +3129,7 @@ class Translator:
     _SPEC_FULL_RE = _re_mod.compile(
         r"^(?:(?P<fill>.)?(?P<align>[<>^=]))?(?P<sign>[-+ ]?)"
         r"(?P<alt>#?)(?P<zero>0?)"
-        r"(?P<width>\d*)(?P<comma>,?)(?:\.(?P<prec>\d+))?"
+        r"(?P<width>\d*)(?P<comma>[,_]?)(?:\.(?P<prec>\d+))?"
         r"(?P<typ>[dfsxXob]?)$")
 
     def _format_spec_full(self, spec: str, val: Sym) -> Column:
@@ -3180,22 +3180,32 @@ class Translator:
             if tag == "float" or prec is not None:
                 return err()
             jfmt = "%" + ("+" if sign == "+" else " " if sign == " "
-                          else "") + ("," if comma else "") + "d"
+                          else "") + ("," if comma == "," else "") + "d"
             core = F.format_string(jfmt,
                                    self.to_col(val).cast("long"))
+            if comma == "_":
+                # java has no underscore grouping: insert via lookahead
+                # over the digit run (the sign char is not a digit, so
+                # the end-anchored count is unaffected)
+                core = F.regexp_replace(core,
+                                        r"(\d)(?=(?:\d{3})+$)", "$1_")
         elif typ in ("x", "X", "o", "b"):
             # integer presentation types: sign + optional 0x/0o/0b
             # prefix + base digits; CPython renders negatives as
             # -<digits> (not two's complement), and '=' zero-padding
             # fills BETWEEN the prefix and the digits
-            if tag == "float" or prec is not None or comma:
-                return err()
+            if tag == "float" or prec is not None or comma == ",":
+                return err()  # ',' invalid with x/o/b in CPython
             c = self.to_col(val).cast("long")
             a = F.abs(c)
             digits = {"x": F.format_string("%x", a),
                       "X": F.format_string("%X", a),
                       "o": F.format_string("%o", a),
                       "b": F.bin(a)}[typ]
+            if comma == "_":  # every 4 for the binary bases (CPython)
+                digits = F.regexp_replace(
+                    digits, r"([0-9A-Fa-f])(?=(?:[0-9A-Fa-f]{4})+$)",
+                    "$1_")
             prefix = {"x": "0x", "X": "0X", "o": "0o", "b": "0b"}[typ] \
                 if alt else ""
             sgn = F.when(c < 0, F.lit("-")).otherwise(
@@ -3220,8 +3230,15 @@ class Translator:
             rounded = self._cpython_fixed_round(
                 self.to_col(val).cast("double"), p)
             jfmt = "%" + ("+" if sign == "+" else " " if sign == " "
-                          else "") + ("," if comma else "") + f".{p}f"
+                          else "") + ("," if comma == "," else "") \
+                + f".{p}f"
             core = F.format_string(jfmt, rounded)
+            if comma == "_":
+                # integer part only: anchor the count on the decimal
+                # point (always present for p >= 1; end-anchored at 0)
+                pat = r"(\d)(?=(?:\d{3})+\.)" if p else \
+                    r"(\d)(?=(?:\d{3})+$)"
+                core = F.regexp_replace(core, pat, "$1_")
         w = int(width) if width else 0
         if w == 0:
             return core
