@@ -1293,6 +1293,61 @@ def q_events_range_join(spark, sf_dir):
         "user_id", "err_id")
 
 
+def q_text_rarity(spark, sf_dir):
+    """Corpus-frequency rarity signals (unigram-LM "commonness"
+    filters): integer-exact sums + one rounded division per column so
+    the DuckDB twin hash-matches bitwise (functions/text.py
+    rarity_scores)."""
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.rarity_scores(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_chunks(spark, sf_dir):
+    """Sub-document chunk dedup with reassembly: keep each distinct
+    10-token chunk at its first corpus occurrence, stitch survivors
+    back per doc (functions/dedup.py chunk_dedup)."""
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    return dedup.chunk_dedup(_t(spark, sf_dir, "documents"),
+                             chunk_tokens=10)
+
+
+def q_sample_temperature(spark, sf_dir):
+    """Temperature-weighted language rebalancing (alpha=0.5): per-lang
+    kept-row aggregate over the deterministic md5 keep decision
+    (functions/sampling.py temperature_sample)."""
+    from tuplex_spark.functions import sampling
+    _prep(spark)
+    kept = sampling.temperature_sample(_t(spark, sf_dir, "documents"),
+                                       "lang", "doc_id", alpha=0.5)
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"))
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered signup->click->purchase funnel: greedy min-timestamp
+    chase, all steps partial-aggregated on the user key
+    (functions/analytics.py funnel)."""
+    from tuplex_spark.functions import analytics
+    _prep(spark)
+    return analytics.funnel(_t(spark, sf_dir, "events"),
+                            ["signup", "click", "purchase"])
+
+
+def q_events_retention(spark, sf_dir):
+    """Cohort-day x day-offset retention matrix
+    (functions/analytics.py retention)."""
+    from tuplex_spark.functions import analytics
+    _prep(spark)
+    out = analytics.retention(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "day_offset", "n_users")
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -1409,6 +1464,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "text_pack": q_text_pack,
         "text_repetition": q_text_repetition,
+        "text_rarity": q_text_rarity,
+        "dedup_chunks": q_dedup_chunks,
+        "sample_temperature": q_sample_temperature,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
     }
     assert len(graded) <= 50, "graded window overflow — rebalance"
     return {**graded, **overflow}
@@ -1416,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from tuplex_spark.functions import dedup, pipeline, text
+    from tuplex_spark.functions import analytics as analytics_mod
     from tuplex_spark.functions import sampling as sampling_mod
     from tuplex_spark.functions import sketch as sketch_mod
 
@@ -1954,6 +2015,20 @@ SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        user_id, count(*)::BIGINT AS n_events,
        round(sum(value), 6) AS sum_value
 FROM numbered GROUP BY user_id, session_no""",
+        "text_rarity": text.rarity_scores_sql(),
+        "dedup_chunks": dedup.chunk_dedup_sql(chunk_tokens=10),
+        "sample_temperature": (
+            "SELECT lang, count(*)::BIGINT AS n_kept, "
+            "min(doc_id) AS min_id, max(doc_id) AS max_id FROM ("
+            + sampling_mod.temperature_sample_sql(
+                "documents", "lang", "doc_id", alpha=0.5)
+            + ") GROUP BY lang"),
+        "events_funnel": analytics_mod.funnel_sql(
+            ["signup", "click", "purchase"]),
+        "events_retention": """
+SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
+       n_users
+FROM (""" + analytics_mod.retention_sql() + ") r",
     }
     # ann_topk / ann_ivf need the query vector read at oracle-build time;
     # the driver calls oracle_sql() without a spark session, so embed the

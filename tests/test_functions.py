@@ -546,3 +546,137 @@ class TestRepetitionScores:
         r = repetition_scores(docs).collect()[0]
         assert r["n_tokens"] == 1
         assert r["top_bigram_frac"] == 0.0
+
+
+class TestRarityScores:
+    def test_hand_computed(self, spark):
+        from tuplex_spark.functions.text import rarity_scores
+        # corpus counts: a=2, b=2, c=1; total=5
+        docs = spark.createDataFrame([(1, "a a b"), (2, "b c")],
+                                     "doc_id long, text string")
+        got = {r["doc_id"]: r
+               for r in rarity_scores(docs, rare_ppm=300000).collect()}
+        assert got[1]["n_tokens"] == 3
+        assert abs(got[1]["mean_freq"] - 2.0) < 1e-9
+        assert got[1]["min_freq"] == 2
+        assert got[1]["rare_frac"] == 0.0       # a,b both at 40% > 30%
+        assert got[2]["n_tokens"] == 2
+        assert abs(got[2]["mean_freq"] - 1.5) < 1e-9
+        assert got[2]["min_freq"] == 1
+        assert abs(got[2]["rare_frac"] - 0.5) < 1e-9   # c at 20% < 30%
+
+    def test_uniform_corpus_nothing_rare(self, spark):
+        from tuplex_spark.functions.text import rarity_scores
+        docs = spark.createDataFrame([(i, "x y") for i in range(4)],
+                                     "doc_id long, text string")
+        rows = rarity_scores(docs, rare_ppm=100).collect()
+        assert all(r["rare_frac"] == 0.0 and r["min_freq"] == 4
+                   for r in rows)
+
+    def test_plan_no_python_no_cartesian(self, spark):
+        import os
+        from conftest import SF_DIR
+        from tuplex_spark.functions.text import rarity_scores
+        docs = spark.read.parquet(os.path.join(SF_DIR,
+                                               "documents.parquet"))
+        plan = rarity_scores(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Python" not in plan
+        assert "CartesianProduct" not in plan
+        # the only nested-loop join is the broadcast 1-row total
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+class TestChunkDedup:
+    def test_keep_first_and_reassemble(self, spark):
+        from tuplex_spark.functions.dedup import chunk_dedup
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "c d e")], "doc_id long, text string")
+        got = {r["doc_id"]: r
+               for r in chunk_dedup(docs, chunk_tokens=2).collect()}
+        assert got[1]["clean_text"] == "a b c d"
+        assert (got[1]["n_chunks_kept"], got[1]["n_chunks_total"]) == (2, 2)
+        assert got[2]["clean_text"] == "e"      # "c d" first seen in doc 1
+        assert (got[2]["n_chunks_kept"], got[2]["n_chunks_total"]) == (1, 2)
+
+    def test_fully_duplicate_doc_drops(self, spark):
+        from tuplex_spark.functions.dedup import chunk_dedup
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a b")], "doc_id long, text string")
+        got = {r["doc_id"] for r in
+               chunk_dedup(docs, chunk_tokens=2).collect()}
+        assert got == {1}
+
+    def test_chunk_order_preserved_within_doc(self, spark):
+        from tuplex_spark.functions.dedup import chunk_dedup
+        # doc 2's middle chunk duplicates doc 1; flanks survive in order
+        docs = spark.createDataFrame(
+            [(1, "m m"), (2, "a a m m z z")], "doc_id long, text string")
+        got = {r["doc_id"]: r["clean_text"]
+               for r in chunk_dedup(docs, chunk_tokens=2).collect()}
+        assert got[2] == "a a z z"
+
+    def test_plan_no_global_sort(self, spark):
+        import os
+        from conftest import SF_DIR
+        from tuplex_spark.functions.dedup import chunk_dedup
+        docs = spark.read.parquet(os.path.join(SF_DIR,
+                                               "documents.parquet"))
+        plan = chunk_dedup(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange SinglePartition" not in plan
+        assert "Python" not in plan
+
+    def test_bad_chunk_size_raises(self, spark):
+        import pytest
+        from tuplex_spark.functions.dedup import chunk_dedup
+        docs = spark.createDataFrame([(1, "a")],
+                                     "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_dedup(docs, chunk_tokens=0)
+
+
+class TestTemperatureSample:
+    def _mk(self, spark):
+        rows = [(i, "big") for i in range(8)] + [(100, "small"),
+                                                 (101, "small")]
+        return spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def test_matches_reference_md5_decision(self, spark):
+        import hashlib
+        import math
+        from tuplex_spark.functions.sampling import temperature_sample
+        df = self._mk(spark)
+        kept = sorted(r["doc_id"] for r in
+                      temperature_sample(df, "lang", "doc_id",
+                                         alpha=0.5).collect())
+        cuts = {"big": math.floor(math.pow(2.0 / 8.0, 0.5) * (1 << 32)),
+                "small": 1 << 32}
+        exp = []
+        for i, lang in [(i, "big") for i in range(8)] + \
+                       [(100, "small"), (101, "small")]:
+            h = int(hashlib.md5(f"{i}temp".encode()).hexdigest()[:8], 16)
+            if h < cuts[lang]:
+                exp.append(i)
+        assert kept == sorted(exp)
+        # the rarest stratum always survives whole
+        assert {100, 101}.issubset(set(kept))
+
+    def test_alpha_one_keeps_everything(self, spark):
+        from tuplex_spark.functions.sampling import temperature_sample
+        df = self._mk(spark)
+        assert temperature_sample(df, "lang", "doc_id",
+                                  alpha=1.0).count() == 10
+
+    def test_bad_alpha_raises(self, spark):
+        import pytest
+        from tuplex_spark.functions.sampling import temperature_sample
+        with pytest.raises(ValueError):
+            temperature_sample(self._mk(spark), "lang", "doc_id",
+                               alpha=0.0)
+
+    def test_output_schema_is_input_schema(self, spark):
+        from tuplex_spark.functions.sampling import temperature_sample
+        df = self._mk(spark)
+        out = temperature_sample(df, "lang", "doc_id", alpha=0.5)
+        assert out.columns == df.columns

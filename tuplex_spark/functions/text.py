@@ -418,3 +418,72 @@ SELECT {id_col},
        md5(array_to_string(list_sort(list_distinct({toks})), ' '))
          AS fingerprint
 FROM {table}"""
+
+
+def rarity_scores(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", rare_ppm: int = 100) -> DataFrame:
+    """Corpus-frequency rarity signals per document: how common this
+    document's tokens are in the WHOLE corpus (the unigram-LM
+    "commonness" family of pretraining filters — docs whose tokens are
+    mostly corpus-rare are usually OCR noise / boilerplate IDs; docs of
+    only ultra-common tokens are template spam).
+
+    Emits per doc: n_tokens, mean corpus frequency of its tokens
+    (token-weighted), the corpus count of its rarest token, and the
+    fraction of tokens whose corpus frequency is below ``rare_ppm``
+    parts-per-million of the corpus.
+
+    Deliberately integer-exact: every aggregate is an integer (or
+    decimal(38,0)) sum, with ONE double division + round(6) at the end,
+    so the DuckDB oracle (rarity_scores_sql) hash-matches bitwise —
+    unlike avg-of-logs perplexity whose fp summation order is
+    engine-dependent.
+
+    Scale shape: two explode aggregations (per-doc-token counts and the
+    corpus vocabulary) + one equi-join on the token.  The vocabulary
+    frame is tiny relative to the corpus (Heaps' law), so AQE broadcasts
+    it; the 1-row total is an explicit broadcast cross join.  The final
+    per-doc aggregate partial-aggregates map-side.
+    """
+    ex = df.select(F.col(id_col).alias("id"),
+                   F.explode(tokens(text_col)).alias("tok"))
+    dc = ex.groupBy("id", "tok").agg(F.count("*").alias("d"))
+    freq = ex.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("total"))
+    j = dc.join(freq, "tok").crossJoin(F.broadcast(tot))
+    rare = (F.col("c") * F.lit(1_000_000)
+            < F.col("total") * F.lit(int(rare_ppm)))
+    n = F.sum("d").cast("double")
+    sum_dc = F.sum(F.col("d").cast("decimal(38,0)") * F.col("c")) \
+        .cast("double")
+    return (j.groupBy(F.col("id").alias(id_col))
+            .agg(F.sum("d").cast("long").alias("n_tokens"),
+                 F.round(sum_dc / n, 6).alias("mean_freq"),
+                 F.min("c").cast("long").alias("min_freq"),
+                 F.round(F.sum(F.when(rare, F.col("d"))
+                               .otherwise(F.lit(0))).cast("double") / n,
+                         6).alias("rare_frac")))
+
+
+def rarity_scores_sql(table="documents", text_col="text",
+                      id_col="doc_id", rare_ppm: int = 100) -> str:
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS id, unnest({toks}) AS tok FROM {table}
+), dc AS (
+  SELECT id, tok, count(*) AS d FROM ex GROUP BY 1, 2
+), freq AS (
+  SELECT tok, count(*) AS c FROM ex GROUP BY 1
+), tot AS (
+  SELECT sum(c) AS total FROM freq
+)
+SELECT id AS {id_col},
+       sum(d)::BIGINT AS n_tokens,
+       round(sum(d * c)::DOUBLE / sum(d)::DOUBLE, 6) AS mean_freq,
+       min(c)::BIGINT AS min_freq,
+       round(sum(CASE WHEN c * 1000000 < total * {int(rare_ppm)}
+                      THEN d ELSE 0 END)::DOUBLE
+             / sum(d)::DOUBLE, 6) AS rare_frac
+FROM dc JOIN freq USING (tok) CROSS JOIN tot
+GROUP BY id"""
