@@ -1841,10 +1841,11 @@ class TestCrossTypeCompare:
 
 
 class TestFStringConversion:
-    def test_repr_conversion_falls_back_for_str(self, ctx):
-        # !r was silently ignored ('hello' instead of "'hello'")
+    def test_repr_conversion_compiles_for_str(self, ctx):
+        # !r on strings now compiles via _py_str_repr (exact CPython
+        # quoting/escaping); was a fallback through round 6
         run_diff(ctx, ["hello", "Ab", ""], lambda s: f"{s!r}",
-                 expect_compiled=False)
+                 expect_compiled=True)
 
     def test_repr_on_number_compiles(self, ctx):
         run_diff(ctx, [1, 20], lambda x: f"{x!r}", expect_compiled=True)
@@ -2235,12 +2236,20 @@ class TestCompiledTryExcept:
             return (n, flag)
         run_diff(ctx, self.STRS, f, expect_compiled=True)
 
-    def test_as_name_read_falls_back(self, ctx):
+    def test_as_name_message_read_compiles(self, ctx):
         def f(s):
             try:
                 return int(s)
             except ValueError as e:
-                return len(str(e))  # exact messages need CPython repr
+                return len(str(e))  # raise site records the message
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
+
+    def test_as_name_other_read_falls_back(self, ctx):
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                return len(e.args[0])  # args access stays on fallback
         run_diff(ctx, self.STRS, f, expect_compiled=False)
 
     def test_as_name_unread_compiles(self, ctx):
@@ -3052,8 +3061,8 @@ class TestNestedTryRaisePointReads:
 
 
 class TestFStringReprNumeric:
-    """!r on numbers/bools equals str() — compiled; !r on strings needs
-    CPython repr quoting/escaping and stays on the exact fallback."""
+    """!r on numbers/bools equals str() — compiled; !r on strings
+    compiles through _py_str_repr (exact quoting/escaping)."""
 
     def test_repr_int_bool(self, ctx):
         run_diff(ctx, [1, -5, 0, 7],
@@ -3064,9 +3073,9 @@ class TestFStringReprNumeric:
         run_diff(ctx, [1.5, -0.25, 2.0, 1e20, 0.0001],
                  lambda x: f"{x!r}", expect_compiled=True)
 
-    def test_repr_str_falls_back_exact(self, ctx):
+    def test_repr_str_compiles(self, ctx):
         run_diff(ctx, ["plain", "it's", 'say "hi"', "a\nb", ""],
-                 lambda s: f"{s!r}", expect_compiled=False)
+                 lambda s: f"{s!r}", expect_compiled=True)
 
 
 class TestWhileTrueContinuePlusBreak:
@@ -3116,12 +3125,20 @@ class TestHandlerTypeName:
                 return f"err:{type(e).__name__}"
         run_diff(ctx, ["3", "nope", ""], h, expect_compiled=True)
 
-    def test_other_reads_still_fall_back(self, ctx):
+    def test_message_reads_now_compile(self, ctx):
         def k(s):
             try:
                 return int(s)
             except ValueError as e:
-                return len(str(e))  # message read -> exact fallback
+                return len(str(e))  # raise site records the message
+        run_diff(ctx, ["5", "xyz"], k, expect_compiled=True)
+
+    def test_attribute_reads_still_fall_back(self, ctx):
+        def k(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                return len(e.args)  # attribute read -> exact fallback
         run_diff(ctx, ["5", "xyz"], k, expect_compiled=False)
 
 
@@ -3231,3 +3248,213 @@ class TestUnderscoreGrouping:
         # grouping threads through zero padding (same as ',')
         run_diff(ctx, [42, 1234], lambda x: f"{x:08_d}",
                  expect_compiled=False)
+
+
+class TestStrReprCompiled:
+    """repr() of strings as a pure Column expression (_py_str_repr):
+    quote selection, fixed escapes, and the interpreter-exact
+    non-printable table (\\x/\\u/\\U hex escapes)."""
+
+    EDGE = ["plain", "it's", 'say "hi"', "mix'd \"both\"", "'", '"',
+            "\\", "a\nb", "\t\n\r", "tab\there", "", " ",
+            "café", "emoji \U0001F600", "zw​sp", "ctl\x00\x07",
+            "del\x7f", "nbsp\xa0", "\U0001FAE8", "  ",
+            "\x1b[31m", "end\\"]
+
+    def test_fstring_repr_edge_cases(self, ctx):
+        run_diff(ctx, self.EDGE, lambda s: f"{s!r}",
+                 expect_compiled=True)
+
+    def test_repr_builtin_str(self, ctx):
+        run_diff(ctx, self.EDGE, lambda s: repr(s) + "!",
+                 expect_compiled=True)
+
+    def test_repr_builtin_numeric(self, ctx):
+        run_diff(ctx, [1, -3, 0], lambda x: repr(x),
+                 expect_compiled=True)
+        run_diff(ctx, [1.5, -0.25, 1e300], lambda x: repr(x * 2),
+                 expect_compiled=True)
+
+    def test_repr_quote_selection_matrix(self, ctx):
+        # CPython: single quotes unless the value contains ' and no "
+        data = ["no quotes", "only ' single", 'only " double',
+                "both ' and \"", "''''", '""""']
+        run_diff(ctx, data, lambda s: repr(s), expect_compiled=True)
+
+    def test_repr_fuzz_unicode(self, ctx):
+        import random
+        rng = random.Random(0xC0DE)
+        pool = (
+            [chr(i) for i in range(0x00, 0x30)]          # controls+digits
+            + list("abc'\"\\\n\r\t ")
+            + [chr(i) for i in (0x7f, 0xa0, 0xad, 0x200b, 0x200e,
+                                0x2028, 0x2029, 0xe9, 0x4e2d, 0xfeff,
+                                0x1f600, 0x1fae8, 0xe0001, 0x10fffd)])
+        data = ["".join(rng.choice(pool)
+                        for _ in range(rng.randrange(0, 12)))
+                for _ in range(120)]
+        run_diff(ctx, data, lambda s: f"<{s!r}>", expect_compiled=True)
+
+    def test_repr_of_container_falls_back(self, ctx):
+        # list repr embeds element reprs — stays on the exact fallback
+        run_diff(ctx, ["a b", "c"], lambda s: repr(s.split(" ")),
+                 expect_compiled=False)
+
+
+class TestExceptionMessageReads:
+    """Handlers reading ``str(e)`` compile when every raise site feeding
+    them records its exact CPython message (guard(msg=...)): division
+    family, int()/float() literals (repr-exact), Key/IndexError,
+    math domain, raise/assert statements.  Sites without a recorded
+    message send the UDF to the exact fallback — never a made-up
+    message."""
+
+    def test_division_messages(self, ctx):
+        def f(x):
+            try:
+                return str(10 // x)
+            except ZeroDivisionError as e:
+                return str(e)
+        run_diff(ctx, [1, 0, 5], f, expect_compiled=True)
+
+        def g(x):
+            try:
+                return f"{10.5 % x}"
+            except ZeroDivisionError as e:
+                return "caught: " + str(e)
+        run_diff(ctx, [2.0, 0.0], g, expect_compiled=True)
+
+        def h(x):
+            try:
+                return str(100 / x)
+            except ZeroDivisionError as e:
+                return str(e)
+        run_diff(ctx, [4, 0], h, expect_compiled=True)
+        run_diff(ctx, [4.0, 0.0], h, expect_compiled=True)
+
+    def test_int_float_literal_messages_use_repr(self, ctx):
+        def f(s):
+            try:
+                return f"v={int(s)}"
+            except ValueError as e:
+                return str(e)
+        run_diff(ctx, ["12", "x y", " 9 ", "it's bad", "", "a\nb"],
+                 f, expect_compiled=True)
+
+        def g(s):
+            try:
+                return f"{float(s) * 2}"
+            except ValueError as e:
+                return str(e)
+        run_diff(ctx, ["1.5", "no", '"q"'], g, expect_compiled=True)
+
+        def h(s):
+            try:
+                return str(int(s, 16))
+            except ValueError as e:
+                return str(e)
+        run_diff(ctx, ["ff", "0x1A", "xyz", "12_3"], h,
+                 expect_compiled=True)
+
+    def test_key_and_index_messages(self, ctx):
+        def f(s):
+            try:
+                return str({"a": 1, "b": 2}[s])
+            except KeyError as e:
+                return "missing " + str(e)   # str(KeyError(k)) is repr
+        run_diff(ctx, ["a", "zz", "b", "wei'rd"], f,
+                 expect_compiled=True)
+
+        def g(x):
+            try:
+                return str([10, 20][x])
+            except IndexError as e:
+                return f"{type(e).__name__}: {str(e)}"
+        run_diff(ctx, [0, 1, 2, -3], g, expect_compiled=True)
+
+        def h(s):
+            try:
+                return s[5]
+            except IndexError as e:
+                return str(e)
+        run_diff(ctx, ["abcdef", "ab", ""], h, expect_compiled=True)
+
+    def test_math_domain_message(self, ctx):
+        import math
+
+        def f(x):
+            try:
+                return str(math.sqrt(x - 4))
+            except ValueError as e:
+                return str(e)
+        run_diff(ctx, [8.0, 0.0, 4.0], f, expect_compiled=True)
+
+    def test_raise_statement_messages(self, ctx):
+        def f(x):
+            try:
+                if x < 0:
+                    raise ValueError("negative input")
+                return f"ok {x}"
+            except ValueError as e:
+                return "E: " + str(e)
+        run_diff(ctx, [5, -2], f, expect_compiled=True)
+
+        def g(x):
+            try:
+                if x > 10:
+                    raise RuntimeError(f"too big: {x}")
+                return str(x)
+            except RuntimeError as e:
+                return str(e)
+        run_diff(ctx, [5, 11], g, expect_compiled=True)
+
+        def h(x):
+            try:
+                if x == 1:
+                    raise ValueError     # bare class: str(e) == ''
+                return "no"
+            except ValueError as e:
+                return "<" + str(e) + ">"
+        run_diff(ctx, [0, 1], h, expect_compiled=True)
+
+    def test_assert_messages(self, ctx):
+        # UDFs live in udf_shapes.py: pytest's assertion rewriting would
+        # otherwise alter the AssertionError messages inside this module
+        from udf_shapes import assert_with_message, assert_without_message
+        run_diff(ctx, [2, 7], assert_with_message, expect_compiled=True)
+        run_diff(ctx, [1, 3], assert_without_message,
+                 expect_compiled=True)
+
+    def test_nested_try_mixed_reads(self, ctx):
+        def f(s):
+            try:
+                try:
+                    return f"n={int(s)}"
+                except ValueError as e:
+                    return "inner: " + str(e)
+            except Exception as e:
+                return type(e).__name__
+        run_diff(ctx, ["5", "bad'un"], f, expect_compiled=True)
+
+    def test_unrecorded_site_falls_back_exact(self, ctx):
+        def f(s):
+            # str.index's ValueError has no recorded message
+            try:
+                return str(s.index("a"))
+            except ValueError as e:
+                return str(e)
+        run_diff(ctx, ["abc", "xyz"], f, expect_compiled=False)
+
+    def test_first_raise_order_raising_message_expr(self, ctx):
+        def f(x):
+            # CPython evaluates the raise arg first: ZeroDivisionError
+            # from the arg expression beats the ValueError
+            try:
+                if x < 2:
+                    raise ValueError(str(10 // (x - 1)))
+                return "big"
+            except ValueError as e:
+                return "V:" + str(e)
+            except ZeroDivisionError as e:
+                return "Z:" + str(e)
+        run_diff(ctx, [5, 0, 1], f, expect_compiled=True)

@@ -217,44 +217,68 @@ def _contains_continue(node) -> bool:
     return any(_contains_continue(c) for c in ast.iter_child_nodes(node))
 
 
-def _reads_only_type_name(handler: ast.ExceptHandler) -> bool:
-    """True when every Load of the handler's ``as`` name is exactly
-    ``type(<name>).__name__`` — the one read the compiled path can
-    answer (the class is statically known per guard)."""
+def _is_typename_read(n, name: str) -> bool:
+    """``type(<name>).__name__``"""
+    return (isinstance(n, ast.Attribute) and n.attr == "__name__"
+            and isinstance(n.value, ast.Call)
+            and isinstance(n.value.func, ast.Name)
+            and n.value.func.id == "type"
+            and len(n.value.args) == 1 and not n.value.keywords
+            and isinstance(n.value.args[0], ast.Name)
+            and n.value.args[0].id == name)
+
+
+def _is_message_read(n, name: str) -> bool:
+    """``str(<name>)`` — the exception message."""
+    return (isinstance(n, ast.Call) and isinstance(n.func, ast.Name)
+            and n.func.id == "str" and len(n.args) == 1
+            and not n.keywords and isinstance(n.args[0], ast.Name)
+            and n.args[0].id == name)
+
+
+def _exc_read_kinds(handler: ast.ExceptHandler) -> set[str] | None:
+    """Classify every Load of the handler's ``as`` name into the reads
+    the compiled path can answer: 'typename' (type(e).__name__ — class
+    statically known per guard) and 'message' (str(e) — needs a
+    recorded raise-site message).  None = some other read (e.args,
+    attribute access, passing e around) — exact-fallback."""
     name = handler.name
-    ok: set[int] = set()
+    ok: dict[int, str] = {}
     for hs in handler.body:
         for n in ast.walk(hs):
-            if (isinstance(n, ast.Attribute) and n.attr == "__name__"
-                    and isinstance(n.value, ast.Call)
-                    and isinstance(n.value.func, ast.Name)
-                    and n.value.func.id == "type"
-                    and len(n.value.args) == 1 and not n.value.keywords
-                    and isinstance(n.value.args[0], ast.Name)
-                    and n.value.args[0].id == name):
-                ok.add(id(n.value.args[0]))
+            if _is_typename_read(n, name):
+                ok[id(n.value.args[0])] = "typename"
+            elif _is_message_read(n, name):
+                ok[id(n.args[0])] = "message"
+    kinds: set[str] = set()
     for hs in handler.body:
         for n in ast.walk(hs):
             if (isinstance(n, ast.Name) and n.id == name
-                    and isinstance(n.ctx, ast.Load) and id(n) not in ok):
-                return False
-    return True
+                    and isinstance(n.ctx, ast.Load)):
+                if id(n) not in ok:
+                    return None
+                kinds.add(ok[id(n)])
+    return kinds
 
 
-class _TypeNameRewriter(ast.NodeTransformer):
-    """Replace ``type(<name>).__name__`` with a pre-evaluated Sym."""
+class _ExcReadRewriter(ast.NodeTransformer):
+    """Replace ``type(<name>).__name__`` / ``str(<name>)`` with
+    pre-evaluated Syms (per-guard when-chains built in _exec_try)."""
 
-    def __init__(self, name: str, sym):
-        self.name, self.sym = name, sym
+    def __init__(self, name: str, typename_sym=None, message_sym=None):
+        self.name = name
+        self.typename_sym, self.message_sym = typename_sym, message_sym
 
     def visit_Attribute(self, node):
-        v = node.value
-        if (node.attr == "__name__" and isinstance(v, ast.Call)
-                and isinstance(v.func, ast.Name) and v.func.id == "type"
-                and len(v.args) == 1 and not v.keywords
-                and isinstance(v.args[0], ast.Name)
-                and v.args[0].id == self.name):
-            return _SymExpr(self.sym)
+        if _is_typename_read(node, self.name) \
+                and self.typename_sym is not None:
+            return _SymExpr(self.typename_sym)
+        return self.generic_visit(node)
+
+    def visit_Call(self, node):
+        if _is_message_read(node, self.name) \
+                and self.message_sym is not None:
+            return _SymExpr(self.message_sym)
         return self.generic_visit(node)
 
 
@@ -342,6 +366,71 @@ def _py_float_str(c: Column) -> Column:
              .when(e >= 0, plain_pos)
              .when(e >= -4, plain_neg)
              .otherwise(sci_neg))
+
+
+_NONPRINT_CLASS: str | None = None
+
+
+def _nonprintable_class() -> str:
+    """Anchored single-char regex matching exactly the codepoints that
+    CPython ``str.isprintable()`` rejects (categories C*/Z* except
+    U+0020).  Generated from THIS interpreter's Unicode tables and
+    cached — Java's ``\\p{C}\\p{Z}`` properties track a different
+    Unicode version, so a codepoint assigned in one but not the other
+    would make compiled repr() diverge from the CPython fallback.
+    701 ranges / ~10 KB as of Unicode 15; built once per process
+    (~0.3 s), reused by every compiled repr."""
+    global _NONPRINT_CLASS
+    if _NONPRINT_CLASS is None:
+        parts: list[str] = []
+        start = None
+        for i in range(0x110001):
+            printable = i <= 0x10FFFF and chr(i).isprintable()
+            if not printable and i <= 0x10FFFF:
+                if start is None:
+                    start = i
+            elif start is not None:
+                a, b = start, i - 1
+                parts.append(f"\\x{{{a:x}}}" if a == b
+                             else f"\\x{{{a:x}}}-\\x{{{b:x}}}")
+                start = None
+        _NONPRINT_CLASS = "^[" + "".join(parts) + "]$"
+    return _NONPRINT_CLASS
+
+
+def _py_str_repr(c: Column) -> Column:
+    """CPython ``repr()`` of a string Column, bit-exact: quote selection
+    (single, unless the value contains ``'`` and no ``"``), the fixed
+    escapes (backslash, chosen quote, \\n \\r \\t), and \\xXX/\\uXXXX/
+    \\UXXXXXXXX for exactly the non-printable codepoints of this
+    interpreter's Unicode tables (_nonprintable_class).
+
+    Shape: one codepoint-aware split + a per-char when() chain inside
+    transform (split('') keeps surrogate pairs whole; ascii() returns
+    the full codepoint).  Linear in string length and vectorized, but
+    heavier than a regexp_replace — repr is format-path, never a
+    filter/join hot path."""
+    use_dq = c.contains("'") & ~c.contains('"')
+    q = F.when(use_dq, F.lit('"')).otherwise(F.lit("'"))
+    np = _nonprintable_class()
+
+    def esc(ch: Column) -> Column:
+        cp = F.ascii(ch)
+        h = F.lower(F.conv(cp.cast("string"), 10, 16))
+        hexesc = (
+            F.when(cp <= 0xFF, F.concat(F.lit("\\x"), F.lpad(h, 2, "0")))
+             .when(cp <= 0xFFFF, F.concat(F.lit("\\u"), F.lpad(h, 4, "0")))
+             .otherwise(F.concat(F.lit("\\U"), F.lpad(h, 8, "0"))))
+        return (F.when(ch == "\\", F.lit("\\\\"))
+                 .when(ch == q, F.concat(F.lit("\\"), ch))
+                 .when(ch == "\n", F.lit("\\n"))
+                 .when(ch == "\r", F.lit("\\r"))
+                 .when(ch == "\t", F.lit("\\t"))
+                 .when(ch.rlike(np), hexesc)
+                 .otherwise(ch))
+
+    body = F.array_join(F.transform(F.split(c, ""), esc), "")
+    return F.concat(q, body, q)
 
 
 # ---------------------------------------------------------------- symbolic values
@@ -521,6 +610,7 @@ class Translator:
         self.col_map = col_map or {}  # schema name -> physical df column
         self.with_guards = with_guards
         self.guards: list[tuple[Column, int]] = []
+        self._guard_msgs: dict[int, Column] = {}  # guard idx -> str(exc)
         self.accessed: set[str] = set()
         self._locals: dict[str, Sym] = {}
         self._returns: list[tuple[Column | None, Sym]] = []
@@ -643,7 +733,8 @@ class Translator:
         return STuple([self._field_sym(f) for f in self.schema.fields])
 
     # -- guard plumbing --------------------------------------------------
-    def guard(self, cond: Column, exc: str, path: Column | None = None):
+    def guard(self, cond: Column, exc: str, path: Column | None = None,
+              msg: Column | str | None = None):
         if not self.with_guards:
             return
         if path is not None:
@@ -651,9 +742,26 @@ class Translator:
         if self._path is not None:
             cond = self._path & cond
         self.guards.append((cond, code_for(exc)))
+        if msg is not None:
+            # the exact CPython str(exc) for this raise site, as a
+            # Column over the operand values AT THE RAISE POINT —
+            # lets handlers that read ``str(e)`` compile (_exec_try
+            # builds a when-chain over the handler's guards).  Sites
+            # without a recorded message keep those handlers on the
+            # exact fallback.
+            self._guard_msgs[len(self.guards) - 1] = \
+                F.lit(msg) if isinstance(msg, str) else msg
         for snaps, names in self._snap_stack:
             snaps[len(self.guards) - 1] = {
                 n: self._locals[n] for n in names if n in self._locals}
+
+    def _truncate_guards(self, start: int) -> None:
+        """Roll back guards emitted past ``start`` (speculative
+        compile paths) — and their recorded messages, so a later guard
+        reusing the index can't inherit a stale str(exc)."""
+        del self.guards[start:]
+        for gi in [g for g in self._guard_msgs if g >= start]:
+            del self._guard_msgs[gi]
 
     # -- conversions -----------------------------------------------------
     def to_col(self, s: Sym) -> Column:
@@ -743,12 +851,47 @@ class Translator:
             if isinstance(st, ast.Raise):
                 # self._path == path here, so guard() conditions the raise
                 exc_name = self._exc_name(st.exc)
-                self.guard(F.lit(True), exc_name)
+                # record str(e) when it's statically derivable: CPython
+                # str(Exc()) == "", str(Exc(a)) == str(a).  The arg is
+                # evaluated BEFORE the raise guard, so an exception
+                # inside the arg expression wins per first-raise order,
+                # exactly like CPython's eval-then-raise.  Uncompilable
+                # args roll their speculative guards back and just skip
+                # the message (handler str(e) reads then fall back).
+                rmsg: Column | str | None = None
+                if isinstance(st.exc, ast.Name) \
+                        or (isinstance(st.exc, ast.Call)
+                            and not st.exc.keywords
+                            and not st.exc.args):
+                    # bare `raise` (st.exc None) re-raises the ORIGINAL
+                    # exception — its message is unknown here, so no
+                    # rmsg for that shape
+                    rmsg = ""
+                elif (isinstance(st.exc, ast.Call)
+                        and not st.exc.keywords
+                        and len(st.exc.args) == 1):
+                    ng = len(self.guards)
+                    try:
+                        rmsg = self._to_str(self.eval(st.exc.args[0]))
+                    except CompileError:
+                        self._truncate_guards(ng)
+                self.guard(F.lit(True), exc_name, msg=rmsg)
                 self._returns.append((path, SConst(None)))
                 return True
             if isinstance(st, ast.Assert):
                 cond = self.truthy(self.eval(st.test))
-                self.guard(~cond, "AssertionError")
+                # assert msg evaluates ONLY on failure (CPython): mask
+                # its guards by ~cond so a raising msg expression can't
+                # fail rows whose assertion holds
+                amsg: Column | str | None = "" if st.msg is None else None
+                if st.msg is not None:
+                    ng = len(self.guards)
+                    try:
+                        with self._under_path(~cond):
+                            amsg = self._to_str(self.eval(st.msg))
+                    except CompileError:
+                        self._truncate_guards(ng)
+                self.guard(~cond, "AssertionError", msg=amsg)
                 continue
             if isinstance(st, ast.Pass):
                 continue
@@ -963,7 +1106,7 @@ class Translator:
                 if len(self.guards) != n_guards:
                     # the predicate runs on EVERY element; a guard-raising
                     # predicate can't be path-conditioned per element
-                    del self.guards[n_guards:]
+                    self._truncate_guards(n_guards)
                     raise CompileError("guard-raising first-match predicate")
                 return out
             finally:
@@ -1037,11 +1180,15 @@ class Translator:
         point (per-guard snapshots, merged by disjoint raise
         conditions) — including across NESTED tries: the snapshot stack
         records every enclosing level and guard-index rebasing remaps
-        ancestor entries.  Still falling back: handlers READING the
-        `as name` binding (exact messages would need CPython repr of
-        the operands), raising/returning/breaking finally bodies (an
-        exception in finally REPLACES the in-flight one, which the
-        append-only guard model cannot express).
+        ancestor entries.  Handlers may read the ``as`` binding as
+        ``type(e).__name__`` (class static per guard) or ``str(e)``
+        (raise sites record their exact CPython message, incl. operand
+        reprs, via guard(msg=...)).  Still falling back: any OTHER read
+        of the binding (e.args, attributes, passing e on), str(e) for a
+        raise site without a recorded message, and raising/returning/
+        breaking finally bodies (an exception in finally REPLACES the
+        in-flight one, which the append-only guard model cannot
+        express).
 
         Returns (all_paths_terminated, narrowed_path)."""
         for s in st.finalbody:
@@ -1049,26 +1196,28 @@ class Translator:
                     isinstance(n, ast.Return) for n in ast.walk(s)):
                 raise CompileError("control flow in finally")
         handler_codes: list[set[int] | None] = []
-        typename_handlers: list[bool] = []
+        handler_kinds: list[set[str]] = []
         for h in st.handlers:
-            uses_typename = False
+            kinds: set[str] = set()
             if h.name:
                 # binding the exception instance is fine as long as the
-                # handler reads it at most as ``type(e).__name__`` (the
-                # class name is statically known per guard — a when()
-                # chain over the handler's raise conditions); any other
-                # read would need exact CPython messages.  CPython
-                # unbinds the name after the handler anyway.
+                # handler reads it only as ``type(e).__name__`` (class
+                # statically known per guard) or ``str(e)`` (raise-site
+                # message recorded by the guard emitter — when absent
+                # for any of this handler's guards, the per-handler
+                # loop below aborts the compile).  Any other read
+                # (e.args, attributes, passing e on) falls back.
+                # CPython unbinds the name after the handler anyway.
                 reads_exc = any(
                     isinstance(n, ast.Name) and n.id == h.name
                     and isinstance(n.ctx, ast.Load)
                     for hs in h.body for n in ast.walk(hs))
                 if reads_exc:
-                    if _reads_only_type_name(h):
-                        uses_typename = True
-                    else:
+                    k = _exc_read_kinds(h)
+                    if k is None:
                         raise CompileError("handler reads `as` binding")
-            typename_handlers.append(uses_typename)
+                    kinds = k
+            handler_kinds.append(kinds)
             if h.type is None:
                 handler_codes.append(None)  # bare except: catches all
             else:
@@ -1108,7 +1257,12 @@ class Translator:
                                     if e is not entry]
             body_env = self._locals
             new_guards = self.guards[n_guards:]
-            del self.guards[n_guards:]
+            # raise-site messages for the body's guards, keyed by their
+            # absolute index (>= n_guards); survive the truncation so
+            # handlers can compile str(e) and kept guards re-attach
+            new_msgs = {gi: self._guard_msgs[gi]
+                        for gi in self._guard_msgs if gi >= n_guards}
+            self._truncate_guards(n_guards)
             kept: list[tuple[Column, int]] = []
             kept_old: list[int] = []
             per_handler: list[list[tuple[Column, int]]] = \
@@ -1135,6 +1289,10 @@ class Translator:
                 for new_i, gi_old in enumerate(kept_old, start=n_guards):
                     if gi_old in pending:
                         osnaps[new_i] = pending[gi_old]
+            # same remap for raise-site messages of surviving guards
+            for new_i, gi_old in enumerate(kept_old, start=n_guards):
+                if gi_old in new_msgs:
+                    self._guard_msgs[new_i] = new_msgs[gi_old]
             handled = None
             for conds in per_handler:
                 for c, _ in conds:
@@ -1162,8 +1320,8 @@ class Translator:
             # run each handler under its raise condition, merging locals
             env = body_env
             all_term = norm_term
-            for h, conds, wants_name in zip(st.handlers, per_handler,
-                                            typename_handlers):
+            for h, conds, kinds in zip(st.handlers, per_handler,
+                                       handler_kinds):
                 if not conds:
                     continue
                 hcond = conds[0][0]
@@ -1171,20 +1329,39 @@ class Translator:
                     hcond = hcond | c
                 hpath = hcond if path is None else (path & hcond)
                 hbody = h.body
-                if wants_name:
-                    # type(e).__name__: the class is static per guard —
-                    # a when() chain over the handler's DISJOINT raise
-                    # conditions picks the right name per row
-                    from ..exceptions import name_for_code
-                    ncol = None
-                    for eff, gi in conds:
-                        nm = name_for_code(
-                            new_guards[gi - n_guards][1])
-                        ncol = F.when(eff, F.lit(nm)) if ncol is None \
-                            else ncol.when(eff, F.lit(nm))
+                if kinds:
+                    # the eff conditions are DISJOINT (each masked by
+                    # ~prior), so a when() chain over the handler's
+                    # guards picks the right value per row
+                    name_sym = msg_sym = None
+                    if "typename" in kinds:
+                        # type(e).__name__: class is static per guard
+                        from ..exceptions import name_for_code
+                        ncol = None
+                        for eff, gi in conds:
+                            nm = name_for_code(
+                                new_guards[gi - n_guards][1])
+                            ncol = F.when(eff, F.lit(nm)) \
+                                if ncol is None else ncol.when(eff,
+                                                               F.lit(nm))
+                        name_sym = SCol(ncol, "str", False)
+                    if "message" in kinds:
+                        # str(e): every guard feeding this handler must
+                        # have recorded its raise-site message; a site
+                        # without one sends the whole UDF to the exact
+                        # fallback (never a made-up message)
+                        mcol = None
+                        for eff, gi in conds:
+                            m = new_msgs.get(gi)
+                            if m is None:
+                                raise CompileError(
+                                    "handler reads str(e) for a raise "
+                                    "site without a recorded message")
+                            mcol = F.when(eff, m) if mcol is None \
+                                else mcol.when(eff, m)
+                        msg_sym = SCol(mcol, "str", False)
                     import copy as _copy
-                    rw_t = _TypeNameRewriter(
-                        h.name, SCol(ncol, "str", False))
+                    rw_t = _ExcReadRewriter(h.name, name_sym, msg_sym)
                     hbody = [rw_t.visit(_copy.deepcopy(s))
                              for s in h.body]
                 self._locals = dict(saved)
@@ -1633,18 +1810,18 @@ class Translator:
         n_guards = len(self.guards)
         info = self._while_contraction_info(st)
         if info is None:
-            del self.guards[n_guards:]
+            self._truncate_guards(n_guards)
             return False
         var, kind, c, t, exact = info
         assigned = _loop_assigned_names(st.body)
         accs = [n for n in assigned if n in self._locals]
         if set(assigned) != set(accs):
-            del self.guards[n_guards:]
+            self._truncate_guards(n_guards)
             return False
         init = {n: self._locals[n] for n in accs}
         if any(s.tag not in ("int", "float", "bool", "str")
                for s in init.values()):
-            del self.guards[n_guards:]
+            self._truncate_guards(n_guards)
             return False
 
         def run_step(acc_syms):
@@ -1663,7 +1840,7 @@ class Translator:
                         or len(self._returns) != len(saved_returns):
                     raise CompileError("return inside convergence while")
                 if len(self.guards) != k_guards:
-                    del self.guards[k_guards:]
+                    self._truncate_guards(k_guards)
                     raise CompileError("guard-raising while body")
                 return cond, {n: self._locals[n] for n in accs}
             finally:
@@ -1690,7 +1867,7 @@ class Translator:
                 if _unify_tags(final[n], out2[n].tag) != final[n]:
                     raise CompileError("while accumulator oscillates")
         except CompileError:
-            del self.guards[n_guards:]
+            self._truncate_guards(n_guards)
             return False
         nullable = {n: init[n].nullable or out2[n].nullable for n in accs}
 
@@ -1987,7 +2164,7 @@ class Translator:
                         or len(self._returns) != len(saved_returns):
                     raise CompileError("return/raise inside dynamic loop")
                 if len(self.guards) != n_guards:
-                    del self.guards[n_guards:]
+                    self._truncate_guards(n_guards)
                     raise CompileError("guard-raising dynamic loop body")
                 return {n: self._locals[n] for n in accs}
             finally:
@@ -2400,7 +2577,11 @@ class Translator:
         hit = F.coalesce(
             kcol.isin([int(k) if isinstance(k, bool) else k
                        for k in keys]), F.lit(False))
-        self.guard(~hit, "KeyError")
+        try:
+            kmsg = self._repr_col(idx)  # str(KeyError(k)) == repr(k)
+        except CompileError:
+            kmsg = None
+        self.guard(~hit, "KeyError", msg=kmsg)
         return SCol(expr, tag, nullable)
 
     def _ev_Subscript(self, node):
@@ -2435,14 +2616,16 @@ class Translator:
                 try:
                     return base.items[idx.value]
                 except IndexError:
-                    self.guard(F.lit(True), "IndexError")
+                    self.guard(F.lit(True), "IndexError",
+                               msg="tuple index out of range")
                     return SConst(None)
             raise CompileError("tuple index must be int constant")
         if isinstance(base, SDict):
             if isinstance(idx, SConst) and isinstance(idx.value, str):
                 if idx.value in base.items:
                     return base.items[idx.value]
-                self.guard(F.lit(True), "KeyError")
+                # str(KeyError(k)) is repr(k)
+                self.guard(F.lit(True), "KeyError", msg=repr(idx.value))
                 return SConst(None)
             return self._dict_dynamic_lookup(
                 list(base.items.items()), idx)
@@ -2451,7 +2634,7 @@ class Translator:
                 try:
                     return SConst(base.value[idx.value])
                 except Exception as e:
-                    self.guard(F.lit(True), type(e).__name__)
+                    self.guard(F.lit(True), type(e).__name__, msg=str(e))
                     return SConst(None)
             if isinstance(base.value, dict):
                 # constant lookup-table subscripted by a column — the
@@ -2464,18 +2647,25 @@ class Translator:
                 i = self.to_col(self.num(idx, "string index"))
                 L = F.length(base.col)
                 pos = F.when(i >= 0, i + 1).otherwise(L + i + 1)
-                self.guard((i >= L) | (i < -L), "IndexError")
+                self.guard((i >= L) | (i < -L), "IndexError",
+                           msg="string index out of range")
                 return SCol(F.substring(base.col, pos, 1), "str", base.nullable)
             if base.tag == "array":
                 i = self.to_col(self.num(idx, "list index"))
                 n = F.size(base.col)
-                self.guard((i >= n) | (i < -n), "IndexError")
+                self.guard((i >= n) | (i < -n), "IndexError",
+                           msg="list index out of range")
                 pos = F.when(i >= 0, i + 1).otherwise(n + i + 1)
                 return SCol(F.element_at(base.col, pos.cast("int")),
                             base.elem or "any", True)
             if base.tag == "map":
                 k = self.to_col(idx)
-                self.guard(~F.map_contains_key(base.col, k), "KeyError")
+                try:
+                    kmsg = self._repr_col(idx)  # str(KeyError(k)) == repr(k)
+                except CompileError:
+                    kmsg = None
+                self.guard(~F.map_contains_key(base.col, k), "KeyError",
+                           msg=kmsg)
                 return SCol(F.element_at(base.col, k), "any", True)
             if base.tag == "struct":
                 if isinstance(idx, SConst) and isinstance(idx.value, str):
@@ -2645,7 +2835,7 @@ class Translator:
             try:
                 return SConst(py[type(op)](l.value, r.value))
             except Exception as e:
-                self.guard(F.lit(True), type(e).__name__)
+                self.guard(F.lit(True), type(e).__name__, msg=str(e))
                 return SConst(None)
         # string/array concatenation & repetition
         if isinstance(op, ast.Add) and ("str" in (l.tag, r.tag)):
@@ -2671,9 +2861,12 @@ class Translator:
         # guard would also needlessly abort fold-loop compilation
         div_safe = isinstance(rn, SConst) and rn.value not in (0, 0.0)
 
-        def div_guard():
+        def div_guard(int_msg, float_msg):
+            # exact CPython ZeroDivisionError messages, picked by the
+            # operand types like intobject/floatobject.c do
             if not div_safe:
-                self.guard(rc == 0, "ZeroDivisionError")
+                self.guard(rc == 0, "ZeroDivisionError",
+                           msg=int_msg if both_int else float_msg)
         if isinstance(op, ast.Add):
             return SCol(lc + rc, "int" if both_int else "float")
         if isinstance(op, ast.Sub):
@@ -2681,10 +2874,11 @@ class Translator:
         if isinstance(op, ast.Mult):
             return SCol(lc * rc, "int" if both_int else "float")
         if isinstance(op, ast.Div):
-            div_guard()
+            div_guard("division by zero", "float division by zero")
             return SCol(lc / rc, "float")
         if isinstance(op, ast.FloorDiv):
-            div_guard()
+            div_guard("integer division or modulo by zero",
+                      "float floor division by zero")
             if both_int:
                 return SCol(F.floor(lc / rc), "int")
             # CPython float_floor_div (Objects/floatobject.c float_divmod):
@@ -2701,7 +2895,8 @@ class Translator:
             res = F.when(div == 0.0, (a / b) * 0.0).otherwise(fd)
             return SCol(res, "float")
         if isinstance(op, ast.Mod):
-            div_guard()
+            div_guard("integer division or modulo by zero",
+                      "float modulo")
             if both_int:
                 # sign-of-divisor semantics; exact in integer arithmetic
                 return SCol(((lc % rc) + rc) % rc, "int")
@@ -2822,10 +3017,10 @@ class Translator:
                     out += m
         return SCol(F.format_string(out, *cols), "str")
 
-    def _guard_nulls(self, *syms):
+    def _guard_nulls(self, *syms, msg=None):
         for s in syms:
             if isinstance(s, SCol) and s.nullable:
-                self.guard(s.col.isNull(), "TypeError")
+                self.guard(s.col.isNull(), "TypeError", msg=msg)
 
     def _ev_UnaryOp(self, node):
         v = self.eval(node.operand)
@@ -3005,15 +3200,11 @@ class Translator:
                         raise CompileError("f-string conversion with spec")
                     parts.append(self._format_spec_col(spec, val))
                     continue
+                if v.conversion == 114:  # !r
+                    parts.append(self._repr_col(val))
+                    continue
                 if v.conversion not in (-1, 115):  # none / !s compile
-                    # !r on numbers == str; on strings repr quotes and
-                    # escapes (no Column form) — fallback unless the
-                    # value is numeric (previously !r was IGNORED)
-                    if v.conversion == 114 and getattr(val, "tag", None) \
-                            in ("int", "float", "bool"):
-                        pass
-                    else:
-                        raise CompileError("f-string conversion")
+                    raise CompileError("f-string conversion")  # !a
                 parts.append(self._to_str(val))
             else:
                 raise CompileError("f-string part")
@@ -3292,6 +3483,31 @@ class Translator:
             out = F.when(c.isNull(), F.lit("None")).otherwise(out)
         return out
 
+    def _repr_col(self, s: Sym) -> Column:
+        """``repr()`` as a Column: strings get the exact CPython
+        quoting/escaping (_py_str_repr); int/float/bool/None reuse
+        _to_str because CPython repr == str for them (py3 float repr IS
+        shortest round-trip str).  Everything else (containers,
+        timestamps, match objects) falls back — their reprs embed
+        object structure the Column form doesn't model."""
+        if isinstance(s, SConst):
+            return F.lit(repr(s.value))
+        if s.tag == "str":
+            c = self.to_col(s)
+            out = _py_str_repr(c)
+            if s.nullable:
+                out = F.when(c.isNull(), F.lit("None")).otherwise(out)
+            return out
+        if s.tag in ("int", "float", "bool", "null"):
+            return self._to_str(s)
+        raise CompileError(f"repr({s.tag})")
+
+    def _b_repr(self, args):
+        a = args[0]
+        if isinstance(a, SConst):
+            return SConst(repr(a.value))
+        return SCol(self._repr_col(a), "str", False)
+
     # -- calls -----------------------------------------------------------
     def _ev_Call(self, node):
         if node.keywords:
@@ -3338,7 +3554,7 @@ class Translator:
             try:
                 return SConst(int(a.value))
             except Exception as e:
-                self.guard(F.lit(True), type(e).__name__)
+                self.guard(F.lit(True), type(e).__name__, msg=str(e))
                 return SConst(None)
         c = self.to_col(a)
         if a.tag in ("int", "bool"):
@@ -3352,8 +3568,14 @@ class Translator:
             t = F.trim(c)
             valid = t.rlike(r"^[+-]?[0-9]+$")
             if a.nullable:
-                self.guard(c.isNull(), "TypeError")
-            self.guard(c.isNotNull() & ~valid, "ValueError")
+                self.guard(c.isNull(), "TypeError",
+                           msg="int() argument must be a string, a "
+                               "bytes-like object or a real number, "
+                               "not 'NoneType'")
+            self.guard(c.isNotNull() & ~valid, "ValueError",
+                       msg=F.concat(
+                           F.lit("invalid literal for int() with "
+                                 "base 10: "), _py_str_repr(c)))
             return SCol(F.when(valid, t.cast("long")), "int", True)
         raise CompileError(f"int({a.tag})")
 
@@ -3377,7 +3599,7 @@ class Translator:
             try:
                 return SConst(int(a.value, base))
             except Exception as e:
-                self.guard(F.lit(True), type(e).__name__)
+                self.guard(F.lit(True), type(e).__name__, msg=str(e))
                 return SConst(None)
         if getattr(a, "tag", None) != "str":
             raise CompileError("int(non-str, base)")
@@ -3392,8 +3614,14 @@ class Translator:
         pre_re = f"(?:{prefix}_?)?" if prefix else ""
         valid = t.rlike(f"^[+-]?{pre_re}[{dig}](?:_?[{dig}])*$")
         if a.nullable:
-            self.guard(c.isNull(), "TypeError")
-        self.guard(c.isNotNull() & ~valid, "ValueError")
+            self.guard(c.isNull(), "TypeError",
+                       msg="int() argument must be a string, a "
+                           "bytes-like object or a real number, "
+                           "not 'NoneType'")
+        self.guard(c.isNotNull() & ~valid, "ValueError",
+                   msg=F.concat(
+                       F.lit(f"invalid literal for int() with "
+                             f"base {base}: "), _py_str_repr(c)))
         mag = F.regexp_replace(t, "^[+-]", "")
         if prefix:
             mag = F.regexp_replace(mag, f"^{prefix}_?", "")
@@ -3410,16 +3638,20 @@ class Translator:
             try:
                 return SConst(float(a.value))
             except Exception as e:
-                self.guard(F.lit(True), type(e).__name__)
+                self.guard(F.lit(True), type(e).__name__, msg=str(e))
                 return SConst(None)
         c = self.to_col(a)
         if a.tag in ("int", "bool", "float"):
             self._guard_nulls(a)
             return SCol(c.cast("double"), "float")
         if a.tag == "str":
-            self._guard_nulls(a)
+            self._guard_nulls(a, msg="float() argument must be a string"
+                              " or a real number, not 'NoneType'")
             casted = F.trim(c).cast("double")
-            self.guard(c.isNotNull() & casted.isNull(), "ValueError")
+            self.guard(c.isNotNull() & casted.isNull(), "ValueError",
+                       msg=F.concat(
+                           F.lit("could not convert string to float: "),
+                           _py_str_repr(c)))
             return SCol(casted, "float", True)
         raise CompileError(f"float({a.tag})")
 
@@ -3507,7 +3739,7 @@ class Translator:
                 else:
                     raise CompileError("key function shape")
                 if len(self.guards) != n_guards:
-                    del self.guards[n_guards:]
+                    self._truncate_guards(n_guards)
                     raise CompileError("guard-raising key function")
                 return self.to_col(res), res.tag
             finally:
@@ -3557,7 +3789,7 @@ class Translator:
             try:
                 return SConst(ord(a.value))
             except Exception as e:
-                self.guard(F.lit(True), type(e).__name__)
+                self.guard(F.lit(True), type(e).__name__, msg=str(e))
                 return SConst(None)
         if isinstance(a, SCol) and a.tag == "str":
             # CPython requires exactly one character
@@ -3571,7 +3803,7 @@ class Translator:
             try:
                 return SConst(chr(a.value))
             except Exception as e:
-                self.guard(F.lit(True), type(e).__name__)
+                self.guard(F.lit(True), type(e).__name__, msg=str(e))
                 return SConst(None)
         # dynamic chr has no faithful Column form: Spark's char() is
         # chr(n % 256), wrong for any codepoint past latin-1 — fallback
@@ -3803,7 +4035,7 @@ class Translator:
             try:
                 return SConst(list(range(*[a.value for a in args])))
             except (TypeError, ValueError) as e:
-                self.guard(F.lit(True), type(e).__name__)
+                self.guard(F.lit(True), type(e).__name__, msg=str(e))
                 return SConst(None)
         if len(args) > 2:
             raise CompileError("range with dynamic step")
@@ -4150,7 +4382,7 @@ class Translator:
             try:
                 return SConst(getattr(_math, name)(*[a.value for a in args]))
             except Exception as e:
-                self.guard(F.lit(True), type(e).__name__)
+                self.guard(F.lit(True), type(e).__name__, msg=str(e))
                 return SConst(None)
         simple = {"sin": F.sin, "cos": F.cos, "tan": F.tan, "atan": F.atan,
                   "sinh": F.sinh, "cosh": F.cosh, "tanh": F.tanh,
@@ -4162,26 +4394,32 @@ class Translator:
         if name in simple:
             return SCol(simple[name](c), "float")
         if name == "sqrt":
-            self.guard(c < 0, "ValueError")
+            self.guard(c < 0, "ValueError",
+                       msg="math domain error")
             return SCol(F.sqrt(c), "float")
         if name in ("log", "log2", "log10"):
-            self.guard(c <= 0, "ValueError")
+            self.guard(c <= 0, "ValueError",
+                       msg="math domain error")
             f = {"log": F.log, "log2": F.log2, "log10": F.log10}[name]
             if name == "log" and len(args) == 2:
                 b = self.to_col(self.num(args[1]))
                 return SCol(F.log(c) / F.log(b), "float")
             return SCol(f(c), "float")
         if name == "log1p":
-            self.guard(c <= -1, "ValueError")
+            self.guard(c <= -1, "ValueError",
+                       msg="math domain error")
             return SCol(F.log1p(c), "float")
         if name in ("asin", "acos"):
-            self.guard((c < -1) | (c > 1), "ValueError")
+            self.guard((c < -1) | (c > 1), "ValueError",
+                       msg="math domain error")
             return SCol((F.asin if name == "asin" else F.acos)(c), "float")
         if name == "acosh":
-            self.guard(c < 1, "ValueError")
+            self.guard(c < 1, "ValueError",
+                       msg="math domain error")
             return SCol(F.acosh(c), "float")
         if name == "atanh":
-            self.guard((c <= -1) | (c >= 1), "ValueError")
+            self.guard((c <= -1) | (c >= 1), "ValueError",
+                       msg="math domain error")
             return SCol(F.atanh(c), "float")
         if name == "floor":
             return SCol(F.floor(c).cast("long"), "int")
@@ -4392,7 +4630,7 @@ class Translator:
                 return SConst(getattr(base.value, name)(
                     *[a.value for a in args]))
             except Exception as e:
-                self.guard(F.lit(True), type(e).__name__)
+                self.guard(F.lit(True), type(e).__name__, msg=str(e))
                 return SConst(None)
         if base.tag == "str" or (isinstance(base, SConst)
                                  and isinstance(base.value, str)):
@@ -4955,7 +5193,7 @@ class _BoundMethod(Sym):
 _BUILTINS = {"int", "float", "str", "bool", "len", "abs", "round",
              "min", "max", "sorted", "sum", "list", "tuple", "any", "all",
              "iter", "next", "reversed", "range", "dict", "divmod",
-             "ord", "chr"}
+             "ord", "chr", "repr"}
 
 
 def _tag_family(s: Sym) -> str | None:
