@@ -1348,6 +1348,33 @@ def q_events_retention(spark, sf_dir):
         "day_offset", "n_users")
 
 
+def q_text_keyterms(spark, sf_dir):
+    """Integer-exact TF-IDF-ordered keyword extraction: top-3 terms per
+    doc by (in-doc count DESC, corpus count ASC, term ASC)
+    (functions/text.py keyterms)."""
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.keyterms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_text_c4(spark, sf_dir):
+    """C4-style filter flags, all comparisons in integer arithmetic
+    (functions/text.py c4_filters)."""
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.c4_filters(_t(spark, sf_dir, "documents"))
+
+
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket part-pair affinity over lineitem: co-partitioned
+    self-join on the order key, top-20 by count with deterministic
+    tie-break (functions/analytics.py basket_pairs)."""
+    from tuplex_spark.functions import analytics
+    _prep(spark)
+    return analytics.basket_pairs(_t(spark, sf_dir, "lineitem"),
+                                  top_k=20)
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -1469,6 +1496,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_temperature": q_sample_temperature,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "text_keyterms": q_text_keyterms,
+        "text_c4": q_text_c4,
+        "basket_pairs": q_basket_pairs,
     }
     assert len(graded) <= 50, "graded window overflow — rebalance"
     return {**graded, **overflow}
@@ -2029,6 +2059,9 @@ FROM numbered GROUP BY user_id, session_no""",
 SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, day_offset,
        n_users
 FROM (""" + analytics_mod.retention_sql() + ") r",
+        "text_keyterms": text.keyterms_sql(k=3),
+        "text_c4": text.c4_filters_sql(),
+        "basket_pairs": analytics_mod.basket_pairs_sql(top_k=20),
     }
     # ann_topk / ann_ivf need the query vector read at oracle-build time;
     # the driver calls oracle_sql() without a spark session, so embed the

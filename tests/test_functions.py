@@ -680,3 +680,83 @@ class TestTemperatureSample:
         df = self._mk(spark)
         out = temperature_sample(df, "lang", "doc_id", alpha=0.5)
         assert out.columns == df.columns
+
+
+class TestKeyterms:
+    def test_tfidf_ordering(self, spark):
+        from tuplex_spark.functions.text import keyterms
+        # corpus counts: x=4 (common), q=1, z=2
+        docs = spark.createDataFrame(
+            [(1, "x x q z"), (2, "x z"), (3, "x")],
+            "doc_id long, text string")
+        got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+               for r in keyterms(docs, k=2).collect()}
+        # doc 1: x has tf=2 -> first despite being common; then q (df=1)
+        assert got[(1, 1)] == ("x", 2, 4)
+        assert got[(1, 2)] == ("q", 1, 1)
+        # doc 2: tf ties at 1 -> rarer token (z, df=2) outranks x (df=4)
+        assert got[(2, 1)] == ("z", 1, 2)
+        assert got[(2, 2)] == ("x", 1, 4)
+
+    def test_lexicographic_tiebreak(self, spark):
+        from tuplex_spark.functions.text import keyterms
+        docs = spark.createDataFrame([(1, "b a")],
+                                     "doc_id long, text string")
+        got = [r["term"] for r in keyterms(docs, k=2)
+               .orderBy("rank").collect()]
+        assert got == ["a", "b"]     # tf/df tie -> lexicographic
+
+
+class TestC4Filters:
+    def test_flags(self, spark):
+        from tuplex_spark.functions.text import c4_filters
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over it"),   # all pass
+             (2, "a b"),                                  # too short
+             (3, "the " + "x" * 200 + " of and to in"),   # long token
+             (4, "zz yy xx ww vv uu")],                   # no stopword
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in c4_filters(docs).collect()}
+        assert got[1]["keep"]
+        assert not got[2]["len_ok"] and not got[2]["keep"]
+        assert not got[3]["token_len_ok"] and not got[3]["keep"]
+        assert got[4]["len_ok"] and not got[4]["has_stopword"]
+        assert not got[4]["keep"]
+
+    def test_no_shuffle_plan(self, spark):
+        import os
+        from conftest import SF_DIR
+        from tuplex_spark.functions.text import c4_filters
+        docs = spark.read.parquet(os.path.join(SF_DIR,
+                                               "documents.parquet"))
+        plan = c4_filters(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+
+class TestBasketPairs:
+    def test_counts_and_tiebreak(self, spark):
+        from tuplex_spark.functions.analytics import basket_pairs
+        rows = [(1, 10), (1, 20), (1, 30),
+                (2, 10), (2, 20),
+                (3, 10), (3, 20), (3, 20)]  # dup line collapses
+        li = spark.createDataFrame(rows,
+                                   "l_orderkey long, l_partkey long")
+        got = [(r["part_a"], r["part_b"], r["n_orders"])
+               for r in basket_pairs(li, top_k=3).collect()]
+        assert got[0] == (10, 20, 3)
+        assert set(got[1:]) == {(10, 30, 1), (20, 30, 1)}
+        # deterministic tie-break between the two count-1 pairs
+        assert got[1] == (10, 30, 1)
+
+    def test_no_cartesian(self, spark):
+        import os
+        from conftest import SF_DIR
+        from tuplex_spark.functions.analytics import basket_pairs
+        li = spark.read.parquet(os.path.join(SF_DIR,
+                                             "lineitem.parquet"))
+        plan = basket_pairs(li)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

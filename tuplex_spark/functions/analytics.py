@@ -120,3 +120,48 @@ SELECT c.cohort_day, datediff('day', c.cohort_day, a.day) AS day_offset,
 FROM active a JOIN cohorts c ON a.u = c.u
 WHERE datediff('day', c.cohort_day, a.day) <= {max_offset}
 GROUP BY 1, 2"""
+
+
+def basket_pairs(lineitem: DataFrame, top_k: int = 20,
+                 order_col: str = "l_orderkey",
+                 item_col: str = "l_partkey") -> DataFrame:
+    """Market-basket affinity: the ``top_k`` part pairs most often
+    ordered together, ranked by co-occurrence count with a
+    deterministic (count DESC, part_a, part_b) tie-break.
+
+    Scale shape: distinct (order, item) first (kills duplicate lines of
+    the same part — the self-join would otherwise square them), then a
+    CO-PARTITIONED self-join on the order key (one hash exchange feeds
+    both sides; baskets are small so the per-order pair blow-up is
+    bounded by max-basket^2, not corpus size), a partial-aggregated
+    pair count, and a TakeOrdered top-k — no global sort.
+    """
+    oi = (lineitem.select(F.col(order_col).alias("ord"),
+                          F.col(item_col).alias("item"))
+          .distinct())
+    a = oi.alias("a")
+    b = oi.alias("b")
+    pairs = (a.join(b, (F.col("a.ord") == F.col("b.ord"))
+                    & (F.col("a.item") < F.col("b.item")))
+             .select(F.col("a.item").alias("part_a"),
+                     F.col("b.item").alias("part_b")))
+    return (pairs.groupBy("part_a", "part_b")
+            .agg(F.count("*").cast("long").alias("n_orders"))
+            .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+            .limit(int(top_k)))
+
+
+def basket_pairs_sql(table: str = "lineitem", top_k: int = 20,
+                     order_col: str = "l_orderkey",
+                     item_col: str = "l_partkey") -> str:
+    """DuckDB twin of basket_pairs()."""
+    return f"""
+WITH oi AS (
+  SELECT DISTINCT {order_col} AS ord, {item_col} AS item FROM {table}
+)
+SELECT a.item AS part_a, b.item AS part_b,
+       count(*)::BIGINT AS n_orders
+FROM oi a JOIN oi b ON a.ord = b.ord AND a.item < b.item
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT {int(top_k)}"""

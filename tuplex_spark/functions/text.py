@@ -10,7 +10,7 @@ rounding on both sides so value hashes match exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # shared tokenizer: lowercase, split on whitespace runs
 def tokens(col) -> Column:
@@ -487,3 +487,131 @@ SELECT id AS {id_col},
              / sum(d)::DOUBLE, 6) AS rare_frac
 FROM dc JOIN freq USING (tok) CROSS JOIN tot
 GROUP BY id"""
+
+
+def keyterms(df: DataFrame, text_col: str = "text",
+             id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-document distinctive terms — the integer-exact cousin of
+    TF-IDF keyword extraction: rank a doc's tokens by (in-doc count
+    DESC, corpus count ASC, token ASC) and keep the top ``k``.  A token
+    the doc repeats but the corpus rarely uses ranks first, which is
+    the TF-IDF ordering without the fp logarithm (log changes only the
+    WEIGHTING, not the per-doc order, when both factors are ranked
+    lexicographically) — so the DuckDB twin matches bitwise.
+
+    Scale shape: the same two explode aggregations as rarity_scores
+    (per-doc-token counts + Heaps'-law-small vocabulary, AQE-broadcast
+    join), then ONE window partitioned by doc (hash exchange, no global
+    sort).
+    """
+    ex = df.select(F.col(id_col).alias("id"),
+                   F.explode(tokens(text_col)).alias("tok"))
+    dc = ex.groupBy("id", "tok").agg(F.count("*").alias("d"))
+    freq = ex.groupBy("tok").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("id").orderBy(
+        F.col("d").desc(), F.col("c").asc(), F.col("tok").asc())
+    return (dc.join(freq, "tok")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(k))
+            .select(F.col("id").alias(id_col),
+                    F.col("rank").cast("long").alias("rank"),
+                    F.col("tok").alias("term"),
+                    F.col("d").cast("long").alias("tf"),
+                    F.col("c").cast("long").alias("df")))
+
+
+def keyterms_sql(table="documents", text_col="text", id_col="doc_id",
+                 k: int = 3) -> str:
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH ex AS (
+  SELECT {id_col} AS id, unnest({toks}) AS tok FROM {table}
+), dc AS (
+  SELECT id, tok, count(*) AS d FROM ex GROUP BY 1, 2
+), freq AS (
+  SELECT tok, count(*) AS c FROM ex GROUP BY 1
+), ranked AS (
+  SELECT id, tok, d, c,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY d DESC, c ASC, tok ASC) AS rank
+  FROM dc JOIN freq USING (tok)
+)
+SELECT id AS {id_col}, rank::BIGINT AS rank, tok AS term,
+       d::BIGINT AS tf, c::BIGINT AS df
+FROM ranked WHERE rank <= {int(k)}"""
+
+
+# C4-style filter thresholds (Raffel et al. 2020 heuristics, adapted to
+# token counts; all comparisons kept in INTEGER arithmetic so the SQL
+# twin matches bitwise — e.g. "mean token length in [3, 10]" tests
+# 3*n_tok <= n_alpha <= 10*n_tok instead of dividing)
+C4_MIN_TOKENS = 5
+C4_MAX_TOKENS = 50_000
+C4_MIN_MEAN_TOKLEN = 2
+C4_MAX_MEAN_TOKLEN = 12
+C4_MAX_TOKEN_CHARS = 100
+
+
+def c4_filters(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """C4-style document filter flags, integer-exact: token-count
+    bounds, mean-token-length bounds (cross-multiplied, no division),
+    a longest-token cap (OCR noise / base64 blobs), and an
+    any-stopword-present check.  Emits one row per doc with each flag
+    and the conjunction ``keep`` — downstream pipelines filter on
+    ``keep`` or audit individual reasons.
+
+    Pure Column expressions over one scan — no shuffle, no UDF; at
+    100 TB this fuses into the scan projection like quality_score.
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    # alpha chars = total chars minus whitespace (single-spaced corpus)
+    n_chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    longest = F.coalesce(
+        F.array_max(F.transform(toks, lambda x: F.length(x))), F.lit(0))
+    has_stop = F.size(F.array_intersect(
+        F.array_distinct(toks),
+        F.array(*[F.lit(w) for w in STOPWORDS["en"]]))) > 0
+    len_ok = (n_tok >= C4_MIN_TOKENS) & (n_tok <= C4_MAX_TOKENS)
+    mean_ok = ((n_chars >= C4_MIN_MEAN_TOKLEN * n_tok)
+               & (n_chars <= C4_MAX_MEAN_TOKLEN * n_tok))
+    tok_ok = longest <= C4_MAX_TOKEN_CHARS
+    return df.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        len_ok.alias("len_ok"),
+        mean_ok.alias("mean_len_ok"),
+        tok_ok.alias("token_len_ok"),
+        has_stop.alias("has_stopword"),
+        (len_ok & mean_ok & tok_ok & has_stop).alias("keep"))
+
+
+def c4_filters_sql(table="documents", text_col="text",
+                   id_col="doc_id") -> str:
+    toks = TOKENS_SQL.format(c=text_col)
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS t,
+         length(regexp_replace({text_col}, '\\s+', '', 'g')) AS n_chars
+  FROM {table}
+), m AS (
+  SELECT id, len(t) AS n_tok, n_chars,
+         coalesce(list_max(list_transform(t, x -> length(x))), 0)
+           AS longest,
+         len(list_intersect(list_distinct(t), [{stop}])) > 0 AS has_stop
+  FROM base
+)
+SELECT id AS {id_col}, n_tok::BIGINT AS n_tokens,
+       (n_tok >= {C4_MIN_TOKENS} AND n_tok <= {C4_MAX_TOKENS}) AS len_ok,
+       (n_chars >= {C4_MIN_MEAN_TOKLEN} * n_tok
+        AND n_chars <= {C4_MAX_MEAN_TOKLEN} * n_tok) AS mean_len_ok,
+       (longest <= {C4_MAX_TOKEN_CHARS}) AS token_len_ok,
+       has_stop AS has_stopword,
+       ((n_tok >= {C4_MIN_TOKENS} AND n_tok <= {C4_MAX_TOKENS})
+        AND (n_chars >= {C4_MIN_MEAN_TOKLEN} * n_tok
+             AND n_chars <= {C4_MAX_MEAN_TOKLEN} * n_tok)
+        AND longest <= {C4_MAX_TOKEN_CHARS} AND has_stop) AS keep
+FROM m"""
