@@ -1387,7 +1387,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     overflow tail holds TPC-H variants whose *shapes* are already
     covered by an in-window twin (q5~q3+broadcast, q7~q5, q8/q9~q5+
     year-agg, q10~q3, q13~ds_leftjoin+agg, q17~q11-subquery, q19~q6+q3,
-    q12~q4, q14~q19, q16~q22-anti, q18~q3+q13, q20~q4-semi)."""
+    q12~q4, q14~q19, q16~q22-anti, q18~q3+q13, q20~q4-semi) plus
+    single-projection twins rotated out in round 6b (text_token_count/
+    text_fingerprint ~ text_quality shape, events_json ~ events_stats)
+    to bring the shape-novel round-6b ops (text_rarity vocabulary join,
+    dedup_chunks keep-first window, events_funnel iterated join-agg)
+    into the driver-graded window."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
@@ -1413,10 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_relational": q_ds_relational,
         # -- training-data pipeline ops --
         "mm_decode": q_mm_decode,
-        "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -1427,7 +1430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- event-stream ops --
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
-        "events_json": q_events_json,
         "events_top_users": q_events_top_users,
         "events_stats": q_events_stats,
         # -- temporal joins (Spark-native additions) --
@@ -1454,12 +1456,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact-dedup/jaccard) — the best end-to-end proof, graded
         # in-window since round 3 (its prior slot-holder q21's window-
         # over-fact shape is covered by events_sessions + q2's window)
+        "text_rarity": q_text_rarity,
+        "dedup_chunks": q_dedup_chunks,
+        "events_funnel": q_events_funnel,
         "pipeline_clean": q_pipeline_clean,
     }
     overflow = {
         # deterministic sampling family (functions/sampling.py) — exact
         # row-set oracle parity; stratified is graded in-window, these
         # two by selfcheck in the tail
+        "text_token_count": q_text_token_count,
+        "text_fingerprint": q_text_fingerprint,
+        "events_json": q_events_json,
         "sample_hash": q_sample_hash,
         "sample_split": q_sample_split,
         "tpch_q22": q_tpch_q22,
@@ -1491,10 +1499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "text_pack": q_text_pack,
         "text_repetition": q_text_repetition,
-        "text_rarity": q_text_rarity,
-        "dedup_chunks": q_dedup_chunks,
         "sample_temperature": q_sample_temperature,
-        "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "text_keyterms": q_text_keyterms,
         "text_c4": q_text_c4,
