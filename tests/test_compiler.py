@@ -3436,15 +3436,6 @@ class TestExceptionMessageReads:
                 return type(e).__name__
         run_diff(ctx, ["5", "bad'un"], f, expect_compiled=True)
 
-    def test_unrecorded_site_falls_back_exact(self, ctx):
-        def f(s):
-            # str.index's ValueError has no recorded message
-            try:
-                return str(s.index("a"))
-            except ValueError as e:
-                return str(e)
-        run_diff(ctx, ["abc", "xyz"], f, expect_compiled=False)
-
     def test_first_raise_order_raising_message_expr(self, ctx):
         def f(x):
             # CPython evaluates the raise arg first: ZeroDivisionError
@@ -3458,3 +3449,56 @@ class TestExceptionMessageReads:
             except ZeroDivisionError as e:
                 return "Z:" + str(e)
         run_diff(ctx, [5, 0, 1], f, expect_compiled=True)
+
+
+class TestMoreExceptionMessages:
+    """Round-6b second batch of recorded raise-site messages."""
+
+    def test_str_index_message(self, ctx):
+        def f(s):
+            try:
+                return str(s.index("a"))
+            except ValueError as e:
+                return str(e)
+        run_diff(ctx, ["abc", "xyz"], f, expect_compiled=True)
+
+    def test_minmax_empty_messages(self, ctx):
+        def f(s):
+            try:
+                return str(max(s.split(",")[1:]))
+            except ValueError as e:
+                return str(e)
+        run_diff(ctx, ["a,b,c", "solo"], f, expect_compiled=True)
+
+        def g(s):
+            try:
+                return str(min(s.split(",")[1:], key=len))
+            except ValueError as e:
+                return str(e)
+        run_diff(ctx, ["a,bb,c", "solo"], g, expect_compiled=True)
+
+    def test_list_index_message_uses_repr(self, ctx):
+        def f(s):
+            try:
+                return str(s.split(" ").index("it's"))
+            except ValueError as e:
+                return str(e)
+        run_diff(ctx, ["so it's here", "not here"], f,
+                 expect_compiled=True)
+
+    def test_divmod_float_message(self, ctx):
+        def f(x):
+            try:
+                q, r = divmod(10.0, x)
+                return f"{q} {r}"
+            except ZeroDivisionError as e:
+                return str(e)
+        run_diff(ctx, [4.0, 0.0], f, expect_compiled=True)
+
+        def g(x):
+            try:
+                q, r = divmod(10, x)
+                return f"{q} {r}"
+            except ZeroDivisionError as e:
+                return str(e)
+        run_diff(ctx, [4, 0], g, expect_compiled=True)

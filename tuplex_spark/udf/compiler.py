@@ -2863,7 +2863,10 @@ class Translator:
 
         def div_guard(int_msg, float_msg):
             # exact CPython ZeroDivisionError messages, picked by the
-            # operand types like intobject/floatobject.c do
+            # operand types like intobject/floatobject.c do; inside
+            # divmod() the float wording is "float divmod()"
+            if getattr(self, "_divmod_depth", 0):
+                float_msg = "float divmod()"
             if not div_safe:
                 self.guard(rc == 0, "ZeroDivisionError",
                            msg=int_msg if both_int else float_msg)
@@ -3811,11 +3814,17 @@ class Translator:
 
     def _b_divmod(self, args):
         """divmod(a, b) == (a // b, a % b) with the engine's CPython
-        floor-division/modulo sign semantics."""
+        floor-division/modulo sign semantics.  _divmod_depth makes the
+        zero-divisor guard record CPython's divmod-specific message
+        ("float divmod()") instead of the floor-division wording."""
         if len(args) != 2:
             raise CompileError("divmod arity")
-        return STuple([self._binop(ast.FloorDiv(), args[0], args[1]),
-                       self._binop(ast.Mod(), args[0], args[1])])
+        self._divmod_depth = getattr(self, "_divmod_depth", 0) + 1
+        try:
+            return STuple([self._binop(ast.FloorDiv(), args[0], args[1]),
+                           self._binop(ast.Mod(), args[0], args[1])])
+        finally:
+            self._divmod_depth -= 1
 
     def _b_minmax_kw(self, node, is_min: bool):
         """min/max(xs, key=f) over an array: decorate to struct(key,
@@ -3840,7 +3849,9 @@ class Translator:
             return F.struct(kcol.alias("k"), idx.alias("i"), x.alias("v"))
 
         dec = F.transform(a.col, build)
-        self.guard(F.size(a.col) == 0, "ValueError")
+        self.guard(F.size(a.col) == 0, "ValueError",
+                   msg=("min" if is_min else "max")
+                       + "() arg is an empty sequence")
         best = F.array_min(dec) if is_min else F.array_max(dec)
         return SCol(best.getField("v"), elem, True)
 
@@ -4058,7 +4069,9 @@ class Translator:
             a = args[0]
             if a.tag == "array":
                 c = self.to_col(a)
-                self.guard(F.size(c) == 0, "ValueError")
+                self.guard(F.size(c) == 0, "ValueError",
+                           msg=("min" if pf is min else "max")
+                               + "() arg is an empty sequence")
                 return SCol(F.array_min(c) if pf is min else F.array_max(c),
                             "any", True)
             if isinstance(a, STuple):
@@ -4858,7 +4871,8 @@ class Translator:
                 loc = F.instr(c, sub)
             res = loc - 1
             if name == "index":
-                self.guard(loc == 0, "ValueError")
+                self.guard(loc == 0, "ValueError",
+                           msg="substring not found")
                 return SCol(res.cast("long"), "int", nullable)
             return SCol(F.when(loc == 0, -1).otherwise(res).cast("long"),
                         "int", nullable)
@@ -5082,7 +5096,12 @@ class Translator:
         if name == "index":
             v = self.to_col(args[0])
             pos = F.array_position(c, v)
-            self.guard(pos == 0, "ValueError")
+            try:
+                imsg = F.concat(self._repr_col(args[0]),
+                                F.lit(" is not in list"))
+            except CompileError:
+                imsg = None
+            self.guard(pos == 0, "ValueError", msg=imsg)
             return SCol((pos - 1).cast("long"), "int", True)
         if name == "count":
             v = self.to_col(args[0])
