@@ -769,9 +769,11 @@ class TestPercentFormat:
         run_diff(ctx, [30, 55], lambda x: "%d%%" % x, expect_compiled=True)
 
     def test_unsupported_spec_falls_back(self, ctx):
-        # %x compiles since round 6; %e (exponent rounding) and %r
-        # remain outside the audited subset
+        # %x and %e compile since round 6; %r remains outside the
+        # audited subset (dynamic format strings do too)
         run_diff(ctx, [255.5, 16.25], lambda x: "%e" % x,
+                 expect_compiled=True)
+        run_diff(ctx, [255.5, 16.25], lambda x: "%r" % x,
                  expect_compiled=False)
 
 
@@ -1899,12 +1901,15 @@ class TestFormatSpecs:
         run_diff(ctx, self.DATA, lambda x: f"{x:+d}",
                  expect_compiled=True)
 
-    def test_unsupported_specs_fall_back(self, ctx):
-        # exponent/general types stay outside the audited subset —
+    def test_exponent_general_specs_compile(self, ctx):
+        # e/g compile since round 6 (exact HALF_EVEN rounding via
+        # _sci_digits); precisions beyond 14 significant digits remain
         # exact fallback
         run_diff(ctx, self.DATA, lambda x: f"{x:e}",
-                 expect_compiled=False)
+                 expect_compiled=True)
         run_diff(ctx, self.DATA, lambda x: f"{x:g}",
+                 expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda x: f"{x:.17e}",
                  expect_compiled=False)
 
     def test_percent_literal_in_format_pattern(self, ctx):
@@ -3244,9 +3249,163 @@ class TestUnderscoreGrouping:
                  lambda x: f"[{x:_.2f}][{x:_.0f}]",
                  expect_compiled=True)
 
-    def test_underscore_zero_pad_falls_back(self, ctx):
+    def test_underscore_zero_pad_threads(self, ctx):
         # grouping threads through zero padding (same as ',')
         run_diff(ctx, [42, 1234], lambda x: f"{x:08_d}",
+                 expect_compiled=True)
+
+
+class TestGroupedZeroPad:
+    """',' / '_' grouping threaded through '0' fill (CPython widens
+    past the width rather than lead with a separator):
+    '{:08,d}'.format(42) == '0,000,042'.  All CPython-differential."""
+
+    def test_int_comma_zero(self, ctx):
+        run_diff(ctx, [42, -42, 0, 1234567, -1, 999, 1000],
+                 lambda x: f"[{x:08,d}][{x:09,d}][{x:013,d}][{x:04,d}]"
+                           f"[{x:05,d}][{x:+09,d}][{x:08,}]",
+                 expect_compiled=True)
+
+    def test_int_underscore_and_eq_fill(self, ctx):
+        run_diff(ctx, [6042, -6042, 2, 0],
+                 lambda x: f"[{x:010_d}][{x:0=10,d}][{x:*=10,d}]"
+                           f"[{x:<08,d}][{x:>08,d}]",
+                 expect_compiled=True)
+
+    def test_base_underscore_zero(self, ctx):
+        run_diff(ctx, [255, -255, 7, 9, 0, 0xABCDE],
+                 lambda x: f"[{x:09_x}][{x:#011_x}][{x:06_b}]"
+                           f"[{x:08_o}][{x:09_X}][{x:#012_x}]",
+                 expect_compiled=True)
+
+    def test_float_comma_zero(self, ctx):
+        vals = [3.5, -3.5, 0.0, -0.0, 12345.678, 2.675, -0.004,
+                float("inf"), float("-inf"), float("nan")]
+        run_diff(ctx, vals,
+                 lambda x: f"[{x:012,.2f}][{x:09,.1f}][{x:08,.2f}]"
+                           f"[{x:010_.1f}][{x:011,.0f}]",
+                 expect_compiled=True)
+
+    def test_float_alt_and_percent(self, ctx):
+        run_diff(ctx, [4.0, 0.125, -0.33333, 0.0],
+                 lambda x: f"[{x:#08,.0f}][{x:+013,.1%}][{x:010,.0%}]",
+                 expect_compiled=True)
+
+    def test_zero_fill_with_explicit_align(self, ctx):
+        # the zero flag sets the fill char under ANY align
+        run_diff(ctx, [42, -42, 0],
+                 lambda x: f"[{x:<08d}][{x:>08d}][{x:^07d}]",
+                 expect_compiled=True)
+        run_diff(ctx, [-3.5, 0.25],
+                 lambda x: f"[{x:<08.1f}][{x:>08.1f}]",
+                 expect_compiled=True)
+
+    def test_zero_pad_strings(self, ctx):
+        # '{:08}'.format('ab') == 'ab000000' — not a ValueError
+        run_diff(ctx, ["ab", "", "abcdefghij"],
+                 lambda x: f"[{x:08}][{x:08s}][{x:<08s}][{x:>08}]"
+                           f"[{x:^08s}]",
+                 expect_compiled=True)
+
+    def test_sci_comma_zero_falls_back(self, ctx):
+        # '{:016,e}' threads the grouping through the MANTISSA padding
+        # ('0,001.500000e+00') — outside the audited subset
+        run_diff(ctx, [1.5], lambda x: f"{x:016,e}",
+                 expect_compiled=False)
+
+
+class TestSciGeneralFormat:
+    """e/E/g/G/% format types — CPython-differential.  Exact HALF_EVEN
+    rounding on the binary value via _sci_digits; java's Formatter
+    rounds the shortest repr HALF_UP, wrong on e.g.
+    '{:.0e}'.format(-0.25), and prints 'Infinity'/'NaN'."""
+
+    VALS = [0.0, -0.0, 1.0, -1.0, 0.1, 2.675, 12345.678, 1e-5,
+            123456789.0, 9.995, 0.25, -0.25, 25.0, 1e22, 1.5e-300,
+            1.7976931348623157e308, 5e-324, 2.2250738585072011e-309,
+            99999.99999, 999999.5, 3.333333333333333e-5,
+            float("inf"), float("-inf"), float("nan")]
+
+    def test_e_default_and_precisions(self, ctx):
+        run_diff(ctx, self.VALS,
+                 lambda x: f"[{x:e}][{x:.0e}][{x:.2e}][{x:.12e}]",
+                 expect_compiled=True)
+
+    def test_E_sign_width_align(self, ctx):
+        run_diff(ctx, self.VALS,
+                 lambda x: f"[{x:E}][{x:+.3e}][{x: .1E}][{x:20.2e}]"
+                           f"[{x:<20.2e}][{x:^20.2e}][{x:020.2e}]",
+                 expect_compiled=True)
+
+    def test_e_alt_and_int_args(self, ctx):
+        run_diff(ctx, [0, 5, -123456, 42],
+                 lambda x: f"[{x:.0e}][{x:#.0e}][{x:e}]",
+                 expect_compiled=True)
+
+    def test_g_default_and_precisions(self, ctx):
+        run_diff(ctx, self.VALS,
+                 lambda x: f"[{x:g}][{x:.1g}][{x:.3g}][{x:.10g}]"
+                           f"[{x:.0g}]",
+                 expect_compiled=True)
+
+    def test_G_alt_sign(self, ctx):
+        run_diff(ctx, self.VALS,
+                 lambda x: f"[{x:G}][{x:#.3g}][{x:+.2G}][{x:12.4g}]",
+                 expect_compiled=True)
+
+    def test_percent_type(self, ctx):
+        run_diff(ctx, [0.1, -0.0567, 0.0, 2.0, 0.12345, float("inf")],
+                 lambda x: f"[{x:%}][{x:.0%}][{x:.2%}][{x:+,.1%}]"
+                           f"[{x:#.0%}]",
+                 expect_compiled=True)
+
+    def test_printf_e_g(self, ctx):
+        run_diff(ctx, self.VALS,
+                 lambda x: "%e|%E|%.0e|%g|%.3g|%G|%12.2e|%-12.2e|%012.3e"
+                           % (x, x, x, x, x, x, x, x, x),
+                 expect_compiled=True)
+
+    def test_f_inf_nan(self, ctx):
+        vals = [float("inf"), float("-inf"), float("nan"), 1.5]
+        run_diff(ctx, vals,
+                 lambda x: f"[{x:.2f}][{x:8.2f}][{x:08.2f}][{x:+.1f}]",
+                 expect_compiled=True)
+        run_diff(ctx, vals, lambda x: "%.2f|%8.2f" % (x, x),
+                 expect_compiled=True)
+
+    def test_half_even_ties(self, ctx):
+        # true binary ties resolved half-even on the exact value
+        # (java HALF_UP differs on every one of these)
+        ties = [0.25, -0.25, 25.0, 2.5, 0.125, 1.5, 4.5, 7.5e10,
+                0.0625, -2.5]
+        run_diff(ctx, ties,
+                 lambda x: f"[{x:.0e}][{x:.1e}][{x:.1g}][{x:.2g}]",
+                 expect_compiled=True)
+
+    def test_fuzz_sci(self, ctx):
+        import random
+        rng = random.Random(0x5C1F)
+        vals = []
+        for _ in range(150):
+            m = rng.random() * 10 ** rng.randrange(-6, 7)
+            vals.append(-m if rng.random() < 0.5 else m)
+        vals += [rng.random() * 10 ** rng.randrange(-320, 309)
+                 for _ in range(60)]
+        vals += [float(rng.randrange(-10 ** 6, 10 ** 6))
+                 / 2 ** rng.randrange(0, 8) for _ in range(60)]
+        run_diff(ctx, vals,
+                 lambda x: f"[{x:e}][{x:.1e}][{x:.7e}][{x:g}][{x:.2g}]"
+                           f"[{x:.12g}][{x:.3e}]",
+                 expect_compiled=True)
+
+    def test_unsupported_sci_specs_fall_back(self, ctx):
+        # >15 significant digits needs exact-binary digit generation
+        # the repr doesn't carry; ','+g grouping is unimplemented
+        run_diff(ctx, [1 / 3], lambda x: f"{x:.16e}",
+                 expect_compiled=False)
+        run_diff(ctx, [1 / 3], lambda x: f"{x:.17g}",
+                 expect_compiled=False)
+        run_diff(ctx, [1234.5], lambda x: f"{x:,g}",
                  expect_compiled=False)
 
 

@@ -272,7 +272,10 @@ class DataSet:
             try:
                 compiled = compiler.compile_udf(
                     fn, in_schema, with_guards=self._exc_enabled)
-            except CompileError:
+            except CompileError as _dbg_e:
+                import os as _os
+                if _os.environ.get("TUPLEX_DEBUG_COMPILE"):
+                    print(f"DBGCOMPILE: {_dbg_e}", flush=True)
                 compiled = None
             m = self._ctx._metrics
             m.totalCompilationTime += _time.time() - t0

@@ -638,6 +638,10 @@ class Translator:
         # projection exists — tracked by _hof_depth.
         self.staged: list[tuple[str, Column]] = []
         self._json_staged: dict[str, Column] = {}
+        # (source-expr string [, K]) -> staged sci-format intermediates;
+        # see _sci_digits (the digit extraction is huge — re-inlining it
+        # per reference OOM'd codegen on a single '{:e}')
+        self._sci_staged: dict = {}
         self._hof_depth = 0
         # stack of (snap_dict, names): one entry per enclosing try body
         # whose handlers read body-assigned names — guard() records the
@@ -2275,6 +2279,20 @@ class Translator:
         self.staged.append((name, val.col))
         return SCol(F.col(name), val.tag, val.nullable, val.elem)
 
+    def _stage_raw(self, c: Column) -> Column:
+        """Stage a raw Column as a CSE projection layer and return a
+        cheap reference to it (non-Sym twin of _stage_sym).  Used by
+        the sci-format lowering (_sci_digits), whose digit-extraction
+        tree is large enough that re-inlining it per reference OOM'd
+        driver codegen on a single '{:e}'."""
+        if self._hof_depth > 0:
+            raise CompileError("format spec inside higher-order function")
+        if len(self.staged) >= self._MAX_STAGED:
+            raise CompileError("too many staged columns")
+        name = f"__t{len(self.staged)}"
+        self.staged.append((name, c))
+        return F.col(name)
+
     def _merge_returns(self) -> Sym:
         arms = self._returns
         if not arms:
@@ -2956,7 +2974,8 @@ class Translator:
         if not isinstance(l, SConst):
             raise CompileError("dynamic %-format string")
         fmt = l.value
-        spec = _re_mod.compile(r"%(?:%|[-+0 #]*\d*(?:\.\d+)?[sdifxXo])")
+        spec = _re_mod.compile(
+            r"%(?:%|[-+0 #]*\d*(?:\.\d+)?[sdifxXoeEgG])")
         specs = [m for m in spec.findall(fmt) if m != "%%"]
         # every % must belong to a recognized specifier
         if spec.sub("", fmt).count("%"):
@@ -3000,21 +3019,33 @@ class Translator:
                         s += width
                     cols.append(self._format_spec_full(s + m[-1], a))
                     out += "%s"
+                elif m.endswith(("f", "e", "E", "g", "G")):
+                    # route through the spec machinery: CPython-exact
+                    # rounding (HALF_EVEN on the binary value) and
+                    # 'inf'/'nan' (java prints 'Infinity'/'NaN')
+                    pm = _re_mod.match(r"%([-+0 #]*)(\d*)(?:\.(\d+))?$",
+                                       m[:-1])
+                    flags, width, prc = pm.groups()
+                    a = self.num(a, "%-format")
+                    s = ("+" if "+" in flags else
+                         " " if " " in flags else "") \
+                        + ("#" if "#" in flags else "")
+                    if "-" in flags and width:
+                        s = "<" + s + width
+                    elif "0" in flags and width:
+                        s += "0" + width
+                    else:
+                        s += width
+                    if prc is not None:
+                        s += "." + prc
+                    cols.append(self._format_spec_full(s + m[-1], a))
+                    out += "%s"
                 elif "#" in m:
                     raise CompileError(f"unsupported %-format {m!r}")
                 elif m.endswith(("d", "i")):
                     a = self.num(a, "%-format")
                     cols.append(self.to_col(a).cast("long"))
                     out += m[:-1] + "d"
-                elif m.endswith("f"):
-                    a = self.num(a, "%-format")
-                    # CPython-exact pre-round (see _cpython_fixed_round);
-                    # '%f' defaults to 6 digits in both languages
-                    pm = _re_mod.search(r"\.(\d+)", m)
-                    prec = int(pm.group(1)) if pm else 6
-                    cols.append(self._cpython_fixed_round(
-                        self.to_col(a).cast("double"), prec))
-                    out += m
                 else:
                     cols.append(self._to_str(a))
                     out += m
@@ -3254,6 +3285,195 @@ class Translator:
         v = F.when(neg, -F.abs(v)).otherwise(v)
         return F.when(F.abs(c) * P < 4503599627370496.0, v).otherwise(c)
 
+    @staticmethod
+    def _pow10_col(n: Column) -> Column:
+        """``10**n`` as a double for an integer column ``n >= 0`` via a
+        string parse ("1" + n zeros) — correctly rounded for any n and
+        EXACT while 10**n is representable (n <= 22), the only range
+        the exact tie-breaker below relies on.  (Math.pow is only
+        1-ulp-accurate, so it is not used.)"""
+        return F.concat(F.lit("1"), F.repeat(F.lit("0"), n.cast("int"))) \
+                .cast("double")
+
+    @staticmethod
+    def _thread_grouped(d: Column, t: Column, sep: str, gsize: int,
+                        klass: str = r"\d") -> Column:
+        """CPython's zero-pad-through-grouping: left-pad the digit
+        string ``d`` with zeros to the smallest digit count k whose
+        grouped form (``sep`` every ``gsize`` digits from the right)
+        reaches total width >= ``t``, then insert the separators.
+        k = t - (t-1)//(gsize+1) inverts glen(k) = k + (k-1)//gsize;
+        the grouped form never leads with a separator, so the result
+        may exceed t by design (probed: '{:08,d}'.format(42) ==
+        '0,000,042' — 9 chars)."""
+        k = F.greatest(
+            F.length(d),
+            t - F.floor((t - 1) / F.lit(float(gsize + 1))).cast("int"))
+        padded = F.concat(
+            F.repeat(F.lit("0"), (k - F.length(d)).cast("int")), d)
+        return F.regexp_replace(
+            padded, f"({klass})(?=(?:{klass}{{{gsize}}})+$)",
+            f"$1{sep}")
+
+    def _sci_digits(self, a: Column, K: int):
+        """First ``K`` correctly-rounded (HALF_EVEN on the exact BINARY
+        value, CPython's rule) significant decimal digits of the
+        non-negative finite double column ``a``, plus the decimal
+        exponent of the leading digit: returns ``(digits, e10)`` with
+        ``digits`` a K-char string ("000.." for zero) and
+        ``a == 0.digits * 10**(e10+1)``.
+
+        Java/Spark render doubles from the SHORTEST ROUND-TRIP repr
+        (probed: %.40e zero-pads 0.1 and is flat wrong on subnormals),
+        so the digits are derived from the repr string instead:
+        (a) repr longer than K digits: rounding the repr's digit
+            string at position K+1 points the same way as rounding the
+            exact binary value — the repr lies inside the value's
+            round-trip interval, and a K+1-digit lattice point inside
+            that interval would itself have been the repr — EXCEPT on
+            an exact '5000...' tail, where the true direction is
+            recovered with Veltkamp twoProduct arithmetic, exact
+            wherever a true binary tie can exist (the halfway decimal
+            M*10^n is a representable double only for |n| <= 22,
+            M <= 10^15, same window as _cpython_fixed_round);
+        (b) repr with <= K digits: the remaining exact digits are
+            zeros (the repr value IS the double, a <= K-digit decimal
+            lattice point, K <= 15 keeps |x - repr| below half a
+            lattice step);
+        (c) subnormals break (b)'s ulp argument (format(5e-324,'.2e')
+            is '4.94e-324', not '5.00e-324'), so their digits come
+            from exact integer arithmetic: n = a*2^537*2^537 (exact
+            power-of-two multiplies, an integer <= 2^52) and
+            a = n * 2^-1074, whose digits are n * 4.94065...e-324
+            computed to ~21 significant digits in decimal(38).
+
+        Documented divergence (no true binary ties exist there): a
+        repr tail of exactly '5000...' with |e10 - K| > 22 resolves
+        its direction by an approximate comparison, and subnormal
+        near-ties are resolved from 21-digit arithmetic.
+
+        Every multiply-referenced intermediate is STAGED as a CSE
+        projection layer (_stage_raw) — the inlined tree for one
+        '{:e}' printed to 1.7 MB, took 9.5 s to analyze, and OOM'd
+        driver codegen.  The K-independent digit extraction (a, s, D,
+        E0) is staged once per distinct source expression and cached,
+        so several specs over the same value share it."""
+        assert 1 <= K <= 15
+        skey = a._jc.toString()
+        hit = self._sci_staged.get((skey, K))
+        if hit is not None:
+            return hit
+        base = self._sci_staged.get(skey)
+        if base is None:
+            a = self._stage_raw(a)
+            base = self._sci_base(a)
+            self._sci_staged[skey] = base
+        a, D, E0 = base
+        res = self._sci_round(a, D, E0, K)
+        self._sci_staged[(skey, K)] = res
+        return res
+
+    def _sci_base(self, a: Column):
+        """Stage the K-independent digit extraction for _sci_digits:
+        returns (a, D, E0) with D the repr/subnormal digit string and
+        E0 the decimal exponent of its leading digit."""
+        s = self._stage_raw(a.cast("string"))
+        m = F.substring_index(s, "E", 1)
+        eexp = F.when(s.contains("E"),
+                      F.substring_index(s, "E", -1).cast("int")) \
+                .otherwise(F.lit(0))
+        ip = F.substring_index(m, ".", 1)
+        fr = F.substring_index(m, ".", -1)
+        ipz = ip == "0"
+        frs = F.regexp_replace(fr, "^0+", "")
+        lead = F.length(fr) - F.length(frs)
+        d_repr = F.when(ipz, frs).otherwise(
+            F.when(fr == "0", ip).otherwise(F.concat(ip, fr)))
+        e_repr = F.when(ipz, -lead - 1 + eexp) \
+                  .otherwise(F.length(ip) - 1 + eexp)
+        sub = (a < 2.2250738585072014e-308) & (a > 0)
+        nsub = (a * F.lit(2.0 ** 537) * F.lit(2.0 ** 537)) \
+            .cast("decimal(17,0)")
+        prod = (nsub
+                * F.lit("4.94065645841246544176568792868221372365")
+                   .cast("decimal(21,20)")).cast("string")
+        pi = F.substring_index(prod, ".", 1)
+        d_sub = F.concat(pi, F.substring_index(prod, ".", -1))
+        e_sub = F.length(pi) - 1 - 324
+        D = self._stage_raw(F.when(sub, d_sub).otherwise(d_repr))
+        E0 = self._stage_raw(
+            F.when(sub, e_sub)
+             .when(d_repr == "", F.lit(0))
+             .otherwise(e_repr))
+        return a, D, E0
+
+    def _sci_round(self, a: Column, D: Column, E0: Column, K: int):
+        """Round the staged digit string ``D`` (exponent ``E0``) of the
+        double ``a`` to ``K`` significant digits, HALF_EVEN on the
+        exact binary value (see _sci_digits)."""
+        L = F.length(D)
+        head = F.substring(D, 1, K)
+        t1 = F.substring(D, K + 1, 1)
+        rest_zero = ~F.substring(D, K + 2, 1 << 30).rlike("[1-9]")
+        hnum = head.cast("long")
+        up_clear = (t1 > "5") | ((t1 == "5") & ~rest_zero)
+        sub = (a < 2.2250738585072014e-308) & (a > 0)
+        tie = (t1 == "5") & rest_zero & ~sub
+        # tie direction: sign of a - M*10^ne with M = 10*hnum + 5
+        M = (hnum * 10 + 5).cast("double")
+        ne = E0 - F.lit(K)
+
+        def two_prod(x, y):
+            p = x * y
+            sp = F.lit(134217729.0)  # 2^27 + 1
+            cx = sp * x
+            xhi = cx - (cx - x)
+            xlo = x - xhi
+            cy = sp * y
+            yhi = cy - (cy - y)
+            ylo = y - yhi
+            err = ((xhi * yhi - p) + xhi * ylo + xlo * yhi) + xlo * ylo
+            return p, err
+
+        def exact_sign(q, r):
+            # sign of q + r via TwoSum: the rounded sum when nonzero
+            # (rounding is monotone, so the sign survives), else the
+            # exact residual
+            ssum = q + r
+            b = ssum - q
+            res = (q - (ssum - b)) + (r - b)
+            return F.when(ssum != 0, F.signum(ssum)) \
+                    .otherwise(F.signum(res))
+
+        pos = self._pow10_col(F.greatest(ne, F.lit(0)))
+        negp = self._pow10_col(F.greatest(-ne, F.lit(0)))
+        # stage the twoProduct outputs: exact_sign references each of
+        # its args 2-3x, which re-inlined the ~150-node err trees
+        pa, ea = map(self._stage_raw, two_prod(M, pos))  # a vs M*10^ne
+        sgn_dn = exact_sign(a - pa, -ea)   # a - pa Sterbenz near a tie
+        pb, eb = map(self._stage_raw, two_prod(a, negp))  # ne < 0
+        sgn_up = exact_sign(pb - M, eb)
+        # dsgn/out are staged too: their re-inlining (4x in digits)
+        # pushed one whole-stage method past janino's 64 KB limit,
+        # demoting the whole stage to interpreted evaluation
+        dsgn = self._stage_raw(
+            F.when(ne > 22, F.signum(a / pos - M))
+             .when(ne >= 0, sgn_dn)
+             .otherwise(sgn_up))
+        up = up_clear | (tie & ((dsgn > 0)
+                                | ((dsgn == 0) & (hnum % 2 == 1))))
+        out = self._stage_raw(
+            hnum + F.when(up, F.lit(1)).otherwise(F.lit(0)))
+        ovf = out == F.lit(10 ** K)
+        digits = F.when(L <= K, F.rpad(D, K, "0")) \
+                  .when(ovf, F.lit("1" + "0" * (K - 1))) \
+                  .otherwise(out.cast("string"))
+        e10 = (F.when(L <= K, E0).when(ovf, E0 + 1).otherwise(E0)) \
+            .cast("int")
+        # the caller references both several times (mantissa split,
+        # fixed/sci arbitration for 'g'): return cheap staged refs
+        return self._stage_raw(digits), self._stage_raw(e10)
+
     def _format_spec_col(self, spec: str, val: Sym) -> Column:
         """Translate an audited subset of the format-spec mini-language
         ({:.2f}, {:03d}, {:5s}, ...) onto java.util.Formatter via
@@ -3282,7 +3502,9 @@ class Translator:
             if typ == "f" and prec is None:
                 raise CompileError(f"format spec {spec!r}")  # repr-style
             if typ == "s" and zero:
-                raise CompileError(f"format spec {spec!r}")
+                # zero-padded strings are valid ('ab000000'): the
+                # printf path can't express the fill — use the full one
+                return self._format_spec_full(spec, val)
         fmt = "%" + zero + width + (f".{prec}" if prec is not None else "")
         if typ == "d":
             if tag == "float":
@@ -3305,7 +3527,7 @@ class Translator:
                 int(prec) if prec is not None else 6)
         else:
             if zero:
-                raise CompileError(f"format spec {spec!r}")  # 0-pad str
+                return self._format_spec_full(spec, val)  # 0-pad str
             if tag not in ("str", None):
                 # explicit 's' on numbers: CPython raises regardless of
                 # precision ("Unknown format code 's'") — padding the
@@ -3318,13 +3540,31 @@ class Translator:
             if width:
                 fmt = "%" + "-" + width + \
                     (f".{prec}" if prec is not None else "")
-        return F.format_string(fmt + typ, c)
+        res = F.format_string(fmt + typ, c)
+        if typ == "f":
+            # java prints 'Infinity'/'NaN'; CPython 'inf'/'nan' with
+            # the zero flag padding between the sign and the text
+            # ('{:08.2f}'.format(-inf) == '-0000inf')
+            w = int(width) if width else 0
+
+            def inf_lit(t):
+                if not w:
+                    return F.lit(t)
+                if zero and t.startswith("-"):
+                    return F.lit("-" + t[1:].rjust(w - 1, "0"))
+                return F.lit(t.rjust(w, "0" if zero else " "))
+
+            res = F.when(F.isnan(c), inf_lit("nan")) \
+                   .when(c == float("inf"), inf_lit("inf")) \
+                   .when(c == float("-inf"), inf_lit("-inf")) \
+                   .otherwise(res)
+        return res
 
     _SPEC_FULL_RE = _re_mod.compile(
         r"^(?:(?P<fill>.)?(?P<align>[<>^=]))?(?P<sign>[-+ ]?)"
         r"(?P<alt>#?)(?P<zero>0?)"
         r"(?P<width>\d*)(?P<comma>[,_]?)(?:\.(?P<prec>\d+))?"
-        r"(?P<typ>[dfsxXob]?)$")
+        r"(?P<typ>[dfsxXobeEgG%]?)$")
 
     def _format_spec_full(self, spec: str, val: Sym) -> Column:
         """Extended format-spec subset: fill/align (``<>^=``), sign
@@ -3340,12 +3580,20 @@ class Translator:
         fill, align, sign, alt, zero, width, comma, prec, typ = m.group(
             "fill", "align", "sign", "alt", "zero", "width", "comma",
             "prec", "typ")
-        if alt and typ not in ("x", "X", "o", "b", "d"):
-            raise CompileError(f"format spec {spec!r}")  # '#' with f/s
-        if comma and (zero or align == "="):
-            # CPython threads the comma grouping THROUGH the zero
-            # padding ('{:08,d}' -> '0,000,042', even exceeding the
-            # width when a comma would lead) — no faithful Column form
+        if alt and typ not in ("x", "X", "o", "b", "d",
+                               "e", "E", "g", "G", "f", "%"):
+            raise CompileError(f"format spec {spec!r}")  # '#' with s
+        # CPython threads the grouping THROUGH zero padding exactly
+        # when the effective fill is '0' and the effective align '='
+        # ('{:08,d}' -> '0,000,042', widening past w when a separator
+        # would lead); other fills pad plainly around the grouped core
+        eff_fill = fill if fill is not None else ("0" if zero else " ")
+        eff_align = align or ("=" if zero else ">")
+        thread = bool(comma) and bool(width) \
+            and eff_fill == "0" and eff_align == "="
+        if thread and typ in ("e", "E", "g", "G"):
+            # threads through the MANTISSA padding ('{:012,e}' ->
+            # '0,001.500000e+00') — unimplemented, exact fallback
             raise CompileError(f"format spec {spec!r}")
         tag = getattr(val, "tag", None)
         if isinstance(val, SConst):
@@ -3364,25 +3612,35 @@ class Translator:
         if typ == "s":
             if tag not in ("str", None):
                 return err()  # 's' on numbers: CPython ValueError
-            if sign in ("+", " ") or comma or align == "=" \
-                    or (zero and not align):
-                return err()  # sign/comma/'='/0-pad on strings
+            if sign in ("+", " ") or comma or align == "=":
+                return err()  # sign/comma/'=' on strings; 0-pad is
+                # FINE ('{:08}'.format('ab') == 'ab000000', probed)
             core = self._to_str(val)
             if prec is not None:
                 core = F.substring(core, 1, int(prec))
         elif typ == "d":
             if tag == "float" or prec is not None:
                 return err()
-            jfmt = "%" + ("+" if sign == "+" else " " if sign == " "
-                          else "") + ("," if comma == "," else "") + "d"
-            core = F.format_string(jfmt,
-                                   self.to_col(val).cast("long"))
-            if comma == "_":
-                # java has no underscore grouping: insert via lookahead
-                # over the digit run (the sign char is not a digit, so
-                # the end-anchored count is unaffected)
-                core = F.regexp_replace(core,
-                                        r"(\d)(?=(?:\d{3})+$)", "$1_")
+            if thread:
+                c = self.to_col(val).cast("long")
+                sgn = F.when(c < 0, F.lit("-")).otherwise(
+                    F.lit("+" if sign == "+" else " " if sign == " "
+                          else ""))
+                t = F.lit(int(width)) - F.length(sgn)
+                core = F.concat(sgn, self._thread_grouped(
+                    F.abs(c).cast("string"), t, comma, 3))
+            else:
+                jfmt = "%" + ("+" if sign == "+" else " " if sign == " "
+                              else "") + ("," if comma == "," else "") \
+                    + "d"
+                core = F.format_string(jfmt,
+                                       self.to_col(val).cast("long"))
+                if comma == "_":
+                    # java has no underscore grouping: insert via
+                    # lookahead over the digit run (the sign char is
+                    # not a digit, so the end-anchored count holds)
+                    core = F.regexp_replace(
+                        core, r"(\d)(?=(?:\d{3})+$)", "$1_")
         elif typ in ("x", "X", "o", "b"):
             # integer presentation types: sign + optional 0x/0o/0b
             # prefix + base digits; CPython renders negatives as
@@ -3396,15 +3654,22 @@ class Translator:
                       "X": F.format_string("%X", a),
                       "o": F.format_string("%o", a),
                       "b": F.bin(a)}[typ]
-            if comma == "_":  # every 4 for the binary bases (CPython)
-                digits = F.regexp_replace(
-                    digits, r"([0-9A-Fa-f])(?=(?:[0-9A-Fa-f]{4})+$)",
-                    "$1_")
             prefix = {"x": "0x", "X": "0X", "o": "0o", "b": "0b"}[typ] \
                 if alt else ""
             sgn = F.when(c < 0, F.lit("-")).otherwise(
                 F.lit("+" if sign == "+" else " " if sign == " "
                       else ""))
+            if comma == "_":  # every 4 for the binary bases (CPython)
+                if thread:  # zero-pad threads the grouping (09_x)
+                    t = F.lit(int(width)) - F.length(sgn) \
+                        - F.lit(len(prefix))
+                    digits = self._thread_grouped(
+                        digits, t, "_", 4, "[0-9A-Fa-f]")
+                else:
+                    digits = F.regexp_replace(
+                        digits,
+                        r"([0-9A-Fa-f])(?=(?:[0-9A-Fa-f]{4})+$)",
+                        "$1_")
             w = int(width) if width else 0
             al = align or ("=" if zero else ">")
             if w and al == "=":
@@ -3417,27 +3682,129 @@ class Translator:
                                 F.repeat(F.lit(fill_ch),
                                          padn.cast("int")), digits)
             core = F.concat(sgn, F.lit(prefix), digits)
-        else:  # 'f'
+        elif typ in ("e", "E", "g", "G"):
+            # scientific / general notation from _sci_digits (exact
+            # CPython rounding; java formats from the shortest repr
+            # with HALF_UP, wrong on e.g. '{:.0e}'.format(-0.25))
+            if tag == "str":
+                return err()
+            if comma and typ in ("g", "G"):
+                raise CompileError(f"format spec {spec!r}")
+            # ',' with e/E groups a 1-digit integer part: no-op
+            p = int(prec) if prec is not None else 6
+            cd = self.to_col(val).cast("double")
+            av = F.abs(cd)
+            # '-' prefix of the string cast catches -0.0 too (a
+            # 1.0/cd probe is NULL under non-ANSI division-by-zero)
+            neg = cd.cast("string").startswith("-")
+            sgn = F.when(neg, F.lit("-")).otherwise(
+                F.lit("+" if sign == "+" else " " if sign == " "
+                      else ""))
+            if typ in ("e", "E"):
+                if p > 14:
+                    raise CompileError(f"format spec {spec!r}")
+                dg, e10 = self._sci_digits(av, p + 1)
+                if p:
+                    mant = F.concat(F.substring(dg, 1, 1), F.lit("."),
+                                    F.substring(dg, 2, p))
+                else:  # '#' forces the point at precision 0
+                    mant = F.concat(dg, F.lit(".")) if alt else dg
+            else:
+                p = p or 1  # CPython: g precision 0 means 1
+                if p > 15:
+                    raise CompileError(f"format spec {spec!r}")
+                dg, e10 = self._sci_digits(av, p)
+                ds = dg if alt else F.regexp_replace(dg, "0+$", "")
+                one = F.concat(ds, F.lit(".")) if alt else ds
+                mant = F.when(F.length(ds) == 1, one).otherwise(
+                    F.concat(F.substring(ds, 1, 1), F.lit("."),
+                             F.substring(ds, 2, 99)))
+            ex = F.abs(e10).cast("string")
+            ex = F.when(F.length(ex) < 2, F.concat(F.lit("0"), ex)) \
+                  .otherwise(ex)
+            etail = F.concat(
+                F.lit("e"),
+                F.when(e10 < 0, F.lit("-")).otherwise(F.lit("+")), ex)
+            if typ in ("e", "E"):
+                body = F.concat(mant, etail)
+            else:
+                # 'g' fixed form for -4 <= exp < p, sci otherwise;
+                # trailing zeros stripped unless '#'
+                ipart = F.when(e10 >= 0, dg.substr(F.lit(1), e10 + 1)) \
+                         .otherwise(F.lit("0"))
+                fpart = F.when(e10 >= 0, dg.substr(e10 + 2, F.lit(99))) \
+                         .otherwise(F.concat(
+                             F.repeat(F.lit("0"),
+                                      (-e10 - 1).cast("int")), dg))
+                if not alt:
+                    fpart = F.regexp_replace(fpart, "0+$", "")
+                fixed = F.when(fpart == "",
+                               F.concat(ipart,
+                                        F.lit("." if alt else ""))) \
+                         .otherwise(F.concat(ipart, F.lit("."), fpart))
+                body = F.when((e10 >= -4) & (e10 < p), fixed) \
+                        .otherwise(F.concat(mant, etail))
+            body = F.when(F.isnan(cd), F.lit("nan")) \
+                    .when(av == float("inf"), F.lit("inf")) \
+                    .otherwise(body)
+            if typ in ("E", "G"):
+                body = F.upper(body)
+            core = F.concat(sgn, body)
+        else:  # 'f' / '%'
             if tag == "str":
                 return err()
             p = int(prec) if prec is not None else 6
-            rounded = self._cpython_fixed_round(
-                self.to_col(val).cast("double"), p)
-            jfmt = "%" + ("+" if sign == "+" else " " if sign == " "
-                          else "") + ("," if comma == "," else "") \
-                + f".{p}f"
-            core = F.format_string(jfmt, rounded)
-            if comma == "_":
-                # integer part only: anchor the count on the decimal
-                # point (always present for p >= 1; end-anchored at 0)
-                pat = r"(\d)(?=(?:\d{3})+\.)" if p else \
-                    r"(\d)(?=(?:\d{3})+$)"
-                core = F.regexp_replace(core, pat, "$1_")
+            cd = self.to_col(val).cast("double")
+            if typ == "%":
+                cd = cd * 100.0  # CPython formats x*100.0 (a double)
+            rounded = self._cpython_fixed_round(cd, p)
+            if thread:
+                # zero fill threads the grouping through the integer
+                # part; the '.'/'%' tail chars consume width first
+                body = F.format_string(f"%.{p}f", F.abs(rounded))
+                sgn = F.when(cd.cast("string").startswith("-"),
+                             F.lit("-")).otherwise(
+                    F.lit("+" if sign == "+" else " " if sign == " "
+                          else ""))
+                tail_n = (1 if (alt and p == 0) else 0) \
+                    + (1 if typ == "%" else 0)
+                ip = F.substring_index(body, ".", 1) if p else body
+                frac = F.concat(
+                    F.lit("."), F.substring_index(body, ".", -1)) \
+                    if p else F.lit("")
+                t = F.lit(int(width)) - F.length(sgn) \
+                    - F.lit((p + 1 if p else 0) + tail_n)
+                core = F.concat(
+                    sgn, self._thread_grouped(ip, t, comma, 3), frac)
+            else:
+                jfmt = "%" + ("+" if sign == "+" else " " if sign == " "
+                              else "") + ("," if comma == "," else "") \
+                    + f".{p}f"
+                core = F.format_string(jfmt, rounded)
+                if comma == "_":
+                    # integer part only: anchor the count on the
+                    # decimal point (always present for p >= 1;
+                    # end-anchored at 0)
+                    pat = r"(\d)(?=(?:\d{3})+\.)" if p else \
+                        r"(\d)(?=(?:\d{3})+$)"
+                    core = F.regexp_replace(core, pat, "$1_")
+            if alt and p == 0:
+                core = F.concat(core, F.lit("."))  # '{:#.0f}' -> '4.'
+            # java prints 'Infinity'/'NaN'; CPython 'inf'/'nan'
+            sflag = "+" if sign == "+" else " " if sign == " " else ""
+            core = F.when(F.isnan(cd), F.lit(sflag + "nan")) \
+                    .when(cd == float("inf"), F.lit(sflag + "inf")) \
+                    .when(cd == float("-inf"), F.lit("-inf")) \
+                    .otherwise(core)
+            if typ == "%":
+                core = F.concat(core, F.lit("%"))
         w = int(width) if width else 0
         if w == 0:
             return core
-        fill_ch = fill if fill is not None else \
-            ("0" if (zero and typ != "s" and not align) else " ")
+        # the zero flag sets the fill char under ANY align, strings
+        # included ('{:<08,d}'.format(6042) == '6,042000',
+        # '{:08}'.format('ab') == 'ab000000' — probed)
+        fill_ch = fill if fill is not None else ("0" if zero else " ")
         al = align or ("=" if (zero and typ != "s")
                        else ("<" if typ == "s" else ">"))
         pad = F.greatest(F.lit(w) - F.length(core), F.lit(0))

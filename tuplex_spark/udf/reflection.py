@@ -46,6 +46,9 @@ def function_ast(fn) -> ast.Lambda | ast.FunctionDef:
                 return lambdas[0]
         except SyntaxError:
             pass
+        ext = _extend_lambda_source(fn)
+        if ext is not None:
+            return ext
         raise SourceExtractionError("extracted lambda does not match "
                                     "the live function")
     if not lambdas:
@@ -74,6 +77,41 @@ def function_ast(fn) -> ast.Lambda | ast.FunctionDef:
             ast.dump(c) == ast.dump(fp_matches[0]) for c in fp_matches)):
         return fp_matches[0]
     raise SourceExtractionError("ambiguous lambda source")
+
+
+def _extend_lambda_source(fn):
+    """Recover a multiline lambda that inspect.getblock truncated.
+
+    getblock stops at the first standalone-parseable LOGICAL line, so a
+    lambda whose continuation lines are themselves well-formed
+    expression tails — implicit string concatenation is the canonical
+    case (``lambda x: f"..."`` + an indented ``f"..."`` line) — comes
+    back with its body cut short.  The fingerprint guard in
+    function_ast catches that; this backstop re-reads the defining
+    file and extends the block one line at a time until some candidate
+    lambda recompiles to the live code's fingerprint.  Returns None
+    when no extension matches (caller raises)."""
+    code0 = getattr(fn, "__code__", None)
+    try:
+        lines, _ = inspect.findsource(fn)
+    except (OSError, TypeError):
+        return None
+    want_fp = _code_fingerprint(code0)
+    base = code0.co_firstlineno - 1
+    for end in range(base + 2, min(base + 25, len(lines)) + 1):
+        src = textwrap.dedent("".join(lines[base:end]))
+        tree = _parse_lenient(src)
+        if tree is None:
+            continue
+        for cand in (n for n in ast.walk(tree)
+                     if isinstance(n, ast.Lambda)):
+            try:
+                c = compile(ast.Expression(body=cand), "<udf>", "eval")
+            except SyntaxError:
+                continue
+            if _code_fingerprint(c.co_consts[0]) == want_fp:
+                return cand
+    return None
 
 
 def _code_fingerprint(code):
