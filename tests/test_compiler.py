@@ -769,11 +769,15 @@ class TestPercentFormat:
         run_diff(ctx, [30, 55], lambda x: "%d%%" % x, expect_compiled=True)
 
     def test_unsupported_spec_falls_back(self, ctx):
-        # %x and %e compile since round 6; %r remains outside the
-        # audited subset (dynamic format strings do too)
+        # %x, %e and %r compile since round 6; %c and dynamic format
+        # strings remain outside the audited subset
         run_diff(ctx, [255.5, 16.25], lambda x: "%e" % x,
                  expect_compiled=True)
-        run_diff(ctx, [255.5, 16.25], lambda x: "%r" % x,
+        run_diff(ctx, [255.5, 16.25], lambda x: "%r|%10r|%.2r" % (x, x, x),
+                 expect_compiled=True)
+        run_diff(ctx, ["a'b", "x"], lambda s: "%r|%-8r" % (s, s),
+                 expect_compiled=True)
+        run_diff(ctx, [65, 66], lambda x: "%c" % x,
                  expect_compiled=False)
 
 
@@ -3312,6 +3316,40 @@ class TestGroupedZeroPad:
         # ('0,001.500000e+00') — outside the audited subset
         run_diff(ctx, [1.5], lambda x: f"{x:016,e}",
                  expect_compiled=False)
+
+
+class TestConversionWithSpec:
+    """'{x!r:>12}' — conversion first, then the spec on the string."""
+
+    def test_repr_str_with_spec(self, ctx):
+        run_diff(ctx, ["ab", "a'b", ""],
+                 lambda s: f"[{s!r:>8}][{s!s:<6}][{s!r:^9}]",
+                 expect_compiled=True)
+
+    def test_repr_num_with_spec(self, ctx):
+        run_diff(ctx, [42, -7],
+                 lambda x: f"[{x!r:>6}][{x!s:5}]",
+                 expect_compiled=True)
+
+
+class TestFormatBuiltin:
+    """format(x, spec) builtin — same lowering as an f-string
+    placeholder (CPython-differential)."""
+
+    def test_numeric_specs(self, ctx):
+        run_diff(ctx, [2.675, -0.25, 9.995, 0.0],
+                 lambda x: format(x, ".2e") + "|" + format(x, ".3g")
+                           + "|" + format(x, "08,.1f") + "|" + format(x),
+                 expect_compiled=True)
+
+    def test_int_and_str_specs(self, ctx):
+        run_diff(ctx, [42, -7, 1234567],
+                 lambda x: format(x, "08,d") + "|" + format(x, "#x")
+                           + "|" + format(x, ""),
+                 expect_compiled=True)
+        run_diff(ctx, ["ab", "xyz"],
+                 lambda s: format(s, "08") + format(s, ">5"),
+                 expect_compiled=True)
 
 
 class TestSciGeneralFormat:

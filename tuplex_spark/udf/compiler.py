@@ -2975,7 +2975,7 @@ class Translator:
             raise CompileError("dynamic %-format string")
         fmt = l.value
         spec = _re_mod.compile(
-            r"%(?:%|[-+0 #]*\d*(?:\.\d+)?[sdifxXoeEgG])")
+            r"%(?:%|[-+0 #]*\d*(?:\.\d+)?[sdifxXoeEgGr])")
         specs = [m for m in spec.findall(fmt) if m != "%%"]
         # every % must belong to a recognized specifier
         if spec.sub("", fmt).count("%"):
@@ -3046,6 +3046,11 @@ class Translator:
                     a = self.num(a, "%-format")
                     cols.append(self.to_col(a).cast("long"))
                     out += m[:-1] + "d"
+                elif m.endswith("r"):
+                    # %r: repr(), then %s-style width/precision apply
+                    # to the repr text ('%.2r' truncates it)
+                    cols.append(self._repr_col(a))
+                    out += m[:-1] + "s"
                 else:
                     cols.append(self._to_str(a))
                     out += m
@@ -3231,7 +3236,14 @@ class Translator:
                 val = self.eval(v.value)
                 if spec is not None:
                     if v.conversion != -1:
-                        raise CompileError("f-string conversion with spec")
+                        # '{x!r:>10}': conversion first, then the spec
+                        # applies to the resulting STRING
+                        if v.conversion == 114:
+                            val = SCol(self._repr_col(val), "str", False)
+                        elif v.conversion == 115:
+                            val = SCol(self._to_str(val), "str", False)
+                        else:
+                            raise CompileError("f-string conversion")
                     parts.append(self._format_spec_col(spec, val))
                     continue
                 if v.conversion == 114:  # !r
@@ -3877,6 +3889,23 @@ class Translator:
         if isinstance(a, SConst):
             return SConst(repr(a.value))
         return SCol(self._repr_col(a), "str", False)
+
+    def _b_format(self, args):
+        """``format(x, spec)`` builtin — same lowering as an f-string
+        placeholder with that spec; ``format(x)`` is ``str(x)``."""
+        if len(args) not in (1, 2):
+            raise CompileError("format() arity")
+        a = args[0]
+        if len(args) == 1:
+            return SCol(self._to_str(a), "str", False)
+        spec = args[1]
+        if not isinstance(spec, SConst) or not isinstance(spec.value, str):
+            raise CompileError("format() spec must be a constant str")
+        if isinstance(a, SConst):
+            return SConst(format(a.value, spec.value))
+        if spec.value == "":
+            return SCol(self._to_str(a), "str", False)
+        return SCol(self._format_spec_col(spec.value, a), "str", False)
 
     # -- calls -----------------------------------------------------------
     def _ev_Call(self, node):
@@ -5579,7 +5608,7 @@ class _BoundMethod(Sym):
 _BUILTINS = {"int", "float", "str", "bool", "len", "abs", "round",
              "min", "max", "sorted", "sum", "list", "tuple", "any", "all",
              "iter", "next", "reversed", "range", "dict", "divmod",
-             "ord", "chr", "repr"}
+             "ord", "chr", "repr", "format"}
 
 
 def _tag_family(s: Sym) -> str | None:
