@@ -3292,9 +3292,12 @@ class Translator:
                      .otherwise(k0 + F.signum(frac)))
               .otherwise(k0))
         v = k / P
-        # keep the sign so small negatives format as '-0.00' like CPython
-        neg = (c < 0) | ((c == 0) & (F.lit(1.0) / c < 0))
-        v = F.when(neg, -F.abs(v)).otherwise(v)
+        # keep the sign so small negatives and -0.0 format as '-0.00'
+        # like CPython (bround rides BigDecimal, which has no -0.0;
+        # the string cast is the only -0.0 probe that works under
+        # non-ANSI, where 1.0/±0.0 is NULL, not ±Inf)
+        neg = c.cast("string").startswith("-")
+        v = F.when(neg, -F.abs(v)).otherwise(F.abs(v))
         return F.when(F.abs(c) * P < 4503599627370496.0, v).otherwise(c)
 
     @staticmethod
@@ -3501,7 +3504,7 @@ class Translator:
             tag = _pytag(val.value)
         if not typ:
             if prec is not None or not (zero or width):
-                raise CompileError(f"format spec {spec!r}")
+                return self._format_spec_full(spec, val)
             # bare width: string-style padding for str, right-align via
             # %<w>s only matches CPython for strings (numbers also
             # right-align -> same); zero flag without type only valid
@@ -3512,7 +3515,9 @@ class Translator:
             if typ is None:
                 raise CompileError(f"format spec {spec!r}")
             if typ == "f" and prec is None:
-                raise CompileError(f"format spec {spec!r}")  # repr-style
+                # bare spec keeps the repr ('{:8}'.format(2.5) is
+                # '     2.5', not 6-digit fixed) — full path handles
+                return self._format_spec_full(spec, val)
             if typ == "s" and zero:
                 # zero-padded strings are valid ('ab000000'): the
                 # printf path can't express the fill — use the full one
@@ -3592,9 +3597,6 @@ class Translator:
         fill, align, sign, alt, zero, width, comma, prec, typ = m.group(
             "fill", "align", "sign", "alt", "zero", "width", "comma",
             "prec", "typ")
-        if alt and typ not in ("x", "X", "o", "b", "d",
-                               "e", "E", "g", "G", "f", "%"):
-            raise CompileError(f"format spec {spec!r}")  # '#' with s
         # CPython threads the grouping THROUGH zero padding exactly
         # when the effective fill is '0' and the effective align '='
         # ('{:08,d}' -> '0,000,042', widening past w when a separator
@@ -3617,11 +3619,26 @@ class Translator:
                 typ = "d"
             elif tag == "float" and prec is not None:
                 typ = "f"
+            elif tag == "float":
+                typ = "py"  # bare spec: repr form ('{:8}' -> '     2.5')
             else:
                 raise CompileError(f"format spec {spec!r}")
+        if alt and typ not in ("x", "X", "o", "b", "d", "py",
+                               "e", "E", "g", "G", "f", "%"):
+            raise CompileError(f"format spec {spec!r}")  # '#' with s
         err = lambda: (self.guard(F.lit(True), "ValueError"),
                        F.lit(None).cast("string"))[1]
-        if typ == "s":
+        if typ == "py":
+            # repr text with numeric alignment/zero-fill semantics
+            # ('{:08}'.format(-2.5) == '-00002.5'); grouping of the
+            # repr's integer part stays an exact fallback
+            if comma:
+                raise CompileError(f"format spec {spec!r}")
+            core = _py_float_str(self.to_col(val).cast("double"))
+            if sign in ("+", " "):
+                core = F.when(core.startswith("-"), core) \
+                        .otherwise(F.concat(F.lit(sign), core))
+        elif typ == "s":
             if tag not in ("str", None):
                 return err()  # 's' on numbers: CPython ValueError
             if sign in ("+", " ") or comma or align == "=":
