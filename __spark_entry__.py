@@ -704,6 +704,29 @@ def q_ds_strings(spark, sf_dir):
     return ds.toDF()
 
 
+def q_ds_sets(spark, sf_dir):
+    """compiled set() surface over distinct arrays: distinct counts,
+    algebra (&/-), relations (<=), membership, order-free sorted join
+    — len(set(a) & set(b)) is the canonical text-dedup UDF shape
+    (parity-plus: the reference compiles no set type)."""
+    c = _ctx(spark)
+    ds = (c.parquet(os.path.join(sf_dir, "part.parquet"))
+          .map(lambda x: {
+              "p_partkey": x["p_partkey"],
+              "n_uniq": len(set(x["p_name"].split(" "))),
+              "n_char": len(set(x["p_name"])),
+              "n_common": len(set(x["p_name"].split(" "))
+                              & {"red", "blue", "hot", "cold",
+                                 "widget"}),
+              "only_common": set(x["p_name"].split(" "))
+              <= {"red", "blue", "widget", "gear", "hot", "cold",
+                  "small", "large"},
+              "has_red": "red" in set(x["p_name"].split(" ")),
+              "rest": "|".join(sorted(set(x["p_name"].split(" "))
+                                      - {"red", "blue"}))}))
+    return ds.toDF()
+
+
 def q_ds_math(spark, sf_dir):
     """compiled math-module surface (reference StandardModules.cc:38-111)."""
     c = _ctx(spark)
@@ -1504,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keyterms": q_text_keyterms,
         "text_c4": q_text_c4,
         "basket_pairs": q_basket_pairs,
+        "ds_sets": q_ds_sets,
     }
     assert len(graded) <= 50, "graded window overflow — rebalance"
     return {**graded, **overflow}
@@ -1835,6 +1859,21 @@ SELECT p_partkey,
        (length(p_name) - length(replace(p_name, 'd', '')))::BIGINT AS n_d,
        (instr(p_type, 'STANDARD') - 1)::BIGINT AS pos,
        length(p_name)::BIGINT AS nlen
+FROM part""",
+        "ds_sets": """
+SELECT p_partkey,
+       length(list_distinct(str_split(p_name, ' ')))::BIGINT AS n_uniq,
+       length(list_distinct(str_split(p_name, '')))::BIGINT AS n_char,
+       length(list_intersect(list_distinct(str_split(p_name, ' ')),
+              ['red','blue','hot','cold','widget']))::BIGINT AS n_common,
+       length(list_filter(list_distinct(str_split(p_name, ' ')),
+              x -> NOT list_contains(['red','blue','widget','gear',
+                                      'hot','cold','small','large'],
+                                     x))) = 0 AS only_common,
+       list_contains(str_split(p_name, ' '), 'red') AS has_red,
+       array_to_string(list_sort(list_distinct(list_filter(
+           str_split(p_name, ' '),
+           x -> x <> 'red' AND x <> 'blue'))), '|') AS rest
 FROM part""",
         "ds_math": """
 SELECT l_orderkey AS okey, l_linenumber AS lno,

@@ -789,7 +789,7 @@ class TestFallbackFilterTruthiness:
         import re as _re
 
         def f(x):
-            s = set()  # force fallback (sets are uncompilable)
+            s = set()  # force fallback (empty set(): unknown elem type)
             return _re.search(r"[0-9]$", x)
         data = ["row1", "rowx", "row2"]
         res = ctx.parallelize(data).filter(f).collect()
@@ -837,7 +837,7 @@ class TestFallbackNullVsNan:
 
     def test_nan_reaches_fallback_udf(self, ctx):
         def f(x):
-            _ = set()  # force fallback (sets are uncompilable)
+            _ = set()  # force fallback (empty set(): unknown elem type)
             return str(x)
         res = ctx.parallelize([float("nan"), 1.5, None]).map(f).collect()
         assert res == ["nan", "1.5", "None"]
@@ -3420,6 +3420,77 @@ class TestFormatSpecFuzz:
         self._run_family(ctx, tmp_path, "str", self.VALS_STR, 0xCAFE,
                          nfuncs=4)
 
+    # -- printf-style grammar ------------------------------------------
+
+    @staticmethod
+    def _mk_printf(rng, family):
+        flags = "".join(c for c in "-+0 "
+                        if rng.random() < 0.3)
+        width = rng.choice(["", "4", "8", "12"])
+        prec = rng.choice([None, 0, 1, 3, 6])
+        if family == "num":
+            typ = rng.choice(["f", "e", "E", "g", "G"])
+        elif family == "int":
+            typ = rng.choice(["d", "i", "x", "X", "o"])
+            if typ in ("x", "X", "o"):
+                prec = None  # precision with %x: honest fallback
+        else:
+            typ = rng.choice(["s", "r"])
+        p = "" if prec is None else f".{prec}"
+        return f"%{flags}{width}{p}{typ}"
+
+    def _run_printf(self, ctx, tmp_path, family, vals, seed, nfuncs=5):
+        import random
+        import importlib.util
+        rng = random.Random(seed)
+        lines = []
+        for i in range(nfuncs):
+            specs = [self._mk_printf(rng, family) for _ in range(6)]
+            pat = "|".join("[" + s + "]" for s in specs)
+            args = ", ".join(["x"] * 6)
+            lines.append(
+                f"def f{i}(x):\n    return \"{pat}\" % ({args})\n")
+        p = tmp_path / f"fuzzpf_{family}.py"
+        p.write_text("".join(lines))
+        spec = importlib.util.spec_from_file_location(
+            f"fuzzpf_{family}", p)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        for i in range(nfuncs):
+            fn = getattr(mod, f"f{i}")
+            try:
+                run_diff(ctx, vals, fn, expect_compiled=True)
+            except AssertionError:
+                raise AssertionError(
+                    f"printf fuzz {family} f{i}: "
+                    + open(p).read().splitlines()[2 * i + 1])
+
+    def test_fuzz_printf_num(self, ctx, tmp_path):
+        self._run_printf(ctx, tmp_path, "num", self.VALS_NUM, 0xD00D)
+
+    def test_fuzz_printf_int(self, ctx, tmp_path):
+        self._run_printf(ctx, tmp_path, "int", self.VALS_INT, 0xE9)
+
+    def test_fuzz_printf_str(self, ctx, tmp_path):
+        self._run_printf(ctx, tmp_path, "str", self.VALS_STR, 0xF00,
+                         nfuncs=3)
+
+    def test_printf_java_hostile_flags(self, ctx):
+        # valid CPython, but java's Formatter THROWS on these shapes if
+        # passed through verbatim ('-'+'0', 0-without-width, %d
+        # precision, flags with %s) — regression for an action-time
+        # crash, not just a wrong value
+        run_diff(ctx, [42, -3, 0],
+                 lambda x: "%-05d|%+0d|% 08d|%+-6d|%.3d|%08.3d|%-8.3d"
+                           "|%+.5d|%.0d" % (x, x, x, x, x, x, x, x, x),
+                 expect_compiled=True)
+        run_diff(ctx, ["ab", ""],
+                 lambda s: "%05s|%+s|%0s|% s" % (s, s, s, s),
+                 expect_compiled=True)
+        run_diff(ctx, [2, -7],
+                 lambda x: "%+r|%05r|% r|%-6r" % (x, x, x, x),
+                 expect_compiled=True)
+
 
 class TestFormatBuiltin:
     """format(x, spec) builtin — same lowering as an f-string
@@ -3788,3 +3859,97 @@ class TestMoreExceptionMessages:
             except ZeroDivisionError as e:
                 return str(e)
         run_diff(ctx, [4, 0], g, expect_compiled=True)
+
+
+class TestSetSupport:
+    """Compiled set() semantics over distinct arrays: len/membership/
+    algebra/relations compile; order-leaking shapes (list(s), join,
+    iteration) keep the exact fallback.  All CPython-differential."""
+
+    TEXTS = ["a b a c", "x x x", "", "a b c d e", "q w e r t y q w"]
+
+    def test_len_set_split(self, ctx):
+        # type-token ratio — the canonical text-pipeline shape
+        run_diff(ctx, self.TEXTS,
+                 lambda s: len(set(s.split())), expect_compiled=True)
+
+    def test_set_algebra_jaccard(self, ctx):
+        def jac(s):
+            a = set(s.split())
+            b = set("a b c x".split())
+            inter = len(a & b)
+            union = len(a | b)
+            return inter / union if union else -1.0
+        run_diff(ctx, self.TEXTS, jac, expect_compiled=True)
+
+    def test_set_difference_symdiff(self, ctx):
+        def f(s):
+            a = set(s.split())
+            b = {"a", "x"}
+            return f"{len(a - b)}|{len(a ^ b)}|{len(b - a)}"
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_set_relations(self, ctx):
+        def f(s):
+            a = set(s.split())
+            b = {"a", "b", "c"}
+            return (a == b, a != b, a <= b | a, a < a | {"zz"},
+                    b >= {"a"}, a > a)
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_set_membership_and_truthy(self, ctx):
+        def f(s):
+            words = set(s.split())
+            return ("a" in words, "zz" not in words, bool(words),
+                    1 if words else 0)
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_set_methods(self, ctx):
+        def f(s):
+            a = set(s.split())
+            b = {"a", "c", "zz"}
+            return (len(a.union(b)), len(a.intersection(b)),
+                    len(a.difference(b)), len(a.symmetric_difference(b)),
+                    a.issubset(b), a.issuperset({"a"}), a.isdisjoint(b))
+        run_diff(ctx, self.TEXTS, f, expect_compiled=True)
+
+    def test_set_orderfree_consumers(self, ctx):
+        def g(s):
+            a = set(s.split())
+            return "|".join(sorted(a))
+        run_diff(ctx, self.TEXTS, g, expect_compiled=True)
+
+    def test_set_of_numbers(self, ctx):
+        run_diff(ctx, [1, 2, 5],
+                 lambda x: (len({x, 1, 2, x + 1}), sum({x, 1, 2}),
+                            min({x, 3}), max({x, 3}),
+                            {x} == {1.0}, x in {1, 2.0, 3}),
+                 expect_compiled=True)
+
+    def test_set_of_chars_from_str(self, ctx):
+        run_diff(ctx, ["banana", "", "abc"],
+                 lambda s: len(set(s)), expect_compiled=True)
+
+    def test_order_leaking_falls_back(self, ctx):
+        run_diff(ctx, self.TEXTS,
+                 lambda s: len(list(set(s.split()))),
+                 expect_compiled=False)
+        # str(set) output is hash-ordered (differs across processes /
+        # PYTHONHASHSEED) — compare an order-free projection of it
+        run_diff(ctx, self.TEXTS, lambda s: len(str(set(s.split()))),
+                 expect_compiled=False)
+
+    def test_mixed_type_sets(self, ctx):
+        run_diff(ctx, [1, 7],
+                 lambda x: ({x} == {"a"}, {x} <= {"a", "b"},
+                            "b" in {x, 1}),
+                 expect_compiled=True)
+
+    def test_set_return_value_falls_back(self, ctx):
+        # a returned set must be a real set object (fallback), never a
+        # first-occurrence-ordered array
+        before = ctx.metrics.compiledUDFs
+        got = ctx.parallelize(["a b a", "c"]) \
+                 .map(lambda s: set(s.split())).collect()
+        assert ctx.metrics.compiledUDFs == before
+        assert got == [{"a", "b"}, {"c"}]

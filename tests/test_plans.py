@@ -41,8 +41,8 @@ class TestPushdown:
         from tuplex_spark.plans import explain_summary
 
         def f(x):
-            t = len(set([1, 2, 3]))  # sets are uncompilable -> fallback
-            return x + t
+            t = id(object()) * 0  # uncompilable call -> fallback
+            return x + t + 3
         ds = ctx.parquet(LI).selectColumns(["l_linenumber"]).mapColumn(
             "l_linenumber", f)
         s = explain_summary(ds._df)

@@ -589,6 +589,14 @@ class CompiledUDF:
         """[(name-or-None, column, tag)] — tuple fans out positionally,
         dict by key, scalar is a single unnamed column."""
         r = self.result
+        syms = (r.items if isinstance(r, STuple)
+                else list(r.items.values()) if isinstance(r, SDict)
+                else [r])
+        if any(getattr(s, "tag", None) == "set" for s in syms):
+            # a returned SET would collect as a list (and in Spark's
+            # first-occurrence order, not CPython's hash order) —
+            # demote to the exact fallback, which returns real sets
+            raise CompileError("set as return value")
         if isinstance(r, STuple):
             return [(None, self._tr.to_col(i), i.tag) for i in r.items]
         if isinstance(r, SDict):
@@ -804,7 +812,7 @@ class Translator:
             return F.coalesce(c != 0, F.lit(False))
         if t == "str":
             return F.coalesce(F.length(c) != 0, F.lit(False))
-        if t == "array":
+        if t in ("array", "set"):
             return F.coalesce(F.size(c) != 0, F.lit(False))
         if t == "map":
             return F.coalesce(F.size(F.map_keys(c)) != 0, F.lit(False))
@@ -2866,6 +2874,13 @@ class Translator:
             return SCol(F.concat(self.to_col(l), self.to_col(r)), "array", True)
         if isinstance(op, ast.Mod) and l.tag == "str":
             return self._percent_format(l, r)
+        if "set" in (getattr(l, "tag", None), getattr(r, "tag", None)) \
+                and type(op) in (ast.BitAnd, ast.BitOr, ast.BitXor,
+                                 ast.Sub):
+            return self._set_binop(
+                {ast.BitAnd: "intersection", ast.BitOr: "union",
+                 ast.BitXor: "symmetric_difference",
+                 ast.Sub: "difference"}[type(op)], l, r)
         if isinstance(op, ast.Mult) and "str" in (l.tag, r.tag):
             s, n = (l, r) if l.tag == "str" else (r, l)
             n = self.num(n, "str repeat")
@@ -3043,17 +3058,81 @@ class Translator:
                 elif "#" in m:
                     raise CompileError(f"unsupported %-format {m!r}")
                 elif m.endswith(("d", "i")):
+                    # flags/width/precision must NOT reach java's
+                    # Formatter verbatim: it THROWS on shapes CPython
+                    # accepts ('%-05d', '%+0d', '%.3d' are all legal
+                    # python; java rejects '-'+'0', 0-without-width,
+                    # and any precision with %d)
+                    pm = _re_mod.match(r"%([-+0 #]*)(\d*)(?:\.(\d+))?$",
+                                       m[:-1])
+                    flags, width, prc = pm.groups()
                     a = self.num(a, "%-format")
-                    cols.append(self.to_col(a).cast("long"))
-                    out += m[:-1] + "d"
+                    c = self.to_col(a).cast("long")
+                    if prc is not None:
+                        # '%.3d' % -5 == '-005'; '%08.3d' % 5 keeps
+                        # zero-padding through the width; '%.0d' % 0
+                        # is '0' (printf, unlike format())
+                        p = int(prc)
+                        ds0 = F.abs(c).cast("string")
+                        digits = F.when(F.length(ds0) < p,
+                                        F.lpad(ds0, p, "0")) \
+                                  .otherwise(ds0)
+                        sgn = F.when(c < 0, F.lit("-")).otherwise(
+                            F.lit("+" if "+" in flags else
+                                  " " if " " in flags else ""))
+                        body = F.concat(sgn, digits)
+                        w = int(width) if width else 0
+                        if w:
+                            # repeat+concat, NOT lpad/rpad: those
+                            # TRUNCATE a body longer than the width
+                            padn = F.greatest(
+                                F.lit(w) - F.length(body),
+                                F.lit(0)).cast("int")
+                            if "-" in flags:
+                                body = F.concat(
+                                    body, F.repeat(F.lit(" "), padn))
+                            elif "0" in flags:
+                                body = F.concat(
+                                    sgn, F.repeat(F.lit("0"), padn),
+                                    digits)
+                            else:
+                                body = F.concat(
+                                    F.repeat(F.lit(" "), padn), body)
+                        cols.append(body)
+                        out += "%s"
+                    elif flags or width:
+                        s = ("+" if "+" in flags else
+                             " " if " " in flags else "")
+                        if "-" in flags and width:
+                            s = "<" + s + width
+                        elif "0" in flags and width:
+                            s += "0" + width
+                        else:
+                            s += width
+                        cols.append(self._format_spec_full(s + "d", a))
+                        out += "%s"
+                    else:
+                        cols.append(c)
+                        out += "%d"
                 elif m.endswith("r"):
                     # %r: repr(), then %s-style width/precision apply
-                    # to the repr text ('%.2r' truncates it)
+                    # to the repr text ('%.2r' truncates it); flags
+                    # other than '-' are ignored, like %s
+                    pm = _re_mod.match(r"%([-+0 #]*)(\d*)(?:\.(\d+))?$",
+                                       m[:-1])
+                    flags, width, prc = pm.groups()
                     cols.append(self._repr_col(a))
-                    out += m[:-1] + "s"
+                    out += "%" + ("-" if "-" in flags else "") + width \
+                        + (f".{prc}" if prc is not None else "") + "s"
                 else:
+                    # %s: CPython IGNORES '+'/' '/'#'/'0' here
+                    # ('%05s' % 'ab' == '   ab'); java throws on them
+                    pm = _re_mod.match(r"%([-+0 #]*)(\d*)(?:\.(\d+))?$",
+                                       m[:-1])
+                    flags, width, prc = pm.groups()
                     cols.append(self._to_str(a))
-                    out += m
+                    out += "%" + ("-" if "-" in flags else "") + width \
+                        + (f".{prc}" if prc is not None else "") + "s"
         return SCol(F.format_string(out, *cols), "str")
 
     def _guard_nulls(self, *syms, msg=None):
@@ -3162,6 +3241,41 @@ class Translator:
         if isinstance(op, (ast.In, ast.NotIn)):
             c = self._membership(l, r)
             return c if isinstance(op, ast.In) else ~c
+        if "set" in (getattr(l, "tag", None), getattr(r, "tag", None)):
+            # set relations: equality/subset via empty array_except
+            # (order-free); set vs non-set: CPython == is False,
+            # ordering raises TypeError
+            if getattr(l, "tag", None) != "set" \
+                    or getattr(r, "tag", None) != "set":
+                if isinstance(op, ast.Eq):
+                    return F.lit(False)
+                if isinstance(op, ast.NotEq):
+                    return F.lit(True)
+                self.guard(F.lit(True), "TypeError")
+                return F.lit(None).cast("boolean")
+            lc, rc = self.to_col(l), self.to_col(r)
+            if l.elem and r.elem and l.elem not in ("null", "any") \
+                    and r.elem not in ("null", "any") \
+                    and l.elem != r.elem:
+                if {l.elem, r.elem} <= {"int", "float", "bool"}:
+                    # {1} == {1.0}: compare in double space
+                    lc = lc.cast("array<double>")
+                    rc = rc.cast("array<double>")
+                    sub = F.size(F.array_except(lc, rc)) == 0
+                    sup = F.size(F.array_except(rc, lc)) == 0
+                else:
+                    # disjoint element TYPES: relations reduce to
+                    # emptiness ({} == {} holds across types; raw
+                    # array_except would be an analysis error)
+                    sub = F.size(lc) == 0
+                    sup = F.size(rc) == 0
+            else:
+                sub = F.size(F.array_except(lc, rc)) == 0   # l <= r
+                sup = F.size(F.array_except(rc, lc)) == 0   # r <= l
+            return {ast.Eq: sub & sup, ast.NotEq: ~(sub & sup),
+                    ast.LtE: sub, ast.GtE: sup,
+                    ast.Lt: sub & (F.size(lc) < F.size(rc)),
+                    ast.Gt: sup & (F.size(rc) < F.size(lc))}[type(op)]
         # cross-family compares: CPython returns False/True for ==/!=
         # (5 == "5" is False — Spark's eqNullSafe would CAST and match)
         # and raises TypeError for ordering; both differ from Spark's
@@ -3204,8 +3318,25 @@ class Translator:
             return self.to_col(item).isin(*container.items.keys())
         if container.tag == "str":
             return F.contains(self.to_col(container), self.to_col(item))
-        if container.tag == "array":
-            return F.array_contains(self.to_col(container), self.to_col(item))
+        if container.tag in ("array", "set"):
+            cc, ic = self.to_col(container), self.to_col(item)
+            ifam = _tag_family(item)
+            elem = container.elem
+            efam = ("num" if elem in ("int", "float", "bool") else
+                    "str" if elem == "str" else None)
+            if ifam is not None and efam is not None:
+                if ifam != efam:
+                    # '1 in {"a"}' is False in CPython; the raw
+                    # array_contains would be an ANALYSIS error
+                    return F.lit(False)
+                itag = getattr(item, "tag", None)
+                if not isinstance(itag, str):
+                    itag = _pytag(item.value)
+                if efam == "num" and itag != elem:
+                    # 1.0 in {1} is True: compare in double space
+                    cc = cc.cast("array<double>")
+                    ic = ic.cast("double")
+            return F.array_contains(cc, ic)
         if container.tag == "map":
             return F.map_contains_key(self.to_col(container),
                                       self.to_col(item))
@@ -3859,6 +3990,10 @@ class Translator:
     def _to_str(self, s: Sym) -> Column:
         if isinstance(s, SConst):
             return F.lit(str(s.value))
+        if getattr(s, "tag", None) in ("set", "array", "map"):
+            # str(container): CPython renders quotes and (for sets)
+            # hash order; the string cast renders java style — refuse
+            raise CompileError(f"str({s.tag})")
         c = self.to_col(s)
         if s.tag == "bool":
             out = F.when(c, "True").otherwise("False")
@@ -4096,7 +4231,7 @@ class Translator:
         self._guard_nulls(a)
         if a.tag == "str":
             return SCol(F.length(c).cast("long"), "int")
-        if a.tag in ("array", "map"):
+        if a.tag in ("array", "map", "set"):
             return SCol(F.size(c).cast("long"), "int")
         if a.tag == "struct":
             n = len(a.col_schema.fields) if hasattr(a, "col_schema") else None
@@ -4126,7 +4261,8 @@ class Translator:
         a = args[0]
         if isinstance(a, SConst):
             return SConst(sorted(a.value))
-        if isinstance(a, SCol) and a.tag == "array":
+        if isinstance(a, SCol) and a.tag in ("array", "set"):
+            # sorted(set) is order-free input -> deterministic output
             return SCol(F.sort_array(a.col), "array", a.nullable,
                         elem=a.elem)
         raise CompileError(f"sorted({a.tag})")
@@ -4322,7 +4458,7 @@ class Translator:
             for item in a.items:
                 acc = self._binop(ast.Add(), acc, item)
             return acc
-        if isinstance(a, SCol) and a.tag == "array":
+        if isinstance(a, SCol) and a.tag in ("array", "set"):
             elem = a.elem or "int"
             if elem not in _NUM_TAGS:
                 raise CompileError(f"sum over {elem} elements")
@@ -4335,6 +4471,10 @@ class Translator:
 
     def _array_from(self, a: Sym, ctx: str) -> Sym:
         """Coerce tuple-like / constant-list values to an array SCol."""
+        if isinstance(a, SCol) and a.tag == "set":
+            # list(set)/iteration exposes CPython's hash order, which
+            # the distinct-array form can't reproduce — exact fallback
+            raise CompileError(f"{ctx} over set (iteration order)")
         if isinstance(a, SCol) and a.tag == "array":
             return a
         if isinstance(a, SConst) and isinstance(a.value, (list, tuple)):
@@ -4353,6 +4493,73 @@ class Translator:
                 cols.append(c)
             return SCol(F.array(*cols), "array", False, elem=tag)
         raise CompileError(f"{ctx}({a.tag})")
+
+    def _set_from(self, a: Sym, ctx: str = "set") -> SCol:
+        """Coerce to a set symbol: a DISTINCT array column tagged
+        'set'.  CPython's iteration order is hash-based, so only
+        order-free consumers accept sets (len, membership, algebra,
+        relations, sorted/min/max/sum/any/all); order-leaking shapes
+        (list(s), join, for-loops) refuse and fall back."""
+        if isinstance(a, SCol) and a.tag == "set":
+            return a
+        if isinstance(a, SConst):
+            if not isinstance(a.value, (set, frozenset, list, tuple,
+                                        str)):
+                raise CompileError(f"set({a.tag})")
+            vals = list(dict.fromkeys(a.value))
+            if not vals:
+                raise CompileError("empty set (element type unknown)")
+            a = STuple([SConst(v) for v in vals])
+        if isinstance(a, SCol) and a.tag == "str":
+            self._guard_nulls(a)
+            # split('', '') is [''] in Spark, not [] — remove the
+            # empty token (never produced for non-empty input)
+            return SCol(F.array_remove(
+                F.array_distinct(F.split(self.to_col(a), "")),
+                ""), "set", False, elem="str")
+        arr = self._array_from(a, ctx)
+        self._guard_nulls(arr)
+        return SCol(F.array_distinct(self.to_col(arr)), "set", False,
+                    elem=arr.elem)
+
+    def _set_binop(self, op_name: str, a: Sym, b: Sym) -> SCol:
+        """union/intersection/difference/symmetric_difference of two
+        set columns.  Spark's array_union/intersect/except all return
+        DISTINCT elements, preserving set semantics."""
+        if getattr(a, "tag", None) != "set" \
+                or getattr(b, "tag", None) != "set":
+            raise CompileError("set op with non-set operand")
+        ac, bc = self.to_col(a), self.to_col(b)
+        elem = a.elem or b.elem
+        if a.elem and b.elem and a.elem not in ("null", "any") \
+                and b.elem not in ("null", "any") and a.elem != b.elem:
+            if {a.elem, b.elem} <= {"int", "float", "bool"}:
+                # 1 == 1.0 dedups across int/float in CPython:
+                # compare in double space (documented divergence
+                # beyond 2**53)
+                ac, bc = (ac.cast("array<double>"),
+                          bc.cast("array<double>"))
+                elem = "float"
+            else:
+                raise CompileError("set op over mixed element types")
+        if op_name == "symmetric_difference":
+            col = F.array_union(F.array_except(ac, bc),
+                                F.array_except(bc, ac))
+        else:
+            col = {"union": F.array_union,
+                   "intersection": F.array_intersect,
+                   "difference": F.array_except}[op_name](ac, bc)
+        return SCol(col, "set", a.nullable or b.nullable, elem=elem)
+
+    def _b_set(self, args):
+        if not args:
+            raise CompileError("empty set() (element type unknown)")
+        if len(args) != 1:
+            raise CompileError("set() arity")
+        return self._set_from(args[0])
+
+    def _ev_Set(self, node):
+        return self._set_from(STuple([self.eval(e) for e in node.elts]))
 
     def _b_dict(self, args):
         # reference SymbolTable.cc:82: dict() with no args -> empty dict
@@ -4396,7 +4603,7 @@ class Translator:
                                              else (out & c))
             return SCol(out if out is not None else F.lit(not is_any),
                         "bool")
-        if isinstance(a, SCol) and a.tag == "array":
+        if isinstance(a, SCol) and a.tag in ("array", "set"):
             hof = F.exists if is_any else F.forall
             return SCol(hof(a.col, lambda x: self._elem_truthy(
                 x, a.elem or "bool")), "bool", a.nullable)
@@ -4480,7 +4687,7 @@ class Translator:
     def _minmax(self, args, sf, pf):
         if len(args) == 1:
             a = args[0]
-            if a.tag == "array":
+            if a.tag in ("array", "set"):
                 c = self.to_col(a)
                 self.guard(F.size(c) == 0, "ValueError",
                            msg=("min" if pf is min else "max")
@@ -5007,6 +5214,25 @@ class Translator:
     def _call_method(self, base: Sym, name: str, args: list[Sym]) -> Sym:
         if isinstance(base, SMatch):
             return self._match_method(base, name, args)
+        if isinstance(base, SCol) and base.tag == "set":
+            if name in ("union", "intersection", "difference",
+                        "symmetric_difference") and len(args) == 1:
+                return self._set_binop(name, base,
+                                       self._set_from(args[0]))
+            if name in ("issubset", "issuperset", "isdisjoint") \
+                    and len(args) == 1:
+                other = self._set_from(args[0])
+                if name == "issubset":
+                    d = self._set_binop("difference", base, other)
+                elif name == "issuperset":
+                    d = self._set_binop("difference", other, base)
+                else:
+                    d = self._set_binop("intersection", base, other)
+                return SCol(F.size(d.col) == 0, "bool")
+            if name == "copy" and not args:
+                return base
+            # add/discard/pop mutate; iteration order never modeled
+            raise CompileError(f"set method {name}")
         if isinstance(base, SJson):
             if name == "get":
                 return self._json_get(base, args)
@@ -5625,7 +5851,7 @@ class _BoundMethod(Sym):
 _BUILTINS = {"int", "float", "str", "bool", "len", "abs", "round",
              "min", "max", "sorted", "sum", "list", "tuple", "any", "all",
              "iter", "next", "reversed", "range", "dict", "divmod",
-             "ord", "chr", "repr", "format"}
+             "ord", "chr", "repr", "format", "set"}
 
 
 def _tag_family(s: Sym) -> str | None:
