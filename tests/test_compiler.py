@@ -3945,6 +3945,21 @@ class TestSetSupport:
                             "b" in {x, 1}),
                  expect_compiled=True)
 
+    def test_set_comprehension(self, ctx):
+        def f(s):
+            lens = {len(w) for w in s.split() if w}
+            caps = set(w.upper() for w in s.split() if len(w) > 1)
+            return (len(lens), sum(lens), max(lens) if lens else -1,
+                    len(caps), "QQ" in caps)
+        run_diff(ctx, self.TEXTS + ["qq ww qq"], f, expect_compiled=True)
+
+    def test_comprehension_over_set_falls_back(self, ctx):
+        # iterating a set exposes hash order — exact fallback (sorted
+        # on the outside keeps the differential order-free)
+        run_diff(ctx, self.TEXTS,
+                 lambda s: sorted(w + "!" for w in set(s.split())),
+                 expect_compiled=False)
+
     def test_set_return_value_falls_back(self, ctx):
         # a returned set must be a real set object (fallback), never a
         # first-occurrence-ordered array

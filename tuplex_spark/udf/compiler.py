@@ -2508,6 +2508,10 @@ class Translator:
         # sum(f(v) for v in arr) — same translation as a list comp
         return self._ev_ListComp(node)
 
+    def _ev_SetComp(self, node):
+        # {f(v) for v in arr}: distinct of the list-comp lowering
+        return self._set_from(self._ev_ListComp(node))
+
     def _ev_Attribute(self, node):
         # str.maketrans(...) — a classmethod on the TYPE, not a value:
         # evaluate constant-arg calls at compile time (feeds translate)
