@@ -3295,6 +3295,15 @@ class TestGroupedZeroPad:
                  lambda x: f"[{x:#08,.0f}][{x:+013,.1%}][{x:010,.0%}]",
                  expect_compiled=True)
 
+    def test_zero_flag_without_width(self, ctx):
+        # '{:0d}' is a CPython no-op; java throws MissingFormatWidth on
+        # '%0d' if forwarded verbatim — regression for a crash
+        run_diff(ctx, [5, -3], lambda x: f"[{x:0d}][{x:0x}]",
+                 expect_compiled=True)
+        run_diff(ctx, [2.675, -1.0],
+                 lambda x: f"[{x:0.2f}][{x:0e}][{x:0g}][{x:0%}]",
+                 expect_compiled=True)
+
     def test_zero_fill_with_explicit_align(self, ctx):
         # the zero flag sets the fill char under ANY align
         run_diff(ctx, [42, -42, 0],

@@ -3657,7 +3657,10 @@ class Translator:
                 # zero-padded strings are valid ('ab000000'): the
                 # printf path can't express the fill — use the full one
                 return self._format_spec_full(spec, val)
-        fmt = "%" + zero + width + (f".{prec}" if prec is not None else "")
+        # the 0 flag without a width is a CPython no-op, but java's
+        # Formatter THROWS MissingFormatWidth on '%0d' — drop it
+        fmt = "%" + (zero if width else "") + width \
+            + (f".{prec}" if prec is not None else "")
         if typ == "d":
             if tag == "float":
                 self.guard(F.lit(True), "ValueError")
