@@ -3969,6 +3969,13 @@ class TestSetSupport:
                  lambda s: sorted(w + "!" for w in set(s.split())),
                  expect_compiled=False)
 
+    def test_frozenset_alias(self, ctx):
+        run_diff(ctx, self.TEXTS,
+                 lambda s: (len(frozenset(s.split())),
+                            frozenset(s.split()) <= {"a", "b", "c"},
+                            len(frozenset(s.split()) & {"a", "x"})),
+                 expect_compiled=True)
+
     def test_set_return_value_falls_back(self, ctx):
         # a returned set must be a real set object (fallback), never a
         # first-occurrence-ordered array

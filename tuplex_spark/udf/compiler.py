@@ -4565,6 +4565,10 @@ class Translator:
             raise CompileError("set() arity")
         return self._set_from(args[0])
 
+    def _b_frozenset(self, args):
+        # immutable twin: identical lowering (mutation never compiles)
+        return self._b_set(args)
+
     def _ev_Set(self, node):
         return self._set_from(STuple([self.eval(e) for e in node.elts]))
 
@@ -5858,7 +5862,7 @@ class _BoundMethod(Sym):
 _BUILTINS = {"int", "float", "str", "bool", "len", "abs", "round",
              "min", "max", "sorted", "sum", "list", "tuple", "any", "all",
              "iter", "next", "reversed", "range", "dict", "divmod",
-             "ord", "chr", "repr", "format", "set"}
+             "ord", "chr", "repr", "format", "set", "frozenset"}
 
 
 def _tag_family(s: Sym) -> str | None:
