@@ -3484,6 +3484,21 @@ class TestFormatSpecFuzz:
         self._run_printf(ctx, tmp_path, "str", self.VALS_STR, 0xF00,
                          nfuncs=3)
 
+    def test_minus_flag_without_width(self, ctx):
+        # '-' with no width: CPython no-op; java MissingFormatWidth
+        run_diff(ctx, ["hello", ""],
+                 lambda s: "%-.6r|%-s|%-.1s|%-0.0s" % (s, s, s, s),
+                 expect_compiled=True)
+        run_diff(ctx, [42], lambda x: "%-+r|%- r" % (x, x),
+                 expect_compiled=True)
+
+    def test_alt_flag_bare_float_spec(self, ctx):
+        # '#' with no type forces the decimal point: '1.e-05'
+        run_diff(ctx, [1e-05, 2.5, 1e16, float("inf"), float("nan"),
+                       -0.0, 100.0],
+                 lambda x: f"[{x:#}][{x:+#8}][{x:~^+#4}][{x: ^+#8}]",
+                 expect_compiled=True)
+
     def test_printf_java_hostile_flags(self, ctx):
         # valid CPython, but java's Formatter THROWS on these shapes if
         # passed through verbatim ('-'+'0', 0-without-width, %d

@@ -3126,7 +3126,9 @@ class Translator:
                                        m[:-1])
                     flags, width, prc = pm.groups()
                     cols.append(self._repr_col(a))
-                    out += "%" + ("-" if "-" in flags else "") + width \
+                    # '-' without width: CPython no-op, java throws
+                    out += "%" + ("-" if "-" in flags and width
+                                  else "") + width \
                         + (f".{prc}" if prc is not None else "") + "s"
                 else:
                     # %s: CPython IGNORES '+'/' '/'#'/'0' here
@@ -3135,7 +3137,9 @@ class Translator:
                                        m[:-1])
                     flags, width, prc = pm.groups()
                     cols.append(self._to_str(a))
-                    out += "%" + ("-" if "-" in flags else "") + width \
+                    # '-' without width: CPython no-op, java throws
+                    out += "%" + ("-" if "-" in flags and width
+                                  else "") + width \
                         + (f".{prc}" if prc is not None else "") + "s"
         return SCol(F.format_string(out, *cols), "str")
 
@@ -3773,6 +3777,13 @@ class Translator:
             if comma:
                 raise CompileError(f"format spec {spec!r}")
             core = _py_float_str(self.to_col(val).cast("double"))
+            if alt:
+                # '#' forces a decimal point: format(1e-05, '#') is
+                # '1.e-05' (the repr's fixed forms always carry one;
+                # only the sci forms lack it, and inf/nan have no 'e')
+                core = F.when(core.contains("e") & ~core.contains("."),
+                              F.regexp_replace(core, "e", ".e")) \
+                        .otherwise(core)
             if sign in ("+", " "):
                 core = F.when(core.startswith("-"), core) \
                         .otherwise(F.concat(F.lit(sign), core))
