@@ -277,12 +277,49 @@ class TestSingleScanDedup:
         df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         plan = dedup.embedding_dup_pairs(df, threshold=0.45) \
             ._jdf.queryExecution().executedPlan().toString()
-        # one scan computes the 48-hyperplane SRP signatures; the other
-        # scans only fetch raw vectors/norms for the id-equality joins
-        # (cheap) — the expensive signature pass is never duplicated
-        assert plan.count("ArrowEvalPython") <= 5
+        # one scan computes the SRP signatures; the other scans only
+        # fetch raw vectors for the id-equality joins (cheap) — the
+        # expensive signature pass is never duplicated
+        assert plan.count("ArrowEvalPython") <= 2
         assert plan.count("Scan parquet") <= 3
         assert "CartesianProduct" not in plan
+
+    def test_embedding_verify_stage_is_python_free(self, spark):
+        """The per-candidate-pair verify cosine must be a codegen Column
+        expression, NOT an Arrow UDF: candidate pairs outnumber the
+        corpus ~100x in the LSH regime, and shipping two 64-dim vectors
+        per pair through Arrow measured 5.4 Python-worker-MINUTES for
+        2M sf1 pairs (x2 — the threshold filter duplicated the
+        ArrowEvalPython node below the projection), the dominant and
+        wildly variable term of dedup_embedding.  The only Python in
+        the plan is the corpus-sized signature UDF (keys_udf)."""
+        import os
+        from tuplex_spark.functions import dedup
+        df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        out = dedup.embedding_dup_pairs(df, threshold=0.45)
+        opt = out._jdf.queryExecution().optimizedPlan().toString()
+        assert "cos_udf" not in opt
+        assert opt.count("keys_udf") == 1, opt.count("keys_udf")
+
+    def test_codegen_cosine_matches_arrow_cosine(self, spark):
+        """codegen_cosine (unrolled element_at chains) must be bitwise
+        equal to _pcos's numpy loop on real vectors — same element-wise
+        float->double cast, same left-to-right IEEE accumulation."""
+        import os
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions.similarity import _pcos, codegen_cosine
+        df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        a = df.select(F.col("vec_id").alias("ida"),
+                      F.col("embedding").alias("va"))
+        b = df.select((F.col("vec_id")).alias("idb"),
+                      F.reverse("embedding").alias("vb"))
+        pairs = a.join(b, a.ida == b.idb).limit(500)
+        got = pairs.select(
+            codegen_cosine(F.col("va"), F.col("vb"), 64).alias("c"),
+            _pcos(F.col("va"), F.col("vb")).alias("p")).collect()
+        assert len(got) == 500
+        for r in got:
+            assert r.c == r.p, (r.c, r.p)
 
 
 class TestAllTpchPlansNative:

@@ -610,7 +610,7 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     interpreted cosines); vectors are then fetched by two id-equality
     joins and the verify cosine is one Arrow-vectorized dot per unique
     pair."""
-    from .similarity import _pcos
+    from .similarity import codegen_cosine
     if nbits is None:
         n = n_rows if n_rows is not None else df.count()
         nbits = adaptive_nbits(n)
@@ -620,17 +620,23 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
         "id", srp_band_keys(F.col("v"), dim, nbits, bands, seed).alias("ks"))
     buckets = (keyed.select("id", F.posexplode("ks").alias("band", "h")))
     cand = (_bucket_pairs(buckets, max_bucket)
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
     va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     pairs = cand.join(va, "id_a").join(vb, "id_b")
-    # dot + both norms in ONE Arrow pass over the candidate pairs —
-    # per-doc norm columns cost two corpus-wide UDF passes, while
-    # candidates are far sparser than the corpus in the LSH regime
-    cos = F.round(_pcos(F.col("va"), F.col("vb")), 6)
+    # verify cosine stays JVM-side (codegen_cosine): an Arrow-UDF
+    # cosine paid ~1 KB/pair of serialization x 2 evaluations (the
+    # threshold filter duplicated the ArrowEvalPython node below the
+    # projection) — 5.4 Python-worker-minutes for 2M sf1 candidates
+    # and the source of dedup_embedding's 12-146s run-to-run swings.
+    # distinct() moved AFTER the threshold filter: pairs sharing
+    # several bands (<1% here) re-verify redundantly — nanoseconds in
+    # codegen — while the pre-join distinct hash-aggregated ALL
+    # candidate pairs (the second-largest stage of the query).
+    cos = F.round(codegen_cosine(F.col("va"), F.col("vb"), dim), 6)
     return (pairs.select("id_a", "id_b", cos.alias("cosine"))
-                 .filter(F.col("cosine") >= threshold))
+                 .filter(F.col("cosine") >= threshold)
+                 .distinct())
 
 
 # ---- SQL twins (DuckDB oracle) -------------------------------------------
