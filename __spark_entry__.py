@@ -540,7 +540,14 @@ def q_tpch_q22(spark, sf_dir):
     _prep(spark)
     keys = [1, 3, 5, 7, 9, 11, 13]
     cu = _t(spark, sf_dir, "customer").filter(
-        F.col("c_nationkey").isin(keys))
+        F.col("c_nationkey").isin(keys)).select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    # the filtered customer subset feeds TWO consumers (the scalar-avg
+    # subquery and the main anti-join side) and Catalyst does not reuse
+    # the scan across them — the q11/q15 pattern: persist the narrow
+    # subset so customer scans once (plan-asserted in tests/test_plans).
+    # The cache is 3 columns of a 7/25-nationkey dim slice — bounded.
+    cu = cu.persist()
     o = (_t(spark, sf_dir, "orders")
          .filter((F.col("o_orderpriority") == "1-URGENT")
                  & (F.col("o_orderdate")
@@ -1415,46 +1422,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     text_fingerprint ~ text_quality shape, events_json ~ events_stats)
     to bring the shape-novel round-6b ops (text_rarity vocabulary join,
     dedup_chunks keep-first window, events_funnel iterated join-agg)
-    into the driver-graded window."""
+    into the driver-graded window.
+
+    Round-7 rotation: the 10 round-6 ops the driver had never graded
+    (mm_audio, decontaminate, components, pack, repetition,
+    temperature, retention, keyterms, c4, basket) moved in-window;
+    their slots came from shape-twins (ignore~resolve, unique~
+    relational-distinct, langid~quality, select_rename~withcolumn,
+    rightjoin~leftjoin, q6~q1, top_users/stats~windowed/sketch) and
+    from q11/q15, whose persist-shape is now locked by executed-plan
+    assertions in tests/test_plans.py."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
         "ds_withcolumn": q_ds_withcolumn,
         "ds_resolve": q_ds_resolve,
-        "ds_ignore": q_ds_ignore,
         "ds_join": q_ds_join,
         "ds_leftjoin": q_ds_leftjoin,
         "ds_aggregate": q_ds_aggregate,
         "ds_agg_bykey": q_ds_agg_bykey,
-        "ds_unique": q_ds_unique,
         "ds_parallelize": q_ds_parallelize,
         "ds_csv_roundtrip": q_ds_csv_roundtrip,
         "ds_strings": q_ds_strings,
         "ds_math": q_ds_math,
         "ds_re": q_ds_re,
-        "ds_select_rename": q_ds_select_rename,
         "ds_orc_roundtrip": q_ds_orc_roundtrip,
         "ds_cache": q_ds_cache,
         "ds_text_read": q_ds_text_read,
         "ds_loops": q_ds_loops,
-        "ds_rightjoin": q_ds_rightjoin,
         "ds_relational": q_ds_relational,
         # -- training-data pipeline ops --
         "mm_decode": q_mm_decode,
         "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_decontaminate": q_dedup_decontaminate,
+        "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         # -- event-stream ops --
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
-        "events_top_users": q_events_top_users,
-        "events_stats": q_events_stats,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         # -- temporal joins (Spark-native additions) --
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
@@ -1469,22 +1482,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # subquery; q19 ~ q6+q3 filter-join-agg)
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q6": q_tpch_q6,
-        "tpch_q11": q_tpch_q11,
-        "tpch_q15": q_tpch_q15,
         "ds_json_udf": q_ds_json_udf,
         "text_redact": q_text_redact,
         "sample_stratified": q_sample_stratified,
+        "sample_temperature": q_sample_temperature,
         # composition of four individually-graded ops (quality/langid/
         # exact-dedup/jaccard) — the best end-to-end proof, graded
         # in-window since round 3 (its prior slot-holder q21's window-
         # over-fact shape is covered by events_sessions + q2's window)
         "text_rarity": q_text_rarity,
         "dedup_chunks": q_dedup_chunks,
-        "events_funnel": q_events_funnel,
+        "text_pack": q_text_pack,
+        "text_repetition": q_text_repetition,
+        "text_keyterms": q_text_keyterms,
+        "text_c4": q_text_c4,
+        "basket_pairs": q_basket_pairs,
+        "mm_audio": q_mm_audio,
         "pipeline_clean": q_pipeline_clean,
     }
     overflow = {
+        # round-7 rotation: shape-twins of in-window queries
+        # (ignore~resolve, unique~relational distinct/dedup_exact,
+        # langid~quality single-projection, rightjoin~leftjoin
+        # mirror, select_rename~withcolumn projection, q6~q1
+        # scan-agg, q11/q15 persist shapes now plan-asserted in
+        # tests/test_plans.py, top_users/stats~sketch_topk/
+        # windowed) — their slots fund the 10 round-6 ops the
+        # driver had never graded
+        "ds_ignore": q_ds_ignore,
+        "ds_unique": q_ds_unique,
+        "text_langid": q_text_langid,
+        "ds_select_rename": q_ds_select_rename,
+        "ds_rightjoin": q_ds_rightjoin,
+        "tpch_q6": q_tpch_q6,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q15": q_tpch_q15,
+        "events_top_users": q_events_top_users,
+        "events_stats": q_events_stats,
         # deterministic sampling family (functions/sampling.py) — exact
         # row-set oracle parity; stratified is graded in-window, these
         # two by selfcheck in the tail
@@ -1517,16 +1551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
-        "mm_audio": q_mm_audio,
-        "dedup_decontaminate": q_dedup_decontaminate,
-        "dedup_components": q_dedup_components,
-        "text_pack": q_text_pack,
-        "text_repetition": q_text_repetition,
-        "sample_temperature": q_sample_temperature,
-        "events_retention": q_events_retention,
-        "text_keyterms": q_text_keyterms,
-        "text_c4": q_text_c4,
-        "basket_pairs": q_basket_pairs,
         "ds_sets": q_ds_sets,
     }
     assert len(graded) <= 50, "graded window overflow — rebalance"

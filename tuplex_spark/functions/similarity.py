@@ -100,38 +100,43 @@ def _pcos(a: Column, b: Column) -> Column:
     return cos_udf(a.cast("array<double>"), b.cast("array<double>"))
 
 
-def codegen_cosine(a: Column, b: Column, dim: int) -> Column:
-    """Cosine of two fixed-``dim`` vector columns as a PURE Column
-    expression — 3 x dim unrolled ``element_at`` product chains, each
-    folded strictly left-to-right, so the value is bitwise-identical to
-    :func:`_pcos`'s numpy loop (and the DuckDB twin's
-    list_dot_product).  Elements cast float->double individually
-    (exact), matching numpy's astype-then-accumulate.
+def dot_fold_sql(a: str, b: str) -> str:
+    """SQL for the dot product of two vector columns as a zip_with +
+    aggregate fold: acc starts at 0.0 and adds CAST(x)*CAST(y) strictly
+    left-to-right — the same order (and 0.0 seed) as DuckDB's
+    list_dot_product loop, so oracle twins agree bitwise.
 
-    This is the VERIFY-stage cosine for LSH dedup: candidate pairs
-    carry both vectors, and evaluating millions of pairs through an
-    Arrow UDF pays ~1 KB/pair of serialization plus Python worker
-    startup — measured 5.4 Python-worker-MINUTES for 2M pairs at sf1,
-    and the dominant (and wildly variable: 12-146s) term of
-    dedup_embedding.  JVM-side the same pairs verify in under a
-    second, with zero run-to-run variance.
+    Three formulations were measured on 256k sf0.1 pairs (warm):
+    - this fold: 0.60s
+    - a 64-term unrolled element_at/getItem chain: 1.2-1.4s — the
+      generated method outgrows HotSpot's 8000-bytecode JIT limit and
+      runs as interpreted bytecode (plus ~2.3s of py4j Column
+      construction per query when composed, and doubled janino compile
+      when a filter duplicates it)
+    - the Arrow-UDF cosine (_pcos): ~160 us/pair in worker time x2
+      evaluations — 5.4 Python-worker-minutes for 2M sf1 pairs and the
+      source of dedup_embedding's 12-146s run-to-run swings
+    The module-header warning about interpreted higher-order functions
+    holds for MANY HOF evaluations per row (_pdot_multi's C=48 constant
+    vectors: 14s at sf0.01) — a single zip_with per row is fine."""
+    return (f"aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> CAST(x AS DOUBLE)*CAST(y AS DOUBLE)), "
+            f"0.0D, (acc, t) -> acc + t)")
 
-    Unlike the 3k-term signature unroll this module's header warns
-    about, 3 x 64 terms sits comfortably under janino's 64 KB method
-    limit.  Use :func:`_pcos` when dim is unknown or the call count is
-    corpus-sized-but-small."""
-    import functools
 
-    def ea(c: Column, i: int) -> Column:
-        return F.element_at(c, i).cast("double")
+def norm_fold_sql(a: str) -> str:
+    """SQL for sqrt(dot(v, v)) with the same fold order/seed."""
+    return f"SQRT({dot_fold_sql(a, a)})"
 
-    def chain(terms: list[Column]) -> Column:
-        return functools.reduce(lambda acc, t: acc + t, terms)
 
-    dot = chain([ea(a, i) * ea(b, i) for i in range(1, dim + 1)])
-    na = chain([ea(a, i) * ea(a, i) for i in range(1, dim + 1)])
-    nb = chain([ea(b, i) * ea(b, i) for i in range(1, dim + 1)])
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+def jvm_cosine(a: str, b: str) -> Column:
+    """Cosine of two vector columns (by NAME) as a pure JVM expression —
+    see :func:`dot_fold_sql` for why this beats both the Arrow UDF and
+    an unrolled chain for the per-candidate-pair verify stage of LSH
+    dedup.  Use :func:`_pcos` only when the call site cannot name its
+    columns."""
+    return F.expr(f"({dot_fold_sql(a, b)})"
+                  f" / ({norm_fold_sql(a)} * {norm_fold_sql(b)})")
 
 
 def py_norm(vec: list[float]) -> float:

@@ -4798,19 +4798,60 @@ class Translator:
         self.guard(s.isNotNull() & parsed.isNull(), "ValueError")
         return SJson(parsed, "$")
 
+    def _jv_staged(self, key: str, build) -> Column:
+        """Stage a per-(variant, path) subexpression as a CSE projection
+        column, shared across every consumer in the UDF.  Without this,
+        each kind-test / value-get re-inlines schema_of_variant(
+        try_variant_get(...)) — a single int(d["k"]) UDF repeated the
+        pair ~50x across its value/guard/exc-code columns, blowing the
+        whole-stage-codegen method to 15,384 java bytecodes: past
+        HotSpot's 8,000-bytecode JIT ceiling, so the stage silently ran
+        as interpreted bytecode (caught by
+        tests/test_plans.py::TestCodegenNotDemoted)."""
+        if self._hof_depth > 0 or len(self.staged) >= self._MAX_STAGED:
+            return build()
+        hit = self._json_staged.get(key)
+        if hit is None:
+            # build() BEFORE taking the name: it may recursively stage
+            # its own dependencies (typeof stages the variant-get), and
+            # naming first would hand both the same __t index
+            col = build()
+            name = f"__t{len(self.staged)}"
+            self.staged.append((name, col))
+            hit = F.col(name)
+            self._json_staged[key] = hit
+        return hit
+
+    def _jv_key(self, jv: SJson) -> str:
+        return f"{jv.v_col._jc.toString()}|{jv.path}"
+
     def _jv_variant(self, jv: SJson) -> Column:
         if jv.path == "$":
             return jv.v_col
-        return F.try_variant_get(jv.v_col, jv.path, "variant")
+        return self._jv_staged(
+            f"var:{self._jv_key(jv)}",
+            lambda: F.try_variant_get(jv.v_col, jv.path, "variant"))
 
     def _jv_typeof(self, jv: SJson) -> Column:
-        return F.schema_of_variant(self._jv_variant(jv))
+        return self._jv_staged(
+            f"tv:{self._jv_key(jv)}",
+            lambda: F.schema_of_variant(self._jv_variant(jv)))
 
     def _jv_get(self, jv: SJson, t: str) -> Column:
-        return F.try_variant_get(jv.v_col, jv.path, t)
+        return self._jv_staged(
+            f"get:{t}:{self._jv_key(jv)}",
+            lambda: F.try_variant_get(jv.v_col, jv.path, t))
+
+    def _jv_keys(self, jv: SJson) -> Column:
+        return self._jv_staged(
+            f"keys:{self._jv_key(jv)}",
+            lambda: F.json_object_keys(F.to_json(self._jv_variant(jv))))
+
+    _JV_KIND_NAMES = ("int", "float", "bigdec", "str", "bool", "void",
+                      "container")
 
     @staticmethod
-    def _jv_kinds(tv: Column) -> dict[str, Column]:
+    def _jv_kinds_raw(tv: Column) -> dict[str, Column]:
         # DECIMAL(p,0) with p<=18 is long-safe int; scale>0 decimals are
         # Python floats ("1.20" parses as 1.2); DECIMAL(p>18,0) would
         # silently overflow a long -> loud guard in the consumers
@@ -4828,6 +4869,26 @@ class Translator:
             "container": tv.startswith("OBJECT") | tv.startswith("ARRAY"),
         }
 
+    def _jv_kinds(self, jv: SJson) -> dict[str, Column]:
+        """Kind tests for the value at ``jv`` — the classification
+        (5 regexes + 4 string compares over the schema string) is
+        staged ONCE as a small int code, so the N consumer columns
+        each test ``__tK = i`` instead of re-inlining the regex
+        battery (part of the 15 KB-bytecode WSCG method that HotSpot
+        refused to JIT).  The kind families are mutually exclusive by
+        construction; a null schema (missing key) yields a null code,
+        so every test is null — same as the raw forms."""
+        def code() -> Column:
+            raw = self._jv_kinds_raw(self._jv_typeof(jv))
+            expr = None
+            for i, nm in enumerate(self._JV_KIND_NAMES):
+                expr = F.when(raw[nm], i) if expr is None \
+                    else expr.when(raw[nm], i)
+            return expr
+        kc = self._jv_staged(f"kind:{self._jv_key(jv)}", code)
+        return {nm: (kc == i)
+                for i, nm in enumerate(self._JV_KIND_NAMES)}
+
     def _json_subscript(self, base: SJson, idx: Sym) -> SJson:
         """d["k"]: TypeError when the value at ``base`` is not an object
         (CPython: list/str/int subscripts with a str key all raise
@@ -4843,7 +4904,7 @@ class Translator:
         tv = self._jv_typeof(base)
         is_obj = tv.startswith("OBJECT")
         self.guard(tv.isNotNull() & ~is_obj, "TypeError")
-        keys = F.json_object_keys(F.to_json(self._jv_variant(base)))
+        keys = self._jv_keys(base)
         self.guard(F.coalesce(is_obj
                               & ~F.array_contains(keys, idx.value),
                               F.lit(False)), "KeyError")
@@ -4868,7 +4929,7 @@ class Translator:
         tv = self._jv_typeof(base)
         is_obj = tv.startswith("OBJECT")
         self.guard(tv.isNotNull() & ~is_obj, "AttributeError")
-        keys = F.json_object_keys(F.to_json(self._jv_variant(base)))
+        keys = self._jv_keys(base)
         exists = F.coalesce(F.array_contains(keys, k.value), F.lit(False))
         return SJson(base.v_col, f"{base.path}.{k.value}",
                      exists=exists, default=default)
@@ -4880,8 +4941,7 @@ class Translator:
         TypeError.  Ints beyond int64 (JSON DECIMAL(p>18,0)) would
         silently overflow the engine's i64 model (the reference is
         i64-bound too) -> guarded RuntimeError row, loud not wrong."""
-        tv = self._jv_typeof(jv)
-        k = self._jv_kinds(tv)
+        k = self._jv_kinds(jv)
         s_raw = self._jv_get(jv, "string")
         t = F.trim(s_raw)
         if want == "int":
@@ -4927,8 +4987,7 @@ class Translator:
         """jv == constant, CPython equality: type families must match
         (3 == "3" is False), bools are ints (True == 1), JSON null only
         equals None.  Never raises."""
-        tv = self._jv_typeof(jv)
-        k = self._jv_kinds(tv)
+        k = self._jv_kinds(jv)
         v = const.value
         if v is None:
             eq = k["void"]
@@ -4964,7 +5023,7 @@ class Translator:
         """len(jv): chars for strings, elements for arrays, keys for
         objects; numbers/bools/null raise TypeError (CPython)."""
         tv = self._jv_typeof(jv)
-        k = self._jv_kinds(tv)
+        k = self._jv_kinds(jv)
         val = (F.when(k["str"], F.length(self._jv_get(jv, "string")))
                .when(tv.startswith("ARRAY"),
                      F.size(self._jv_get(jv, "array<variant>")))
@@ -4985,7 +5044,7 @@ class Translator:
     def _json_truthy(self, jv: SJson) -> Column:
         """CPython truthiness per value type — never raises."""
         tv = self._jv_typeof(jv)
-        k = self._jv_kinds(tv)
+        k = self._jv_kinds(jv)
         t = (F.when(k["void"], F.lit(False))
              .when(k["bool"], self._jv_get(jv, "boolean"))
              .when(k["int"], self._jv_get(jv, "bigint") != 0)
@@ -5015,7 +5074,7 @@ class Translator:
             raise CompileError("json membership item must be str")
         item_c = self.to_col(item)
         tv = self._jv_typeof(jv)
-        k = self._jv_kinds(tv)
+        k = self._jv_kinds(jv)
         arr = self._jv_get(jv, "array<variant>")
         res = (F.when(k["str"],
                       F.contains(self._jv_get(jv, "string"), item_c))
