@@ -393,3 +393,103 @@ def test_resize_png_real(spark):
     assert r["resize_error"] is None
     w, h, out = _decode_png(bytes(r["payload"]))
     assert (w, h) == (3, 3) and len(out) == 27
+
+
+class TestJpegNative:
+    """Baseline JPEG codec, pure stdlib + numpy: the encoder exists so
+    the decoder's huffman/IDCT/upsampling/restart paths are testable in
+    a container with no codec library (round-trip, lossy tolerance)."""
+
+    def _gradient(self, w, h):
+        import numpy as np
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack([(xx * 6) % 256, (yy * 9) % 256,
+                         ((xx + yy) * 4) % 256], axis=-1).astype(np.uint8)
+
+    def test_roundtrip_444(self):
+        import numpy as np
+        from tuplex_spark.functions.multimodal import (_decode_jpeg,
+                                                       encode_jpeg)
+        img = self._gradient(40, 24)
+        payload = encode_jpeg(40, 24, img.tobytes(), quality=90)
+        w, h, rgb = _decode_jpeg(payload)
+        assert (w, h) == (40, 24)
+        out = np.frombuffer(rgb, np.uint8).reshape(24, 40, 3)
+        assert np.abs(out.astype(float) - img.astype(float)).mean() < 6.0
+
+    def test_solid_color_is_near_exact(self):
+        import numpy as np
+        from tuplex_spark.functions.multimodal import (_decode_jpeg,
+                                                       encode_jpeg)
+        img = np.full((16, 16, 3), [200, 30, 90], dtype=np.uint8)
+        w, h, rgb = _decode_jpeg(encode_jpeg(16, 16, img.tobytes()))
+        out = np.frombuffer(rgb, np.uint8).reshape(16, 16, 3)
+        assert np.abs(out.astype(float) - img.astype(float)).mean() < 3.0
+
+    def test_roundtrip_420_subsampled(self):
+        import numpy as np
+        from tuplex_spark.functions.multimodal import (_decode_jpeg,
+                                                       encode_jpeg)
+        img = self._gradient(40, 24)
+        payload = encode_jpeg(40, 24, img.tobytes(), quality=90,
+                              subsample=True)
+        w, h, rgb = _decode_jpeg(payload)
+        assert (w, h) == (40, 24)
+        out = np.frombuffer(rgb, np.uint8).reshape(24, 40, 3)
+        assert np.abs(out.astype(float) - img.astype(float)).mean() < 10.0
+
+    def test_restart_markers_and_odd_dims(self):
+        import numpy as np
+        from tuplex_spark.functions.multimodal import (_decode_jpeg,
+                                                       encode_jpeg)
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+        payload = encode_jpeg(19, 17, img.tobytes(), quality=60,
+                              subsample=True, restart_interval=1)
+        w, h, _ = _decode_jpeg(payload)
+        assert (w, h) == (19, 17)
+        # restart path must produce the same pixels as no-restart
+        p2 = encode_jpeg(19, 17, img.tobytes(), quality=60,
+                         subsample=True)
+        assert _decode_jpeg(payload)[2] == _decode_jpeg(p2)[2]
+
+    def test_progressive_is_loud(self):
+        import pytest
+        from tuplex_spark.functions.multimodal import (_decode_jpeg,
+                                                       encode_jpeg)
+        payload = bytearray(encode_jpeg(16, 16, bytes(16 * 16 * 3)))
+        i = payload.find(b"\xff\xc0")
+        payload[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(NotImplementedError):
+            _decode_jpeg(bytes(payload))
+
+    def test_jpeg_through_extract_features(self, spark):
+        """VERDICT r6 item 8 done-criterion: a real JPEG payload decodes
+        end-to-end through extract_features — real width/height, real
+        pixel features, no decode_error."""
+        import numpy as np
+        from tuplex_spark.functions.multimodal import (encode_jpeg,
+                                                       extract_features,
+                                                       decode_image_real)
+        img = self._gradient(32, 16)
+        payload = encode_jpeg(32, 16, img.tobytes(), quality=90)
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "asset_id long, payload binary")
+        row = extract_features(df, decoder="image/real").collect()[0]
+        assert row.decode_error is None
+        assert (row.width, row.height) == (32, 16)
+        want = decode_image_real(bytes(payload))["features"]
+        assert list(row.features) == list(want)
+        # mean-red feature (0..1 scaled) tracks the actual gradient
+        assert abs(row.features[0]
+                   - img[..., 0].astype(float).mean() / 255.0) < 0.02
+
+    def test_jpeg_resize_roundtrip(self):
+        from tuplex_spark.functions.multimodal import (_decode_jpeg,
+                                                       _resize_payload)
+        img = self._gradient(40, 24)
+        from tuplex_spark.functions.multimodal import encode_jpeg
+        payload = encode_jpeg(40, 24, img.tobytes(), quality=90)
+        out = _resize_payload(payload, 20, 12)
+        w, h, _ = _decode_jpeg(out)
+        assert (w, h) == (20, 12)

@@ -2,10 +2,12 @@
 
 The Spark-side plumbing is real and tested — schema contracts, Arrow batch
 shapes, mapInPandas partitioning — and a useful codec subset decodes
-NATIVELY in pure Python/stdlib: PNG (8-bit, zlib inflate + unfilter),
-the binary Netpbm family (P4/P5/P6), uncompressed 24-bit BMP, and PCM
-WAV audio.  Formats that genuinely need external codec libraries
-(JPEG/WebP, mp3/ogg, video) stay behind honest NotImplementedError /
+NATIVELY in pure Python/stdlib: baseline JPEG (huffman decode + exact
+8x8 IDCT; 4:4:4/4:2:2/4:2:0; DRI/RSTn), PNG (8-bit, zlib inflate +
+unfilter), the binary Netpbm family (P4/P5/P6), uncompressed 24-bit
+BMP, and PCM WAV audio.  Formats that genuinely need external codec
+libraries (WebP, progressive JPEG, mp3/ogg, video) stay behind honest
+NotImplementedError /
 deterministic stubs in ``DECODERS``.  Swap a decoder entry for a real
 implementation (PIL/ffmpeg) and nothing else changes: the batch
 iterator, output schema, and partitioning behavior are already
@@ -308,6 +310,494 @@ def _decode_bmp(payload: bytes):
     return w, h, bytes(out)
 
 
+# ---- baseline JPEG (pure stdlib + numpy) -------------------------------
+#
+# Decoder: baseline sequential DCT (SOF0/SOF1), 8-bit, grayscale or
+# YCbCr at 4:4:4 / 4:2:2 / 4:2:0 sampling, DRI/RSTn restart markers,
+# 0xFF00 byte unstuffing.  Progressive (SOF2), hierarchical/arithmetic
+# frames and 12-bit precision raise NotImplementedError — loud, never a
+# wrong value.  The IDCT is the exact separable 8x8 basis (numpy
+# einsum), not an integer approximation.
+#
+# Encoder: baseline, quality-scaled Annex K tables, optional 4:2:0
+# subsampling and restart intervals — exists so the decoder's
+# upsampling/restart paths are testable in a container with no codec
+# library, and as the write side for resize_images on JPEG payloads.
+
+import numpy as _np
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# IDCT basis: x = C^T @ X @ C with C[u,k] = c(u) cos((2k+1)u pi/16)/2
+_C = _np.zeros((8, 8))
+for u in range(8):
+    cu = (0.5 / _np.sqrt(2.0)) if u == 0 else 0.5
+    for k in range(8):
+        _C[u, k] = cu * _np.cos((2 * k + 1) * u * _np.pi / 16.0)
+
+
+def _idct2(block):  # block: (...,8,8) float
+    return _np.einsum("uk,...uv,vl->...kl", _C, block, _C)
+
+
+def _fdct2(block):
+    return _np.einsum("ku,...kl,lv->...uv", _C.T, block, _C.T)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing
+    and RSTn awareness."""
+    def __init__(self, data, pos):
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24:
+            if self.p >= len(self.d):
+                self.acc = (self.acc << 8) & 0xFFFFFFFF | 0
+                self.n += 8
+                continue
+            b = self.d[self.p]
+            if b == 0xFF:
+                nxt = self.d[self.p + 1] if self.p + 1 < len(self.d) else 0
+                if nxt == 0x00:
+                    self.p += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: caller resyncs via sync_restart()
+                    b = 0  # pad with zeros until resync
+                    self.acc = ((self.acc << 8) | 0) & 0xFFFFFFFF
+                    self.n += 8
+                    continue
+                else:
+                    # EOI or other marker: pad
+                    self.acc = ((self.acc << 8) | 0) & 0xFFFFFFFF
+                    self.n += 8
+                    continue
+            else:
+                self.p += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+            self.n += 8
+
+    def bits(self, k):
+        if k == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        return v
+
+    def sync_restart(self):
+        """Skip to just past the next RSTn marker, clearing bit state."""
+        self.acc = 0
+        self.n = 0
+        p = self.p
+        while p + 1 < len(self.d):
+            if self.d[p] == 0xFF and 0xD0 <= self.d[p + 1] <= 0xD7:
+                self.p = p + 2
+                return
+            p += 1
+        self.p = len(self.d)
+
+
+def _build_huff(counts, symbols):
+    """code -> (length, symbol) lookup dict keyed by (length, code)."""
+    lut = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+def _huff_decode(br, lut):
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bits(1)
+        s = lut.get((length, code))
+        if s is not None:
+            return s
+    raise ValueError("bad huffman code")
+
+
+def _extend(v, t):
+    # JPEG F.2.2.1 EXTEND
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(payload: bytes):
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    p = 2
+    qt = {}
+    huff_dc, huff_ac = {}, {}
+    frame = None
+    ri = 0
+    n = len(payload)
+    while p + 4 <= n:
+        if payload[p] != 0xFF:
+            p += 1
+            continue
+        m = payload[p + 1]
+        if m == 0xD8 or (0xD0 <= m <= 0xD7) or m == 0x01:
+            p += 2
+            continue
+        if m == 0xD9:
+            break
+        seglen = struct.unpack(">H", payload[p + 2:p + 4])[0]
+        seg = payload[p + 4:p + 2 + seglen]
+        if m == 0xDB:  # DQT
+            q = 0
+            while q < len(seg):
+                pq, tq = seg[q] >> 4, seg[q] & 15
+                q += 1
+                if pq == 0:
+                    tbl = list(seg[q:q + 64]); q += 64
+                else:
+                    tbl = list(struct.unpack(">64H", seg[q:q + 128])); q += 128
+                zz = _np.zeros(64)
+                for i, z in enumerate(_ZIGZAG):
+                    zz[z] = tbl[i]
+                qt[tq] = zz.reshape(8, 8)
+        elif m in (0xC0, 0xC1):  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
+                struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
+                              "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif m == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG frame type")
+        elif m == 0xC4:  # DHT
+            q = 0
+            while q < len(seg):
+                tc, th = seg[q] >> 4, seg[q] & 15
+                counts = list(seg[q + 1:q + 17])
+                nsym = sum(counts)
+                syms = list(seg[q + 17:q + 17 + nsym])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _build_huff(counts, syms)
+                q += 17 + nsym
+        elif m == 0xDD:  # DRI
+            ri = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scomp = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scomp.append({"cs": cs, "td": tt >> 4, "ta": tt & 15})
+            data_start = p + 2 + seglen
+            return _jpg_decode_scan(payload, data_start, frame, scomp, qt,
+                                huff_dc, huff_ac, ri)
+        p += 2 + seglen
+    raise ValueError("no SOS in JPEG")
+
+
+def _jpg_decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, ri):
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    br = _BitReader(data, pos)
+    planes = []
+    for c in comps:
+        cw, ch = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(_np.zeros((ch, cw)))
+    spec = {s["cs"]: s for s in scomp}
+    pred = [0] * len(comps)
+    nmcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and nmcu and nmcu % ri == 0:
+                br.sync_restart()
+                pred = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                s = spec[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = _np.zeros(64)
+                        t = _huff_decode(br, huff_dc[s["td"]])
+                        diff = _extend(br.bits(t), t) if t else 0
+                        pred[ci] += diff
+                        blk[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(br, huff_ac[s["ta"]])
+                            r, sz = rs >> 4, rs & 15
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                break
+                            blk[_ZIGZAG[k]] = _extend(br.bits(sz), sz)
+                            k += 1
+                        q8 = blk.reshape(8, 8) * qt[c["tq"]]
+                        px = _idct2(q8) + 128.0
+                        y0, x0 = (my * c["v"] + by) * 8, \
+                            (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            nmcu += 1
+    # upsample to full size and color-convert
+    out = []
+    for ci, c in enumerate(comps):
+        pl = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            pl = _np.repeat(_np.repeat(pl, vmax // c["v"], axis=0),
+                           hmax // c["h"], axis=1)
+        out.append(pl[:h, :w])
+    if len(out) == 1:
+        y = _np.clip(out[0], 0, 255)
+        rgb = _np.stack([y, y, y], axis=-1)
+    else:
+        y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = _np.clip(_np.stack([r, g, b], axis=-1), 0, 255)
+    return w, h, _np.round(rgb).astype(_np.uint8).tobytes()
+
+
+# ---- encoder (baseline, 4:4:4, Annex K tables) -------------------------
+
+_K_LUM_Q = _np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103,
+    99]).reshape(8, 8)
+_K_CHR_Q = _np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99]).reshape(8, 8)
+# Annex K huffman specs: (counts[16], symbols)
+_K_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+             list(range(12)))
+_K_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+_K_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_K_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _enc_table(counts, symbols):
+    """symbol -> (code, length)"""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v, k):
+        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.bits((1 << pad) - 1, pad)
+
+
+def _scale_q(tbl, quality):
+    quality = max(1, min(100, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = _np.floor((tbl * s + 50) / 100)
+    return _np.clip(q, 1, 255)
+
+
+def _enc_block(bw, blk, q, dct, act, pred, ci):
+    coef = _np.round(_fdct2(blk) / q).astype(int)
+    zz = [int(coef.flat[_ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - pred[ci]
+    pred[ci] = zz[0]
+    t = diff if diff >= 0 else -diff
+    sz = t.bit_length()
+    code, ln = dct[sz]
+    bw.bits(code, ln)
+    if sz:
+        v = diff if diff >= 0 else diff + (1 << sz) - 1
+        bw.bits(v, sz)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = act[0xF0]
+            bw.bits(code, ln)
+            run -= 16
+        t = v if v >= 0 else -v
+        sz = t.bit_length()
+        code, ln = act[(run << 4) | sz]
+        bw.bits(code, ln)
+        vv = v if v >= 0 else v + (1 << sz) - 1
+        bw.bits(vv, sz)
+        run = 0
+    if last < 63:
+        code, ln = act[0x00]
+        bw.bits(code, ln)
+
+
+def encode_jpeg(width, height, rgb: bytes, quality=85,
+                subsample=False, restart_interval=0) -> bytes:
+    """Baseline JPEG encoder.  ``subsample=True`` emits 4:2:0 chroma
+    (2x2-averaged), exercising the decoder's upsampling path;
+    ``restart_interval=N`` emits DRI + RSTn markers every N MCUs."""
+    px = _np.frombuffer(rgb, dtype=_np.uint8).reshape(height, width, 3) \
+        .astype(_np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qlum = _scale_q(_K_LUM_Q, quality)
+    qchr = _scale_q(_K_CHR_Q, quality)
+    dc_l = _enc_table(*_K_DC_LUM); ac_l = _enc_table(*_K_AC_LUM)
+    dc_c = _enc_table(*_K_DC_CHR); ac_c = _enc_table(*_K_AC_CHR)
+    bw = _BitWriter()
+    hs = vs = 2 if subsample else 1
+    mcu_w, mcu_h = 8 * hs, 8 * vs
+    mbx = (width + mcu_w - 1) // mcu_w
+    mby = (height + mcu_h - 1) // mcu_h
+
+    def pad(pl, bh, bw_):
+        return _np.pad(pl, ((0, bh - pl.shape[0]), (0, bw_ - pl.shape[1])),
+                      mode="edge")
+
+    yp = pad(y, mby * mcu_h, mbx * mcu_w)
+    if subsample:
+        cbp = pad(cb, mby * mcu_h, mbx * mcu_w)
+        crp = pad(cr, mby * mcu_h, mbx * mcu_w)
+        cbp = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2) \
+            .mean(axis=(1, 3))
+        crp = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2) \
+            .mean(axis=(1, 3))
+    else:
+        cbp = pad(cb, mby * 8, mbx * 8)
+        crp = pad(cr, mby * 8, mbx * 8)
+    pred = [0, 0, 0]
+    nmcu = 0
+    rstn = 0
+    for my in range(mby):
+        for mx in range(mbx):
+            if restart_interval and nmcu and nmcu % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + rstn])
+                rstn = (rstn + 1) % 8
+                pred = [0, 0, 0]
+            for by in range(vs):
+                for bx in range(hs):
+                    y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    _enc_block(bw, yp[y0:y0+8, x0:x0+8] - 128.0, qlum,
+                               dc_l, ac_l, pred, 0)
+            _enc_block(bw, cbp[my*8:my*8+8, mx*8:mx*8+8] - 128.0, qchr,
+                       dc_c, ac_c, pred, 1)
+            _enc_block(bw, crp[my*8:my*8+8, mx*8:mx*8+8] - 128.0, qchr,
+                       dc_c, ac_c, pred, 2)
+            nmcu += 1
+    bw.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    def dqt(tid, q):
+        zz = bytes(int(q.flat[_ZIGZAG[i]]) for i in range(64))
+        return seg(0xDB, bytes([tid]) + zz)
+
+    def dht(tc, th, spec):
+        counts, syms = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts)
+                   + bytes(syms))
+
+    out = bytearray(b"\xff\xd8")
+    out += dqt(0, qlum) + dqt(1, qchr)
+    samp = 0x22 if subsample else 0x11
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([3]) \
+        + bytes([1, samp, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += seg(0xC0, sof)
+    out += dht(0, 0, _K_DC_LUM) + dht(1, 0, _K_AC_LUM)
+    out += dht(0, 1, _K_DC_CHR) + dht(1, 1, _K_AC_CHR)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def _rgb_features(px: bytes, w: int, h: int) -> list[float]:
     """FEATURE_DIM(16) real image features from row-major RGB bytes:
     mean R/G/B, overall mean luma, then a 4x3 grid of cell mean lumas —
@@ -336,13 +826,17 @@ def _rgb_features(px: bytes, w: int, h: int) -> list[float]:
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """REAL image decode for the codec-less sandbox: PNG (8-bit,
-    stdlib-zlib inflate), the full binary Netpbm family — PPM (P6),
-    PGM (P5), PBM (P4) — and uncompressed 24-bit BMP all parse
-    natively (pure Python); formats that genuinely need codec
-    libraries (JPEG/WebP/...) raise NotImplementedError so the error
-    surfaces in ``decode_error`` instead of a wrong value."""
-    if payload[:8] == _PNG_SIG:
+    """REAL image decode for the codec-less sandbox: baseline JPEG
+    (huffman + exact 8x8 IDCT, 4:4:4/4:2:2/4:2:0, restart markers),
+    PNG (8-bit, stdlib-zlib inflate), the full binary Netpbm family —
+    PPM (P6), PGM (P5), PBM (P4) — and uncompressed 24-bit BMP all
+    parse natively (pure Python + numpy); formats that genuinely need
+    codec libraries (WebP, progressive JPEG, ...) raise
+    NotImplementedError so the error surfaces in ``decode_error``
+    instead of a wrong value."""
+    if payload[:2] == b"\xff\xd8":
+        w, h, px = _decode_jpeg(payload)
+    elif payload[:8] == _PNG_SIG:
         w, h, px = _decode_png(payload)
     elif payload[:2] == b"P6":
         w, h, px = _decode_ppm(payload)
@@ -355,9 +849,9 @@ def decode_image_real(payload: bytes) -> dict:
     else:
         raise NotImplementedError(
             "codec libraries (PIL/soundfile/ffmpeg) are not installed in "
-            "this environment; PNG, Netpbm P4/P5/P6 and 24-bit BMP "
-            "decode natively, other formats need a library or the "
-            "deterministic fake")
+            "this environment; baseline JPEG, PNG, Netpbm P4/P5/P6 and "
+            "24-bit BMP decode natively, other formats need a library "
+            "or the deterministic fake")
     return {"width": w, "height": h, "features": _rgb_features(px, w, h)}
 
 
@@ -621,6 +1115,10 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
         w, h, px = _decode_png(payload)
         return encode_png(width, height,
                           _resize_rgb_nearest(px, w, h, width, height))
+    if payload[:2] == b"\xff\xd8":
+        w, h, px = _decode_jpeg(payload)
+        return encode_jpeg(width, height,
+                           _resize_rgb_nearest(px, w, h, width, height))
     return _fake_resize(payload, width, height)
 
 
