@@ -1012,6 +1012,22 @@ def q_dedup_decontaminate(spark, sf_dir):
     return dedup.decontaminate(docs, ref, n=8).select("doc_id")
 
 
+def q_dedup_decontaminate_bloom(spark, sf_dir):
+    """Same contract as q_dedup_decontaminate, via the Bloom-prefilter
+    path (functions/dedup.py decontaminate_bloom): reference shingles
+    compress to a ~12-bit/key bitset broadcast instead of a string-set
+    broadcast, the corpus membership test is a map-side Arrow bit
+    gather with NO join, and the exact-confirm join sees only true
+    hits + ~0.1% false positives.  The oracle is the SAME SQL as the
+    exact path — the Bloom is pure plan shape, never visible in the
+    result."""
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 17 == 0)
+    return dedup.decontaminate_bloom(docs, ref, n=8).select("doc_id")
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (dup-token / top-unigram /
     top-bigram fractions) — one scan, one tagged explode, two
@@ -1509,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_plans.py, top_users/stats~sketch_topk/
         # windowed) — their slots fund the 10 round-6 ops the
         # driver had never graded
+        "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "ds_ignore": q_ds_ignore,
         "ds_unique": q_ds_unique,
         "text_langid": q_text_langid,
@@ -1994,6 +2011,11 @@ FROM documents""",
         "dedup_simhash": dedup.simhash_pairs_sql(),
         "dedup_jaccard": dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2),
         "dedup_decontaminate": "SELECT doc_id FROM ("
+        + dedup.decontaminate_sql(ref_where="doc_id % 17 = 0", n=8)
+        + ") q",
+        # the Bloom path must produce the EXACT decontaminate result
+        # (prefilter + exact confirm) — same oracle by construction
+        "dedup_decontaminate_bloom": "SELECT doc_id FROM ("
         + dedup.decontaminate_sql(ref_where="doc_id % 17 = 0", n=8)
         + ") q",
         "dedup_components": dedup.dup_components_sql(

@@ -434,6 +434,59 @@ class TestDecontaminate:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_bloom_path_equals_exact(self, spark):
+        """decontaminate_bloom is a plan-shape variant: the prefilter's
+        false positives die in the exact-confirm join, so the output
+        must equal decontaminate() exactly — drop AND flag modes."""
+        from tuplex_spark.functions.dedup import (decontaminate,
+                                                  decontaminate_bloom)
+        docs = self._corpus(spark)
+        ref = docs.filter("doc_id = 1")
+        for kwargs in ({"n": 8}, {"n": 8, "min_overlap": 3},
+                       {"n": 8, "mode": "flag"}):
+            a = sorted(map(tuple,
+                           decontaminate(docs, ref, **kwargs).collect()))
+            b = sorted(map(tuple,
+                           decontaminate_bloom(docs, ref,
+                                               **kwargs).collect()))
+            assert a == b, kwargs
+
+    def test_bloom_has_no_false_negatives_tiny_filter(self, spark):
+        """Even a deliberately DENSE bitset (1 bit/key, high fpp) can
+        only ADD prefilter survivors — never lose a true hit — because
+        every reference shingle's own bits are set by construction."""
+        from tuplex_spark.functions.dedup import (decontaminate,
+                                                  decontaminate_bloom)
+        docs = self._corpus(spark)
+        ref = docs.filter("doc_id = 1")
+        a = sorted(r["doc_id"]
+                   for r in decontaminate(docs, ref, n=8).collect())
+        b = sorted(r["doc_id"]
+                   for r in decontaminate_bloom(
+                       docs, ref, n=8, bits_per_key=1,
+                       num_hashes=1).collect())
+        assert a == b
+
+    def test_bloom_corpus_side_has_no_prefilter_join(self, spark):
+        """The membership test must be a map-side Arrow bit gather, not
+        a join: upstream of the exact-confirm join's corpus side there
+        is exactly the ArrowEvalPython filter, and the plan's only
+        joins are the confirm + final anti join."""
+        import os
+        from conftest import SF_DIR
+        from tuplex_spark.functions.dedup import decontaminate_bloom
+        docs = spark.read.parquet(os.path.join(SF_DIR,
+                                               "documents.parquet"))
+        ref = docs.filter("doc_id % 17 = 0")
+        out = decontaminate_bloom(docs, ref, n=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan
+        assert "CartesianProduct" not in plan
+        import re
+        njoins = len(re.findall(r"(BroadcastHashJoin|SortMergeJoin|"
+                                r"ShuffledHashJoin)", plan))
+        assert njoins <= 2, plan
+
 
 class TestDupComponents:
     def test_chain_star_and_islands(self, spark):

@@ -237,6 +237,97 @@ def decontaminate(df: DataFrame, ref: DataFrame,
     return df.join(hits, df[id_col] == F.col("__hit_id"), "left_anti")
 
 
+def decontaminate_bloom(df: DataFrame, ref: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        ref_text_col: str | None = None,
+                        n: int = 8, min_overlap: int = 1,
+                        mode: str = "drop",
+                        bits_per_key: int = 12, num_hashes: int = 4,
+                        n_ref: int | None = None) -> DataFrame:
+    """Decontamination via a Bloom prefilter — the 100 TB shape when the
+    reference set is too large to broadcast as shingle STRINGS.
+
+    :func:`decontaminate` broadcasts the distinct reference shingles
+    verbatim; at ~60 bytes per 8-gram a 1B-shingle benchmark suite is a
+    ~60 GB broadcast.  A Bloom filter at 12 bits/key is ~1.5 GB for the
+    same set — and the corpus-side membership test needs NO join at
+    all: the bitset ships once per executor and ~99% of clean shingles
+    die map-side.  Survivors (true hits + ~0.1% false positives at
+    these defaults) then take the ordinary exact-confirm join, so the
+    RESULT is bitwise-identical to decontaminate() — the oracle twin is
+    the same SQL, the Bloom is pure plan shape.
+
+    Build: k xxhash64 bit positions per reference shingle (JVM-side,
+    whole-stage codegen) -> positions pack into 64-bit words via a
+    bit_or aggregation (the shuffle and the driver collect are bounded
+    by the BITSET size in words, never by the number of reference
+    shingles) -> numpy bitset, broadcast via SparkContext.  Probe: the
+    k positions are computed JVM-side on corpus shingles; the only
+    Python is an Arrow-vectorized bitset gather (numpy fancy index).
+    """
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"decontaminate mode={mode!r}")
+    import numpy as np
+    import pandas as pd
+    ref_text = ref_text_col or text_col
+    rsh = (ref.select(tokens(ref_text).alias("__toks"))
+           .filter(F.size("__toks") >= n)
+           .select(F.explode(
+               word_shingles_from(F.col("__toks"), n)).alias("s"))
+           .distinct())
+    if n_ref is None:
+        n_ref = rsh.count()
+    m_bits = max(1024, bits_per_key * max(n_ref, 1))
+    k = num_hashes
+
+    def positions(col: Column) -> list[Column]:
+        return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+                for i in range(k)]
+
+    words = (rsh.select(F.explode(F.array(*positions(F.col("s"))))
+                        .alias("p"))
+             .select((F.col("p") / 64).cast("long").alias("w"),
+                     F.expr("shiftleft(1L, cast(p % 64 as int))")
+                     .alias("m"))
+             .groupBy("w").agg(F.expr("bit_or(m)").alias("bits")))
+    arr = np.zeros((m_bits + 63) // 64, dtype=np.int64)
+    for r in words.collect():
+        arr[r["w"]] = r["bits"]
+    bc = df.sparkSession.sparkContext.broadcast(arr.tobytes())
+
+    @F.pandas_udf("boolean")
+    def maybe_contains(ps: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint64)
+        P = np.vstack(ps.to_numpy()).astype(np.int64)
+        w = (P >> 6).astype(np.int64)
+        b = (P & 63).astype(np.uint64)
+        hit = (bits[w] >> b) & np.uint64(1)
+        return pd.Series((hit != 0).all(axis=1))
+
+    dsh = _staged_shingles(df, text_col, id_col, n) \
+        .select("id", F.explode("sh").alias("s"))
+    survivors = (dsh
+                 .withColumn("__ps", F.array(*positions(F.col("s"))))
+                 .filter(maybe_contains(F.col("__ps")))
+                 .select("id", "s"))
+    # exact confirm kills Bloom false positives: survivors are sparse
+    # (true hits + fpp of the corpus shingles), so this join is small
+    # regardless of corpus size
+    hits = (survivors.join(rsh, "s")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+            .filter(F.col("n_overlap") >= min_overlap)
+            .select(F.col("id").alias("__hit_id"), "n_overlap"))
+    if mode == "flag":
+        out = df.join(hits, df[id_col] == F.col("__hit_id"), "left")
+        return out.select(
+            *df.columns,
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) >= min_overlap)
+            .alias("contaminated"))
+    return df.join(hits, df[id_col] == F.col("__hit_id"), "left_anti")
+
+
 def decontaminate_sql(table="documents", ref_where="TRUE",
                       text_col="text", id_col="doc_id",
                       n=8, min_overlap=1) -> str:
