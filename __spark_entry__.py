@@ -1373,6 +1373,19 @@ def q_sample_temperature(spark, sf_dir):
         F.max("doc_id").alias("max_id"))
 
 
+def q_sample_quota(spark, sf_dir):
+    """Per-source quota cap (<=40 docs per source, deterministic md5
+    hash order) — the corpus-balancing pass that stops giant domains
+    from dominating a crawl.  The row_number window lowers to a
+    map-side-pruning WindowGroupLimit: one shuffle, nothing unbounded
+    (functions/sampling.py quota_sample)."""
+    from tuplex_spark.functions import sampling
+    _prep(spark)
+    kept = sampling.quota_sample(_t(spark, sf_dir, "documents"),
+                                 "source", "doc_id", cap=40)
+    return kept.select("doc_id", "source")
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered signup->click->purchase funnel: greedy min-timestamp
     chase, all steps partial-aggregated on the user key
@@ -1526,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windowed) — their slots fund the 10 round-6 ops the
         # driver had never graded
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
+        "sample_quota": q_sample_quota,
         "ds_ignore": q_ds_ignore,
         "ds_unique": q_ds_unique,
         "text_langid": q_text_langid,
@@ -2143,6 +2157,11 @@ FROM numbered GROUP BY user_id, session_no""",
             + sampling_mod.temperature_sample_sql(
                 "documents", "lang", "doc_id", alpha=0.5)
             + ") GROUP BY lang"),
+        "sample_quota": (
+            "SELECT doc_id, source FROM ("
+            + sampling_mod.quota_sample_sql(
+                "documents", "source", "doc_id", cap=40)
+            + ") q"),
         "events_funnel": analytics_mod.funnel_sql(
             ["signup", "click", "purchase"]),
         "events_retention": """

@@ -689,6 +689,43 @@ class TestChunkDedup:
             chunk_dedup(docs, chunk_tokens=0)
 
 
+class TestQuotaSample:
+    def test_cap_enforced_and_deterministic(self, spark):
+        from tuplex_spark.functions.sampling import quota_sample
+        rows = [(i, f"dom{i % 3}") for i in range(90)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        kept = quota_sample(df, "source", "doc_id", cap=7)
+        got = {r["source"]: [] for r in kept.collect()}
+        for r in kept.collect():
+            got[r["source"]].append(r["doc_id"])
+        assert all(len(v) == 7 for v in got.values()), got
+        # repartitioning must not change the selected set
+        kept2 = quota_sample(df.repartition(13), "source", "doc_id",
+                             cap=7)
+        assert sorted(map(tuple, kept.collect())) == \
+            sorted(map(tuple, kept2.collect()))
+        # groups under the cap keep everything
+        small = quota_sample(df.filter("doc_id < 4"), "source",
+                             "doc_id", cap=7)
+        assert small.count() == 4
+
+    def test_map_side_group_limit_prunes_before_shuffle(self, spark):
+        """The quota cap must be STRUCTURAL like the LSH bucket cap: a
+        Partial WindowGroupLimit prunes each map task's output before
+        the exchange, so one giant domain can never ship its whole
+        group through the shuffle."""
+        import os
+        from conftest import SF_DIR
+        from tuplex_spark.functions.sampling import quota_sample
+        docs = spark.read.parquet(os.path.join(SF_DIR,
+                                               "documents.parquet"))
+        plan = quota_sample(docs, "source", "doc_id", cap=40) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        i = plan.index("WindowGroupLimit")
+        assert "Partial" in plan[i:], plan[:2000]
+
+
 class TestTemperatureSample:
     def _mk(self, spark):
         rows = [(i, "big") for i in range(8)] + [(100, "small"),

@@ -201,3 +201,44 @@ WITH counts AS (
 )
 SELECT t.* FROM {table} t JOIN probs p ON t.{strata_col} = p.stratum
 WHERE {_hash_bucket_sql(f"t.{key_col}", salt)} < p.cut"""
+
+
+def quota_sample(df: DataFrame, group_col: str, key_col: str,
+                 cap: int, salt: str = "quota") -> DataFrame:
+    """Per-group quota cap: keep at most ``cap`` rows per ``group_col``
+    value (domain, source, language), chosen deterministically by the
+    content-addressed md5 hash order of ``key_col`` — the standard
+    corpus-balancing pass that stops a handful of giant domains from
+    dominating a crawl.
+
+    Which rows survive is a pure function of the data: the per-group
+    "first cap rows" ordering is (hash(key), key), so membership is
+    stable under repartitioning/executor count and the DuckDB oracle
+    (QUALIFY row_number) selects the identical row set.
+
+    Scale shape: ONE shuffle on group_col; the row_number window lowers
+    to WindowGroupLimit, whose *Partial* mode prunes each map task's
+    output to cap rows per group BEFORE the exchange — a group with
+    100M rows ships at most cap * n_input_partitions rows, never the
+    group (same structural-skew-guard shape as the LSH bucket cap,
+    plan-asserted in tests).  A hash_sample-style fraction can't do
+    quotas: fractions scale with group size, caps don't."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    from pyspark.sql import Window
+    h = _hash_bucket(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(),
+                                              F.col(key_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn"))
+
+
+def quota_sample_sql(table: str, group_col: str, key_col: str,
+                     cap: int, salt: str = "quota") -> str:
+    """DuckDB twin — identical hash order, identical cut."""
+    h = _hash_bucket_sql(key_col, salt)
+    return f"""
+SELECT * FROM {table}
+QUALIFY row_number() OVER (
+  PARTITION BY {group_col} ORDER BY {h}, {key_col}) <= {cap}"""
