@@ -769,16 +769,37 @@ class TestPercentFormat:
         run_diff(ctx, [30, 55], lambda x: "%d%%" % x, expect_compiled=True)
 
     def test_unsupported_spec_falls_back(self, ctx):
-        # %x, %e and %r compile since round 6; %c and dynamic format
-        # strings remain outside the audited subset
+        # %x, %e and %r compile since round 6, %c since round 7; dynamic
+        # format strings remain outside the audited subset
         run_diff(ctx, [255.5, 16.25], lambda x: "%e" % x,
                  expect_compiled=True)
         run_diff(ctx, [255.5, 16.25], lambda x: "%r|%10r|%.2r" % (x, x, x),
                  expect_compiled=True)
         run_diff(ctx, ["a'b", "x"], lambda s: "%r|%-8r" % (s, s),
                  expect_compiled=True)
-        run_diff(ctx, [65, 66], lambda x: "%c" % x,
+        # genuinely dynamic format string (width from the row) — the
+        # one %-format shape still outside the compiled subset
+        run_diff(ctx, [1, 3], lambda x: ("%" + str(x) + "d") % x,
                  expect_compiled=False)
+
+    def test_percent_c(self, ctx):
+        run_diff(ctx, [65, 97, 955, 8364, 0x1F600, 0x10FFFF, 0, True],
+                 lambda x: "%c!" % x, expect_compiled=True)
+        # width / left-align / CPython-ignored 0 flag and precision
+        run_diff(ctx, [65, 8364], lambda x: "%5c|%-5c|%05c|%.2c"
+                 % (x, x, x, x), expect_compiled=True)
+        # 1-char strings pass through; longer ones are TypeError rows
+        run_diff(ctx, ["a", "€"], lambda s: "%c" % s,
+                 expect_compiled=True)
+        ds = run_diff(ctx, ["a", "ab", ""], lambda s: "%c" % s,
+                      expect_compiled=True)
+        assert ds.exception_counts == {"TypeError": 2}
+        ds = run_diff(ctx, [65, -1, 0x110000], lambda x: "%c" % x,
+                      expect_compiled=True)
+        assert ds.exception_counts == {"OverflowError": 2}
+        ds = run_diff(ctx, [3.0, 2.5], lambda x: "%c" % x,
+                      expect_compiled=True)
+        assert ds.exception_counts == {"TypeError": 2}
 
 
 class TestFallbackFilterTruthiness:
@@ -2469,12 +2490,24 @@ class TestTranslateMaketrans:
         ds = run_diff(ctx, ["a", "ab", ""], lambda s: ord(s),
                       expect_compiled=True)
         assert ds.exception_counts == {"TypeError": 2}
-        # dynamic chr falls back (Spark char() is mod-256 — wrong past
-        # latin-1); constant chr folds
-        run_diff(ctx, [65, 97, 8364], lambda x: chr(x),
-                 expect_compiled=False)
+        # dynamic chr compiles via UTF-32 decode (Spark's own char() is
+        # mod-256, wrong past latin-1); constant chr folds
+        run_diff(ctx, [65, 97, 955, 8364, 0x4E2D, 0x1F600, 0x10FFFF, 0],
+                 lambda x: chr(x), expect_compiled=True)
         run_diff(ctx, [1, 2], lambda x: chr(8364) * x,
                  expect_compiled=True)
+        ds = run_diff(ctx, [65, -1, 0x110000], lambda x: chr(x),
+                      expect_compiled=True)
+        assert ds.exception_counts == {"ValueError": 2}
+
+    def test_chr_surrogate_is_loud_not_wrong(self, ctx):
+        """CPython's chr(0xD800) returns a lone surrogate — a string
+        that cannot exist in UTF-8/Arrow.  The engine raises a
+        RuntimeError row instead of silently yielding U+FFFD."""
+        ds = ctx.parallelize([0xD7FF, 0xD800, 0xDFFF, 0xE000]) \
+            .map(lambda x: len(chr(x)))
+        assert ds.collect() == [1, 1]
+        assert ds.exception_counts == {"RuntimeError": 2}
 
 
 class TestTimestampStr:
@@ -3443,6 +3476,8 @@ class TestFormatSpecFuzz:
             typ = rng.choice(["d", "i", "x", "X", "o"])
             if typ in ("x", "X", "o"):
                 prec = None  # precision with %x: honest fallback
+        elif family == "char":
+            typ = "c"
         else:
             typ = rng.choice(["s", "r"])
         p = "" if prec is None else f".{prec}"
@@ -3483,6 +3518,22 @@ class TestFormatSpecFuzz:
     def test_fuzz_printf_str(self, ctx, tmp_path):
         self._run_printf(ctx, tmp_path, "str", self.VALS_STR, 0xF00,
                          nfuncs=3)
+
+    def test_printf_width_counts_characters_not_utf16_units(self, ctx):
+        """Latent bug caught by the %c fuzzer and fixed for %s/%r too:
+        java's '%12s' pads by UTF-16 code units, so an astral char
+        (2 units) came back one space short of CPython."""
+        run_diff(ctx, ["😀", "ab", "€"],
+                 lambda s: "%5s|%-5s|%.1s" % (s, s, s),
+                 expect_compiled=True)
+        run_diff(ctx, ["😀x", "a"],
+                 lambda s: "%8r" % s, expect_compiled=True)
+
+    def test_fuzz_printf_char(self, ctx, tmp_path):
+        # valid non-surrogate codepoints across ASCII/BMP/astral
+        self._run_printf(ctx, tmp_path, "char",
+                         [65, 48, 955, 8364, 0x4E2D, 0x1F600, 1,
+                          0x10FFFF], 0xC0DE, nfuncs=3)
 
     def test_minus_flag_without_width(self, ctx):
         # '-' with no width: CPython no-op; java MissingFormatWidth

@@ -2994,7 +2994,7 @@ class Translator:
             raise CompileError("dynamic %-format string")
         fmt = l.value
         spec = _re_mod.compile(
-            r"%(?:%|[-+0 #]*\d*(?:\.\d+)?[sdifxXoeEgGr])")
+            r"%(?:%|[-+0 #]*\d*(?:\.\d+)?[sdifxXoeEgGrc])")
         specs = [m for m in spec.findall(fmt) if m != "%%"]
         # every % must belong to a recognized specifier
         if spec.sub("", fmt).count("%"):
@@ -3118,6 +3118,41 @@ class Translator:
                     else:
                         cols.append(c)
                         out += "%d"
+                elif m.endswith("c"):
+                    # %c: chr() of an int/bool, identity for a 1-char
+                    # str.  CPython IGNORES the 0/+/space/# flags AND
+                    # precision here ('%05c' % 65 == '    A',
+                    # '%.2c' % 65 == 'A'); only '-' and width act.
+                    pm = _re_mod.match(r"%([-+0 #]*)(\d*)(?:\.(\d+))?$",
+                                       m[:-1])
+                    flags, width, _prc = pm.groups()
+                    cmsg = "%c requires int or char"
+                    if a.tag in ("int", "bool") \
+                            or (isinstance(a, SConst)
+                                and isinstance(a.value, (int, bool))):
+                        c = self.to_col(a).cast("long")
+                        if getattr(a, "nullable", False):
+                            self.guard(c.isNull(), "TypeError",
+                                       msg=cmsg)
+                        self._guard_chr_range(
+                            c, "OverflowError",
+                            "%c arg not in range(0x110000)")
+                        body = self._chr_col(c)
+                    elif a.tag == "str" or (isinstance(a, SConst)
+                                            and isinstance(a.value,
+                                                           str)):
+                        sc = self.to_col(a)
+                        if getattr(a, "nullable", False):
+                            self.guard(sc.isNull(), "TypeError",
+                                       msg=cmsg)
+                        self.guard(F.length(sc) != 1, "TypeError",
+                                   msg=cmsg)
+                        body = sc
+                    else:
+                        self.guard(F.lit(True), "TypeError", msg=cmsg)
+                        body = F.lit("")
+                    cols.append(self._pad_str(body, flags, width, None))
+                    out += "%s"
                 elif m.endswith("r"):
                     # %r: repr(), then %s-style width/precision apply
                     # to the repr text ('%.2r' truncates it); flags
@@ -3125,23 +3160,39 @@ class Translator:
                     pm = _re_mod.match(r"%([-+0 #]*)(\d*)(?:\.(\d+))?$",
                                        m[:-1])
                     flags, width, prc = pm.groups()
-                    cols.append(self._repr_col(a))
-                    # '-' without width: CPython no-op, java throws
-                    out += "%" + ("-" if "-" in flags and width
-                                  else "") + width \
-                        + (f".{prc}" if prc is not None else "") + "s"
+                    cols.append(self._pad_str(self._repr_col(a),
+                                              flags, width, prc))
+                    out += "%s"
                 else:
                     # %s: CPython IGNORES '+'/' '/'#'/'0' here
-                    # ('%05s' % 'ab' == '   ab'); java throws on them
+                    # ('%05s' % 'ab' == '   ab')
                     pm = _re_mod.match(r"%([-+0 #]*)(\d*)(?:\.(\d+))?$",
                                        m[:-1])
                     flags, width, prc = pm.groups()
-                    cols.append(self._to_str(a))
-                    # '-' without width: CPython no-op, java throws
-                    out += "%" + ("-" if "-" in flags and width
-                                  else "") + width \
-                        + (f".{prc}" if prc is not None else "") + "s"
+                    cols.append(self._pad_str(self._to_str(a),
+                                              flags, width, prc))
+                    out += "%s"
         return SCol(F.format_string(out, *cols), "str")
+
+    @staticmethod
+    def _pad_str(body: Column, flags: str, width: str,
+                 prc: str | None) -> Column:
+        """%s/%r/%c width/precision by CHARACTER count.  Passing the
+        width through to java's Formatter ('%12s') counts UTF-16 code
+        UNITS — an astral char (emoji, U+10000+) is 2 units, so java
+        pads one space short of CPython (fuzzer catch).  Spark's own
+        length()/substring() count codepoints, so the padding is built
+        manually; java's Formatter also THROWS on '-' without width
+        and on any of '+0 #', all of which CPython ignores here."""
+        if prc is not None:
+            body = F.substring(body, 1, int(prc))
+        if width:
+            padn = F.greatest(F.lit(int(width)) - F.length(body),
+                              F.lit(0)).cast("int")
+            pad = F.repeat(F.lit(" "), padn)
+            body = F.concat(body, pad) if "-" in flags \
+                else F.concat(pad, body)
+        return body
 
     def _guard_nulls(self, *syms, msg=None):
         for s in syms:
@@ -4367,6 +4418,23 @@ class Translator:
             return SCol(F.ascii(a.col).cast("long"), "int", a.nullable)
         raise CompileError(f"ord({getattr(a, 'tag', '?')})")
 
+    @staticmethod
+    def _chr_col(c: Column) -> Column:
+        """chr(n) as a Column: big-endian UTF-32 bytes of the codepoint,
+        decoded — faithful for every valid non-surrogate codepoint
+        (Spark's own char() is chr(n % 256), wrong past latin-1)."""
+        hexed = F.lpad(F.hex(c.cast("long")), 8, "0")
+        return F.decode(F.unhex(hexed), "UTF-32")
+
+    def _guard_chr_range(self, c: Column, exc: str, msg: str) -> None:
+        self.guard((c < 0) | (c > 0x10FFFF), exc, msg=msg)
+        # lone surrogates: CPython's chr() SUCCEEDS, but the resulting
+        # string cannot exist in UTF-8 (Spark) or Arrow — the decode
+        # would silently yield U+FFFD.  Loud beats silently-wrong.
+        self.guard((c >= 0xD800) & (c <= 0xDFFF), "RuntimeError",
+                   msg="surrogate codepoint is not representable in "
+                       "UTF-8 engine strings")
+
     def _b_chr(self, args):
         a = args[0]
         if isinstance(a, SConst):
@@ -4374,10 +4442,15 @@ class Translator:
                 return SConst(chr(a.value))
             except Exception as e:
                 self.guard(F.lit(True), type(e).__name__, msg=str(e))
-                return SConst(None)
-        # dynamic chr has no faithful Column form: Spark's char() is
-        # chr(n % 256), wrong for any codepoint past latin-1 — fallback
-        raise CompileError("chr of a dynamic value")
+            return SConst(None)
+        if a.tag not in ("int", "bool"):
+            raise CompileError(f"chr({a.tag})")
+        c = self.to_col(a).cast("long")
+        if a.nullable:
+            self.guard(c.isNull(), "TypeError")
+        self._guard_chr_range(c, "ValueError",
+                              "chr() arg not in range(0x110000)")
+        return SCol(self._chr_col(c), "str")
 
     def _b_divmod(self, args):
         """divmod(a, b) == (a // b, a % b) with the engine's CPython
