@@ -48,6 +48,8 @@ SF1_HEADLINE = [
     "text_quality", "events_windowed", "events_sessions",
     "tpch_q1", "tpch_q3",
     "events_asof", "sketch_distinct",
+    # round-7 ops whose scale behavior should be visible per-round
+    "dedup_decontaminate_bloom", "sample_quota",
 ]
 SF1_REPLICAS = 10
 
