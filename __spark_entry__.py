@@ -967,6 +967,16 @@ def q_text_langid(spark, sf_dir):
     return text.language_id(_t(spark, sf_dir, "documents"))
 
 
+def q_text_langid_ngram(spark, sf_dir):
+    """Character-trigram language ID (functions/text.py
+    language_id_ngram) — the n-gram heuristic beside the stopword-hit
+    variant; profiles derived deterministically from the stopword
+    tables, so the DuckDB twin bakes identical trigram lists."""
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.language_id_ngram(_t(spark, sf_dir, "documents"))
+
+
 def q_text_fingerprint(spark, sf_dir):
     from tuplex_spark.functions import text
     _prep(spark)
@@ -1543,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_ignore": q_ds_ignore,
         "ds_unique": q_ds_unique,
         "text_langid": q_text_langid,
+        "text_langid_ngram": q_text_langid_ngram,
         "ds_select_rename": q_ds_select_rename,
         "ds_rightjoin": q_ds_rightjoin,
         "tpch_q6": q_tpch_q6,
@@ -2019,6 +2030,7 @@ FROM documents""",
         "text_token_count": text.token_count_sql(),
         "text_quality": text.quality_score_sql(),
         "text_langid": text.language_id_sql(),
+        "text_langid_ngram": text.language_id_ngram_sql(),
         "text_fingerprint": text.doc_fingerprint_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "dedup_minhash": dedup.minhash_lsh_pairs_sql(),

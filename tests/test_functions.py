@@ -54,6 +54,31 @@ class TestText:
         df = text.doc_fingerprint(spark.read.parquet(DOC))
         assert_matches(df, con, text.doc_fingerprint_sql())
 
+    def test_langid_ngram(self, spark, con):
+        from tuplex_spark.functions import text
+        df = text.language_id_ngram(spark.read.parquet(DOC))
+        assert_matches(df, con, text.language_id_ngram_sql())
+        # plausibility on hand-built unambiguous sentences
+        rows = [
+            (1, "the cat is on the mat and it is warm"),
+            (2, "der Hund ist nicht in das Haus und er ist nass"),
+            (3, "el perro es de la casa y los gatos son que"),
+            (4, "le chien est dans les maisons et il est pour que"),
+            (5, "12345 67890 ,,,, !!!"),
+        ]
+        df2 = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.detected_lang
+               for r in text.language_id_ngram(df2).collect()}
+        assert got[1] == "en" and got[2] == "de" and got[3] == "es" \
+            and got[4] == "fr" and got[5] == "unknown", got
+
+    def test_langid_ngram_is_joinless_scan(self, spark):
+        from tuplex_spark.functions import text
+        plan = text.language_id_ngram(spark.read.parquet(DOC)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Join" not in plan
+
 
 class TestDedup:
     def test_exact(self, spark, con):

@@ -5101,8 +5101,7 @@ class Translator:
                .when(tv.startswith("ARRAY"),
                      F.size(self._jv_get(jv, "array<variant>")))
                .when(tv.startswith("OBJECT"),
-                     F.size(F.json_object_keys(
-                         F.to_json(self._jv_variant(jv)))))).cast("long")
+                     F.size(self._jv_keys(jv)))).cast("long")
         bad = k["int"] | k["float"] | k["bool"] | k["void"] | k["bigdec"]
         self.guard(F.coalesce(bad, F.lit(False)), "TypeError")
         if jv.exists is not None:
@@ -5128,8 +5127,7 @@ class Translator:
              .when(tv.startswith("ARRAY"),
                    F.size(self._jv_get(jv, "array<variant>")) > 0)
              .when(tv.startswith("OBJECT"),
-                   F.size(F.json_object_keys(
-                       F.to_json(self._jv_variant(jv)))) > 0))
+                   F.size(self._jv_keys(jv)) > 0))
         t = F.coalesce(t, F.lit(False))
         if jv.exists is not None:
             t = F.when(jv.exists, t).otherwise(F.lit(bool(jv.default)))
@@ -5152,9 +5150,7 @@ class Translator:
         res = (F.when(k["str"],
                       F.contains(self._jv_get(jv, "string"), item_c))
                .when(tv.startswith("OBJECT"),
-                     F.array_contains(
-                         F.json_object_keys(
-                             F.to_json(self._jv_variant(jv))), item_c))
+                     F.array_contains(self._jv_keys(jv), item_c))
                .when(tv.startswith("ARRAY"),
                      F.exists(arr, lambda e:
                               (F.schema_of_variant(e) == "STRING")
