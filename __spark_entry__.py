@@ -1008,6 +1008,17 @@ def q_dedup_jaccard(spark, sf_dir):
                                      n=2, threshold=0.2)
 
 
+def q_dedup_minhash_sim(spark, sf_dir):
+    """LSH candidates WITH their estimated Jaccard (fraction of
+    agreeing minhash components) — dup-strength ranking without any
+    per-pair shingle-set work (functions/dedup.py minhash_similarity).
+    The signature array rides the existing bucket shuffle as payload;
+    the per-pair cost is one zip_with over H=12 longs."""
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    return dedup.minhash_similarity(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_decontaminate(spark, sf_dir):
     """Benchmark decontamination: the corpus minus documents sharing
     >= 1 distinct word 8-gram with the 'benchmark' subset (doc_id
@@ -1549,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windowed) — their slots fund the 10 round-6 ops the
         # driver had never graded
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
+        "dedup_minhash_sim": q_dedup_minhash_sim,
         "sample_quota": q_sample_quota,
         "ds_ignore": q_ds_ignore,
         "ds_unique": q_ds_unique,
@@ -2034,6 +2046,7 @@ FROM documents""",
         "text_fingerprint": text.doc_fingerprint_sql(),
         "dedup_exact": dedup.dedup_exact_sql(),
         "dedup_minhash": dedup.minhash_lsh_pairs_sql(),
+        "dedup_minhash_sim": dedup.minhash_similarity_sql(),
         "dedup_simhash": dedup.simhash_pairs_sql(),
         "dedup_jaccard": dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2),
         "dedup_decontaminate": "SELECT doc_id FROM ("

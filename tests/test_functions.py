@@ -513,6 +513,37 @@ class TestDecontaminate:
         assert njoins <= 2, plan
 
 
+class TestMinhashSimilarity:
+    def test_estimates_track_overlap(self, spark):
+        from tuplex_spark.functions.dedup import minhash_similarity
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup
+            (3, "alpha beta gamma delta epsilon zeta eta iota"),   # near
+            (4, "one two three four five six seven eight"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.id_a, r.id_b): r.est_jaccard
+               for r in minhash_similarity(df).collect()}
+        assert got[(1, 2)] == 1.0          # identical shingle sets
+        assert 0.0 < got.get((1, 3), 0) < 1.0 or (1, 3) not in got
+        assert (1, 4) not in got           # no shared band expected
+
+    def test_no_join_and_single_signature_pass(self, spark):
+        """The signature array must ride the bucket shuffle as payload:
+        no join operator anywhere (the naive shape joins the signature
+        table back twice), and the corpus is scanned once."""
+        import os
+        from conftest import SF_DIR
+        from tuplex_spark.functions.dedup import minhash_similarity
+        docs = spark.read.parquet(os.path.join(SF_DIR,
+                                               "documents.parquet"))
+        plan = minhash_similarity(docs) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, plan
+        assert plan.count("FileScan parquet") <= 2  # Final+Initial AQE
+
+
 class TestDupComponents:
     def test_chain_star_and_islands(self, spark):
         from tuplex_spark.functions.dedup import dup_components

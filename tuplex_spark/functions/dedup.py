@@ -164,15 +164,37 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     md5s per shingle in Catalyst's interpreted higher-order-function
     path — ~10x slower at sf0.1 and worse at scale.
     """
-    rows_per_band = num_hashes // bands
+    buckets = _minhash_buckets(df, text_col, id_col, num_hashes, bands,
+                               shingle_n)
+    return (_bucket_pairs(buckets, max_bucket)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+
+
+def _minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                        num_hashes: int, shingle_n: int) -> DataFrame:
+    """(id, m0..m{H-1}) minhash signature table (see minhash_lsh_pairs
+    for the plan-shape rationale)."""
     ex = _staged_shingles(df, text_col, id_col, shingle_n) \
         .select("id", F.explode("sh").alias("s"))
     # one md5 per distinct shingle occurrence -> 32-bit int
     h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
     ex = ex.select("id", h.alias("h"))
-    sig_df = ex.groupBy("id").agg(*[
+    return ex.groupBy("id").agg(*[
         F.min((F.col("h") * a + b) % _MINHASH_P).alias(f"m{i}")
         for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))])
+
+
+def _minhash_buckets(df: DataFrame, text_col: str, id_col: str,
+                     num_hashes: int, bands: int, shingle_n: int,
+                     payload: list[str] | None = None) -> DataFrame:
+    """(id, band, h [, payload...]) LSH bucket relation from the
+    signature table; ``payload`` columns are built from the m_i columns
+    before banding (e.g. the packed signature array)."""
+    rows_per_band = num_hashes // bands
+    sig_df = _minhash_signatures(df, text_col, id_col, num_hashes,
+                                 shingle_n)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"m{i}").cast("string")
                                  for i in range(b * rows_per_band,
@@ -180,16 +202,45 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .alias(f"band{b}")
         for b in range(bands)
     ]
-    base = sig_df.select("id", *band_cols)
-    buckets = base.select(
-        "id",
+    extra = []
+    if payload and "sig" in payload:
+        extra = [F.array(*[F.col(f"m{i}")
+                           for i in range(num_hashes)]).alias("sig")]
+    base = sig_df.select("id", *band_cols, *extra)
+    keep = ["id"] + (payload or [])
+    return base.select(
+        *keep,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("h"))
             for b in range(bands)])).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.h").alias("h"))
-    return (_bucket_pairs(buckets, max_bucket)
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b"))
+    ).select(*keep, F.col("bk.band").alias("band"),
+             F.col("bk.h").alias("h"))
+
+
+def minhash_similarity(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 12,
+                       bands: int = 4, shingle_n: int = 3,
+                       max_bucket: int = 50) -> DataFrame:
+    """LSH candidate pairs WITH their estimated Jaccard — the fraction
+    of agreeing minhash components (E[matches/H] = J(A,B)) — so dup
+    strength is scored without ever materializing shingle sets per
+    pair.  This is how a 100 TB pipeline ranks near-dups cheaply: the
+    exact inverted-index Jaccard (ngram_jaccard_pairs) costs a
+    corpus-wide explode+join, while this adds ONE array column to the
+    bucket shuffle (H longs per doc, bounded by max_bucket per bucket)
+    and a per-pair zip_with count over H elements.
+
+    Output: (id_a, id_b, est_jaccard) per candidate pair (id_a < id_b,
+    >=1 shared band)."""
+    buckets = _minhash_buckets(df, text_col, id_col, num_hashes, bands,
+                               shingle_n, payload=["sig"])
+    pairs = _bucket_pairs(buckets, max_bucket, payload=["sig"])
+    matches = F.expr(
+        "size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y), t -> t))")
+    est = F.round(matches / F.lit(float(num_hashes)), 6)
+    return (pairs.select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"),
+                         est.alias("est_jaccard"))
             .distinct())
 
 
@@ -807,6 +858,29 @@ WITH base AS (
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM buckets a JOIN buckets b
   ON a.band = b.band AND a.h = b.h AND a.id < b.id"""
+
+
+def minhash_similarity_sql(table="documents", text_col="text",
+                           id_col="doc_id", num_hashes=12, bands=4,
+                           shingle_n=3, max_bucket=50):
+    """DuckDB twin of :func:`minhash_similarity` — the pair CTE is the
+    lsh-pairs query verbatim; est_jaccard joins the signature table
+    back and counts agreeing components."""
+    inner = minhash_lsh_pairs_sql(table, text_col, id_col, num_hashes,
+                                  bands, shingle_n, max_bucket)
+    head, final = inner.rsplit("SELECT DISTINCT", 1)
+    matches = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes))
+    return (head
+            + f""", pairs AS (
+  SELECT DISTINCT{final}
+)
+SELECT p.id_a, p.id_b,
+       round(({matches}) / {float(num_hashes)!r}, 6) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.id = p.id_a
+JOIN sig sb ON sb.id = p.id_b""")
 
 
 def simhash_sql(table="documents", text_col="text", id_col="doc_id",
