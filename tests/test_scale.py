@@ -69,6 +69,27 @@ class TestBucketedJoin:
         back = ctx.parquet(str(tmp_path / "sup"))
         assert sorted(back.collect()) == sorted(sup.collect())
 
+    def test_plain_toparquet_sort_by_tightens_row_groups(self, ctx,
+                                                         tmp_path):
+        """sort_by on a NON-bucketed write must actually sort within
+        files (it was silently ignored): every parquet part file's
+        values on the sort column come back ordered, so row-group
+        min/max stats are tight and reader filters prune."""
+        import glob
+        import pyarrow.parquet as pq
+        li = (ctx.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+              .selectColumns(["l_orderkey", "l_quantity"]))
+        li.toparquet(str(tmp_path / "li_s"), sort_by="l_orderkey",
+                     num_parts=4)
+        parts = glob.glob(str(tmp_path / "li_s" / "*.parquet"))
+        assert parts
+        for p in parts:
+            vals = pq.read_table(p, columns=["l_orderkey"]) \
+                .column(0).to_pylist()
+            assert vals == sorted(vals), p
+        back = ctx.parquet(str(tmp_path / "li_s"))
+        assert sorted(back.collect()) == sorted(li.collect())
+
 
 class TestSaltedJoin:
     def _skewed(self, spark):

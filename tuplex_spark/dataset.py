@@ -1192,13 +1192,22 @@ class DataSet:
         Bucket metadata lives in the session catalog, not the files, so
         bucketed writes register a path-backed table (``table`` or a
         name derived from the path); read it back with Context.table().
-        ``sort_by`` additionally sorts within each bucket file, which
-        lets sort-merge joins skip their per-task sort."""
+        ``sort_by`` sorts within each output file: under ``bucket_by``
+        that lets sort-merge joins skip their per-task sort; without it
+        (plain parquet) the within-partition sort tightens every row
+        group's min/max statistics so reader-side filters on the sort
+        column skip whole row groups — the cheap cousin of directory
+        partitioning for high-cardinality columns (was silently ignored
+        in the non-bucketed path before round 7)."""
         df, _ = self._split_exceptions()
         n = kwargs.get("num_parts")
         if n:
             df = df.repartition(n)
         if bucket_by is None:
+            if sort_by:
+                sb = [sort_by] if isinstance(sort_by, str) \
+                    else list(sort_by)
+                df = df.sortWithinPartitions(*sb)
             w = df.write.mode("overwrite")
             if partition_by:
                 # hive-layout directory partitioning: every reader's
