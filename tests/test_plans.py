@@ -470,10 +470,13 @@ class TestCodegenNotDemoted:
 
     # graded queries with the heaviest compiled-expression surfaces:
     # format-spec mini-language (ds_strings), compiled loops (ds_loops),
-    # the staged json variant (ds_json_udf), the unrolled verify cosine
-    # (dedup_embedding), and the fused corpus pipeline (pipeline_clean)
+    # the staged json variant (ds_json_udf), the fold verify cosine
+    # (dedup_embedding), the fused corpus pipeline (pipeline_clean),
+    # plus the round-7 ops most likely to grow expressions (anchor
+    # sizes 560-1369 bytecodes — far from the ceiling today)
     HEAVY = ["ds_strings", "ds_loops", "ds_json_udf", "dedup_embedding",
-             "pipeline_clean"]
+             "pipeline_clean", "text_langid_ngram", "dedup_minhash_sim",
+             "sample_quota", "dedup_decontaminate_bloom"]
 
     def test_heavy_compiled_queries_stay_jit_compilable(self, spark):
         import __spark_entry__ as em
