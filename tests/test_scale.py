@@ -90,6 +90,20 @@ class TestBucketedJoin:
         back = ctx.parquet(str(tmp_path / "li_s"))
         assert sorted(back.collect()) == sorted(li.collect())
 
+    def test_plain_toparquet_part_size_splits_files(self, ctx, tmp_path):
+        """part_size (tocsv parity) caps records per parquet file via
+        the sampled row-size estimate — the writer-side lever against
+        one-giant-file outputs."""
+        import glob
+        li = (ctx.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+              .selectColumns(["l_orderkey", "l_quantity"]))
+        li.toparquet(str(tmp_path / "li_p"), part_size=4096,
+                     num_parts=1)
+        parts = glob.glob(str(tmp_path / "li_p" / "*.parquet"))
+        assert len(parts) > 1, parts
+        back = ctx.parquet(str(tmp_path / "li_p"))
+        assert back.toDF().count() == li.toDF().count()
+
 
 class TestSaltedJoin:
     def _skewed(self, spark):

@@ -1209,6 +1209,22 @@ class DataSet:
                     else list(sort_by)
                 df = df.sortWithinPartitions(*sb)
             w = df.write.mode("overwrite")
+            part_size = kwargs.get("part_size")
+            if part_size:
+                # tocsv parity: approximate byte cap per output file via
+                # maxRecordsPerFile from a sampled row-size estimate
+                # (parquet encodes/compresses, so the estimate is the
+                # UNENCODED row width — an upper bound on file size,
+                # which is the safe direction for the small-files
+                # problem this knob exists to fix)
+                est = 100
+                if self._sample:
+                    widths = [len(",".join(str(v) for v in
+                                  (r if isinstance(r, tuple) else (r,))))
+                              + 1 for r in self._sample[:50]]
+                    est = max(1, sum(widths) // len(widths))
+                w = w.option("maxRecordsPerFile",
+                             max(1, int(part_size) // est))
             if partition_by:
                 # hive-layout directory partitioning: every reader's
                 # filter on these columns becomes directory PRUNING
