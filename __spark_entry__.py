@@ -1407,6 +1407,18 @@ def q_sample_quota(spark, sf_dir):
     return kept.select("doc_id", "source")
 
 
+def q_events_correlate(spark, sf_dir):
+    """Time-bounded event correlation (purchases within 10 minutes of a
+    click, same user) — the batch face of the watermarked stream-stream
+    join (streaming/events.py stream_correlate; stream==batch equality
+    is locked in tests/test_streaming.py)."""
+    from tuplex_spark.streaming import stream_correlate
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return stream_correlate(ev.filter(F.col("event_type") == "click"),
+                            ev.filter(F.col("event_type") == "purchase"))
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered signup->click->purchase funnel: greedy min-timestamp
     chase, all steps partial-aggregated on the user key
@@ -1562,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "dedup_minhash_sim": q_dedup_minhash_sim,
         "sample_quota": q_sample_quota,
+        "events_correlate": q_events_correlate,
         "ds_ignore": q_ds_ignore,
         "ds_unique": q_ds_unique,
         "text_langid": q_text_langid,
@@ -2182,6 +2195,14 @@ FROM numbered GROUP BY user_id, session_no""",
             + sampling_mod.temperature_sample_sql(
                 "documents", "lang", "doc_id", alpha=0.5)
             + ") GROUP BY lang"),
+        "events_correlate": """
+SELECT l.user_id, l.ts AS l_ts, l.event_type AS l_type,
+       r.ts AS r_ts, r.event_type AS r_type,
+       CAST(floor(epoch(r.ts)) - floor(epoch(l.ts)) AS BIGINT) AS lag_s
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+WHERE l.event_type = 'click' AND r.event_type = 'purchase'""",
         "sample_quota": (
             "SELECT doc_id, source FROM ("
             + sampling_mod.quota_sample_sql(

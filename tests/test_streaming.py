@@ -123,3 +123,47 @@ class TestTransformWithState:
                 final[r["user_id"]] = (r["user_id"], r["n_events"],
                                        round(r["sum_value"], 6))
         assert set(final.values()) == batch
+
+
+class TestStreamCorrelate:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        """Stream-stream time-bounded join (watermarked both sides)
+        must produce exactly the batch join's rows."""
+        import __spark_entry__ as em
+        from tuplex_spark.streaming import (stream_correlate,
+                                            stream_from_directory,
+                                            run_stream_to_memory)
+        ev = em._t(spark, SF_DIR, "events")
+        clicks = ev.filter("event_type = 'click'")
+        buys = ev.filter("event_type = 'purchase'")
+        batch = {tuple(r) for r in
+                 stream_correlate(clicks, buys).collect()}
+        assert batch, "fixture should produce correlated pairs"
+
+        src_a = str(tmp_path / "clicks")
+        src_b = str(tmp_path / "buys")
+        clicks.write.mode("overwrite").parquet(src_a)
+        buys.write.mode("overwrite").parquet(src_b)
+        sa = stream_from_directory(spark, src_a, clicks.schema)
+        sb = stream_from_directory(spark, src_b, buys.schema)
+        out = stream_correlate(sa, sb, watermark="4 hours")
+        q = run_stream_to_memory(out, "corr_test", timeout_s=120,
+                                 output_mode="append")
+        got = {tuple(r) for r in spark.sql(
+            "SELECT * FROM corr_test").collect()}
+        assert got == batch
+
+    def test_time_bound_is_enforced(self, spark):
+        from tuplex_spark.streaming import stream_correlate
+        rows = [
+            (1, "click", "2024-01-01 10:00:00"),
+            (1, "purchase", "2024-01-01 10:05:00"),   # within 10m
+            (1, "purchase", "2024-01-01 10:20:00"),   # outside
+            (2, "purchase", "2024-01-01 10:01:00"),   # other user
+        ]
+        df = spark.createDataFrame(rows, "user_id long, event_type string, ts string") \
+            .selectExpr("user_id", "event_type", "cast(ts as timestamp) ts")
+        out = stream_correlate(df.filter("event_type='click'"),
+                               df.filter("event_type='purchase'"))
+        got = [(r.user_id, str(r.r_ts), r.lag_s) for r in out.collect()]
+        assert got == [(1, "2024-01-01 10:05:00", 300)], got

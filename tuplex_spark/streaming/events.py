@@ -166,6 +166,44 @@ def running_user_stats_tws(df: DataFrame, key_col: str = "user_id",
                   timeMode="None"))
 
 
+def stream_correlate(left: DataFrame, right: DataFrame,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     within: str = "10 minutes",
+                     watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream event correlation: for every left event, the right
+    events of the SAME key within ``(left.ts, left.ts + within]`` —
+    e.g. purchases following a click.  On streams this is Spark's
+    watermarked stream-stream inner join (state on both sides is
+    bounded by watermark + the time-range condition); on batch
+    DataFrames the identical join expression runs as a plain join, so
+    results are directly comparable.
+
+    At scale: one shuffle per side on the key; the time-range bound is
+    what lets the state store evict — an unbounded-range stream join
+    would keep every row forever.  Output: (key, left ts/type, right
+    ts/type, lag seconds)."""
+    lt = _watermarkable(left, ts_col)
+    rt = _watermarkable(right, ts_col)
+    if lt.isStreaming:
+        lt = lt.withWatermark(ts_col, watermark)
+    if rt.isStreaming:
+        rt = rt.withWatermark(ts_col, watermark)
+    l = lt.select(F.col(key_col).alias("k"),
+                  F.col(ts_col).alias("l_ts"),
+                  F.col("event_type").alias("l_type"))
+    r = rt.select(F.col(key_col).alias("rk"),
+                  F.col(ts_col).alias("r_ts"),
+                  F.col("event_type").alias("r_type"))
+    cond = ((l["k"] == r["rk"])
+            & (r["r_ts"] > l["l_ts"])
+            & (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {within}")))
+    return (l.join(r, cond, "inner")
+            .select(F.col("k").alias(key_col), "l_ts", "l_type",
+                    "r_ts", "r_type",
+                    (F.unix_timestamp("r_ts")
+                     - F.unix_timestamp("l_ts")).alias("lag_s")))
+
+
 def stream_from_directory(spark, path: str, schema,
                           fmt: str = "parquet") -> DataFrame:
     """File-source stream: new files in ``path`` become micro-batches."""
