@@ -1150,6 +1150,20 @@ def q_ann_ivf(spark, sf_dir):
                                k=10, nprobe=2)
 
 
+def q_ann_batch(spark, sf_dir):
+    """Batch retrieval: a TABLE of 6 query vectors (drawn
+    deterministically from the corpus) against the corpus in ONE Arrow
+    pass, per-query top-5 via a WindowGroupLimit-pruned row_number
+    (functions/similarity.py batch_cosine_topk)."""
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 6)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return similarity.batch_cosine_topk(emb, queries, k=5)
+
+
 # ======================================================================
 # Event-stream ops (streaming module, batch-equivalent plans)
 # ======================================================================
@@ -1265,6 +1279,27 @@ def q_sketch_distinct(spark, sf_dir):
         .select(F.lit("o_custkey").alias("col"), "estimate", "k_used",
                 "kth_hash")
     return a.unionByName(b).unionByName(c)
+
+
+_QUANTILE_PROBS = [0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+
+
+def q_sketch_quantiles(spark, sf_dir):
+    """Deterministic quantile sketch (functions/sketch.py
+    kmv_quantiles): content-addressed k-row sample + explicit
+    order-statistic interpolation, bitwise-matched by the DuckDB twin.
+    Exact below k=1024 (the sf0.01 documents table), sampled above
+    (events at any sf).  Driver state bounded at k doubles per column;
+    one TakeOrdered shuffle each."""
+    from tuplex_spark.functions import sketch
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    a = sketch.kmv_quantiles(docs, "n_chars", "doc_id",
+                             _QUANTILE_PROBS, k=1024, tag="n_chars")
+    b = sketch.kmv_quantiles(ev, "value", "event_id",
+                             _QUANTILE_PROBS, k=1024, tag="value")
+    return a.unionByName(b)
 
 
 def q_sketch_topk(spark, sf_dir):
@@ -1493,92 +1528,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     relational-distinct, langid~quality, select_rename~withcolumn,
     rightjoin~leftjoin, q6~q1, top_users/stats~windowed/sketch) and
     from q11/q15, whose persist-shape is now locked by executed-plan
-    assertions in tests/test_plans.py."""
+    assertions in tests/test_plans.py.
+
+    Round-8 rotation: the 6 round-7 ops the driver had never graded
+    (decontaminate_bloom, minhash_sim, quota, langid_ngram, correlate,
+    ds_sets) plus the headline-benched-but-never-driver-graded TPC-H
+    tranche (q5/q7/q13/q19) move in-window, alongside the two new
+    round-8 ops (sketch_quantiles, ann_batch).  Their slots come from
+    round-7 greens whose shapes stay covered in-window:
+    decontaminate~bloom (same oracle, bloom output == exact),
+    minhash~minhash_sim (superset), temperature~quota+stratified,
+    retention~funnel cohort, leftjoin~q13's left-join+agg,
+    orc_roundtrip~csv_roundtrip, cache/text_read/parallelize trivial
+    shapes pytest-locked, keyterms~rarity TF-IDF join,
+    repetition~quality/c4 projection, basket~funnel self-join."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
         "ds_withcolumn": q_ds_withcolumn,
         "ds_resolve": q_ds_resolve,
         "ds_join": q_ds_join,
-        "ds_leftjoin": q_ds_leftjoin,
         "ds_aggregate": q_ds_aggregate,
         "ds_agg_bykey": q_ds_agg_bykey,
-        "ds_parallelize": q_ds_parallelize,
         "ds_csv_roundtrip": q_ds_csv_roundtrip,
         "ds_strings": q_ds_strings,
         "ds_math": q_ds_math,
         "ds_re": q_ds_re,
-        "ds_orc_roundtrip": q_ds_orc_roundtrip,
-        "ds_cache": q_ds_cache,
-        "ds_text_read": q_ds_text_read,
         "ds_loops": q_ds_loops,
         "ds_relational": q_ds_relational,
+        "ds_sets": q_ds_sets,
         # -- training-data pipeline ops --
         "mm_decode": q_mm_decode,
         "text_quality": q_text_quality,
+        "text_langid_ngram": q_text_langid_ngram,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_sim": q_dedup_minhash_sim,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
-        "dedup_decontaminate": q_dedup_decontaminate,
+        "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
+        "ann_batch": q_ann_batch,
+        "sample_quota": q_sample_quota,
         # -- event-stream ops --
         "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
+        "events_correlate": q_events_correlate,
         # -- temporal joins (Spark-native additions) --
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         # -- deterministic sketches --
         "sketch_distinct": q_sketch_distinct,
-        # -- TPC-H distinct shapes --  (round-6 rotation: the queries
-        # that keep CHANGING — q11/q15's persist+join-back, the staged
-        # json.loads, redact, stratified sampling — moved in-window;
-        # their slots came from shape-twins whose plans are covered by
-        # tests (q5 broadcast: test_plans; q2 window-min: test_plans;
-        # q13 leftjoin+agg ~ ds_leftjoin/ds_agg_bykey; q17 ~ q2/q11
-        # subquery; q19 ~ q6+q3 filter-join-agg)
+        "sketch_quantiles": q_sketch_quantiles,
+        # -- TPC-H distinct shapes --
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q13": q_tpch_q13,
+        "tpch_q19": q_tpch_q19,
         "ds_json_udf": q_ds_json_udf,
         "text_redact": q_text_redact,
         "sample_stratified": q_sample_stratified,
-        "sample_temperature": q_sample_temperature,
         # composition of four individually-graded ops (quality/langid/
         # exact-dedup/jaccard) — the best end-to-end proof, graded
-        # in-window since round 3 (its prior slot-holder q21's window-
-        # over-fact shape is covered by events_sessions + q2's window)
+        # in-window since round 3
         "text_rarity": q_text_rarity,
         "dedup_chunks": q_dedup_chunks,
         "text_pack": q_text_pack,
-        "text_repetition": q_text_repetition,
-        "text_keyterms": q_text_keyterms,
         "text_c4": q_text_c4,
-        "basket_pairs": q_basket_pairs,
         "mm_audio": q_mm_audio,
         "pipeline_clean": q_pipeline_clean,
     }
     overflow = {
-        # round-7 rotation: shape-twins of in-window queries
-        # (ignore~resolve, unique~relational distinct/dedup_exact,
-        # langid~quality single-projection, rightjoin~leftjoin
-        # mirror, select_rename~withcolumn projection, q6~q1
-        # scan-agg, q11/q15 persist shapes now plan-asserted in
-        # tests/test_plans.py, top_users/stats~sketch_topk/
-        # windowed) — their slots fund the 10 round-6 ops the
-        # driver had never graded
-        "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
-        "dedup_minhash_sim": q_dedup_minhash_sim,
-        "sample_quota": q_sample_quota,
-        "events_correlate": q_events_correlate,
+        # round-8 rotation: round-7 driver-graded greens whose shapes
+        # stay covered in-window (see the graded block comment) — each
+        # stays green in selfcheck
+        "dedup_decontaminate": q_dedup_decontaminate,
+        "dedup_minhash": q_dedup_minhash,
+        "sample_temperature": q_sample_temperature,
+        "events_retention": q_events_retention,
+        "ds_leftjoin": q_ds_leftjoin,
+        "ds_orc_roundtrip": q_ds_orc_roundtrip,
+        "ds_cache": q_ds_cache,
+        "ds_text_read": q_ds_text_read,
+        "ds_parallelize": q_ds_parallelize,
+        "text_keyterms": q_text_keyterms,
+        "text_repetition": q_text_repetition,
+        "basket_pairs": q_basket_pairs,
+        # round-7 rotation leftovers: shape-twins of in-window queries
         "ds_ignore": q_ds_ignore,
         "ds_unique": q_ds_unique,
         "text_langid": q_text_langid,
-        "text_langid_ngram": q_text_langid_ngram,
         "ds_select_rename": q_ds_select_rename,
         "ds_rightjoin": q_ds_rightjoin,
         "tpch_q6": q_tpch_q6,
@@ -1604,13 +1648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 rotation: shape-twins of in-window queries (see the
         # graded block comment) — each stays green in selfcheck
         "tpch_q2": q_tpch_q2,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q13": q_tpch_q13,
         "tpch_q17": q_tpch_q17,
-        "tpch_q19": q_tpch_q19,
         "tpch_q21": q_tpch_q21,  # shape twin: events_sessions/q2 window
         "tpch_q18": q_tpch_q18,  # shape twin: big-agg filter + join ~ q3/q13
-        "tpch_q7": q_tpch_q7,
         "tpch_q8": q_tpch_q8,
         "tpch_q9": q_tpch_q9,
         "tpch_q10": q_tpch_q10,
@@ -1618,9 +1658,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14": q_tpch_q14,
         "tpch_q16": q_tpch_q16,
         "tpch_q20": q_tpch_q20,
-        "ds_sets": q_ds_sets,
     }
     assert len(graded) <= 50, "graded window overflow — rebalance"
+    assert not set(graded) & set(overflow), "registry duplicate"
     return {**graded, **overflow}
 
 
@@ -1629,6 +1669,7 @@ def oracle_sql() -> dict[str, str]:
     from tuplex_spark.functions import analytics as analytics_mod
     from tuplex_spark.functions import sampling as sampling_mod
     from tuplex_spark.functions import sketch as sketch_mod
+    from tuplex_spark.functions import similarity as similarity_mod
 
     sqls = {
         "tpch_q1": """
@@ -2217,6 +2258,16 @@ FROM (""" + analytics_mod.retention_sql() + ") r",
         "text_keyterms": text.keyterms_sql(k=3),
         "text_c4": text.c4_filters_sql(),
         "basket_pairs": analytics_mod.basket_pairs_sql(top_k=20),
+        "sketch_quantiles": (
+            sketch_mod.kmv_quantiles_sql(
+                "documents", "n_chars", "doc_id", _QUANTILE_PROBS,
+                k=1024, tag="n_chars")
+            + " UNION ALL "
+            + sketch_mod.kmv_quantiles_sql(
+                "events", "value", "event_id", _QUANTILE_PROBS,
+                k=1024, tag="value")),
+        "ann_batch": similarity_mod.batch_cosine_topk_sql(
+            k=5, query_pred="vec_id < 6"),
     }
     # ann_topk / ann_ivf need the query vector read at oracle-build time;
     # the driver calls oracle_sql() without a spark session, so embed the

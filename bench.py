@@ -36,9 +36,10 @@ HEADLINE = [
     "ds_map_filter", "ds_agg_bykey", "ds_resolve", "ds_loops",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_embedding", "pipeline_clean",
-    "ann_topk", "text_quality", "text_langid", "mm_decode",
+    "ann_topk", "ann_batch", "text_quality", "text_langid", "mm_decode",
     "events_windowed", "events_top_users",
     "events_asof", "events_range_join", "sketch_distinct",
+    "sketch_quantiles",
 ]
 
 
@@ -52,8 +53,9 @@ SF1_HEADLINE = [
     "text_quality", "events_windowed", "events_sessions",
     "tpch_q1", "tpch_q3",
     "events_asof", "sketch_distinct",
-    # round-7 ops whose scale behavior should be visible per-round
+    # round-7/8 ops whose scale behavior should be visible per-round
     "dedup_decontaminate_bloom", "sample_quota",
+    "ann_batch", "sketch_quantiles",
 ]
 SF1_REPLICAS = 10
 

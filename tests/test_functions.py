@@ -184,6 +184,48 @@ class TestSimilarity:
         assert m and "centroid" in m.group(1), plan
 
 
+class TestBatchAnn:
+    def test_batch_topk_matches_per_query_bruteforce(self, spark):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        queries = (emb.filter(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        got = similarity.batch_cosine_topk(emb, queries, k=4).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["q_id"], []).append(r)
+        assert set(by_q) == {0, 1, 2}
+        for qid, rows in by_q.items():
+            rows.sort(key=lambda r: r["rnk"])
+            # self-match first at cosine 1.0
+            assert rows[0]["vec_id"] == qid
+            assert abs(rows[0]["cosine"] - 1.0) < 1e-6
+            # agrees with the single-query brute force
+            qv = [float(x) for x in
+                  emb.filter(F.col("vec_id") == qid)
+                  .select("embedding").head()[0]]
+            want = similarity.cosine_topk(emb, qv, k=4).collect()
+            assert [(r["vec_id"], r["cosine"]) for r in rows] == \
+                [(w["vec_id"], w["cosine"]) for w in want]
+
+    def test_batch_topk_matches_duckdb(self, spark, con):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        queries = (emb.filter(F.col("vec_id") < 6)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        got = sorted(tuple(r) for r in
+                     similarity.batch_cosine_topk(emb, queries, k=5)
+                     .collect())
+        want = sorted(tuple(r) for r in con.execute(
+            similarity.batch_cosine_topk_sql(k=5, query_pred="vec_id < 6"
+                                             )).fetchall())
+        assert got == want
+
+
 class TestSketch:
     def test_kmv_matches_duckdb_bitwise(self, spark, con):
         from tuplex_spark.functions import sketch
@@ -209,6 +251,46 @@ class TestSketch:
         df = spark.range(n).select((F.col("id") * 7919).alias("v"))
         est = sketch.kmv_distinct(df, "v", k=1024).collect()[0]["estimate"]
         assert abs(est - n) / n < 0.125, est
+
+    def test_quantiles_exact_below_k(self, spark):
+        # n < k: the sample is the whole column and the quantiles are
+        # the exact interpolated order statistics (numpy's 'linear'
+        # method is the same p*(n-1) interpolation)
+        import numpy as np
+        from tuplex_spark.functions import sketch
+        vals = [(i, float((i * 7919) % 101)) for i in range(200)]
+        df = spark.createDataFrame(vals, "k long, v double")
+        probs = [0.0, 0.1, 0.5, 0.9, 1.0]
+        rows = {r["p"]: r for r in
+                sketch.kmv_quantiles(df, "v", "k", probs, k=1024)
+                .collect()}
+        arr = np.array([v for _, v in vals])
+        for p in probs:
+            want = float(np.quantile(arr, p, method="linear"))
+            assert abs(rows[p]["quantile"] - want) < 1e-6, (p, rows[p])
+            assert rows[p]["sample_n"] == 200
+
+    def test_quantiles_match_duckdb_bitwise_sampled(self, spark, con):
+        # n > k: the sampled path, graded bitwise against the twin
+        from tuplex_spark.functions import sketch
+        doc = spark.read.parquet(DOC)
+        probs = [0.05, 0.5, 0.95]
+        got = sorted(tuple(r) for r in
+                     sketch.kmv_quantiles(doc, "n_chars", "doc_id",
+                                          probs, k=64).collect())
+        want = sorted(tuple(r) for r in con.execute(
+            sketch.kmv_quantiles_sql("documents", "n_chars", "doc_id",
+                                     probs, k=64)).fetchall())
+        assert got == want
+        assert all(r[2] == 64 for r in got)  # sampled: n == k
+
+    def test_quantiles_null_values_excluded(self, spark):
+        from tuplex_spark.functions import sketch
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, None), (3, 3.0)], "k long, v double")
+        rows = sketch.kmv_quantiles(df, "v", "k", [0.5], k=16).collect()
+        assert rows[0]["sample_n"] == 2
+        assert rows[0]["quantile"] == 2.0
 
     def test_heavy_hitters_exact(self, spark, con):
         from tuplex_spark.functions import sketch

@@ -230,6 +230,48 @@ class TestScaleOps:
         # one Aggregate: the final groupBy.  A distinct would add another.
         assert opt.count("Aggregate [") == 1, opt
 
+    def test_ann_batch_single_scan_mapside_limit(self, spark):
+        """Batch ANN: corpus scanned ONCE for all queries, both vector
+        UDFs fused in ONE Arrow pass BELOW the posexplode (an inline
+        vec_norm lands above the Generate and recomputes the norm once
+        per query), and the per-query top-k prunes map-side
+        (WindowGroupLimit Partial before the exchange)."""
+        import __spark_entry__ as em
+        df = em.q_ann_batch(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("Scan parquet") == 1, plan
+        assert plan.count("ArrowEvalPython") == 1, plan
+        gen = plan.index("Generate posexplode")
+        assert "ArrowEvalPython" not in plan[:gen], \
+            "vector UDF evaluated above the explode (once per query)"
+        # Final limit above the exchange, Partial prune below it
+        assert plan.count("WindowGroupLimit") == 2, plan
+        assert "Partial" in plan[plan.rindex("WindowGroupLimit"):], plan
+        # narrow scan: id + vector only
+        from tuplex_spark.plans import formatted_plan
+        fp = formatted_plan(df)
+        for part in fp.split("ReadSchema: ")[1:]:
+            assert "label" not in part.split("\n")[0]
+
+    def test_sketch_quantiles_bounded_driver_state(self, spark):
+        """Quantile sketch: each branch is scan -> TakeOrdered(k) ->
+        single-row collect_list agg — the only rows that cross a
+        shuffle are the per-partition top-k, and the aggregation
+        buffer is bounded at k doubles.  No global sort, no window."""
+        import __spark_entry__ as em
+        df = em.q_sketch_quantiles(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("TakeOrderedAndProject") == 2, plan
+        assert "Exchange rangepartitioning" not in plan, \
+            "global sort crept in — TakeOrdered was the contract"
+        # collect_list sits ABOVE TakeOrdered in both branches (bounded
+        # input), never directly over the scan
+        first = plan.index("collect_list")
+        assert "TakeOrderedAndProject" in plan[first:], plan
+        assert plan.count("Scan parquet") == 2, plan
+
     def test_mm_decode_is_single_narrow_python_stage(self, spark):
         """Multimodal decode: exactly one Arrow python stage, no shuffle."""
         import __spark_entry__ as em

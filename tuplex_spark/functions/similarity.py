@@ -202,6 +202,86 @@ def _single_query_cos(vec_col: str, query_vec: list[float]) -> Column:
     return F.expr(f"round(({dot}) / (sqrt({nrm}) * {qn!r}), 6)")
 
 
+def batch_cosine_topk(df: DataFrame, queries: DataFrame, k: int = 5,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      q_id_col: str = "q_id", q_vec_col: str = "q_vec"
+                      ) -> DataFrame:
+    """Per-query exact top-k for a TABLE of query vectors — the
+    retrieval-pipeline shape (cosine_topk/ivf_topk take one vector).
+
+    The query batch is collected (bounded: a retrieval batch is by
+    construction small enough to broadcast — the same bounded-fetch
+    contract as the centroid seeds) and rides into ONE Arrow pass over
+    the corpus as a constant matrix (_pdot_multi), so the corpus is
+    scanned exactly once no matter how many queries.  Per-query top-k
+    is a row_number window capped at k: Spark lowers filter(rn <= k)
+    to WindowGroupLimit, pruning each partition to k rows per query
+    MAP-SIDE before the exchange — at 100 TB the shuffle carries
+    ≤ Q*k rows per partition, never the scored corpus.
+
+    Output: (q_id, id_col, cosine, rnk) — self-matches are kept (a
+    query drawn from the corpus ranks itself first at cosine 1.0).
+    Accumulation is strict left-to-right, bitwise-matching DuckDB's
+    list_dot_product twin."""
+    from pyspark.sql import Window
+
+    qrows = queries.select(q_id_col, q_vec_col).collect()
+    qrows.sort(key=lambda r: r[0])
+    qids = [r[0] for r in qrows]
+    qvecs = [[float(x) for x in r[1]] for r in qrows]
+    qnorms = [py_norm(v) for v in qvecs]
+
+    v = F.col(vec_col)
+    # stage the Q dots AND the norm in one projection BEFORE the
+    # explode: inlining vec_norm beside posexplode leaves its Arrow
+    # eval ABOVE the Generate, recomputing the norm once per query
+    # instead of once per vector (plan-asserted in tests/test_plans.py)
+    staged = df.select(F.col(id_col),
+                       _pdot_multi(v, qvecs).alias("_dots"),
+                       vec_norm(v).alias("_nrm"))
+    scored = staged.select(
+        F.col(id_col), F.col("_nrm"),
+        F.posexplode("_dots").alias("_qi", "_dot"))
+    qid_arr = F.array(*[F.lit(q) for q in qids])
+    qn_arr = F.array(*[F.lit(n) for n in qnorms])
+    scored = scored.select(
+        F.element_at(qid_arr, F.col("_qi") + 1).alias("q_id"),
+        F.col(id_col),
+        F.round(F.col("_dot")
+                / (F.col("_nrm")
+                   * F.element_at(qn_arr, F.col("_qi") + 1)), 6)
+         .alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                           F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def batch_cosine_topk_sql(k: int = 5, table: str = "embeddings",
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          query_pred: str = "vec_id < 6") -> str:
+    """DuckDB twin: queries drawn from the same table by predicate,
+    cross-joined, per-query row_number ≤ k."""
+    return f"""
+WITH q AS (
+  SELECT {id_col} AS q_id, {vec_col}::DOUBLE[] AS qv
+  FROM {table} WHERE {query_pred}
+), scored AS (
+  SELECT q.q_id, e.{id_col},
+         round(list_dot_product(e.{vec_col}::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(e.{vec_col}::DOUBLE[],
+                                    e.{vec_col}::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+  FROM {table} e CROSS JOIN q
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cosine DESC, {id_col}) AS rnk
+  FROM scored)
+SELECT q_id, {id_col}, cosine, rnk::INT AS rnk FROM ranked
+WHERE rnk <= {k}"""
+
+
 def _argmax_centroid(dots: Column, nrm: Column,
                      centroids: list[tuple[int, list[float]]]) -> Column:
     """greatest-struct argmax over per-centroid rounded cosines.

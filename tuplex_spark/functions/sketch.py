@@ -75,6 +75,84 @@ SELECT CASE WHEN count(h) < {k} THEN CAST(count(h) AS DOUBLE)
 FROM smallest"""
 
 
+def kmv_quantiles(df: DataFrame, value_col: str, key_col: str,
+                  probs: list[float], k: int = 1024,
+                  tag: str | None = None) -> DataFrame:
+    """Deterministic quantile sketch: exact linear-interpolated
+    quantiles over the k rows whose content hash (md5 of the unique
+    ``key_col``) is smallest — a content-addressed uniform row sample,
+    so the DuckDB twin reproduces the estimate bit-for-bit (unlike
+    percentile_approx's KLL, whose merge order is nondeterministic).
+    Below k rows the sample is the whole column and the quantiles are
+    exact.
+
+    The reference has no median/percentile at all (SURVEY §2.4); LLM
+    pipelines slice corpora by doc-length/token percentiles constantly.
+
+    Plan shape at 100 TB: narrow (hash, value) projection ->
+    TakeOrdered(k) (per-partition top-k, merged on the driver: at most
+    k rows per partition cross, k doubles land) -> single-row
+    sort_array(collect_list) agg bounded at k doubles -> per-prob
+    interpolation math.  One bounded shuffle, driver state = k doubles.
+
+    Interpolation is spelled out as order-statistic arithmetic
+    (``v[lo] + (v[hi] - v[lo]) * frac`` at ``pos = p*(n-1)``) rather
+    than delegated to percentile()/quantile_cont(), so both engines run
+    the IDENTICAL double expression — no cross-engine ulp drift.
+
+    Output: one row per prob — (p, quantile, sample_n) plus a leading
+    ``col`` tag when ``tag`` is given (for unioning several columns)."""
+    sample = (df.filter(F.col(value_col).isNotNull())
+              .select(_hash_frac(key_col).alias("h"),
+                      F.col(value_col).cast("double").alias("v"))
+              .orderBy("h").limit(k))
+    agg = sample.agg(F.sort_array(F.collect_list("v")).alias("vs"),
+                     F.count("v").alias("n"))
+    out = (agg.select(F.posexplode(F.array(*[F.lit(float(p))
+                                             for p in probs]))
+                      .alias("pi", "p"), "vs", "n")
+           .selectExpr(
+               "p",
+               "round(element_at(vs, CAST(floor(p*(n-1)) AS INT) + 1)"
+               " + (element_at(vs, least(CAST(floor(p*(n-1)) AS INT) + 2,"
+               "                         CAST(n AS INT)))"
+               "    - element_at(vs, CAST(floor(p*(n-1)) AS INT) + 1))"
+               "   * (p*(n-1) - floor(p*(n-1))), 6) AS quantile",
+               "CAST(n AS BIGINT) AS sample_n"))
+    if tag is not None:
+        out = out.select(F.lit(tag).alias("col"), "p", "quantile",
+                         "sample_n")
+    return out
+
+
+def kmv_quantiles_sql(table: str, value_col: str, key_col: str,
+                      probs: list[float], k: int = 1024,
+                      tag: str | None = None) -> str:
+    """DuckDB twin — identical hash, identical order statistics,
+    identical interpolation arithmetic (see kmv_quantiles)."""
+    h64 = _HASH64_DUCK.format(c=key_col)
+    vals = ", ".join(f"(CAST({float(p)!r} AS DOUBLE))" for p in probs)
+    tag_sel = f"'{tag}' AS col, " if tag is not None else ""
+    return f"""
+SELECT {tag_sel}p,
+       round(vs[CAST(floor(p*(n-1)) AS INT) + 1]
+         + (vs[least(CAST(floor(p*(n-1)) AS INT) + 2, CAST(n AS INT))]
+            - vs[CAST(floor(p*(n-1)) AS INT) + 1])
+           * (p*(n-1) - floor(p*(n-1))), 6) AS quantile,
+       n AS sample_n
+FROM (
+  SELECT list_sort(list(v)) AS vs, count(v)::BIGINT AS n
+  FROM (
+    SELECT CAST({value_col} AS DOUBLE) AS v
+    FROM {table}
+    WHERE {value_col} IS NOT NULL
+    ORDER BY CAST({h64} AS DECIMAL(20,0))
+             / CAST(18446744073709551615 AS DECIMAL(20,0))
+    LIMIT {k}
+  )
+), (VALUES {vals}) AS probs(p)"""
+
+
 def exact_heavy_hitters(df: DataFrame, col: str, k: int = 20) -> DataFrame:
     """Exact top-k frequent values — the deterministic baseline the
     sketch family is judged against.  groupBy count partial-aggregates
