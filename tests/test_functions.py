@@ -574,6 +574,47 @@ class TestDecontaminate:
                        num_hashes=1).collect())
         assert a == b
 
+    def test_bloom_bitset_build_is_chunk_bounded(self, spark):
+        """The build-side driver collect must receive dense CHUNK blobs
+        — at most ceil(n_words/chunk_words) rows — never O(words) rows
+        (at the 1B-shingle design point the old per-word collect was
+        ~190M Row objects), and the assembled bitset must equal a
+        direct per-position construction, including a partial final
+        chunk."""
+        import numpy as np
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import dedup
+        rsh = spark.range(5000).select(
+            F.concat(F.lit("sh_"), F.col("id").cast("string")).alias("s"))
+        n_words = 4096 * 2 + 10          # forces a partial last chunk
+        m_bits = 64 * n_words
+        k = 3
+
+        def positions(col):
+            return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+                    for i in range(k)]
+
+        chunks = dedup._bloom_word_chunks(rsh, positions, m_bits,
+                                          chunk_words=4096)
+        rows = chunks.collect()
+        assert len(rows) <= 3, len(rows)
+        got = np.zeros(n_words, dtype=np.int64)
+        for r in rows:
+            lo = int(r["c"]) * 4096
+            blob = np.frombuffer(r["blob"], dtype=np.int64)
+            assert lo + len(blob) <= n_words
+            got[lo:lo + len(blob)] = blob
+        ref = np.zeros(n_words, dtype=np.uint64)
+        for r in rsh.select(F.explode(F.array(*positions(F.col("s"))))
+                            .alias("p")).collect():
+            p = int(r["p"])
+            ref[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+        assert np.array_equal(got.view(np.uint64), ref)
+        # the default-chunk assembly path agrees too
+        assert np.array_equal(
+            dedup._bloom_bitset(rsh, positions, m_bits).view(np.uint64),
+            ref)
+
     def test_bloom_corpus_side_has_no_prefilter_join(self, spark):
         """The membership test must be a map-side Arrow bit gather, not
         a join: upstream of the exact-confirm join's corpus side there

@@ -438,6 +438,52 @@ class TestJpegNative:
         out = np.frombuffer(rgb, np.uint8).reshape(24, 40, 3)
         assert np.abs(out.astype(float) - img.astype(float)).mean() < 10.0
 
+    def test_roundtrip_422_subsampled(self):
+        # 4:2:2 (2x1 horizontal-only chroma): the decoder path where
+        # h != hmax but v == vmax — neither 4:4:4 nor 4:2:0 covers it
+        import numpy as np
+        from tuplex_spark.functions.multimodal import (_decode_jpeg,
+                                                       encode_jpeg)
+        img = self._gradient(40, 24)
+        payload = encode_jpeg(40, 24, img.tobytes(), quality=90,
+                              subsample="422")
+        # SOF really declares 2x1 sampling for Y
+        i = payload.find(b"\xff\xc0")
+        assert payload[i + 4 + 7] == 0x21, hex(payload[i + 4 + 7])
+        w, h, rgb = _decode_jpeg(payload)
+        assert (w, h) == (40, 24)
+        out = np.frombuffer(rgb, np.uint8).reshape(24, 40, 3)
+        assert np.abs(out.astype(float) - img.astype(float)).mean() < 8.0
+
+    def test_roundtrip_422_odd_width(self):
+        import numpy as np
+        from tuplex_spark.functions.multimodal import (_decode_jpeg,
+                                                       encode_jpeg)
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (16, 21, 3), dtype=np.uint8)
+        payload = encode_jpeg(21, 16, img.tobytes(), quality=75,
+                              subsample="422")
+        w, h, _ = _decode_jpeg(payload)
+        assert (w, h) == (21, 16)
+
+    def test_non_interleaved_scan_is_loud(self):
+        # rewrite the SOS of a 3-component frame to name only component
+        # 1: a multi-scan baseline file must raise NotImplementedError,
+        # not a bare KeyError at spec[c['id']]
+        import pytest
+        from tuplex_spark.functions.multimodal import (_decode_jpeg,
+                                                       encode_jpeg)
+        payload = bytearray(encode_jpeg(16, 16, bytes(16 * 16 * 3)))
+        i = payload.find(b"\xff\xda")
+        # original SOS body: [3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
+        new_body = bytes([1, 1, 0x00, 0, 63, 0])
+        import struct
+        payload[i:i + 4 + 10] = (b"\xff\xda"
+                                 + struct.pack(">H", len(new_body) + 2)
+                                 + new_body)
+        with pytest.raises(NotImplementedError, match="non-interleaved"):
+            _decode_jpeg(bytes(payload))
+
     def test_restart_markers_and_odd_dims(self):
         import numpy as np
         from tuplex_spark.functions.multimodal import (_decode_jpeg,

@@ -288,6 +288,56 @@ def decontaminate(df: DataFrame, ref: DataFrame,
     return df.join(hits, df[id_col] == F.col("__hit_id"), "left_anti")
 
 
+# 128Ki 64-bit words = 1 MiB per dense chunk blob
+_BLOOM_CHUNK_WORDS = 1 << 17
+
+
+def _bloom_word_chunks(rsh: DataFrame, positions, m_bits: int,
+                       chunk_words: int = _BLOOM_CHUNK_WORDS) -> DataFrame:
+    """(chunk_id, blob) DataFrame for the Bloom bitset of the distinct
+    shingle column ``s`` of ``rsh``: explode the k bit positions ->
+    bit_or per 64-bit word (partial-aggregated map-side) -> pack each
+    run of ``chunk_words`` words into one dense little-endian blob via
+    applyInPandas.  Row count is ceil(m_bits/64/chunk_words) — the
+    bounded quantity a driver collect is allowed to depend on."""
+    import numpy as np
+    import pandas as pd
+    n_words = (m_bits + 63) // 64
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = int(pdf["c"].iloc[0])
+        lo = c * chunk_words
+        size = min(chunk_words, n_words - lo)
+        arr = np.zeros(size, dtype=np.int64)
+        arr[pdf["w"].to_numpy() - lo] = pdf["bits"].to_numpy()
+        return pd.DataFrame({"c": [c], "blob": [arr.tobytes()]})
+
+    words = (rsh.select(F.explode(F.array(*positions(F.col("s"))))
+                        .alias("p"))
+             .select((F.col("p") / 64).cast("long").alias("w"),
+                     F.expr("shiftleft(1L, cast(p % 64 as int))")
+                     .alias("m"))
+             .groupBy("w").agg(F.expr("bit_or(m)").alias("bits")))
+    return (words
+            .withColumn("c", F.expr(f"shiftright(w, "
+                                    f"{chunk_words.bit_length() - 1})"))
+            .groupBy("c").applyInPandas(build, "c long, blob binary"))
+
+
+def _bloom_bitset(rsh: DataFrame, positions, m_bits: int):
+    """Assemble the full bitset on the driver from the bounded chunk
+    rows — one numpy buffer, never O(words) Row objects."""
+    import numpy as np
+    n_words = (m_bits + 63) // 64
+    arr = np.zeros(n_words, dtype=np.int64)
+    chunk_words = _BLOOM_CHUNK_WORDS
+    for r in _bloom_word_chunks(rsh, positions, m_bits).collect():
+        lo = int(r["c"]) * chunk_words
+        blob = np.frombuffer(r["blob"], dtype=np.int64)
+        arr[lo:lo + len(blob)] = blob
+    return arr
+
+
 def decontaminate_bloom(df: DataFrame, ref: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         ref_text_col: str | None = None,
@@ -310,11 +360,14 @@ def decontaminate_bloom(df: DataFrame, ref: DataFrame,
 
     Build: k xxhash64 bit positions per reference shingle (JVM-side,
     whole-stage codegen) -> positions pack into 64-bit words via a
-    bit_or aggregation (the shuffle and the driver collect are bounded
-    by the BITSET size in words, never by the number of reference
-    shingles) -> numpy bitset, broadcast via SparkContext.  Probe: the
-    k positions are computed JVM-side on corpus shingles; the only
-    Python is an Arrow-vectorized bitset gather (numpy fancy index).
+    bit_or aggregation -> words pack into fixed 1 MiB dense CHUNKS
+    (applyInPandas per chunk id), so what crosses to the driver is
+    O(bitset bytes / 1 MiB) blob rows — at the 1B-shingle design point
+    (12 bits/key ~ 1.5 GB bitset) that is ~1.4k rows, where the old
+    per-word collect was ~190M Row objects.  The driver assembles ONE
+    buffer and broadcasts it via SparkContext.  Probe: the k positions
+    are computed JVM-side on corpus shingles; the only Python is an
+    Arrow-vectorized bitset gather (numpy fancy index).
     """
     if mode not in ("drop", "flag"):
         raise ValueError(f"decontaminate mode={mode!r}")
@@ -335,19 +388,13 @@ def decontaminate_bloom(df: DataFrame, ref: DataFrame,
         return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
                 for i in range(k)]
 
-    words = (rsh.select(F.explode(F.array(*positions(F.col("s"))))
-                        .alias("p"))
-             .select((F.col("p") / 64).cast("long").alias("w"),
-                     F.expr("shiftleft(1L, cast(p % 64 as int))")
-                     .alias("m"))
-             .groupBy("w").agg(F.expr("bit_or(m)").alias("bits")))
-    arr = np.zeros((m_bits + 63) // 64, dtype=np.int64)
-    for r in words.collect():
-        arr[r["w"]] = r["bits"]
+    arr = _bloom_bitset(rsh, positions, m_bits)
     bc = df.sparkSession.sparkContext.broadcast(arr.tobytes())
 
     @F.pandas_udf("boolean")
     def maybe_contains(ps: pd.Series) -> pd.Series:
+        if ps.empty:
+            return pd.Series([], dtype=bool)
         bits = np.frombuffer(bc.value, dtype=np.uint64)
         P = np.vstack(ps.to_numpy()).astype(np.int64)
         w = (P >> 6).astype(np.int64)
@@ -868,6 +915,12 @@ def minhash_similarity_sql(table="documents", text_col="text",
     back and counts agreeing components."""
     inner = minhash_lsh_pairs_sql(table, text_col, id_col, num_hashes,
                                   bands, shingle_n, max_bucket)
+    # CTE-prefix reuse by split: guard the assumptions (exactly one
+    # final SELECT DISTINCT; the sig CTE this query joins back) so a
+    # rewording of the inner builder fails loudly instead of emitting
+    # silently-wrong SQL
+    assert inner.count("SELECT DISTINCT") == 1, inner
+    assert "sig AS" in inner, inner
     head, final = inner.rsplit("SELECT DISTINCT", 1)
     matches = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"

@@ -521,6 +521,12 @@ def _jpg_decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, ri):
         cw, ch = mcux * 8 * c["h"], mcuy * 8 * c["v"]
         planes.append(_np.zeros((ch, cw)))
     spec = {s["cs"]: s for s in scomp}
+    missing = [c["id"] for c in comps if c["id"] not in spec]
+    if missing:
+        # baseline allows several single-component scans; this decoder
+        # implements only the (overwhelmingly common) interleaved form
+        raise NotImplementedError(
+            f"non-interleaved scan (components {missing} not in SOS)")
     pred = [0] * len(comps)
     nmcu = 0
     for my in range(mcuy):
@@ -712,9 +718,11 @@ def _enc_block(bw, blk, q, dct, act, pred, ci):
 
 def encode_jpeg(width, height, rgb: bytes, quality=85,
                 subsample=False, restart_interval=0) -> bytes:
-    """Baseline JPEG encoder.  ``subsample=True`` emits 4:2:0 chroma
-    (2x2-averaged), exercising the decoder's upsampling path;
-    ``restart_interval=N`` emits DRI + RSTn markers every N MCUs."""
+    """Baseline JPEG encoder.  ``subsample`` picks the chroma sampling:
+    False/"444" full chroma, True/"420" 2x2-averaged, "422"
+    horizontal-only 2x1 — together covering every decoder upsampling
+    ratio; ``restart_interval=N`` emits DRI + RSTn markers every N
+    MCUs."""
     px = _np.frombuffer(rgb, dtype=_np.uint8).reshape(height, width, 3) \
         .astype(_np.float64)
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
@@ -726,7 +734,10 @@ def encode_jpeg(width, height, rgb: bytes, quality=85,
     dc_l = _enc_table(*_K_DC_LUM); ac_l = _enc_table(*_K_AC_LUM)
     dc_c = _enc_table(*_K_DC_CHR); ac_c = _enc_table(*_K_AC_CHR)
     bw = _BitWriter()
-    hs = vs = 2 if subsample else 1
+    if isinstance(subsample, str):
+        hs, vs = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[subsample]
+    else:
+        hs = vs = 2 if subsample else 1
     mcu_w, mcu_h = 8 * hs, 8 * vs
     mbx = (width + mcu_w - 1) // mcu_w
     mby = (height + mcu_h - 1) // mcu_h
@@ -736,16 +747,13 @@ def encode_jpeg(width, height, rgb: bytes, quality=85,
                       mode="edge")
 
     yp = pad(y, mby * mcu_h, mbx * mcu_w)
-    if subsample:
-        cbp = pad(cb, mby * mcu_h, mbx * mcu_w)
-        crp = pad(cr, mby * mcu_h, mbx * mcu_w)
-        cbp = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2) \
-            .mean(axis=(1, 3))
-        crp = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2) \
-            .mean(axis=(1, 3))
-    else:
-        cbp = pad(cb, mby * 8, mbx * 8)
-        crp = pad(cr, mby * 8, mbx * 8)
+    cbp = pad(cb, mby * mcu_h, mbx * mcu_w)
+    crp = pad(cr, mby * mcu_h, mbx * mcu_w)
+    if hs > 1 or vs > 1:
+        cbp = cbp.reshape(cbp.shape[0] // vs, vs,
+                          cbp.shape[1] // hs, hs).mean(axis=(1, 3))
+        crp = crp.reshape(crp.shape[0] // vs, vs,
+                          crp.shape[1] // hs, hs).mean(axis=(1, 3))
     pred = [0, 0, 0]
     nmcu = 0
     rstn = 0
@@ -783,7 +791,7 @@ def encode_jpeg(width, height, rgb: bytes, quality=85,
 
     out = bytearray(b"\xff\xd8")
     out += dqt(0, qlum) + dqt(1, qchr)
-    samp = 0x22 if subsample else 0x11
+    samp = (hs << 4) | vs
     sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([3]) \
         + bytes([1, samp, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
     out += seg(0xC0, sof)
