@@ -592,14 +592,29 @@ def q_ds_withcolumn(spark, sf_dir):
 
 
 def q_ds_resolve(spark, sf_dir):
-    """exception model: map that raises ZeroDivisionError + resolve."""
+    """exception model: map whose UDF catches the ZeroDivisionError,
+    reads ``e.args`` (compiled round 8: derived from the recorded
+    raise-site message), RE-RAISES it, and resolves downstream — the
+    full resolver loop with an e.args-reading handler, all on the
+    compiled Column path (no Python in the executed plan)."""
     c = _ctx(spark)
+
+    def m(x):
+        try:
+            v = x["o_totalprice"] / (x["o_custkey"] % 7)
+            tag = "ok"
+        except ZeroDivisionError as e:
+            tag = e.args[0]  # "float division by zero"
+            raise e
+        return {"okey": x["o_orderkey"], "val": v, "tag": tag}
+
     ds = (c.parquet(os.path.join(sf_dir, "orders.parquet"))
-          .map(lambda x: {"okey": x["o_orderkey"],
-                          "val": x["o_totalprice"] / (x["o_custkey"] % 7)})
-          .resolve(ZeroDivisionError, lambda x: {"okey": x["o_orderkey"],
-                                                 "val": -1.0}))
-    return ds.toDF().select("okey", F.round("val", 4).alias("val"))
+          .map(m)
+          .resolve(ZeroDivisionError,
+                   lambda x: {"okey": x["o_orderkey"], "val": -1.0,
+                              "tag": "resolved"}))
+    return ds.toDF().select("okey", F.round("val", 4).alias("val"),
+                            "tag")
 
 
 def q_ds_ignore(spark, sf_dir):
@@ -1948,7 +1963,8 @@ FROM part WHERE p_size >= 25""",
         "ds_resolve": """
 SELECT o_orderkey AS okey,
        round(CASE WHEN o_custkey % 7 = 0 THEN -1.0
-             ELSE o_totalprice / (o_custkey % 7) END, 4) AS val
+             ELSE o_totalprice / (o_custkey % 7) END, 4) AS val,
+       CASE WHEN o_custkey % 7 = 0 THEN 'resolved' ELSE 'ok' END AS tag
 FROM orders""",
         "ds_ignore": """
 SELECT o_orderkey AS okey,

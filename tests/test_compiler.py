@@ -2279,8 +2279,17 @@ class TestCompiledTryExcept:
             try:
                 return int(s)
             except ValueError as e:
-                return len(e.args[0])  # args access stays on fallback
+                return len(repr(e))  # repr(e) stays on fallback
         run_diff(ctx, self.STRS, f, expect_compiled=False)
+
+    def test_as_name_args_read_compiles(self, ctx):
+        # round 8: e.args derives (str(e),) from the recorded message
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                return len(e.args[0])
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
 
     def test_as_name_unread_compiles(self, ctx):
         def f(s):
@@ -3175,13 +3184,177 @@ class TestHandlerTypeName:
                 return len(str(e))  # raise site records the message
         run_diff(ctx, ["5", "xyz"], k, expect_compiled=True)
 
-    def test_attribute_reads_still_fall_back(self, ctx):
+    def test_passing_e_on_still_falls_back(self, ctx):
         def k(s):
             try:
                 return int(s)
             except ValueError as e:
-                return len(e.args)  # attribute read -> exact fallback
+                return len(repr(e))  # repr(e) -> exact fallback
         run_diff(ctx, ["5", "xyz"], k, expect_compiled=False)
+
+
+class TestHandlerArgsAndReraise:
+    """Round-8: ``e.args`` reads compile (engine raise sites derive
+    (str(e),) for one-string-arg builtins; user raise sites record the
+    evaluated arg Syms), ``e.__class__.__name__`` joins
+    type(e).__name__, and handlers may re-raise (bare ``raise`` /
+    ``raise e``) with the original per-guard code+message preserved.
+    All CPython-differential."""
+
+    def test_len_args_engine_raise(self, ctx):
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                return len(e.args)
+        run_diff(ctx, ["5", "xyz", ""], f, expect_compiled=True)
+
+    def test_args0_engine_raise_is_message(self, ctx):
+        def f(s):
+            try:
+                return str(int(s) * 2)
+            except ValueError as e:
+                return e.args[0]
+        run_diff(ctx, ["21", "xyz", ""], f, expect_compiled=True)
+
+    def test_args_unpacking(self, ctx):
+        def f(s):
+            try:
+                return "ok " + str(int(s))
+            except ValueError as e:
+                (m,) = e.args
+                return "got " + m
+        run_diff(ctx, ["nope", "12"], f, expect_compiled=True)
+
+    def test_user_raise_one_arg_args(self, ctx):
+        def f(x):
+            try:
+                if x < 0:
+                    raise ValueError("negative: " + str(x))
+                return x * 2
+            except ValueError as e:
+                return len(e.args[0])
+        run_diff(ctx, [3, -7, -123], f, expect_compiled=True)
+
+    def test_user_raise_nonstring_arg(self, ctx):
+        # args[0] keeps the ORIGINAL value (int), not str(e)
+        def f(x):
+            try:
+                if x % 2:
+                    raise ValueError(x * 10)
+                return -1
+            except ValueError as e:
+                return e.args[0] + 1
+        run_diff(ctx, [1, 2, 3, 4], f, expect_compiled=True)
+
+    def test_zero_arg_raise_empty_args(self, ctx):
+        def f(x):
+            try:
+                if x > 2:
+                    raise ValueError
+                return x
+            except ValueError as e:
+                return len(e.args)
+        run_diff(ctx, [1, 5, 2, 9], f, expect_compiled=True)
+
+    def test_keyerror_args_falls_back(self, ctx):
+        # KeyError args=(key,) but str(e)=repr(key): not derivable from
+        # the recorded message -> exact fallback, still correct
+        def f(s):
+            d = {"a": 1}
+            try:
+                return d[s]
+            except KeyError as e:
+                return len(e.args)
+        run_diff(ctx, ["a", "b"], f, expect_compiled=False)
+
+    def test_mixed_arity_falls_back(self, ctx):
+        # one site has args=(), the other args=(msg,): no static tuple
+        def f(x):
+            try:
+                if x > 2:
+                    raise ValueError
+                if x < 0:
+                    raise ValueError("neg")
+                return x
+            except ValueError as e:
+                return len(e.args)
+        run_diff(ctx, [1, 5, -3], f, expect_compiled=False)
+
+    def test_class_dunder_name(self, ctx):
+        def f(s):
+            try:
+                return str(int(s))
+            except ValueError as e:
+                return e.__class__.__name__
+        run_diff(ctx, ["4", "nope"], f, expect_compiled=True)
+
+    def test_bare_reraise_propagates_original(self, ctx):
+        def f(s):
+            try:
+                return int(s)
+            except ValueError:
+                raise
+        ds = ctx.parallelize(["5", "xyz", "7", ""]).map(f)
+        assert ds.collect() == [5, 7]
+        assert ds.exception_counts == {"ValueError": 2}
+
+    def test_raise_e_by_name_propagates_original(self, ctx):
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                raise e
+        ds = ctx.parallelize(["5", "xyz"]).map(f)
+        assert ds.collect() == [5]
+        assert ds.exception_counts == {"ValueError": 1}
+
+    def test_conditional_reraise(self, ctx):
+        # swallow short inputs, re-raise long ones — path-conditioned
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                if len(s) > 3:
+                    raise e
+                return -1
+        ds = ctx.parallelize(["5", "ab", "abcdef", "xyzw"]).map(f)
+        assert ds.collect() == [5, -1]
+        assert ds.exception_counts == {"ValueError": 2}
+
+    def test_reraise_caught_by_outer_try(self, ctx):
+        # the re-raised exception keeps its message for the outer
+        # handler's str(e)
+        def f(s):
+            try:
+                try:
+                    return int(s)
+                except ValueError as e:
+                    raise e
+            except ValueError as e2:
+                return len(str(e2))
+        run_diff(ctx, ["9", "bad"], f, expect_compiled=True)
+
+    def test_reraise_resolves_downstream(self, ctx):
+        # the reference resolver flow: re-raised rows reach resolve()
+        def f(s):
+            try:
+                return int(s)
+            except ValueError:
+                raise
+        ds = (ctx.parallelize(["5", "xyz", "8"]).map(f)
+              .resolve(ValueError, lambda s: -1))
+        assert ds.collect() == [5, -1, 8]
+
+    def test_bare_raise_outside_handler(self, ctx):
+        # CPython: RuntimeError("No active exception to re-raise")
+        def f(x):
+            if x > 1:
+                raise
+            return x
+        ds = ctx.parallelize([0, 5, 1]).map(f)
+        assert ds.collect() == [0, 1]
+        assert ds.exception_counts == {"RuntimeError": 1}
 
 
 class TestFormatSpecExtended:

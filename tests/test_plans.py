@@ -141,6 +141,17 @@ class TestScaleOps:
         assert "ArrowEvalPython" not in plan
         assert "BatchEvalPython" not in plan
 
+    def test_resolve_with_args_reraise_stays_native(self, spark):
+        """ds_resolve's UDF now reads e.args and re-raises inside the
+        handler (round 8): the whole resolver loop must still compile
+        to Column exprs — no Python eval anywhere in the plan."""
+        import __spark_entry__ as em
+        plan = em.q_ds_resolve(spark, SF_DIR) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "BatchEvalPython" not in plan
+
     def test_simhash_band_blocking_covers_hamming_ball(self):
         """(k+1)-band pigeonhole property: any two fingerprints within
         Hamming distance k agree exactly on >=1 of the k+1 bands — the
@@ -518,7 +529,9 @@ class TestCodegenNotDemoted:
     # sizes 560-1369 bytecodes — far from the ceiling today)
     HEAVY = ["ds_strings", "ds_loops", "ds_json_udf", "dedup_embedding",
              "pipeline_clean", "text_langid_ngram", "dedup_minhash_sim",
-             "sample_quota", "dedup_decontaminate_bloom"]
+             "sample_quota", "dedup_decontaminate_bloom",
+             # round-8: e.args read + re-raise + resolve in one plan
+             "ds_resolve"]
 
     def test_heavy_compiled_queries_stay_jit_compilable(self, spark):
         import __spark_entry__ as em

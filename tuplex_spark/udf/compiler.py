@@ -32,7 +32,20 @@ import random as _random_mod
 from pyspark.sql import Column, functions as F, types as T
 
 from . import reflection
-from ..exceptions import code_for, codes_caught_by
+from ..exceptions import code_for, codes_caught_by, name_for_code
+
+# exception classes whose CPython construction is (message,) wherever
+# the engine emits a guarded raise — so a handler's ``e.args`` read is
+# derivable as (str(e),) from the recorded raise-site message.  NOT on
+# the list: KeyError (args=(key,), str(e)=repr(key)), StopIteration /
+# AssertionError (zero-arg raises have args=()), the Unicode errors
+# (5-tuple args), and the input-malformation codes.
+_ARGS_IS_MESSAGE = {
+    "Exception", "ArithmeticError", "ZeroDivisionError", "OverflowError",
+    "FloatingPointError", "LookupError", "IndexError", "ValueError",
+    "TypeError", "AttributeError", "RuntimeError", "NotImplementedError",
+    "RecursionError", "NameError", "UnboundLocalError",
+}
 
 
 class CompileError(Exception):
@@ -218,14 +231,29 @@ def _contains_continue(node) -> bool:
 
 
 def _is_typename_read(n, name: str) -> bool:
-    """``type(<name>).__name__``"""
-    return (isinstance(n, ast.Attribute) and n.attr == "__name__"
-            and isinstance(n.value, ast.Call)
-            and isinstance(n.value.func, ast.Name)
-            and n.value.func.id == "type"
-            and len(n.value.args) == 1 and not n.value.keywords
-            and isinstance(n.value.args[0], ast.Name)
-            and n.value.args[0].id == name)
+    """``type(<name>).__name__`` or ``<name>.__class__.__name__``.
+    Returns the inner Name node when it matches, else None."""
+    if not (isinstance(n, ast.Attribute) and n.attr == "__name__"):
+        return None
+    v = n.value
+    if (isinstance(v, ast.Call) and isinstance(v.func, ast.Name)
+            and v.func.id == "type"
+            and len(v.args) == 1 and not v.keywords
+            and isinstance(v.args[0], ast.Name)
+            and v.args[0].id == name):
+        return v.args[0]
+    if (isinstance(v, ast.Attribute) and v.attr == "__class__"
+            and isinstance(v.value, ast.Name) and v.value.id == name):
+        return v.value
+    return None
+
+
+def _is_args_read(n, name: str):
+    """``<name>.args`` — returns the inner Name node or None."""
+    if (isinstance(n, ast.Attribute) and n.attr == "args"
+            and isinstance(n.value, ast.Name) and n.value.id == name):
+        return n.value
+    return None
 
 
 def _is_message_read(n, name: str) -> bool:
@@ -236,19 +264,41 @@ def _is_message_read(n, name: str) -> bool:
             and n.args[0].id == name)
 
 
+def _is_reraise(n, name: str | None):
+    """``raise <name>`` (no cause) — returns the Name node or None."""
+    if (isinstance(n, ast.Raise) and n.cause is None
+            and isinstance(n.exc, ast.Name)
+            and (name is None or n.exc.id == name)):
+        return n.exc
+    return None
+
+
 def _exc_read_kinds(handler: ast.ExceptHandler) -> set[str] | None:
     """Classify every Load of the handler's ``as`` name into the reads
-    the compiled path can answer: 'typename' (type(e).__name__ — class
-    statically known per guard) and 'message' (str(e) — needs a
-    recorded raise-site message).  None = some other read (e.args,
-    attribute access, passing e around) — exact-fallback."""
+    the compiled path can answer: 'typename' (type(e).__name__ /
+    e.__class__.__name__ — class statically known per guard),
+    'message' (str(e) — needs a recorded raise-site message), 'args'
+    (e.args — recorded raise-site args, or derived (str(e),) for the
+    one-string-arg builtins), and 'reraise' (``raise e`` — re-emits the
+    per-guard codes/messages).  None = some other read (passing e to a
+    function, repr(e), e.<other attribute>) — exact-fallback."""
     name = handler.name
     ok: dict[int, str] = {}
     for hs in handler.body:
         for n in ast.walk(hs):
-            if _is_typename_read(n, name):
-                ok[id(n.value.args[0])] = "typename"
-            elif _is_message_read(n, name):
+            inner = _is_typename_read(n, name)
+            if inner is not None:
+                ok[id(inner)] = "typename"
+                continue
+            inner = _is_args_read(n, name)
+            if inner is not None:
+                ok[id(inner)] = "args"
+                continue
+            inner = _is_reraise(n, name)
+            if inner is not None:
+                ok[id(inner)] = "reraise"
+                continue
+            if _is_message_read(n, name):
                 ok[id(n.args[0])] = "message"
     kinds: set[str] = set()
     for hs in handler.body:
@@ -262,17 +312,25 @@ def _exc_read_kinds(handler: ast.ExceptHandler) -> set[str] | None:
 
 
 class _ExcReadRewriter(ast.NodeTransformer):
-    """Replace ``type(<name>).__name__`` / ``str(<name>)`` with
-    pre-evaluated Syms (per-guard when-chains built in _exec_try)."""
+    """Replace ``type(<name>).__name__`` / ``<name>.__class__.__name__``
+    / ``str(<name>)`` / ``<name>.args`` with pre-evaluated Syms
+    (per-guard when-chains built in _exec_try).  ``raise <name>`` is NOT
+    rewritten — the Raise executor re-emits the per-guard codes via the
+    re-raise context."""
 
-    def __init__(self, name: str, typename_sym=None, message_sym=None):
+    def __init__(self, name: str, typename_sym=None, message_sym=None,
+                 args_sym=None):
         self.name = name
         self.typename_sym, self.message_sym = typename_sym, message_sym
+        self.args_sym = args_sym
 
     def visit_Attribute(self, node):
-        if _is_typename_read(node, self.name) \
+        if _is_typename_read(node, self.name) is not None \
                 and self.typename_sym is not None:
             return _SymExpr(self.typename_sym)
+        if _is_args_read(node, self.name) is not None \
+                and self.args_sym is not None:
+            return _SymExpr(self.args_sym)
         return self.generic_visit(node)
 
     def visit_Call(self, node):
@@ -457,6 +515,17 @@ class SConst(Sym):
         self.nullable = value is None
 
 
+class SRaised(SConst):
+    """Placeholder 'return value' of a path that RAISES: the row is an
+    exception row, its output column is never read.  _merge_returns
+    drops these when any live arm exists, so a raising dict/tuple UDF
+    keeps its unpacked multi-column shape instead of degrading to a
+    nullable struct."""
+
+    def __init__(self):
+        super().__init__(None)
+
+
 class STuple(Sym):
     tag = "tuple"
 
@@ -619,6 +688,14 @@ class Translator:
         self.with_guards = with_guards
         self.guards: list[tuple[Column, int]] = []
         self._guard_msgs: dict[int, Column] = {}  # guard idx -> str(exc)
+        # guard idx -> exact exc.args as evaluated Syms (user raise
+        # sites record them; engine raise sites derive (str(e),) for
+        # the one-string-arg builtins at handler-compile time)
+        self._guard_args: dict[int, list] = {}
+        # innermost-last stack of (as-name|None, [(eff_cond, code,
+        # msg_col|None, args|None)]) for the handler bodies currently
+        # being compiled — `raise e` / bare `raise` re-emit per-guard
+        self._reraise_ctx: list[tuple[str | None, list]] = []
         self.accessed: set[str] = set()
         self._locals: dict[str, Sym] = {}
         self._returns: list[tuple[Column | None, Sym]] = []
@@ -774,6 +851,8 @@ class Translator:
         del self.guards[start:]
         for gi in [g for g in self._guard_msgs if g >= start]:
             del self._guard_msgs[gi]
+        for gi in [g for g in self._guard_args if g >= start]:
+            del self._guard_args[gi]
 
     # -- conversions -----------------------------------------------------
     def to_col(self, s: Sym) -> Column:
@@ -861,34 +940,63 @@ class Translator:
                 self._returns.append((path, val))
                 return True
             if isinstance(st, ast.Raise):
+                # re-raise shapes first: bare `raise` inside a handler
+                # re-raises the in-flight exception; `raise <as-name>`
+                # re-raises by binding.  Both re-emit the ORIGINAL
+                # per-guard (code, message, args) under the current path
+                # — exact CPython re-raise identity.
+                if st.exc is None:
+                    if self._reraise_ctx:
+                        self._emit_reraise(self._reraise_ctx[-1][1],
+                                           path)
+                        return True
+                    # CPython: bare raise with no active exception
+                    self.guard(F.lit(True), "RuntimeError",
+                               msg="No active exception to re-raise")
+                    self._returns.append((path, SRaised()))
+                    return True
+                if isinstance(st.exc, ast.Name) and st.cause is None:
+                    for nm, entries in reversed(self._reraise_ctx):
+                        if nm == st.exc.id:
+                            self._emit_reraise(entries, path)
+                            return True
                 # self._path == path here, so guard() conditions the raise
                 exc_name = self._exc_name(st.exc)
                 # record str(e) when it's statically derivable: CPython
-                # str(Exc()) == "", str(Exc(a)) == str(a).  The arg is
-                # evaluated BEFORE the raise guard, so an exception
-                # inside the arg expression wins per first-raise order,
-                # exactly like CPython's eval-then-raise.  Uncompilable
-                # args roll their speculative guards back and just skip
-                # the message (handler str(e) reads then fall back).
+                # str(Exc()) == "", str(Exc(a)) == str(a) — and e.args
+                # as the evaluated arg Syms.  Args are evaluated BEFORE
+                # the raise guard, so an exception inside the arg
+                # expression wins per first-raise order, exactly like
+                # CPython's eval-then-raise.  Uncompilable args roll
+                # their speculative guards back and just skip the
+                # message/args (handler str(e)/e.args reads then fall
+                # back).
                 rmsg: Column | str | None = None
+                rargs: list | None = None
                 if isinstance(st.exc, ast.Name) \
                         or (isinstance(st.exc, ast.Call)
                             and not st.exc.keywords
                             and not st.exc.args):
-                    # bare `raise` (st.exc None) re-raises the ORIGINAL
-                    # exception — its message is unknown here, so no
-                    # rmsg for that shape
                     rmsg = ""
+                    rargs = []
                 elif (isinstance(st.exc, ast.Call)
                         and not st.exc.keywords
                         and len(st.exc.args) == 1):
                     ng = len(self.guards)
                     try:
-                        rmsg = self._to_str(self.eval(st.exc.args[0]))
+                        asym = self.eval(st.exc.args[0])
+                        rargs = [asym]
+                        ng2 = len(self.guards)
+                        try:
+                            rmsg = self._to_str(asym)
+                        except CompileError:
+                            self._truncate_guards(ng2)
                     except CompileError:
                         self._truncate_guards(ng)
                 self.guard(F.lit(True), exc_name, msg=rmsg)
-                self._returns.append((path, SConst(None)))
+                if self.with_guards and rargs is not None:
+                    self._guard_args[len(self.guards) - 1] = rargs
+                self._returns.append((path, SRaised()))
                 return True
             if isinstance(st, ast.Assert):
                 cond = self.truthy(self.eval(st.test))
@@ -1193,11 +1301,18 @@ class Translator:
         conditions) — including across NESTED tries: the snapshot stack
         records every enclosing level and guard-index rebasing remaps
         ancestor entries.  Handlers may read the ``as`` binding as
-        ``type(e).__name__`` (class static per guard) or ``str(e)``
-        (raise sites record their exact CPython message, incl. operand
-        reprs, via guard(msg=...)).  Still falling back: any OTHER read
-        of the binding (e.args, attributes, passing e on), str(e) for a
-        raise site without a recorded message, and raising/returning/
+        ``type(e).__name__`` / ``e.__class__.__name__`` (class static
+        per guard), ``str(e)`` (raise sites record their exact CPython
+        message, incl. operand reprs, via guard(msg=...)), ``e.args``
+        (user raise sites record the evaluated arg Syms; engine sites
+        derive ``(str(e),)`` for the one-string-arg builtins — compiled
+        as an STuple, so subscripts/len/unpacking ride the ordinary
+        tuple machinery), and may re-raise via bare ``raise`` or
+        ``raise e`` (the original per-guard code+message+args re-emit
+        under the handler path).  Still falling back: any OTHER read of
+        the binding (passing e to a function, repr(e), other
+        attributes), str(e)/e.args for a raise site without a record
+        (e.g. KeyError args, Unicode 5-tuples), and raising/returning/
         breaking finally bodies (an exception in finally REPLACES the
         in-flight one, which the append-only guard model cannot
         express).
@@ -1274,6 +1389,8 @@ class Translator:
             # handlers can compile str(e) and kept guards re-attach
             new_msgs = {gi: self._guard_msgs[gi]
                         for gi in self._guard_msgs if gi >= n_guards}
+            new_args = {gi: self._guard_args[gi]
+                        for gi in self._guard_args if gi >= n_guards}
             self._truncate_guards(n_guards)
             kept: list[tuple[Column, int]] = []
             kept_old: list[int] = []
@@ -1301,10 +1418,12 @@ class Translator:
                 for new_i, gi_old in enumerate(kept_old, start=n_guards):
                     if gi_old in pending:
                         osnaps[new_i] = pending[gi_old]
-            # same remap for raise-site messages of surviving guards
+            # same remap for raise-site messages/args of surviving guards
             for new_i, gi_old in enumerate(kept_old, start=n_guards):
                 if gi_old in new_msgs:
                     self._guard_msgs[new_i] = new_msgs[gi_old]
+                if gi_old in new_args:
+                    self._guard_args[new_i] = new_args[gi_old]
             handled = None
             for conds in per_handler:
                 for c, _ in conds:
@@ -1345,10 +1464,9 @@ class Translator:
                     # the eff conditions are DISJOINT (each masked by
                     # ~prior), so a when() chain over the handler's
                     # guards picks the right value per row
-                    name_sym = msg_sym = None
+                    name_sym = msg_sym = args_sym = None
                     if "typename" in kinds:
                         # type(e).__name__: class is static per guard
-                        from ..exceptions import name_for_code
                         ncol = None
                         for eff, gi in conds:
                             nm = name_for_code(
@@ -1372,8 +1490,13 @@ class Translator:
                             mcol = F.when(eff, m) if mcol is None \
                                 else mcol.when(eff, m)
                         msg_sym = SCol(mcol, "str", False)
+                    if "args" in kinds:
+                        args_sym = self._exc_args_sym(
+                            conds, new_guards, new_msgs, new_args,
+                            n_guards)
                     import copy as _copy
-                    rw_t = _ExcReadRewriter(h.name, name_sym, msg_sym)
+                    rw_t = _ExcReadRewriter(h.name, name_sym, msg_sym,
+                                            args_sym)
                     hbody = [rw_t.visit(_copy.deepcopy(s))
                              for s in h.body]
                 self._locals = dict(saved)
@@ -1393,7 +1516,17 @@ class Translator:
                     for eff, s in reversed(arms[:-1]):
                         merged = self._merge_vals(eff, s, merged)
                     self._locals[name] = merged
-                h_term = self.exec_block(hbody, hpath)
+                # bare `raise` / `raise <as-name>` inside this handler
+                # re-emits the original per-guard code+message+args
+                ctx_entries = [
+                    (eff, new_guards[gi - n_guards][1],
+                     new_msgs.get(gi), new_args.get(gi))
+                    for eff, gi in conds]
+                self._reraise_ctx.append((h.name, ctx_entries))
+                try:
+                    h_term = self.exec_block(hbody, hpath)
+                finally:
+                    self._reraise_ctx.pop()
                 h_env = self._locals
                 all_term = all_term and h_term
                 env = self._merge_envs(hcond, h_env, env, saved)
@@ -1412,6 +1545,53 @@ class Translator:
             self._branch_depth -= 1
             self._snap_stack = [e for e in self._snap_stack
                                 if e is not entry]
+
+    def _exc_args_sym(self, conds, new_guards, new_msgs, new_args,
+                      n_guards: int):
+        """Merged ``e.args`` tuple for a handler: explicit raise-site
+        args where recorded, else (str(e),) derived from the recorded
+        message for the one-string-arg builtins.  All feeding guards
+        must agree on arity (CPython handlers see ONE exception per
+        row; mixed arities cannot merge into a static tuple)."""
+        per: list[tuple[Column, list]] = []
+        arity = None
+        for eff, gi in conds:
+            a = new_args.get(gi)
+            if a is None:
+                code = new_guards[gi - n_guards][1]
+                m = new_msgs.get(gi)
+                if name_for_code(code) in _ARGS_IS_MESSAGE \
+                        and m is not None:
+                    a = [SCol(m, "str", False)]
+                else:
+                    raise CompileError(
+                        "handler reads e.args for a raise site "
+                        "without recorded args")
+            if arity is None:
+                arity = len(a)
+            elif arity != len(a):
+                raise CompileError("e.args arity differs across the "
+                                   "handler's raise sites")
+            per.append((eff, a))
+        items = []
+        for j in range(arity):
+            merged = per[-1][1][j]
+            for eff, a in reversed(per[:-1]):
+                merged = self._merge_vals(eff, a[j], merged)
+            items.append(merged)
+        return STuple(items)
+
+    def _emit_reraise(self, entries, path: Column | None) -> None:
+        """Re-emit the original guards of the exception a handler is
+        re-raising: one guard per feeding raise site, each under its
+        (disjoint) raise condition AND the current path — so the row's
+        code and recorded message survive the handler exactly as
+        CPython's bare ``raise`` propagates the in-flight exception."""
+        for eff, code, m, a in entries:
+            self.guard(eff, name_for_code(code), msg=m)
+            if self.with_guards and a is not None:
+                self._guard_args[len(self.guards) - 1] = a
+        self._returns.append((path, SRaised()))
 
     def _run_finally(self, st: ast.Try, path: Column | None,
                      n_guards: int) -> None:
@@ -2303,6 +2483,12 @@ class Translator:
 
     def _merge_returns(self) -> Sym:
         arms = self._returns
+        # raise-path placeholders never produce a row value: drop them
+        # when any live return exists (keeps dict/tuple returns
+        # unpacked); a UDF whose every path raises materializes null
+        live = [a for a in arms if not isinstance(a[1], SRaised)]
+        if live:
+            arms = live
         if not arms:
             raise CompileError("no return value")
         if len(arms) == 1:
