@@ -167,7 +167,7 @@ def make_prober():
 
 
 def measure_query(qs, name, spark, sf_dir, iters, probe, *,
-                  gc_before=False, pre_probe=False,
+                  gc_before=False, pre_probe=False, warmups=1,
                   runner=run_once) -> dict:
     """Warmup + ``iters`` measured samples with per-SAMPLE contention
     adjudication: any sample exceeding OUTLIER_RATIO x the best
@@ -186,6 +186,11 @@ def measure_query(qs, name, spark, sf_dir, iters, probe, *,
         time.sleep(0.2)
     pre = probe() if pre_probe else None
     tw = runner(qs, name, spark, sf_dir)   # unmeasured warmup
+    for _ in range(warmups - 1):
+        # extra warmup absorbs codegen-class load + JIT tier-up, which
+        # takes ~2 passes after a session has churned through other
+        # queries' generated classes
+        tw = min(tw, runner(qs, name, spark, sf_dir))
     best = tw
     samples = []
 
@@ -349,7 +354,7 @@ def main():
                 try:
                     m = measure_query(qs, name, spark, sf1_dir, iters,
                                       probe, gc_before=True,
-                                      pre_probe=True)
+                                      pre_probe=True, warmups=2)
                     t1[name] = m["median"]
                     s1[name] = m
                     flag = (f" CONTENDED x{m['n_contended']}"

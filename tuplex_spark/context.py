@@ -543,6 +543,17 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
          .config("spark.sql.shuffle.partitions", str(shuffle))
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+         # AQE sizes post-shuffle partitions from the exchange's INPUT
+         # bytes; stages whose output explodes relative to input (the
+         # LSH pair generators: C(k,2) pairs per bucket from a skinny
+         # (id, band, h) table) get collapsed to 1 task when that input
+         # compresses under the default 1 MB floor — measured as a 33 s
+         # single-task stage inside an otherwise 7 s sf1 dedup run, the
+         # dominant LSH variance.  A 64 KB floor keeps parallelism-first
+         # sizing at ~defaultParallelism once a shuffle exceeds ~2 MB,
+         # while genuinely tiny shuffles still coalesce.
+         .config("spark.sql.adaptive.coalescePartitions"
+                 ".minPartitionSize", "64KB")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.files.maxPartitionBytes",
@@ -577,9 +588,33 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
          # interpreter fork + numpy import per stage — the dominant term
          # in their run-to-run variance at sf1 (measured 2.4x max/min)
          .config("spark.python.worker.reuse", "true")
-         .config("spark.driver.memory",
-                 options.get("tuplex.driverMemory")
-                 or os.environ.get("SPARK_DRIVER_MEMORY", "90g")))
+         # generated-class churn is the other variance source: the
+         # stock 100-entry codegen class cache evicts constantly once a
+         # session has run a few dozen distinct plans, and every
+         # re-compiled class re-enters HotSpot cold (plus deopt storms
+         # in shared framework call sites) — measured as NON-monotonic
+         # 10-40x same-stage CPU inflation with clean GC and a clean
+         # 32-thread spin probe (dedup stages at 574 s CPU vs 12 s on
+         # identical data).  A 10k cache + 512 MB code cache keeps the
+         # full working set of generated classes warm (measured: all
+         # five sf1 LSH queries stable at 1.5-2.7 s after one pass vs
+         # 40-90 s outliers recurring indefinitely before).
+         .config("spark.sql.codegen.cache.maxEntries", "10000"))
+    # Right-sized, PRE-TOUCHED heap.  The old 90 GB lazily-committed
+    # heap let G1 grow young gen by tens of GB between collections;
+    # every fresh GB is first-touch page faults against the OS, which
+    # showed up as NON-GC, NON-JIT 10-20x run stalls (measured: 48-51 s
+    # dedup_embedding sf1 runs with gc_ms=0 while the heap ballooned
+    # 10->57 GB, vs 2.4-4.7 s across 10 runs at -Xms16g=-Xmx16g with
+    # +AlwaysPreTouch).  This — with the codegen-class churn above —
+    # is what rounds 5-7 kept adjudicating as "host CPU variance".
+    mem = str(options.get("tuplex.driverMemory")
+              or os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    b = (b
+         .config("spark.driver.extraJavaOptions",
+                 f"-XX:ReservedCodeCacheSize=512m -Xms{mem} "
+                 "-XX:+AlwaysPreTouch")
+         .config("spark.driver.memory", mem))
     if options.get("tuplex.scratchDir"):
         b = b.config("spark.local.dir", options["tuplex.scratchDir"])
     spark = b.getOrCreate()

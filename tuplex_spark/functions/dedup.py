@@ -130,7 +130,21 @@ def _bucket_pairs(buckets: DataFrame, max_bucket: int,
     aggregation buffer on one executor.  A slice-after-collect cap
     materialized the whole bucket first — a multi-GB single-buffer
     risk at 100 TB.
-    Output columns: a.<field>, b.<field> for id + each payload column."""
+    Output columns: a.<field>, b.<field> for id + each payload column.
+
+    NOTE this stage's output EXPLODES quadratically (C(k,2) pairs per
+    bucket) relative to its skinny (id, band, h) input, so AQE's
+    size-based partition coalescing must not collapse the exchange —
+    measured: a 33 s single-task pair-generation stage inside an
+    otherwise 7 s sf1 run, the dominant run-to-run variance of every
+    LSH query.  The guard is build_session's
+    coalescePartitions.minPartitionSize floor (parallelism-first
+    sizing keeps ~defaultParallelism reducers once the bucket table
+    exceeds a couple of MB) rather than an explicit repartition-by-num
+    here: a pinned repartition would satisfy the window's clustering
+    outright and cost the map-side Partial WindowGroupLimit prune —
+    the guard that keeps a degenerate bucket from shipping through
+    the shuffle uncapped."""
     payload = payload or []
     entry = F.struct(F.col("id"), *[F.col(c) for c in payload])
     w = Window.partitionBy("band", "h").orderBy("id")
@@ -797,9 +811,7 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     vectors; candidate pairs are DEDUPLICATED across bands *before* any
     cosine is computed (a pair sharing all 8 bands previously paid 8
     interpreted cosines); vectors are then fetched by two id-equality
-    joins and the verify cosine is one Arrow-vectorized dot per unique
-    pair."""
-    from .similarity import dot_fold_sql, norm_fold_sql
+    joins and the verify cosine is one codegen'd dot per unique pair."""
     if nbits is None:
         n = n_rows if n_rows is not None else df.count()
         nbits = adaptive_nbits(n)
@@ -810,28 +822,49 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str = "embedding",
     buckets = (keyed.select("id", F.posexplode("ks").alias("band", "h")))
     cand = (_bucket_pairs(buckets, max_bucket)
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")))
-    # verify cosine stays JVM-side (zip_with+aggregate fold, see
-    # similarity.dot_fold_sql for the measured alternatives): an
-    # Arrow-UDF cosine paid ~1 KB/pair of serialization x 2 evaluations
-    # (the threshold filter duplicated the ArrowEvalPython node below
-    # the projection) — 5.4 Python-worker-minutes for 2M sf1 candidates
-    # and the source of dedup_embedding's 12-146s run-to-run swings.
-    # The norms ride the corpus branches (one fold per VECTOR, on the
-    # scans the id-joins need anyway), so the per-PAIR work is a single
-    # dot fold; sqrt(na)*sqrt(nb) computes from the same element-wise
-    # casts in the same IEEE order as the DuckDB twin.
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+    # verify cosine stays JVM-side AND whole-stage-codegen'd: the
+    # vectors convert to dim-field STRUCTS on the per-VECTOR branch
+    # scans (64 element_at casts each, done once per vector), so the
+    # per-PAIR dot is a flat chain of GetStructField products — ~470
+    # bytecodes, fully JIT-able.  Measured alternatives: an Arrow-UDF
+    # cosine paid ~1 KB/pair x 2 evaluations (the threshold filter
+    # duplicated the ArrowEvalPython) — 5.4 Python-worker-minutes for
+    # 2M sf1 candidates and the source of 12-146s swings; the round-7
+    # zip_with+aggregate fold is correct but runs on Catalyst's
+    # INTERPRETED higher-order path (~1.5-3s over 272k sf0.1 pairs —
+    # the dominant verify cost); a per-pair element_at unroll exceeds
+    # HotSpot's 8000-bytecode JIT limit (element_at bounds checks are
+    # ~10x a struct field read).  Norms ride the branches as folds (one
+    # per vector); the product chain is left-to-right, the same IEEE
+    # order as DuckDB's list_dot_product, so the oracle stays bitwise.
+    from .similarity import norm_fold_sql
+    sfields = ", ".join(
+        f"'f{d}', CAST(element_at(v, {d + 1}) AS DOUBLE)"
+        for d in range(dim))
+    svec = F.expr(f"named_struct({sfields})")
+    # norms stay as the zip_with+aggregate FOLD, computed once per
+    # VECTOR on the 20k-row branches: a higher-order function is
+    # CodegenFallback, which keeps the huge named_struct projection
+    # OUT of the fused whole-stage-codegen method of the probe-side
+    # join — a struct-field norm chain here inlined (via
+    # SimplifyExtractValueOps) into one 16,679-bytecode WSCG method,
+    # silently interpreted (8-10 s sf1 runs); with the fold isolation
+    # the per-pair dot method is 471 bytecodes, fully JIT'd
+    # (measured sf1 3.5 s stable / sf0.1 1.2-1.5 s vs the round-7
+    # all-fold form's 3.4-90 s erratic range)
+    va = base.select(F.col("id").alias("id_a"), svec.alias("sa"),
                      F.expr(norm_fold_sql("v")).alias("na"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+    vb = base.select(F.col("id").alias("id_b"), svec.alias("sb"),
                      F.expr(norm_fold_sql("v")).alias("nb"))
     pairs = cand.join(va, "id_a").join(vb, "id_b")
-    cos = F.round(
-        F.expr(dot_fold_sql("va", "vb")) / (F.col("na") * F.col("nb")), 6)
-    # pushdown barrier (nondeterministic identity, see dataset.py): the
-    # threshold filter must not get rewritten below this projection —
-    # that substitutes the dot fold into the predicate and evaluates it
-    # twice per pair (measured 2.4s vs 1.3s on 256k pairs).
-    cos = F.element_at(F.shuffle(F.array(cos)), 1)
+    dot = " + ".join(f"sa.f{d} * sb.f{d}" for d in range(dim))
+    cos = F.expr(f"round(({dot}) / (na * nb), 6)")
+    # NO pushdown barrier (unlike the round-7 fold form, whose
+    # element_at(shuffle(array(x)), 1) barrier was CodegenFallback
+    # and demoted the whole verify projection to interpreted eval):
+    # the filter substituting a ~470-bytecode JIT'd chain into its
+    # predicate and evaluating it twice is far cheaper than one
+    # interpreted pass.
     # distinct() AFTER the threshold filter: pairs sharing several
     # bands (<1% here) re-verify redundantly — cheap — while the old
     # pre-join distinct hash-aggregated ALL candidate pairs (the
