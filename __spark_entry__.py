@@ -1165,6 +1165,29 @@ def q_ann_ivf(spark, sf_dir):
                                k=10, nprobe=2)
 
 
+def q_vec_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (the 4x storage cut for
+    100 TB embedding corpora) — graded via exact integer digests of
+    the quantized vectors plus the sequential-fold reconstruction MAE
+    (functions/similarity.py quantize_int8).  Pure JVM map, no
+    shuffle."""
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("q_scale", 6).alias("q_scale"),
+        F.expr("CAST(aggregate(q_vec, 0L, (a, x) -> a + x) AS BIGINT)")
+         .alias("q_sum"),
+        F.expr("CAST(array_min(q_vec) AS INT)").alias("q_min"),
+        F.expr("CAST(array_max(q_vec) AS INT)").alias("q_max"),
+        F.expr("round(aggregate(zip_with(CAST(embedding AS "
+               "ARRAY<DOUBLE>), q_vec, (x, qq) -> "
+               "abs(x - qq * q_scale)), 0.0D, (a, b) -> a + b) "
+               "/ size(q_vec), 9)").alias("mae"))
+
+
 def q_ann_batch(spark, sf_dir):
     """Batch retrieval: a TABLE of 6 query vectors (drawn
     deterministically from the corpus) against the corpus in ONE Arrow
@@ -1634,6 +1657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keyterms": q_text_keyterms,
         "text_repetition": q_text_repetition,
         "basket_pairs": q_basket_pairs,
+        # round-8 late addition: int8 embedding quantization (pure-map
+        # shape; graded by selfcheck in the tail, window already full)
+        "vec_quantize": q_vec_quantize,
         # round-7 rotation leftovers: shape-twins of in-window queries
         "ds_ignore": q_ds_ignore,
         "ds_unique": q_ds_unique,
@@ -2284,6 +2310,7 @@ FROM (""" + analytics_mod.retention_sql() + ") r",
                 k=1024, tag="value")),
         "ann_batch": similarity_mod.batch_cosine_topk_sql(
             k=5, query_pred="vec_id < 6"),
+        "vec_quantize": similarity_mod.quantize_int8_sql(),
     }
     # ann_topk / ann_ivf need the query vector read at oracle-build time;
     # the driver calls oracle_sql() without a spark session, so embed the

