@@ -1096,6 +1096,20 @@ def q_dedup_components(spark, sf_dir):
     return dedup.dup_components(pairs.select("id_a", "id_b"))
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """The APPLY step of near-dup removal: collapse each jaccard
+    near-dup cluster to its smallest-id representative and return the
+    deduplicated corpus (functions/dedup.py canonicalize) — one left
+    join of the corpus against the component labels, no corpus
+    self-join."""
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=2, threshold=0.2)
+    out = dedup.canonicalize(docs, pairs)
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
 def _parquet_nrows(path: str) -> int | None:
     """Row count straight from parquet footer metadata (no Spark job) —
     feeds the corpus-adaptive SRP granularity.  Handles both single-file
@@ -1657,9 +1671,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keyterms": q_text_keyterms,
         "text_repetition": q_text_repetition,
         "basket_pairs": q_basket_pairs,
-        # round-8 late addition: int8 embedding quantization (pure-map
-        # shape; graded by selfcheck in the tail, window already full)
+        # round-8 late additions (graded by selfcheck in the tail, the
+        # window is already full): int8 embedding quantization
+        # (pure-map shape) and the cluster-canonicalize apply step
+        # (components twin + corpus left join)
         "vec_quantize": q_vec_quantize,
+        "dedup_canonical": q_dedup_canonical,
         # round-7 rotation leftovers: shape-twins of in-window queries
         "ds_ignore": q_ds_ignore,
         "ds_unique": q_ds_unique,
@@ -2155,6 +2172,11 @@ FROM documents""",
         + ") q",
         "dedup_components": dedup.dup_components_sql(
             dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2)),
+        "dedup_canonical": (
+            "SELECT doc_id, lang, source, n_chars FROM ("
+            + dedup.canonicalize_sql(
+                dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2))
+            + ")"),
         "text_pack": text.pack_sequences_sql(budget=512, n_buckets=16),
         "text_repetition": text.repetition_scores_sql(),
         # nbits must match the Spark side's corpus-adaptive choice: the

@@ -734,6 +734,44 @@ class TestDupComponents:
         assert kept == [0, 1, 2, 4]
 
 
+class TestCanonicalize:
+    def test_keeps_singletons_and_min_id_reps(self, spark):
+        from tuplex_spark.functions import dedup
+        docs = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(1, 9)],
+            "doc_id long, text string")
+        # clusters {1,3,5} (chained) and {2,7}; 4,6,8 are singletons
+        pairs = spark.createDataFrame(
+            [(1, 3), (3, 5), (2, 7)], "id_a long, id_b long")
+        kept = sorted(r["doc_id"] for r in
+                      dedup.canonicalize(docs, pairs).collect())
+        assert kept == [1, 2, 4, 6, 8]
+
+    def test_all_columns_pass_through(self, spark):
+        from tuplex_spark.functions import dedup
+        docs = spark.createDataFrame(
+            [(1, "a", 7), (2, "b", 9)],
+            "doc_id long, text string, extra long")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        rows = dedup.canonicalize(docs, pairs).collect()
+        assert [tuple(r) for r in rows] == [(1, "a", 7)]
+
+
+class TestSessionStabilityConfs:
+    def test_variance_guards_are_set(self, spark):
+        """The round-8 stability confs are load-bearing (AQE explosion
+        coalescing, codegen-class churn, first-touch heap stalls) —
+        pin them so a build_session refactor can't silently drop them."""
+        c = spark.conf
+        assert c.get("spark.sql.adaptive.coalescePartitions"
+                     ".minPartitionSize") == "64KB"
+        assert c.get("spark.sql.codegen.cache.maxEntries") == "10000"
+        opts = c.get("spark.driver.extraJavaOptions")
+        assert "-XX:+AlwaysPreTouch" in opts
+        assert "-Xms" in opts
+        assert "ReservedCodeCacheSize" in opts
+
+
 class TestPackSequences:
     def test_blocks_and_offsets(self, spark):
         from tuplex_spark.functions.text import pack_sequences

@@ -522,6 +522,45 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
     return labels
 
 
+def canonicalize(df: DataFrame, pairs: DataFrame,
+                 id_col: str = "doc_id",
+                 id_a: str = "id_a", id_b: str = "id_b",
+                 max_iter: int = 25) -> DataFrame:
+    """The APPLY step of a dedup pipeline: collapse each near-duplicate
+    cluster to its canonical (smallest-id) representative and return
+    the deduplicated corpus — rows in no pair pass through unchanged
+    (singleton components), rows whose id == their component survive,
+    everything else drops.
+
+    Scale shape: :func:`dup_components` bounds the label table by the
+    candidate-pair id set (far smaller than the corpus); the final
+    membership test is ONE left join of the corpus against the
+    (id, comp) labels with the survivors filter — no corpus self-join,
+    no global sort.  AQE broadcasts the label table when small."""
+    labels = dup_components(pairs.select(F.col(id_a).alias("id_a"),
+                                         F.col(id_b).alias("id_b")),
+                            max_iter=max_iter)
+    lab = labels.select(F.col("id").alias("__cid"),
+                        F.col("comp").alias("__comp"))
+    out = df.join(lab, df[id_col] == F.col("__cid"), "left")
+    return (out.filter(F.col("__comp").isNull()
+                       | (F.col("__cid") == F.col("__comp")))
+               .select(*df.columns))
+
+
+def canonicalize_sql(pairs_sql: str, table: str = "documents",
+                     id_col: str = "doc_id",
+                     id_a: str = "id_a", id_b: str = "id_b") -> str:
+    """DuckDB twin: recursive-CTE components + the same survivors
+    filter over the corpus."""
+    comp = dup_components_sql(pairs_sql, id_a, id_b)
+    return f"""
+WITH labels AS ({comp})
+SELECT t.* FROM {table} t
+LEFT JOIN labels l ON t.{id_col} = l.id
+WHERE l.comp IS NULL OR t.{id_col} = l.comp"""
+
+
 def dup_components_sql(pairs_sql: str, id_a: str = "id_a",
                        id_b: str = "id_b") -> str:
     """DuckDB twin: transitive closure via WITH RECURSIVE, component =
