@@ -1179,6 +1179,22 @@ def q_ann_ivf(spark, sf_dir):
                                k=10, nprobe=2)
 
 
+def q_ann_batch_ivf(spark, sf_dir):
+    """Batch IVF retrieval: the query TABLE explodes to its nprobe
+    centroids and equi-joins the centroid-assigned corpus — queries
+    travel to buckets, the corpus is never broadcast (functions/
+    similarity.py batch_ivf_topk)."""
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir)
+    queries = (emb.filter(F.col("vec_id") < 6)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return similarity.batch_ivf_topk(emb, queries, cents, k=5,
+                                     nprobe=2)
+
+
 def q_vec_quantize(spark, sf_dir):
     """Symmetric int8 embedding quantization (the 4x storage cut for
     100 TB embedding corpora) — graded via exact integer digests of
@@ -1352,6 +1368,17 @@ def q_sketch_quantiles(spark, sf_dir):
     b = sketch.kmv_quantiles(ev, "value", "event_id",
                              _QUANTILE_PROBS, k=1024, tag="value")
     return a.unionByName(b)
+
+
+def q_sketch_distinct_by(spark, sf_dir):
+    """Per-GROUP KMV distinct estimate (distinct users per event type)
+    — the grouped variant of sketch_distinct: per-group k-smallest via
+    a map-side-pruned WindowGroupLimit, bounded state per group
+    (functions/sketch.py kmv_distinct_by)."""
+    from tuplex_spark.functions import sketch
+    _prep(spark)
+    ev = _t(spark, sf_dir, "events")
+    return sketch.kmv_distinct_by(ev, "user_id", ["event_type"], k=128)
 
 
 def q_sketch_topk(spark, sf_dir):
@@ -1677,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (components twin + corpus left join)
         "vec_quantize": q_vec_quantize,
         "dedup_canonical": q_dedup_canonical,
+        "ann_batch_ivf": q_ann_batch_ivf,
+        "sketch_distinct_by": q_sketch_distinct_by,
         # round-7 rotation leftovers: shape-twins of in-window queries
         "ds_ignore": q_ds_ignore,
         "ds_unique": q_ds_unique,
@@ -2333,6 +2362,10 @@ FROM (""" + analytics_mod.retention_sql() + ") r",
         "ann_batch": similarity_mod.batch_cosine_topk_sql(
             k=5, query_pred="vec_id < 6"),
         "vec_quantize": similarity_mod.quantize_int8_sql(),
+        "ann_batch_ivf": similarity_mod.batch_ivf_topk_sql(
+            k=5, nprobe=2, query_pred="vec_id < 6"),
+        "sketch_distinct_by": sketch_mod.kmv_distinct_by_sql(
+            "events", "user_id", ["event_type"], k=128),
     }
     # ann_topk / ann_ivf need the query vector read at oracle-build time;
     # the driver calls oracle_sql() without a spark session, so embed the

@@ -240,6 +240,32 @@ class TestBatchAnn:
             assert [(r["vec_id"], r["cosine"]) for r in rows] == \
                 [(w["vec_id"], w["cosine"]) for w in want]
 
+    def test_batch_ivf_bucket_join_shape(self, spark):
+        """Batch IVF must be an equi-join on the centroid id (queries
+        travel to buckets) — no cartesian, no nested loop — with the
+        per-query top-k pruned map-side."""
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        cents = [(int(r[0]), [float(x) for x in r[1]])
+                 for r in emb.filter("vec_id < 4")
+                 .select("vec_id", "embedding").collect()]
+        queries = (emb.filter(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        out = similarity.batch_ivf_topk(emb, queries, cents, k=4,
+                                        nprobe=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "WindowGroupLimit" in plan
+        # correctness: self-match first (query's own bucket is probed)
+        rows = [r for r in out.collect() if r["rnk"] == 1]
+        assert {r["q_id"] for r in rows} == {0, 1, 2}
+        for r in rows:
+            assert r["vec_id"] == r["q_id"]
+            assert abs(r["cosine"] - 1.0) < 1e-6
+
     def test_batch_topk_matches_duckdb(self, spark, con):
         from pyspark.sql import functions as F
         from tuplex_spark.functions import similarity
@@ -321,6 +347,36 @@ class TestSketch:
         rows = sketch.kmv_quantiles(df, "v", "k", [0.5], k=16).collect()
         assert rows[0]["sample_n"] == 2
         assert rows[0]["quantile"] == 2.0
+
+    def test_kmv_by_group_exact_below_k(self, spark):
+        from tuplex_spark.functions import sketch
+        rows = [(g, v) for g in ("a", "b") for v in range(20 * 2)
+                for _ in range(2)]  # duplicates don't inflate
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = {r["g"]: r for r in
+               sketch.kmv_distinct_by(df, "v", ["g"], k=256).collect()}
+        assert out["a"]["estimate"] == 40.0
+        assert out["b"]["k_used"] == 40
+
+    def test_kmv_by_group_matches_duckdb(self, spark, con):
+        import duckdb
+        from tuplex_spark.functions import sketch
+        doc = spark.read.parquet(DOC)
+        got = sorted(tuple(r) for r in
+                     sketch.kmv_distinct_by(doc, "doc_id", ["lang"],
+                                            k=32).collect())
+        want = sorted(tuple(r) for r in con.execute(
+            sketch.kmv_distinct_by_sql("documents", "doc_id",
+                                       ["lang"], k=32)).fetchall())
+        assert got == want
+
+    def test_kmv_by_group_mapside_prune(self, spark):
+        from tuplex_spark.functions import sketch
+        doc = spark.read.parquet(DOC)
+        plan = sketch.kmv_distinct_by(doc, "doc_id", ["lang"], k=32) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan
+        assert "Partial" in plan[plan.rindex("WindowGroupLimit"):], plan
 
     def test_heavy_hitters_exact(self, spark, con):
         from tuplex_spark.functions import sketch

@@ -282,6 +282,108 @@ SELECT q_id, {id_col}, cosine, rnk::INT AS rnk FROM ranked
 WHERE rnk <= {k}"""
 
 
+def batch_ivf_topk(df: DataFrame, queries: DataFrame,
+                   centroids: list[tuple[int, list[float]]],
+                   k: int = 5, nprobe: int = 2,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   q_id_col: str = "q_id", q_vec_col: str = "q_vec"
+                   ) -> DataFrame:
+    """Batch IVF retrieval — the 100 TB shape: each query row explodes
+    to its ``nprobe`` nearest centroids and EQUI-JOINS the
+    centroid-assigned corpus on the centroid id, so queries travel to
+    buckets and the corpus is never broadcast or re-scanned per query
+    (against an ivf_build index the join side is partition-pruned
+    parquet).  Per-query top-k is a WindowGroupLimit-pruned
+    row_number, as in batch_cosine_topk.
+
+    Probe selection per query is a sort_array over (rounded ccos,
+    -cid) structs — cosine desc with smallest-cid tie-break, the same
+    deterministic ranking as _rank_probes, so the DuckDB twin agrees
+    exactly.  The per-candidate cosine is the zip_with+aggregate fold:
+    candidates are queries x nprobe buckets (sparse); for a corpus-hot
+    verify path see dedup.embedding_dup_pairs' JIT'd struct-dot."""
+    from pyspark.sql import Window
+
+    cn = [py_norm(cv) for _, cv in centroids]
+    qd = _pdot_multi(F.col(q_vec_col), [cv for _, cv in centroids])
+    qstaged = queries.select(q_id_col, q_vec_col, qd.alias("_qd"),
+                             vec_norm(F.col(q_vec_col)).alias("_qn"))
+    structs = F.array(*[
+        F.struct(F.round(F.col("_qd")[i] / (F.col("_qn") * F.lit(cn[i])),
+                         6).alias("c"),
+                 F.lit(-cid).alias("n"))
+        for i, (cid, _) in enumerate(centroids)])
+    probes = F.transform(
+        F.slice(F.sort_array(structs, False), 1, nprobe),
+        lambda s: -s["n"])
+    qx = qstaged.select(q_id_col, q_vec_col, "_qn",
+                        F.explode(probes).alias("centroid"))
+    corpus = assign_centroids(df, centroids, vec_col) \
+        .withColumn("_nv", vec_norm(F.col(vec_col)))
+    joined = qx.join(corpus, "centroid")
+    cos = F.round(F.expr(dot_fold_sql(q_vec_col, vec_col))
+                  / (F.col("_nv") * F.col("_qn")), 6)
+    scored = joined.select(F.col(q_id_col).alias("q_id"),
+                           F.col(id_col), cos.alias("cosine"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(),
+                                           F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def batch_ivf_topk_sql(cent_sql: str | None = None, k: int = 5,
+                       nprobe: int = 2,
+                       table: str = "embeddings",
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       query_pred: str = "vec_id < 6") -> str:
+    """DuckDB twin: identical probe ranking (rounded cosine desc, cid
+    tie-break), identical corpus assignment, identical per-candidate
+    cosine.  ``cent_sql`` selects (cid, cvec DOUBLE[]) — defaults to
+    the same first-8-vectors seed set the graded query fetches, so the
+    twin needs no Spark session at oracle-build time."""
+    if cent_sql is None:
+        cent_sql = (f"SELECT {id_col} AS cid, "
+                    f"{vec_col}::DOUBLE[] AS cvec "
+                    f"FROM {table} WHERE {id_col} < 8")
+    return f"""
+WITH cent AS ({cent_sql}),
+q AS (
+  SELECT {id_col} AS q_id, {vec_col}::DOUBLE[] AS qv
+  FROM {table} WHERE {query_pred}
+), qprobe AS (
+  SELECT q_id, qv, cid AS centroid FROM (
+    SELECT q.q_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             round(list_dot_product(q.qv, c.cvec)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+             c.cid) AS prn
+    FROM q CROSS JOIN cent c) WHERE prn <= {nprobe}
+), assigned AS (
+  SELECT {id_col}, {vec_col}, centroid FROM (
+    SELECT e.{id_col}, e.{vec_col}, c.cid AS centroid,
+           row_number() OVER (PARTITION BY e.{id_col} ORDER BY
+             round(list_dot_product(e.{vec_col}::DOUBLE[], c.cvec)
+               / (sqrt(list_dot_product(e.{vec_col}::DOUBLE[],
+                                        e.{vec_col}::DOUBLE[]))
+                  * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+             c.cid) AS rn
+    FROM {table} e CROSS JOIN cent c) WHERE rn = 1
+), scored AS (
+  SELECT p.q_id, a.{id_col},
+         round(list_dot_product(p.qv, a.{vec_col}::DOUBLE[])
+           / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[],
+                                    a.{vec_col}::DOUBLE[]))
+              * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cosine
+  FROM qprobe p JOIN assigned a USING (centroid)
+)
+SELECT q_id, {id_col}, cosine, rnk::INT AS rnk FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY q_id ORDER BY cosine DESC, {id_col}) AS rnk
+  FROM scored) WHERE rnk <= {k}"""
+
+
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:
     """Per-vector symmetric int8 scalar quantization — the standard 4x

@@ -75,6 +75,61 @@ SELECT CASE WHEN count(h) < {k} THEN CAST(count(h) AS DOUBLE)
 FROM smallest"""
 
 
+def kmv_distinct_by(df: DataFrame, col: str, group_cols: list[str],
+                    k: int = 256) -> DataFrame:
+    """Per-GROUP KMV distinct estimate — distinct users per event type
+    / distinct domains per day at 100 TB, with per-group driver-free
+    bounded state.  Exact below k per group.
+
+    Plan: (group, hash) distinct (partial-aggregated) -> per-group
+    k-smallest via a row_number window, which Spark lowers to a
+    map-side WindowGroupLimit prune (at most k rows per group per
+    partition cross the group exchange) -> per-group final agg.  Two
+    bounded shuffles, nothing proportional to group cardinality
+    reaches any single buffer beyond k doubles."""
+    from pyspark.sql import Window
+    hashed = (df.select(*group_cols, _hash_frac(col).alias("h"))
+              .distinct())
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    smallest = (hashed.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k).drop("__rn"))
+    return (smallest.groupBy(*group_cols)
+            .agg(F.count("h").alias("n"), F.max("h").alias("kth"))
+            .select(
+                *group_cols,
+                F.when(F.col("n") < k, F.col("n").cast("double"))
+                 .otherwise(F.round((F.col("n") - 1) / F.col("kth"), 6))
+                 .alias("estimate"),
+                F.col("n").cast("long").alias("k_used"),
+                F.round("kth", 6).alias("kth_hash")))
+
+
+def kmv_distinct_by_sql(table: str, col: str, group_cols: list[str],
+                        k: int = 256) -> str:
+    """DuckDB twin — identical hash, identical per-group order
+    statistic."""
+    h64 = _HASH64_DUCK.format(c=col)
+    g = ", ".join(group_cols)
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT {g},
+    CAST(CAST({h64} AS DECIMAL(20,0))
+         / CAST(18446744073709551615 AS DECIMAL(20,0)) AS DOUBLE) AS h
+  FROM {table}
+), smallest AS (
+  SELECT {g}, h FROM (
+    SELECT {g}, h,
+           row_number() OVER (PARTITION BY {g} ORDER BY h) AS rn
+    FROM hashed) WHERE rn <= {k}
+)
+SELECT {g},
+       CASE WHEN count(h) < {k} THEN CAST(count(h) AS DOUBLE)
+            ELSE round((count(h) - 1) / max(h), 6) END AS estimate,
+       count(h)::BIGINT AS k_used,
+       round(max(h), 6) AS kth_hash
+FROM smallest GROUP BY {g}"""
+
+
 def kmv_quantiles(df: DataFrame, value_col: str, key_col: str,
                   probs: list[float], k: int = 1024,
                   tag: str | None = None) -> DataFrame:
