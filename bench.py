@@ -36,7 +36,8 @@ HEADLINE = [
     "ds_map_filter", "ds_agg_bykey", "ds_resolve", "ds_loops",
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_jaccard",
     "dedup_embedding", "pipeline_clean",
-    "ann_topk", "ann_batch", "text_quality", "text_langid", "mm_decode",
+    "ann_topk", "ann_batch", "ann_batch_ivf", "vec_quantize",
+    "dedup_canonical", "text_quality", "text_langid", "mm_decode",
     "events_windowed", "events_top_users",
     "events_asof", "events_range_join", "sketch_distinct",
     "sketch_quantiles",
@@ -55,7 +56,7 @@ SF1_HEADLINE = [
     "events_asof", "sketch_distinct",
     # round-7/8 ops whose scale behavior should be visible per-round
     "dedup_decontaminate_bloom", "sample_quota",
-    "ann_batch", "sketch_quantiles",
+    "ann_batch", "sketch_quantiles", "dedup_canonical",
 ]
 SF1_REPLICAS = 10
 
