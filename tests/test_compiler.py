@@ -3346,6 +3346,28 @@ class TestHandlerArgsAndReraise:
               .resolve(ValueError, lambda s: -1))
         assert ds.collect() == [5, -1, 8]
 
+    def test_reraise_caught_by_inner_try(self, ctx):
+        # raise e inside a NESTED try body: the inner handlers catch
+        # the re-raised exception (the re-emitted guards classify like
+        # any other raise inside that body)
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                try:
+                    raise e
+                except ValueError as e2:
+                    return -len(str(e2))
+        run_diff(ctx, ["7", "bad", ""], f, expect_compiled=True)
+
+    def test_args_in_fstring(self, ctx):
+        def f(s):
+            try:
+                return f"v={int(s)}"
+            except ValueError as e:
+                return f"err({len(e.args)}):{e.args[0][:12]}"
+        run_diff(ctx, ["3", "zzz"], f, expect_compiled=True)
+
     def test_bare_raise_outside_handler(self, ctx):
         # CPython: RuntimeError("No active exception to re-raise")
         def f(x):
