@@ -2299,6 +2299,28 @@ class TestCompiledTryExcept:
                 return -1
         run_diff(ctx, self.STRS, f, expect_compiled=True)
 
+    def test_as_name_rebound_falls_back(self, ctx):
+        # rebinding the ``as`` name makes later reads refer to the NEW
+        # value — the per-guard rewrite would answer from the original
+        # exception, so this must take the exact-CPython fallback
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                e = "oops"
+                return len(str(e))
+        run_diff(ctx, self.STRS, f, expect_compiled=False)
+
+    def test_as_name_deleted_falls_back(self, ctx):
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                n = len(str(e))
+                del e
+                return n
+        run_diff(ctx, self.STRS, f, expect_compiled=False)
+
 
 class TestWhileCounterRewrite:
     """Data-dependent counter whiles (while i < stop: ...; i += 1)

@@ -388,6 +388,29 @@ class TestSketch:
             .fetchall()
         assert got == [tuple(r) for r in want]
 
+    def test_quantiles_empty_column_is_null(self, spark):
+        # n = 0 (all nulls): one row per prob with NULL quantile —
+        # not an element_at(vs, 0) runtime error
+        from tuplex_spark.functions import sketch
+        df = spark.createDataFrame(
+            [(1, None), (2, None)], "k long, v double")
+        rows = sketch.kmv_quantiles(df, "v", "k", [0.0, 0.5], k=16) \
+            .collect()
+        assert len(rows) == 2
+        assert all(r["quantile"] is None and r["sample_n"] == 0
+                   for r in rows)
+
+    def test_quantiles_empty_matches_duckdb(self, spark):
+        import duckdb
+        from tuplex_spark.functions import sketch
+        con2 = duckdb.connect()
+        con2.execute("CREATE VIEW documents AS SELECT doc_id,"
+                     " CAST(NULL AS DOUBLE) AS n_chars"
+                     f" FROM read_parquet('{DOC}')")
+        want = con2.execute(sketch.kmv_quantiles_sql(
+            "documents", "n_chars", "doc_id", [0.5], k=16)).fetchall()
+        assert want == [(0.5, None, 0)]
+
 
 class TestPipelineCompose:
     def test_clean_corpus_matches_oracle(self, spark, con):

@@ -608,12 +608,21 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
     # 10->57 GB, vs 2.4-4.7 s across 10 runs at -Xms16g=-Xmx16g with
     # +AlwaysPreTouch).  This — with the codegen-class churn above —
     # is what rounds 5-7 kept adjudicating as "host CPU variance".
+    # NOTE: -Xms=-Xmx + AlwaysPreTouch COMMITS AND TOUCHES the whole
+    # heap at startup (the point: no first-touch page faults mid-query).
+    # On a host without `mem` free this fails to launch rather than
+    # degrading — size SPARK_DRIVER_MEMORY / tuplex.driverMemory to
+    # what the host actually has, or set tuplex.preTouchHeap=False to
+    # restore the old lazy-commit behavior (accepting the variance
+    # documented in SCALE.md).
     mem = str(options.get("tuplex.driverMemory")
               or os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    pin = options.get("tuplex.preTouchHeap", True)
+    jvm_opts = "-XX:ReservedCodeCacheSize=512m"
+    if pin:
+        jvm_opts += f" -Xms{mem} -XX:+AlwaysPreTouch"
     b = (b
-         .config("spark.driver.extraJavaOptions",
-                 f"-XX:ReservedCodeCacheSize=512m -Xms{mem} "
-                 "-XX:+AlwaysPreTouch")
+         .config("spark.driver.extraJavaOptions", jvm_opts)
          .config("spark.driver.memory", mem))
     if options.get("tuplex.scratchDir"):
         b = b.config("spark.local.dir", options["tuplex.scratchDir"])

@@ -316,6 +316,12 @@ def _bloom_word_chunks(rsh: DataFrame, positions, m_bits: int,
     bounded quantity a driver collect is allowed to depend on."""
     import numpy as np
     import pandas as pd
+    # chunk id below is shiftright(w, log2(chunk_words)) — only equal to
+    # w // chunk_words for powers of two; anything else silently
+    # misassigns words into the wrong blob and corrupts the bitset
+    if chunk_words <= 0 or chunk_words & (chunk_words - 1):
+        raise ValueError(
+            f"chunk_words must be a power of two, got {chunk_words}")
     n_words = (m_bits + 63) // 64
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -990,9 +996,16 @@ def minhash_similarity_sql(table="documents", text_col="text",
     # CTE-prefix reuse by split: guard the assumptions (exactly one
     # final SELECT DISTINCT; the sig CTE this query joins back) so a
     # rewording of the inner builder fails loudly instead of emitting
-    # silently-wrong SQL
-    assert inner.count("SELECT DISTINCT") == 1, inner
-    assert "sig AS" in inner, inner
+    # silently-wrong SQL.  Explicit raise, not assert — asserts vanish
+    # under ``python -O`` and this guard must survive.
+    if inner.count("SELECT DISTINCT") != 1:
+        raise ValueError(
+            "minhash_lsh_pairs_sql changed shape (expected exactly one "
+            "SELECT DISTINCT): " + inner)
+    if "sig AS" not in inner:
+        raise ValueError(
+            "minhash_lsh_pairs_sql changed shape (sig CTE missing): "
+            + inner)
     head, final = inner.rsplit("SELECT DISTINCT", 1)
     matches = " + ".join(
         f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)"

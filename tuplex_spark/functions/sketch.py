@@ -168,11 +168,14 @@ def kmv_quantiles(df: DataFrame, value_col: str, key_col: str,
                       .alias("pi", "p"), "vs", "n")
            .selectExpr(
                "p",
+               # n = 0 (empty/all-null column): element_at's 1-based
+               # index would be 0 and throw — both engines answer NULL
+               "CASE WHEN n = 0 THEN NULL ELSE "
                "round(element_at(vs, CAST(floor(p*(n-1)) AS INT) + 1)"
                " + (element_at(vs, least(CAST(floor(p*(n-1)) AS INT) + 2,"
                "                         CAST(n AS INT)))"
                "    - element_at(vs, CAST(floor(p*(n-1)) AS INT) + 1))"
-               "   * (p*(n-1) - floor(p*(n-1))), 6) AS quantile",
+               "   * (p*(n-1) - floor(p*(n-1))), 6) END AS quantile",
                "CAST(n AS BIGINT) AS sample_n"))
     if tag is not None:
         out = out.select(F.lit(tag).alias("col"), "p", "quantile",
@@ -190,10 +193,11 @@ def kmv_quantiles_sql(table: str, value_col: str, key_col: str,
     tag_sel = f"'{tag}' AS col, " if tag is not None else ""
     return f"""
 SELECT {tag_sel}p,
+       CASE WHEN n = 0 THEN NULL ELSE
        round(vs[CAST(floor(p*(n-1)) AS INT) + 1]
          + (vs[least(CAST(floor(p*(n-1)) AS INT) + 2, CAST(n AS INT))]
             - vs[CAST(floor(p*(n-1)) AS INT) + 1])
-           * (p*(n-1) - floor(p*(n-1))), 6) AS quantile,
+           * (p*(n-1) - floor(p*(n-1))), 6) END AS quantile,
        n AS sample_n
 FROM (
   SELECT list_sort(list(v)) AS vs, count(v)::BIGINT AS n

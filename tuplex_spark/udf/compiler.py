@@ -283,6 +283,15 @@ def _exc_read_kinds(handler: ast.ExceptHandler) -> set[str] | None:
     per-guard codes/messages).  None = some other read (passing e to a
     function, repr(e), e.<other attribute>) — exact-fallback."""
     name = handler.name
+    # Any rebind or delete of the ``as`` name (``e = 5``, ``del e``,
+    # ``for e in ...``, ``with ... as e``) makes later Loads refer to
+    # the NEW binding, not the exception — the per-guard rewrites below
+    # would silently answer from the original exception.  Exact-fallback.
+    for hs in handler.body:
+        for n in ast.walk(hs):
+            if (isinstance(n, ast.Name) and n.id == name
+                    and isinstance(n.ctx, (ast.Store, ast.Del))):
+                return None
     ok: dict[int, str] = {}
     for hs in handler.body:
         for n in ast.walk(hs):
