@@ -1232,6 +1232,49 @@ def q_ann_batch(spark, sf_dir):
     return similarity.batch_cosine_topk(emb, queries, k=5)
 
 
+def q_ann_kmeans(spark, sf_dir):
+    """Learned IVF centroids: distributed spherical k-means (Lloyd
+    under cosine) with content-addressed deterministic init — the
+    trainable replacement for the first-8-vectors seed set the other
+    IVF queries consume (functions/similarity.py kmeans_fit).  Each
+    round is one Arrow assignment pass + one C-row groupBy-avg; driver
+    state is exactly C centroids per round.  Graded on every centroid
+    component (C*dim exploded rows) plus member counts."""
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    return similarity.kmeans_result(_t(spark, sf_dir, "embeddings"),
+                                    c=8, rounds=3)
+
+
+def q_ann_quantized(spark, sf_dir):
+    """Asymmetric retrieval over the int8-quantized corpus: stage 1
+    scores the 4x-smaller quantized table by reconstructing q_d*scale
+    inside the dot, stage 2 reranks the bounded candidate set with the
+    exact float cosine (functions/similarity.py quantized_topk) — the
+    storage shape a 100 TB embedding store actually queries."""
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    qv = _query_vec(spark, sf_dir)
+    return similarity.quantized_topk(_t(spark, sf_dir, "embeddings"),
+                                     qv, k=10, rerank=4)
+
+
+def q_pipeline_embedding(spark, sf_dir):
+    """Composed embedding-stage pipeline: quality/langid survivors ->
+    SRP-LSH near-dup pairs over the survivor vectors -> canonicalize
+    (functions/pipeline.py embedding_clean).  Each component is itself
+    graded (text_quality, text_langid, dedup_embedding,
+    dedup_canonical); this entry proves they COMPOSE — the filter runs
+    BEFORE the LSH index is built, the way a real pipeline orders it."""
+    from tuplex_spark.functions import pipeline
+    _prep(spark)
+    n = _parquet_nrows(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _t(spark, sf_dir, "embeddings")
+    return pipeline.embedding_clean(
+        _t(spark, sf_dir, "documents"), emb,
+        n_corpus_rows=n if n is not None else emb.count())
+
+
 # ======================================================================
 # Event-stream ops (streaming module, batch-equivalent plans)
 # ======================================================================
@@ -1620,22 +1663,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     retention~funnel cohort, leftjoin~q13's left-join+agg,
     orc_roundtrip~csv_roundtrip, cache/text_read/parallelize trivial
     shapes pytest-locked, keyterms~rarity TF-IDF join,
-    repetition~quality/c4 projection, basket~funnel self-join."""
+    repetition~quality/c4 projection, basket~funnel self-join.
+
+    Round-9 rotation: the 4 round-8 tail ops the driver had never
+    graded (vec_quantize, dedup_canonical, ann_batch_ivf,
+    sketch_distinct_by) plus the three new round-9 ops (ann_kmeans,
+    ann_quantized, pipeline_embedding) move in-window.  Their slots
+    come from long-green rows whose shapes stay covered: ds_withcolumn
+    ~ ds_map_filter/ds_strings compiled projections, ds_aggregate ~
+    ds_agg_bykey (same fold recognizer, grouped superset), ds_math ~
+    ds_strings/ds_loops compiled scalar maps, ds_sets ~ ds_loops
+    collection compile (graded green r8), dedup_components ~
+    dedup_canonical (strict superset: components + apply),
+    tpch_q5 ~ q3+q7 join trees, tpch_q19 ~ q3 join-agg + q6 pushdown
+    (both in the selfchecked tail)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
-        "ds_withcolumn": q_ds_withcolumn,
         "ds_resolve": q_ds_resolve,
         "ds_join": q_ds_join,
-        "ds_aggregate": q_ds_aggregate,
         "ds_agg_bykey": q_ds_agg_bykey,
         "ds_csv_roundtrip": q_ds_csv_roundtrip,
         "ds_strings": q_ds_strings,
-        "ds_math": q_ds_math,
         "ds_re": q_ds_re,
         "ds_loops": q_ds_loops,
         "ds_relational": q_ds_relational,
-        "ds_sets": q_ds_sets,
         # -- training-data pipeline ops --
         "mm_decode": q_mm_decode,
         "text_quality": q_text_quality,
@@ -1645,11 +1697,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_canonical": q_dedup_canonical,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
-        "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "ann_ivf": q_ann_ivf,
         "ann_batch": q_ann_batch,
+        "ann_batch_ivf": q_ann_batch_ivf,
+        "ann_kmeans": q_ann_kmeans,
+        "ann_quantized": q_ann_quantized,
+        "vec_quantize": q_vec_quantize,
         "sample_quota": q_sample_quota,
         # -- event-stream ops --
         "events_windowed": q_events_windowed,
@@ -1662,13 +1718,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- deterministic sketches --
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
+        "sketch_distinct_by": q_sketch_distinct_by,
         # -- TPC-H distinct shapes --
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
-        "tpch_q19": q_tpch_q19,
         "ds_json_udf": q_ds_json_udf,
         "text_redact": q_text_redact,
         "sample_stratified": q_sample_stratified,
@@ -1681,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4": q_text_c4,
         "mm_audio": q_mm_audio,
         "pipeline_clean": q_pipeline_clean,
+        "pipeline_embedding": q_pipeline_embedding,
     }
     overflow = {
         # round-8 rotation: round-7 driver-graded greens whose shapes
@@ -1702,10 +1758,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window is already full): int8 embedding quantization
         # (pure-map shape) and the cluster-canonicalize apply step
         # (components twin + corpus left join)
-        "vec_quantize": q_vec_quantize,
-        "dedup_canonical": q_dedup_canonical,
-        "ann_batch_ivf": q_ann_batch_ivf,
-        "sketch_distinct_by": q_sketch_distinct_by,
+        # round-9 rotation: long-green rows whose shapes stay covered
+        # in-window (see the graded block comment)
+        "ds_withcolumn": q_ds_withcolumn,
+        "ds_aggregate": q_ds_aggregate,
+        "ds_math": q_ds_math,
+        "ds_sets": q_ds_sets,
+        "dedup_components": q_dedup_components,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q19": q_tpch_q19,
         # round-7 rotation leftovers: shape-twins of in-window queries
         "ds_ignore": q_ds_ignore,
         "ds_unique": q_ds_unique,
@@ -2366,6 +2427,15 @@ FROM (""" + analytics_mod.retention_sql() + ") r",
             k=5, nprobe=2, query_pred="vec_id < 6"),
         "sketch_distinct_by": sketch_mod.kmv_distinct_by_sql(
             "events", "user_id", ["event_type"], k=128),
+        "ann_kmeans": similarity_mod.kmeans_sql(c=8, rounds=3),
+        "ann_quantized": similarity_mod.quantized_topk_sql(
+            k=10, rerank=4, query_where="vec_id = 0"),
+        # nbits pins to the corpus row count, same as dedup_embedding
+        "pipeline_embedding": pipeline.embedding_clean_sql(
+            n_corpus_rows=_parquet_nrows(os.path.join(
+                os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                               "/root/testdata/sf0.01"),
+                "embeddings.parquet")) or 0),
     }
     # ann_topk / ann_ivf need the query vector read at oracle-build time;
     # the driver calls oracle_sql() without a spark session, so embed the

@@ -41,6 +41,8 @@ HEADLINE = [
     "events_windowed", "events_top_users",
     "events_asof", "events_range_join", "sketch_distinct",
     "sketch_quantiles",
+    # round-9 ops
+    "ann_kmeans", "ann_quantized", "pipeline_embedding",
 ]
 
 
@@ -57,6 +59,9 @@ SF1_HEADLINE = [
     # round-7/8 ops whose scale behavior should be visible per-round
     "dedup_decontaminate_bloom", "sample_quota",
     "ann_batch", "sketch_quantiles", "dedup_canonical",
+    # round-8 tail + round-9 ops: anchor their scale claims per-round
+    "ann_batch_ivf", "vec_quantize", "sketch_distinct_by",
+    "ann_kmeans", "ann_quantized", "pipeline_embedding",
 ]
 SF1_REPLICAS = 10
 
@@ -286,6 +291,27 @@ def machine_state() -> dict:
             "degraded": bool(spin32 > 1.5)}
 
 
+def assert_stability_confs(spark) -> None:
+    """Fail LOUDLY if the session lacks the confs that closed the
+    sf1-variance file (SCALE.md): the AQE coalesce floor (without it
+    the LSH pair exchange coalesces to one task), the codegen-class
+    cache (generated-class churn = non-monotonic 10-40x CPU
+    inflation), and the pinned pre-touched heap (lazy heap growth =
+    first-touch page-fault stalls with gc_ms=0).  A driver-built
+    session that skipped build_session would silently re-open that
+    variance file; this assert turns it into an immediate error."""
+    c = spark.conf
+    assert c.get("spark.sql.adaptive.coalescePartitions"
+                 ".minPartitionSize", "") == "64KB", \
+        "bench session missing AQE coalesce floor — use build_session"
+    assert c.get("spark.sql.codegen.cache.maxEntries", "") == "10000", \
+        "bench session missing codegen cache cap — use build_session"
+    jopts = c.get("spark.driver.extraJavaOptions", "")
+    assert "-XX:+AlwaysPreTouch" in jopts and "-Xms" in jopts, \
+        ("bench session heap not pinned+pre-touched (got %r) — "
+         "use build_session / tuplex.preTouchHeap" % jopts)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
@@ -295,6 +321,7 @@ def main():
     from tuplex_spark import build_session
     spark = build_session("bench", {})
     spark.sparkContext.setLogLevel("ERROR")
+    assert_stability_confs(spark)
 
     qs = entrymod.queries()
     names = [n for n in (sys.argv[1:] or HEADLINE) if n in qs]
@@ -335,6 +362,7 @@ def main():
         sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".bench_data", "sf1")
         try:
+            assert_stability_confs(spark)
             ensure_sf1(spark, sf_dir, sf1_dir)
             # ~900 stages of sf0.1 benching leave the JVM heap churned;
             # without a GC nudge the first sf1 heavies absorb a

@@ -101,3 +101,22 @@ class TestContentionStamping:
                                 gc_before=True, pre_probe=True,
                                 runner=runner)
         assert m["pre_spin32"] == 0.25
+
+
+class TestStabilityConfAssert:
+    def test_build_session_passes(self, spark):
+        # the ctx fixture session comes from build_session — the assert
+        # must accept it (a failure here means bench.py dies at start)
+        bench.assert_stability_confs(spark)
+
+    def test_missing_conf_fails_loudly(self, spark):
+        class FakeConf:
+            def get(self, k, d=None):
+                return d
+
+        class FakeSession:
+            conf = FakeConf()
+
+        import pytest
+        with pytest.raises(AssertionError):
+            bench.assert_stability_confs(FakeSession())

@@ -412,6 +412,107 @@ class TestSketch:
         assert want == [(0.5, None, 0)]
 
 
+class TestKmeans:
+    def test_result_matches_oracle_bitwise(self, spark, con):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        assert_matches(similarity.kmeans_result(emb, c=8, rounds=3),
+                       con, similarity.kmeans_sql(c=8, rounds=3))
+
+    def test_seeds_deterministic_and_bounded(self, spark):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        a = similarity.kmeans_seeds(emb, c=4)
+        b = similarity.kmeans_seeds(emb, c=4)
+        assert a == b and len(a) == 4
+        assert [cid for cid, _ in a] == [0, 1, 2, 3]
+
+    def test_fit_improves_inertia(self, spark):
+        # Lloyd rounds must not make the clustering worse: the mean
+        # per-vector best-centroid cosine is non-decreasing
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+
+        def mean_best_cos(cents):
+            from tuplex_spark.functions.similarity import (
+                _pdot_multi, py_norm, vec_norm)
+            v = F.col("embedding")
+            dots = _pdot_multi(v, [cv for _, cv in cents])
+            best = F.array_max(F.array(*[
+                F.round(dots[i] / (vec_norm(v) * F.lit(py_norm(cv))), 6)
+                for i, (_, cv) in enumerate(cents)]))
+            return emb.agg(F.avg(best)).collect()[0][0]
+
+        c0 = similarity.kmeans_seeds(emb, c=4)
+        c3 = similarity.kmeans_fit(emb, c=4, rounds=3)
+        assert mean_best_cos(c3) >= mean_best_cos(c0)
+
+    def test_empty_cluster_carries_previous(self, spark):
+        # 3 identical vectors + c=2: one cluster captures everything,
+        # the other keeps its seed vector and reports 0 members
+        from tuplex_spark.functions import similarity
+        rows = [(i, [1.0, 0.0, 0.0, float(i) * 1e-9]) for i in range(3)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = similarity.kmeans_result(df, c=2, rounds=2, dim=4)
+        by_cid = {}
+        for r in out.collect():
+            by_cid.setdefault(r["cid"], []).append(r)
+        counts = {cid: rs[0]["n_members"] for cid, rs in by_cid.items()}
+        assert sorted(counts.values()) == [0, 3]
+
+
+class TestQuantizedTopk:
+    def test_matches_oracle(self, spark, con):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in
+              emb.filter("vec_id = 0").select("embedding").head()[0]]
+        got = [tuple(r) for r in
+               similarity.quantized_topk(emb, qv, k=10, rerank=4)
+               .collect()]
+        want = [tuple(r) for r in con.execute(
+            similarity.quantized_topk_sql(k=10, rerank=4)).fetchall()]
+        assert got == want
+        # the query is drawn from the corpus: exact rerank puts it first
+        assert got[0][0] == 0 and got[0][2] == 1.0
+
+    def test_rerank_recovers_exact_order(self, spark):
+        # top-1 by exact cosine must agree with brute force even though
+        # stage 1 ranked on the quantized approximation
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in
+              emb.filter("vec_id = 7").select("embedding").head()[0]]
+        quant = similarity.quantized_topk(emb, qv, k=3, rerank=8).collect()
+        brute = similarity.cosine_topk(emb, qv, k=3).collect()
+        assert [r["vec_id"] for r in quant] == [r["vec_id"] for r in brute]
+        assert [r["cosine"] for r in quant] == [r["cosine"] for r in brute]
+
+
+class TestEmbeddingClean:
+    def test_matches_oracle(self, spark, con):
+        from tuplex_spark.functions import pipeline
+        docs = spark.read.parquet(DOC)
+        emb = spark.read.parquet(EMB)
+        n = emb.count()
+        df = pipeline.embedding_clean(docs, emb, n_corpus_rows=n)
+        assert_matches(df, con,
+                       pipeline.embedding_clean_sql(n_corpus_rows=n))
+
+    def test_subset_of_survivors(self, spark):
+        # every output id must be a quality/langid survivor with an
+        # embedding row
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import pipeline, text
+        docs = spark.read.parquet(DOC)
+        emb = spark.read.parquet(EMB)
+        out = pipeline.embedding_clean(docs, emb, n_corpus_rows=500)
+        ids = {r["doc_id"] for r in out.collect()}
+        vids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+        assert ids <= vids
+
+
 class TestPipelineCompose:
     def test_clean_corpus_matches_oracle(self, spark, con):
         from tuplex_spark.functions import pipeline

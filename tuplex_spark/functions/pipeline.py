@@ -18,8 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import ngram_jaccard_pairs, ngram_jaccard_pairs_sql, \
-    normalize_text
+from .dedup import adaptive_nbits, canonicalize, embedding_dup_pairs, \
+    embedding_dup_pairs_sql, dup_components_sql, ngram_jaccard_pairs, \
+    ngram_jaccard_pairs_sql, normalize_text
 from .text import language_id_expr, language_id_sql, \
     quality_score_expr, quality_score_sql
 
@@ -103,3 +104,95 @@ drops AS (SELECT DISTINCT id_b AS {id_col} FROM pairs)
 SELECT s1.{id_col}, s1.quality
 FROM s1 LEFT JOIN drops ON s1.{id_col} = drops.{id_col}
 WHERE drops.{id_col} IS NULL"""
+
+
+def embedding_clean(docs: DataFrame, emb: DataFrame,
+                    min_quality: float = 0.55, lang: str = "en",
+                    threshold: float = 0.45,
+                    n_corpus_rows: int | None = None,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    vec_col: str = "embedding",
+                    vec_id_col: str = "vec_id") -> DataFrame:
+    """The EMBEDDING stage of the corpus clean, composed end-to-end:
+    quality + language survivors of the document table select their
+    embedding rows (id-aligned), SRP-LSH near-duplicate pairs run over
+    the survivor vectors only, and :func:`~.dedup.canonicalize`
+    collapses each cluster to its smallest-id representative.  Output:
+    (doc_id, quality) of the documents that survive all stages.
+
+    This is how the round-8 ops run in a real pipeline — filter first
+    (the LSH index is built over the THINNED corpus), then pair, then
+    apply — rather than as isolated queries.
+
+    Scale shape: the quality/langid filters are scan projections; the
+    survivor embeddings are localCheckpointed ONCE (they feed the SRP
+    bucket pass, both verify branch scans, and the final apply join —
+    4 consumers); the SRP granularity is pinned from the CORPUS row
+    count (statically known from parquet footers) so the plan — and
+    the oracle twin — need no survivor-count job; the apply step is
+    one left join against the pair-bounded label table.
+
+    The reference composes operators per-query through its stage
+    builder (SURVEY §3) but has no embedding ops at all — parity-plus.
+    """
+    nbits = adaptive_nbits(
+        n_corpus_rows if n_corpus_rows is not None else emb.count())
+    qual = F.element_at(F.shuffle(F.array(
+        quality_score_expr(text_col))), 1)
+    surv = (docs.select(F.col(id_col), qual.alias("quality"),
+                        language_id_expr(text_col).alias("_dl"))
+            .filter((F.col("quality") >= min_quality)
+                    & (F.col("_dl") == lang))
+            .select(id_col, "quality"))
+    sembs = (emb.join(surv.select(F.col(id_col).alias(vec_id_col)),
+                      vec_id_col, "left_semi")
+             .select(vec_id_col, vec_col)
+             .localCheckpoint(eager=False))
+    pairs = embedding_dup_pairs(sembs, vec_col=vec_col,
+                                id_col=vec_id_col,
+                                threshold=threshold, nbits=nbits)
+    kept = canonicalize(sembs.select(vec_id_col), pairs,
+                        id_col=vec_id_col)
+    return (surv.join(kept.select(F.col(vec_id_col).alias(id_col)),
+                      id_col, "left_semi")
+            .select(id_col, "quality"))
+
+
+def embedding_clean_sql(min_quality: float = 0.55, lang: str = "en",
+                        threshold: float = 0.45,
+                        n_corpus_rows: int = 0,
+                        doc_table: str = "documents",
+                        emb_table: str = "embeddings",
+                        text_col: str = "text", id_col: str = "doc_id",
+                        vec_col: str = "embedding",
+                        vec_id_col: str = "vec_id") -> str:
+    """DuckDB twin of :func:`embedding_clean`: the per-op twins nested
+    as CTEs over the same surviving sets; ``n_corpus_rows`` pins the
+    identical SRP granularity."""
+    qsql = quality_score_sql(doc_table, text_col, id_col)
+    lsql = language_id_sql(doc_table, text_col, id_col)
+    psql = embedding_dup_pairs_sql(table="semb", vec_col=vec_col,
+                                   id_col=vec_id_col,
+                                   threshold=threshold,
+                                   n_rows=n_corpus_rows)
+    csql = dup_components_sql(psql)
+    return f"""
+WITH q AS ({qsql}),
+l AS ({lsql}),
+s0 AS (
+  SELECT d.{id_col}, q.quality
+  FROM {doc_table} d
+  JOIN q ON d.{id_col} = q.{id_col}
+  JOIN l ON d.{id_col} = l.{id_col}
+  WHERE q.quality >= {min_quality} AND l.detected_lang = '{lang}'
+),
+semb AS (
+  SELECT e.{vec_id_col}, e.{vec_col}
+  FROM {emb_table} e JOIN s0 ON e.{vec_id_col} = s0.{id_col}
+),
+labels AS ({csql})
+SELECT s0.{id_col}, s0.quality
+FROM s0
+JOIN semb ON semb.{vec_id_col} = s0.{id_col}
+LEFT JOIN labels lb ON semb.{vec_id_col} = lb.id
+WHERE lb.comp IS NULL OR semb.{vec_id_col} = lb.comp"""

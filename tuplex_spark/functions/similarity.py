@@ -52,9 +52,13 @@ def _pdot(a: Column, b: Column) -> Column:
     return dot_udf(a.cast("array<double>"), b.cast("array<double>"))
 
 
-def _pdot_multi(a: Column, mat: list[list[float]]) -> Column:
+def _pdot_multi(a: Column, mat: list[list[float]],
+                with_self: bool = False) -> Column:
     """Dots of the vector column against each constant vector in ``mat``,
-    in one Arrow pass -> array<double> of len(mat)."""
+    in one Arrow pass -> array<double> of len(mat).  ``with_self=True``
+    appends the vector's SELF-dot (x·x, same strict left-to-right
+    accumulation as :func:`_pdot`) as the final element — one Arrow
+    pass instead of a second ArrowEvalPython for the norm."""
     const = [[float(x) for x in row] for row in mat]
 
     @F.pandas_udf("array<double>")
@@ -66,6 +70,11 @@ def _pdot_multi(a: Column, mat: list[list[float]]) -> Column:
             acc = X[:, 0] * row[0]
             for d in range(1, X.shape[1]):
                 acc = acc + X[:, d] * row[d]
+            outs.append(acc)
+        if with_self:
+            acc = X[:, 0] * X[:, 0]
+            for d in range(1, X.shape[1]):
+                acc = acc + X[:, d] * X[:, d]
             outs.append(acc)
         return pd.Series(list(np.stack(outs, axis=1)))
 
@@ -438,6 +447,233 @@ FROM (
     FROM {table}))"""
 
 
+def kmeans_seeds(df: DataFrame, c: int = 8, vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> list[tuple[int, list[float]]]:
+    """Deterministic k-means init: the ``c`` vectors whose md5 content
+    hash (of the id) is smallest — the same content-addressed uniform
+    pick as sampling.py/sketch.py, so the DuckDB twin selects the
+    identical seed set with no RNG and no Spark session.  Centroid ids
+    are 0..c-1 in (hash, id) order.
+
+    Plan: orderBy(h).limit(c) lowers to TakeOrdered — per-partition
+    top-c, at most c rows per partition cross to the driver."""
+    from .sketch import _hash_frac
+    rows = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"),
+                      _hash_frac(id_col).alias("h"))
+            .orderBy("h", "id").limit(c).collect())
+    return [(i, [float(x) for x in r["v"]]) for i, r in enumerate(rows)]
+
+
+def _kmeans_avg_aggs(dim: int) -> list[Column]:
+    """Per-dimension centroid mean, rounded to 6 decimals so the
+    distributed (order-nondeterministic) double sum agrees with the
+    DuckDB twin's avg — the same absorption margin every graded
+    aggregate here uses."""
+    return [F.round(F.avg(F.element_at(F.col("_v"), d + 1)), 6)
+             .alias(f"c{d}") for d in range(dim)]
+
+
+def kmeans_fit(df: DataFrame, c: int = 8, rounds: int = 3,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               dim: int = 64) -> list[tuple[int, list[float]]]:
+    """Distributed spherical k-means (Lloyd iterations under cosine):
+    learned IVF centroids instead of arbitrary seed vectors.
+
+    Each round is (1) an assignment pass — the C dots ride ONE Arrow
+    batch per vector (:func:`_pdot_multi`), argmax by rounded cosine
+    with smallest-cid tie-break, exactly the :func:`assign_centroids`
+    contract the IVF queries already grade — and (2) a groupBy-avg
+    update (map-side partial aggregation; the exchange carries C
+    partial rows per partition).  Empty clusters keep their previous
+    centroid.  Driver state per round is exactly C centroids; rounds
+    are a fixed constant — at 100 TB this is ``rounds`` bounded jobs,
+    each one scan + one C-row aggregate, no unbounded collect anywhere.
+
+    Determinism: init is content-addressed (:func:`kmeans_seeds`);
+    every centroid component is rounded to 6 decimals at the round
+    boundary, so both engines iterate over bitwise-identical centroid
+    values and the DuckDB twin (:func:`kmeans_sql`) replays the exact
+    trajectory.  The reference has no clustering ops at all
+    (SURVEY §2.4) — parity-plus."""
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    cents = kmeans_seeds(df, c, vec_col, id_col)
+    for _ in range(rounds):
+        assigned = assign_centroids(base, cents, "_v")
+        rows = (assigned.groupBy("centroid")
+                .agg(*_kmeans_avg_aggs(dim)).collect())
+        upd = {int(r["centroid"]): [float(r[f"c{d}"]) for d in range(dim)]
+               for r in rows}
+        cents = [(cid, upd.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def kmeans_result(df: DataFrame, c: int = 8, rounds: int = 3,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  dim: int = 64) -> DataFrame:
+    """Graded form of :func:`kmeans_fit`: ``rounds-1`` collected
+    iterations, then the FINAL assignment + update left in-plan, the
+    centroid array exploded to (cid, d, val, n_members) rows — C*dim
+    rows, every component value-hashed against the oracle."""
+    cents = kmeans_fit(df, c, rounds - 1, vec_col, id_col, dim)
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    assigned = assign_centroids(base, cents, "_v")
+    upd = (assigned.groupBy("centroid")
+           .agg(*_kmeans_avg_aggs(dim),
+                F.count(F.lit(1)).alias("n")))
+    prev = df.sparkSession.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid int, pv array<double>")
+    j = prev.join(upd, prev.cid == upd.centroid, "left")
+    # empty cluster: carry the previous centroid UNROUNDED (round-0
+    # seeds are raw data vectors) — the twin's COALESCE does the same
+    vals = F.array(*[F.coalesce(F.col(f"c{d}"),
+                                F.element_at(F.col("pv"), d + 1))
+                     for d in range(dim)])
+    return (j.select(F.col("cid"),
+                     F.coalesce(F.col("n"), F.lit(0)).cast("long")
+                      .alias("n_members"),
+                     F.posexplode(vals).alias("d", "val"))
+            .select("cid", F.col("d").cast("int").alias("d"),
+                    "val", "n_members"))
+
+
+def kmeans_sql(c: int = 8, rounds: int = 3, table: str = "embeddings",
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               dim: int = 64) -> str:
+    """DuckDB twin of :func:`kmeans_result`: the identical seed pick,
+    assignment ranking, rounded per-dimension means, and empty-cluster
+    carryover, replayed round by round as a CTE chain."""
+    from .sketch import _HASH64_DUCK
+    h = _HASH64_DUCK.format(c=id_col)
+    cos = ("round(list_dot_product(b.v, c.cvec)"
+           " / (sqrt(list_dot_product(b.v, b.v))"
+           " * sqrt(list_dot_product(c.cvec, c.cvec))), 6)")
+    avgs = ", ".join(f"round(avg(v[{d + 1}]), 6)" for d in range(dim))
+    ctes = [f"""base AS (
+  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v, {h} AS hh
+  FROM {table}
+)""", f"""cent0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY hh, id) - 1 AS INT) AS cid,
+         v AS cvec
+  FROM (SELECT hh, id, v FROM base ORDER BY hh, id LIMIT {c})
+)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""asg{r} AS (
+  SELECT id, v, cid FROM (
+    SELECT b.id, b.v, c.cid,
+           row_number() OVER (PARTITION BY b.id
+             ORDER BY {cos} DESC, c.cid) AS rn
+    FROM base b CROSS JOIN cent{r - 1} c) WHERE rn = 1
+)""")
+        ctes.append(f"""upd{r} AS (
+  SELECT cid, count(*)::BIGINT AS n, [{avgs}] AS cvec
+  FROM asg{r} GROUP BY cid
+)""")
+        ctes.append(f"""cent{r} AS (
+  SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
+  FROM cent{r - 1} p LEFT JOIN upd{r} u USING (cid)
+)""")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT c.cid, CAST(gs.d AS INT) AS d,\n"
+            f"       c.cvec[gs.d + 1] AS val,\n"
+            f"       COALESCE(u.n, 0) AS n_members\n"
+            f"FROM cent{rounds} c\n"
+            f"LEFT JOIN upd{rounds} u USING (cid)\n"
+            f"CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1}))"
+            f" AS d) gs")
+
+
+def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                   rerank: int = 4, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric retrieval over the int8-quantized corpus — the shape
+    a 100 TB embedding store actually queries: stage 1 scans ONLY the
+    quantized table (4x smaller than float32), scoring each row by the
+    cosine of the float64 query against the RECONSTRUCTED vector
+    (``r_d = q_d * scale`` inside the dot — the query side is never
+    quantized); stage 2 fetches the top ``rerank*k`` candidates' float
+    vectors by an id equi-join (AQE broadcasts the bounded candidate
+    set) and reranks them with the exact cosine.
+
+    Plan at scale: one narrow scan of the quantized table ->
+    TakeOrdered(rerank*k) -> broadcast semi-join back to the float
+    table restricted to rerank*k rows -> TakeOrdered(k).  The float
+    corpus is never fully scanned at query time.
+
+    Zero vectors (scale 0) reconstruct to all-zeros with an undefined
+    cosine; both engines exclude them (``q_scale > 0``).
+
+    Output: (id, cosine_q approx score, cosine exact score), top-k by
+    exact cosine.  Accumulation left-to-right — bitwise vs the twin."""
+    dim = len(query_vec)
+    m = rerank * k
+    qn = py_norm(query_vec)
+    qz = quantize_int8(df, vec_col, id_col) \
+        .select(id_col, "q_scale", "q_vec")
+
+    def e(d):
+        return f"(CAST(element_at(q_vec, {d + 1}) AS DOUBLE) * q_scale)"
+
+    num = " + ".join(f"{e(d)} * {float(query_vec[d])!r}"
+                     for d in range(dim))
+    nrm = " + ".join(f"{e(d)} * {e(d)}" for d in range(dim))
+    approx = F.expr(f"round(({num}) / (sqrt({nrm}) * {qn!r}), 6)")
+    cand = (qz.filter(F.col("q_scale") > 0)
+            .select(F.col(id_col), approx.alias("cosine_q"))
+            .orderBy(F.col("cosine_q").desc(), F.col(id_col))
+            .limit(m))
+    exact = _single_query_cos(vec_col, query_vec)
+    rer = cand.join(df.select(id_col, vec_col), id_col)
+    return (rer.select(F.col(id_col), "cosine_q", exact.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col))
+            .limit(k))
+
+
+def quantized_topk_sql(k: int = 10, rerank: int = 4,
+                       table: str = "embeddings",
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       query_where: str = "vec_id = 0") -> str:
+    """DuckDB twin of :func:`quantized_topk` — identical quantization
+    (HALF_UP, bitwise-locked by the vec_quantize digests), identical
+    reconstruction arithmetic and accumulation order, identical
+    candidate cut and rerank.  The query vector is drawn by predicate
+    at SQL time (no Spark session needed at oracle build)."""
+    m = rerank * k
+    r = "list_transform(z.q8, x -> CAST(x AS DOUBLE) * z.s)"
+    return f"""
+WITH q AS (
+  SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {query_where}
+), qz AS (
+  SELECT {id_col}, s,
+         list_transform(v, x -> CASE WHEN s = 0 THEN 0
+                                     ELSE CAST(round(x / s) AS INT)
+                                END) AS q8
+  FROM (
+    SELECT {id_col}, {vec_col}::DOUBLE[] AS v,
+           list_max(list_transform({vec_col}::DOUBLE[],
+                                   x -> abs(x))) / 127.0 AS s
+    FROM {table})
+), cand AS (
+  SELECT z.{id_col},
+         round(list_dot_product({r}, q.qv)
+           / (sqrt(list_dot_product({r}, {r}))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_q
+  FROM qz z, q WHERE z.s > 0
+  ORDER BY cosine_q DESC, z.{id_col} LIMIT {m}
+)
+SELECT c.{id_col}, c.cosine_q,
+       round(list_dot_product(e.{vec_col}::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(e.{vec_col}::DOUBLE[],
+                                  e.{vec_col}::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM cand c JOIN {table} e USING ({id_col}), q
+ORDER BY cosine DESC, c.{id_col}
+LIMIT {k}"""
+
+
 def _argmax_centroid(dots: Column, nrm: Column,
                      centroids: list[tuple[int, list[float]]]) -> Column:
     """greatest-struct argmax over per-centroid rounded cosines.
@@ -457,14 +693,17 @@ def assign_centroids(df: DataFrame, centroids: list[tuple[int, list[float]]],
     deterministic tie-break on centroid id).  All input columns are
     preserved; one ``centroid`` int column is appended.
 
-    The C dot products ride in ONE Arrow pass (_pdot_multi); the argmax
-    is a linear greatest() over (cos, -cid) structs — an earlier
+    The C dot products AND the self-dot for the norm ride in ONE Arrow
+    pass (_pdot_multi with_self — a separate vec_norm doubled the
+    ArrowEvalPython nodes per assignment); the argmax is a linear
+    greatest() over (cos, -cid) structs — an earlier
     ``when(cos > best).otherwise(best)`` chain duplicated the best-tree
     2^C times and overflowed janino's 64 KB method limit."""
     v = F.col(vec_col)
-    dots = _pdot_multi(v, [cv for _, cv in centroids])
+    dn = _pdot_multi(v, [cv for _, cv in centroids], with_self=True)
     return df.withColumn(
-        "centroid", _argmax_centroid(dots, vec_norm(v), centroids))
+        "centroid",
+        _argmax_centroid(dn, F.sqrt(dn[len(centroids)]), centroids))
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float],
