@@ -4267,3 +4267,179 @@ class TestSetSupport:
                  .map(lambda s: set(s.split())).collect()
         assert ctx.metrics.compiledUDFs == before
         assert got == [{"a", "b"}, {"c"}]
+
+
+class TestVariantReturns:
+    """Mixed-type returns (int|str|float|None) compile to a tagged
+    variant struct (compiler.SVariant) and decode to EXACT Python
+    values at every boundary — the reference routes such rows down its
+    interpreted general path (PythonPipelineBuilder.cc); here the whole
+    column stays compiled."""
+
+    DATA = [0, 1, 2, 3, 4, 5]
+
+    def test_ifexp_mixed_compiles(self, ctx):
+        run_diff(ctx, self.DATA, lambda x: "odd" if x % 2 else x * 10,
+                 expect_compiled=True)
+
+    def test_statement_returns_mixed(self, ctx):
+        def f(x):
+            if x % 2:
+                return "odd"
+            return x * 10
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_none_and_float_arms(self, ctx):
+        def f(x):
+            if x == 0:
+                return None
+            if x == 1:
+                return "one"
+            return x * 1.5
+        run_diff(ctx, self.DATA, f, expect_compiled=True)
+
+    def test_nested_ifexp_widens(self, ctx):
+        run_diff(ctx, self.DATA,
+                 lambda x: "hi" if x > 3 else (x * 5 if x > 1 else "lo"),
+                 expect_compiled=True)
+
+    def test_filter_mixed_truthiness(self, ctx):
+        # Python truthiness per arm: "" and 0 falsy, "yes"/nonzero truthy
+        run_diff(ctx, self.DATA, lambda x: "yes" if x > 2 else 0,
+                 op="filter", expect_compiled=True)
+        run_diff(ctx, self.DATA, lambda x: "" if x == 1 else x,
+                 op="filter", expect_compiled=True)
+
+    def test_guarded_arm_exceptions_counted(self, ctx):
+        # the int() arm raises on non-numeric payloads — guard codes
+        # must flow exactly as on single-typed paths
+        data = ["n5", "nx", "plain", "n12"]
+        run_diff(ctx, data,
+                 lambda s: int(s[1:]) if s.startswith("n") else s,
+                 expect_compiled=True)
+
+    def test_exact_types_preserved(self, ctx):
+        # int arm stays int, float arm stays float — no numeric widening
+        out = ctx.parallelize([1, 2]).map(
+            lambda x: 1.5 if x == 1 else "s").collect()
+        assert out == [1.5, "s"]
+        assert isinstance(out[0], float)
+
+    def test_types_reports_union(self, ctx):
+        import typing
+        ds = ctx.parallelize([1, 2]).map(
+            lambda x: "odd" if x % 2 else x * 10)
+        t = ds.types[0]
+        assert set(typing.get_args(t)) >= {int, str}
+
+    def test_downstream_op_decodes_exactly(self, ctx):
+        # a second UDF over the variant column falls back to Arrow and
+        # must see real int|str values, not structs
+        out = (ctx.parallelize([1, 2, 3, 4])
+               .map(lambda x: "odd" if x % 2 else x * 10)
+               .map(lambda v: str(v) + "!").collect())
+        assert out == ["odd!", "20!", "odd!", "40!"]
+
+    def test_tuple_with_mixed_element(self, ctx):
+        run_diff(ctx, [1, 2, 3],
+                 lambda x: (x, "odd" if x % 2 else x * 10),
+                 expect_compiled=True)
+
+    def test_variant_consumed_by_expr_falls_back(self, ctx):
+        # len() over a mixed value has no compiled form — exact fallback
+        run_diff(ctx, [1, 2, 3],
+                 lambda x: len("odd" if x % 2 else str(x * 10)) if x else 0,
+                 expect_compiled=None)
+
+
+class TestWhileTrueBreakRewrite:
+    """``while True: ... break`` with DATA-DEPENDENT break conditions
+    respells to a plain condition-driven while (top-break and do-while
+    forms), unlocking the counter/contraction/convergence folds —
+    previously always an Arrow fallback (COVERAGE.md 'not compiled')."""
+
+    def test_do_while_contraction(self, ctx):
+        def f(x):
+            v = x
+            while True:
+                v = v // 2
+                if v < 3:
+                    break
+            return v
+        run_diff(ctx, [100, 7, 0, 999, 5], f, expect_compiled=True)
+
+    def test_top_break_contraction(self, ctx):
+        def f(x):
+            v = x
+            while True:
+                if v <= 1:
+                    break
+                v = v // 2
+            return v
+        run_diff(ctx, [100, 7, 1, 0], f, expect_compiled=True)
+
+    def test_counter_with_accumulation(self, ctx):
+        def f(x):
+            i, s = 0, 0
+            while True:
+                if i >= x:
+                    break
+                s += i
+                i += 1
+            return s
+        run_diff(ctx, [0, 1, 5, 10], f, expect_compiled=True)
+
+    def test_float_halving(self, ctx):
+        def f(x):
+            v = float(x) + 1.0
+            while True:
+                v = v / 2.0
+                if v <= 0.5:
+                    break
+            return v
+        run_diff(ctx, [1, 10, 1000], f, expect_compiled=True)
+
+    def test_not_condition_unwraps(self, ctx):
+        def f(x):
+            v = x + 20
+            while True:
+                if not (v > 4):
+                    break
+                v = v - 3
+            return v
+        run_diff(ctx, [0, 5, 30], f, expect_compiled=True)
+
+    def test_static_while_true_still_compiles(self, ctx):
+        def f(x):
+            i = 0
+            while True:
+                i += 1
+                if i == 3:
+                    break
+            return x + i
+        run_diff(ctx, [1, 2], f, expect_compiled=True)
+
+    def test_mid_body_break_still_falls_back(self, ctx):
+        # break that is neither first nor last statement: no respell,
+        # data-dependent flag -> exact fallback
+        def f(x):
+            v = x
+            while True:
+                v = v - 1
+                if v < 2:
+                    break
+                v = v - 1
+            return v
+        run_diff(ctx, [9, 3, 2], f, expect_compiled=False)
+
+    def test_two_breaks_fall_back(self, ctx):
+        def f(x):
+            v = x
+            while True:
+                if v < 0:
+                    break
+                if v % 7 == 0:
+                    break
+                v = v - 3
+            return v
+        run_diff(ctx, [20, 21, 1], f, expect_compiled=False)

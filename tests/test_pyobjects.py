@@ -75,13 +75,33 @@ class TestTypeUnstableOutputs:
               .map(lambda r: r + 1))
         assert ds.collect() == [21, 41]
 
-    def test_runtime_deviation_is_exception_row(self, ctx):
-        # sample (first 100 rows) is all-int; row 150 returns a string
+    def test_compiled_mixed_deviation_is_exact_value(self, ctx):
+        # int|str returns COMPILE since round 9 (variant struct): the
+        # row that returns a string is an exact VALUE in the output —
+        # the true dual-mode merge (the reference's general path would
+        # succeed on the row and merge it back), not a violation.
         def f(x):
             v = 0
             for i in range(1):
                 v = x
             return "surprise" if v == 150 else v
+
+        data = list(range(200))
+        ds = ctx.parallelize(data).map(f)
+        got = ds.collect()
+        assert got == ["surprise" if v == 150 else v for v in data]
+        assert ds.exception_counts == {}
+
+    def test_runtime_deviation_is_exception_row(self, ctx):
+        # sample (first 100 rows) is all-int; row 150 returns a LIST —
+        # outside the compilable variant families, so this exercises
+        # the sampled-type fallback, where a deviating runtime row is
+        # a NormalCaseViolation exception row
+        def f(x):
+            v = 0
+            for i in range(1):
+                v = x
+            return ["surprise"] if v == 150 else v
 
         data = list(range(200))
         ds = ctx.parallelize(data).map(f)
@@ -94,7 +114,7 @@ class TestTypeUnstableOutputs:
             v = 0
             for i in range(1):
                 v = x
-            return "surprise" if v == 150 else v
+            return ["surprise"] if v == 150 else v
 
         data = list(range(200))
         ds = (ctx.parallelize(data).map(f)

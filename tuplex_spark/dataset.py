@@ -90,6 +90,13 @@ def _py_type(dt: T.DataType, nullable: bool):
     import typing
     if isinstance(dt, T.NullType):
         return type(None)
+    if isinstance(dt, T.StructType) and dt.fields \
+            and dt.fields[0].name == "__vt":
+        # variant struct (compiled mixed-type return): Union of the
+        # families present, Optional because any arm may be None
+        fam = {"__vb": bool, "__vi": int, "__vf": float, "__vs": str}
+        opts = tuple(fam[f.name] for f in dt.fields[1:] if f.name in fam)
+        return typing.Optional[typing.Union[opts]] if opts else object
     if isinstance(dt, T.StructType) and \
             all(_re.fullmatch(r"_\d+", f.name) for f in dt.fields):
         base = tuple(_py_type(f.dataType, f.nullable) for f in dt.fields)
@@ -137,9 +144,16 @@ def _py_type_of_value(v):
 
 def _py_value(v):
     """Spark row values -> Python values: struct Rows become tuples
-    (the engine's tuple convention), recursively through arrays/maps."""
+    (the engine's tuple convention), recursively through arrays/maps;
+    variant structs (compiled mixed-type returns, compiler.SVariant)
+    decode to the exact per-row Python value."""
     from pyspark.sql import Row as _Row
     if isinstance(v, _Row):
+        flds = getattr(v, "__fields__", None)
+        if flds and flds[0] == "__vt":
+            if not v[0]:
+                return None
+            return next((x for x in v[1:] if x is not None), None)
         return tuple(_py_value(x) for x in v)
     if isinstance(v, list):
         return [_py_value(x) for x in v]

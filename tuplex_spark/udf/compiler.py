@@ -594,6 +594,37 @@ class SJson(Sym):
         self.exists, self.default = exists, default
 
 
+_VARIANT_FIELDS = {
+    "bool": ("__vb", "boolean", 1),
+    "int": ("__vi", "bigint", 2),
+    "float": ("__vf", "double", 3),
+    "str": ("__vs", "string", 4),
+}
+
+
+class SVariant(Sym):
+    """A MIXED-type scalar (e.g. ``return "odd" if n % 2 else n * 10``)
+    as a tagged struct column: ``__vt`` (0=None, 1=bool, 2=int,
+    3=float, 4=str) plus one value field per type family present.  The
+    reference handles such returns with its dual-mode general path
+    (rows violating the normal case run interpreted,
+    core/src/physical/PythonPipelineBuilder.cc); here the whole column
+    stays compiled and the struct decodes back to the exact Python
+    value at every boundary (collect's _py_value, the Arrow fallback's
+    _struct_to_tuple), so downstream ops and results see real
+    ``int | str`` values."""
+    tag = "pyvariant"
+    nullable = True
+
+    def __init__(self, col: Column, present: list[str]):
+        self.col, self.present = col, present
+
+
+def is_variant_struct(dt) -> bool:
+    return (isinstance(dt, T.StructType) and dt.fields
+            and dt.fields[0].name == "__vt")
+
+
 def _pytag(v) -> str:
     if v is None:
         return "null"
@@ -812,6 +843,11 @@ class Translator:
         return self._col_sym(F.col(phys), f.dataType, f.nullable)
 
     def _col_sym(self, col: Column, dt: T.DataType, nullable: bool) -> Sym:
+        if is_variant_struct(dt):
+            # input produced by a mixed-type compiled return: per-row
+            # dynamic typing — the Arrow fallback (which decodes the
+            # struct back to exact Python values) handles it
+            raise CompileError("variant-typed input column")
         # struct columns following the engine's tuple convention
         # (_0.._n field names) ARE tuples: expose them as STuple so
         # indexing/unpacking/fan-out keep Python tuple semantics
@@ -881,11 +917,28 @@ class Translator:
                               for k, v in s.items.items()])
         if isinstance(s, SMatch):
             return self.truthy(s)
+        if isinstance(s, SVariant):
+            return s.col
         raise CompileError(f"cannot materialize {type(s).__name__}")
 
     def truthy(self, s: Sym) -> Column:
         if isinstance(s, SJson):
             return self._json_truthy(s)
+        if isinstance(s, SVariant):
+            # per-tag Python truthiness: None -> False, bool as-is,
+            # numbers != 0, strings != ''
+            c = s.col
+            expr = F.lit(False)
+            for t in s.present:
+                name, _, code = _VARIANT_FIELDS[t]
+                v = c.getField(name)
+                tv = (F.coalesce(v, F.lit(False)) if t == "bool"
+                      else F.coalesce(v != F.lit(""), F.lit(False))
+                      if t == "str"
+                      else F.coalesce(v != 0, F.lit(False)))
+                expr = F.when(c.getField("__vt") == code, tv) \
+                    .otherwise(expr)
+            return expr
         if isinstance(s, SConst):
             return F.lit(bool(s.value))
         if isinstance(s, SMatch):
@@ -1656,6 +1709,13 @@ class Translator:
                 rewritten = self._while_counter_rewrite(st)
                 if rewritten is not None:
                     return self._exec_for(rewritten, path)
+            # `while True: if c: break; rest` / `while True: body;
+            # if c: break` respell as plain condition-driven whiles,
+            # unlocking the counter/contraction/convergence folds for
+            # the while-True spelling of data-dependent loops
+            rw = self._while_true_break_rewrite(st, path)
+            if rw is not None:
+                return rw
             # `while True:` (or any statically-foldable test) with
             # statically-resolvable breaks: unroll with flag lowering
             return self._exec_while_unroll_break(st, path)
@@ -1686,6 +1746,83 @@ class Translator:
             raise CompileError("while exceeds unroll limit")
         finally:
             self._unroll_depth -= 1
+
+    _INV_CMP = {ast.Gt: ast.LtE, ast.GtE: ast.Lt, ast.Lt: ast.GtE,
+                ast.LtE: ast.Gt, ast.Eq: ast.NotEq, ast.NotEq: ast.Eq,
+                ast.In: ast.NotIn, ast.NotIn: ast.In,
+                ast.Is: ast.IsNot, ast.IsNot: ast.Is}
+
+    @classmethod
+    def _invert_test(cls, cond):
+        """Negate a loop-exit condition into a loop-continue condition.
+        Single-op compares invert their operator (so the contraction
+        recognizer, which needs a bare Compare, still matches); `not x`
+        unwraps; anything else wraps in Not.  NOTE: operator inversion
+        flips unordered (NaN) comparisons — a row whose ORIGINAL
+        while-True loop would spin forever on a NaN driver exits the
+        rewritten loop immediately instead; the engine's standing
+        policy already replaces never-terminating rows (RuntimeError
+        guards in the convergence folds), it never reproduces a hang."""
+        if isinstance(cond, ast.Compare) and len(cond.ops) == 1 \
+                and type(cond.ops[0]) in cls._INV_CMP:
+            new = ast.Compare(left=cond.left,
+                              ops=[cls._INV_CMP[type(cond.ops[0])]()],
+                              comparators=cond.comparators)
+        elif isinstance(cond, ast.UnaryOp) and isinstance(cond.op, ast.Not):
+            new = cond.operand
+        else:
+            new = ast.UnaryOp(op=ast.Not(), operand=cond)
+        ast.fix_missing_locations(ast.copy_location(new, cond))
+        return new
+
+    def _while_true_break_rewrite(self, st: ast.While, path):
+        """``while True: if c: break; rest``  ==  ``while not c: rest``
+        and the do-while spelling ``while True: body; if c: break``  ==
+        ``body; while not c: body`` — exact respellings (the break is
+        the loop's only exit, checked at the same program points), so
+        the rewritten loop rides whatever _exec_while machinery fits
+        (static unroll, counter rewrite, contraction/convergence fold)
+        and falls back exactly when the respelled loop would.  Returns
+        the (terminated, path) result, or None when the shape doesn't
+        match (break not the sole top/bottom statement, extra
+        break/continue, non-constant test)."""
+        test = st.test
+        if not (isinstance(test, ast.Constant) and test.value):
+            return None
+
+        def is_break_if(s):
+            return (isinstance(s, ast.If) and not s.orelse
+                    and len(s.body) == 1
+                    and isinstance(s.body[0], ast.Break))
+
+        body = list(st.body)
+        if len(body) < 2:
+            return None
+        if is_break_if(body[0]) \
+                and not any(_contains_break_continue(s) for s in body[1:]):
+            w = ast.copy_location(
+                ast.While(test=self._invert_test(body[0].test),
+                          body=body[1:], orelse=[]), st)
+            ast.fix_missing_locations(w)
+            return self._exec_while(w, path)
+        if is_break_if(body[-1]) \
+                and not any(_contains_break_continue(s) for s in body[:-1]):
+            pre = body[:-1]
+            w = ast.copy_location(
+                ast.While(test=self._invert_test(body[-1].test),
+                          body=pre, orelse=[]), st)
+            ast.fix_missing_locations(w)
+            # do-while: run the body once, narrowing the path past any
+            # conditional returns (same pattern as the unroll loop)
+            start = len(self._returns)
+            if self.exec_block(pre, path):
+                return True, path
+            for cond, _ in self._returns[start:]:
+                if cond is not None:
+                    path = ~cond if path is None else (path & ~cond)
+            self._path = path
+            return self._exec_while(w, path)
+        return None
 
     def _while_counter_rewrite(self, st: ast.While):
         """``while i < stop: ...; i += 1`` with a DATA-DEPENDENT stop
@@ -2450,8 +2587,23 @@ class Translator:
                 and list(a.items) == list(b.items):
             return SDict({k: self._merge_vals(cond, a.items[k], b.items[k])
                           for k in a.items})
+        try:
+            if isinstance(a, SVariant) or isinstance(b, SVariant):
+                raise CompileError("variant arm")
+            tag = _unify_tags(a.tag, b.tag)
+        except CompileError:
+            # str-vs-scalar (or variant-vs-anything) conditional: keep
+            # both arms' EXACT types in a tagged variant struct instead
+            # of demoting the whole UDF (e.g. "odd" if n % 2 else n*10)
+            present = self._variant_present([a, b])
+            if present is None:
+                raise
+            col = F.when(cond, self._to_variant(a, present)) \
+                .otherwise(self._to_variant(b, present))
+            if self._unroll_depth > 0 and self._hof_depth == 0:
+                col = self._stage_raw(col)
+            return SVariant(col, present)
         ca, cb = self.to_col(a), self.to_col(b)
-        tag = _unify_tags(a.tag, b.tag)
         if tag == "float":
             if a.tag in ("int", "bool"):
                 ca = ca.cast("double")
@@ -2521,8 +2673,15 @@ class Translator:
     def _merge_returns_scalar(self, arms) -> Sym:
         tag = "null"
         nullable = any(v.nullable or v.tag == "null" for _, v in arms)
-        for _, v in arms:
-            tag = _unify_tags(tag, v.tag)
+        if any(isinstance(v, SVariant) for _, v in arms):
+            return self._merge_returns_variant(arms)
+        try:
+            for _, v in arms:
+                tag = _unify_tags(tag, v.tag)
+        except CompileError:
+            # str mixed with a scalar family: compile as a tagged
+            # variant struct instead of demoting the whole UDF
+            return self._merge_returns_variant(arms)
         expr = None
         for cond, val in arms:
             c = self.to_col(val)
@@ -2535,6 +2694,58 @@ class Translator:
         if expr is None:
             expr = F.lit(None)
         return SCol(expr, tag, nullable)
+
+    @staticmethod
+    def _variant_present(syms) -> list[str] | None:
+        """Union of type families across the values, sorted by tag
+        code; None when any value is outside the variant-able set."""
+        present: set[str] = set()
+        for v in syms:
+            if isinstance(v, SVariant):
+                present |= set(v.present)
+            elif v.tag in _VARIANT_FIELDS:
+                present.add(v.tag)
+            elif v.tag != "null":
+                return None
+        return sorted(present, key=lambda t: _VARIANT_FIELDS[t][2])
+
+    def _to_variant(self, val: Sym, present: list[str]) -> Column:
+        """Sym -> tagged variant struct with exactly the ``present``
+        value fields (widening an existing SVariant fills the new
+        fields with typed nulls)."""
+        if isinstance(val, SVariant):
+            fields = [val.col.getField("__vt").alias("__vt")]
+            for t in present:
+                name, styp, _ = _VARIANT_FIELDS[t]
+                c = (val.col.getField(name) if t in val.present
+                     else F.lit(None).cast(styp))
+                fields.append(c.alias(name))
+            return F.struct(*fields)
+        code = 0 if val.tag == "null" else _VARIANT_FIELDS[val.tag][2]
+        fields = [F.lit(code).cast("int").alias("__vt")]
+        for t in present:
+            name, styp, _ = _VARIANT_FIELDS[t]
+            c = (self.to_col(val).cast(styp) if val.tag == t
+                 else F.lit(None).cast(styp))
+            fields.append(c.alias(name))
+        return F.struct(*fields)
+
+    def _merge_returns_variant(self, arms) -> "SVariant":
+        """Merge mixed-type return arms into one tagged struct (see
+        :class:`SVariant`).  Per-arm types stay EXACT — an int arm
+        decodes to int, a float arm to float — instead of the numeric
+        widening the single-typed merge applies."""
+        present = self._variant_present([v for _, v in arms])
+        if present is None:
+            raise CompileError("mixed return beyond scalar families")
+        expr = None
+        for cond, val in arms:
+            c = self._to_variant(val, present)
+            if cond is None:
+                expr = c if expr is None else expr.otherwise(c)
+                break
+            expr = F.when(cond, c) if expr is None else expr.when(cond, c)
+        return SVariant(expr, present)
 
     def _exc_name(self, exc_node) -> str:
         if exc_node is None:

@@ -236,7 +236,15 @@ def _clean_typed(v, t):
 
 def _struct_to_tuple(v, t: T.DataType):
     """Arrow hands struct columns to pandas as dicts; the engine's tuple
-    convention (_0.._n fields) must surface as Python tuples in UDFs."""
+    convention (_0.._n fields) must surface as Python tuples in UDFs,
+    and variant structs (compiled mixed-type returns) as the exact
+    per-row Python value."""
+    if (isinstance(t, T.StructType) and t.fields
+            and t.fields[0].name == "__vt"):
+        if v is None or not v.get("__vt"):
+            return None
+        return next((v.get(f.name) for f in t.fields[1:]
+                     if v.get(f.name) is not None), None)
     if v is None:
         return None
     if isinstance(t, T.StructType) and isinstance(v, dict):
