@@ -1246,6 +1246,22 @@ def q_ann_kmeans(spark, sf_dir):
                                     c=8, rounds=3)
 
 
+def q_ann_ivf_trained(spark, sf_dir):
+    """Train-then-search: distributed k-means centroids (2 Lloyd
+    rounds) feed the batch IVF bucket-join retrieval — the full ANN
+    index lifecycle in one graded query (functions/similarity.py
+    kmeans_fit + batch_ivf_topk; the oracle replays the identical
+    training trajectory via kmeans_cent_sql)."""
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, c=8, rounds=2)
+    queries = (emb.filter(F.col("vec_id") < 6)
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec")))
+    return similarity.batch_ivf_topk(emb, queries, cents, k=5, nprobe=2)
+
+
 def q_ann_quantized(spark, sf_dir):
     """Asymmetric retrieval over the int8-quantized corpus: stage 1
     scores the 4x-smaller quantized table by reconstructing q_d*scale
@@ -1700,7 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "ann_topk": q_ann_topk,
-        "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "ann_batch": q_ann_batch,
         "ann_batch_ivf": q_ann_batch_ivf,
         "ann_kmeans": q_ann_kmeans,
@@ -1759,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (pure-map shape) and the cluster-canonicalize apply step
         # (components twin + corpus left join)
         # round-9 rotation: long-green rows whose shapes stay covered
+        "ann_ivf": q_ann_ivf,
         # in-window (see the graded block comment)
         "ds_withcolumn": q_ds_withcolumn,
         "ds_aggregate": q_ds_aggregate,
@@ -2428,6 +2445,9 @@ FROM (""" + analytics_mod.retention_sql() + ") r",
         "sketch_distinct_by": sketch_mod.kmv_distinct_by_sql(
             "events", "user_id", ["event_type"], k=128),
         "ann_kmeans": similarity_mod.kmeans_sql(c=8, rounds=3),
+        "ann_ivf_trained": similarity_mod.batch_ivf_topk_sql(
+            cent_sql=similarity_mod.kmeans_cent_sql(c=8, rounds=2),
+            k=5, nprobe=2, query_pred="vec_id < 6"),
         "ann_quantized": similarity_mod.quantized_topk_sql(
             k=10, rerank=4, query_where="vec_id = 0"),
         # nbits pins to the corpus row count, same as dedup_embedding

@@ -42,7 +42,8 @@ HEADLINE = [
     "events_asof", "events_range_join", "sketch_distinct",
     "sketch_quantiles",
     # round-9 ops
-    "ann_kmeans", "ann_quantized", "pipeline_embedding",
+    "ann_kmeans", "ann_quantized", "ann_ivf_trained",
+    "pipeline_embedding",
 ]
 
 

@@ -1277,3 +1277,30 @@ class TestBasketPairs:
             .executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestTrainedIvf:
+    def test_trained_centroids_match_oracle(self, spark, con):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        cents = similarity.kmeans_fit(emb, c=8, rounds=2)
+        queries = (emb.filter(F.col("vec_id") < 6)
+                   .select(F.col("vec_id").alias("q_id"),
+                           F.col("embedding").alias("q_vec")))
+        got = sorted(tuple(r) for r in similarity.batch_ivf_topk(
+            emb, queries, cents, k=5, nprobe=2).collect())
+        sql = similarity.batch_ivf_topk_sql(
+            cent_sql=similarity.kmeans_cent_sql(c=8, rounds=2),
+            k=5, nprobe=2, query_pred="vec_id < 6")
+        want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+        assert got == want
+
+    def test_cent_sql_matches_fit(self, spark, con):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        cents = dict(similarity.kmeans_fit(emb, c=4, rounds=2))
+        rows = con.execute(
+            similarity.kmeans_cent_sql(c=4, rounds=2)).fetchall()
+        assert {cid: list(cv) for cid, cv in rows} == \
+            {cid: list(cv) for cid, cv in cents.items()}

@@ -539,12 +539,11 @@ def kmeans_result(df: DataFrame, c: int = 8, rounds: int = 3,
                     "val", "n_members"))
 
 
-def kmeans_sql(c: int = 8, rounds: int = 3, table: str = "embeddings",
-               vec_col: str = "embedding", id_col: str = "vec_id",
-               dim: int = 64) -> str:
-    """DuckDB twin of :func:`kmeans_result`: the identical seed pick,
-    assignment ranking, rounded per-dimension means, and empty-cluster
-    carryover, replayed round by round as a CTE chain."""
+def _kmeans_ctes(c: int, rounds: int, table: str, vec_col: str,
+                 id_col: str, dim: int) -> list[str]:
+    """The round-by-round CTE chain shared by :func:`kmeans_sql` and
+    :func:`kmeans_cent_sql` — identical seed pick, assignment ranking,
+    rounded per-dimension means, and empty-cluster carryover."""
     from .sketch import _HASH64_DUCK
     h = _HASH64_DUCK.format(c=id_col)
     cos = ("round(list_dot_product(b.v, c.cvec)"
@@ -575,6 +574,15 @@ def kmeans_sql(c: int = 8, rounds: int = 3, table: str = "embeddings",
   SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
   FROM cent{r - 1} p LEFT JOIN upd{r} u USING (cid)
 )""")
+    return ctes
+
+
+def kmeans_sql(c: int = 8, rounds: int = 3, table: str = "embeddings",
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               dim: int = 64) -> str:
+    """DuckDB twin of :func:`kmeans_result`: the CTE chain replayed
+    round by round, final centroids exploded per component."""
+    ctes = _kmeans_ctes(c, rounds, table, vec_col, id_col, dim)
     return (f"WITH {', '.join(ctes)}\n"
             f"SELECT c.cid, CAST(gs.d AS INT) AS d,\n"
             f"       c.cvec[gs.d + 1] AS val,\n"
@@ -583,6 +591,18 @@ def kmeans_sql(c: int = 8, rounds: int = 3, table: str = "embeddings",
             f"LEFT JOIN upd{rounds} u USING (cid)\n"
             f"CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1}))"
             f" AS d) gs")
+
+
+def kmeans_cent_sql(c: int = 8, rounds: int = 3,
+                    table: str = "embeddings",
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    dim: int = 64) -> str:
+    """DuckDB twin of :func:`kmeans_fit`'s return value as a
+    (cid, cvec) table — drops into :func:`batch_ivf_topk_sql`'s
+    ``cent_sql`` slot to replay TRAINED-centroid retrieval."""
+    ctes = _kmeans_ctes(c, rounds, table, vec_col, id_col, dim)
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT cid, cvec FROM cent{rounds}")
 
 
 def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
