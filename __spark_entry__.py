@@ -1023,6 +1023,19 @@ def q_dedup_jaccard(spark, sf_dir):
                                      n=2, threshold=0.2)
 
 
+def q_dedup_winnow(spark, sf_dir):
+    """Winnowing passage-overlap pairs (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): per-window-min k-gram fingerprints -> stop-filtered
+    inverted index -> shared-fingerprint pairs with a containment
+    score.  Detects a paragraph lifted into an otherwise different
+    document — the contamination shape whole-document minhash/jaccard
+    miss (functions/dedup.py winnow_pairs)."""
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    return dedup.winnow_pairs(_t(spark, sf_dir, "documents"),
+                              k=3, w=4, min_shared=2)
+
+
 def q_dedup_minhash_sim(spark, sf_dir):
     """LSH candidates WITH their estimated Jaccard (fraction of
     agreeing minhash components) — dup-strength ranking without any
@@ -1692,7 +1705,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     collection compile (graded green r8), dedup_components ~
     dedup_canonical (strict superset: components + apply),
     tpch_q5 ~ q3+q7 join trees, tpch_q19 ~ q3 join-agg + q6 pushdown
-    (both in the selfchecked tail)."""
+    (both in the selfchecked tail).  Mid-round: the new dedup_winnow
+    (winnowing passage-overlap fingerprints, SIGMOD'03) takes the slot
+    of text_redact (green r6-r8; pure regexp projection, shape covered
+    by text_c4's flag projections in-window)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
@@ -1741,8 +1757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
         "ds_json_udf": q_ds_json_udf,
-        "text_redact": q_text_redact,
         "sample_stratified": q_sample_stratified,
+        # NEW round 9: winnowing passage-overlap dedup (SIGMOD'03);
+        # in-window on arrival per the rotation policy
+        "dedup_winnow": q_dedup_winnow,
         # composition of four individually-graded ops (quality/langid/
         # exact-dedup/jaccard) — the best end-to-end proof, graded
         # in-window since round 3
@@ -1770,6 +1788,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keyterms": q_text_keyterms,
         "text_repetition": q_text_repetition,
         "basket_pairs": q_basket_pairs,
+        # round-9 mid-round swap: text_redact (green in CORRECTNESS_r05
+        # -r08; pure regexp-chain projection, shape covered in-window by
+        # text_c4's flag projections) makes room for dedup_winnow
+        "text_redact": q_text_redact,
         # round-8 late additions (graded by selfcheck in the tail, the
         # window is already full): int8 embedding quantization
         # (pure-map shape) and the cluster-canonicalize apply step
@@ -2269,6 +2291,7 @@ FROM documents""",
         "dedup_minhash_sim": dedup.minhash_similarity_sql(),
         "dedup_simhash": dedup.simhash_pairs_sql(),
         "dedup_jaccard": dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2),
+        "dedup_winnow": dedup.winnow_pairs_sql(k=3, w=4, min_shared=2),
         "dedup_decontaminate": "SELECT doc_id FROM ("
         + dedup.decontaminate_sql(ref_where="doc_id % 17 = 0", n=8)
         + ") q",

@@ -96,6 +96,45 @@ class TestDedup:
         df = dedup.simhash_pairs(spark.read.parquet(DOC))
         assert_matches(df, con, dedup.simhash_pairs_sql())
 
+    def test_winnow(self, spark, con):
+        from tuplex_spark.functions import dedup
+        df = dedup.winnow_pairs(spark.read.parquet(DOC),
+                                k=3, w=4, min_shared=2)
+        assert_matches(df, con,
+                       dedup.winnow_pairs_sql(k=3, w=4, min_shared=2))
+
+    def test_winnow_guarantee_and_density(self, spark):
+        # the winnowing guarantee: a shared run of >= w+k-1 tokens must
+        # yield >= 1 shared fingerprint, regardless of surrounding text
+        from tuplex_spark.functions import dedup
+        k, w = 3, 4
+        passage = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+        rows = [
+            (1, "intro words here " + passage + " closing remarks now"),
+            (2, "completely different opening text " + passage),
+            (3, "unrelated document about ships and harbors and tides "
+                "with no overlap at all in any window"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fp = {i: {r.h for r in g} for i, g in
+              ((i, dedup.winnow_fingerprints(df, k=k, w=w)
+                .where(f"id = {i}").collect()) for i in (1, 2, 3))}
+        assert fp[1] & fp[2], "shared 8-token passage must share a print"
+        assert not (fp[1] & fp[3]) and not (fp[2] & fp[3])
+        # density: winnowing selects ~2/(w+1) of k-grams, never more
+        # than 1 per window start; doc 3 has 20 tokens -> 18 k-grams,
+        # 15 full windows -> fingerprints within [1, 15]
+        assert 1 <= len(fp[3]) <= 15
+
+    def test_winnow_short_doc_gets_fingerprint(self, spark):
+        # docs with >= k tokens but < w k-grams keep their global min
+        from tuplex_spark.functions import dedup
+        df = spark.createDataFrame([(1, "just three tokens"),
+                                    (2, "ab")],
+                                   "doc_id long, text string")
+        got = dedup.winnow_fingerprints(df, k=3, w=4).collect()
+        assert len(got) == 1 and got[0].id == 1
+
     def test_embedding_adaptive_matches_oracle(self, spark, con):
         # the adaptive-nbits path must stay bitwise-locked to the SQL
         # twin when both derive nbits from the same row count

@@ -751,6 +751,115 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   .filter(F.col("jaccard") >= threshold))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 4,
+                        w: int = 5) -> DataFrame:
+    """Winnowing fingerprint set per document (Schleimer/Wilkerson/
+    Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm).
+
+    Word k-grams are hashed to 32-bit ints (md5 hex prefix, the
+    engine-portable hash used across this module); every window of w
+    consecutive k-gram hashes contributes its MINIMUM; the distinct set
+    of selected hashes is the document's fingerprint.  Expected density
+    is 2/(w+1) of all k-grams, with the winnowing guarantee: any shared
+    substring of at least w+k-1 tokens produces at least one shared
+    fingerprint.  That positional guarantee is what the whole-document
+    shingle-set strategies (minhash/jaccard) do NOT give — winnowing
+    detects PASSAGE reuse (one paragraph lifted into an otherwise
+    different document), the common contamination shape in web-scraped
+    training corpora.
+
+    Shape at 100 TB: tokenize/hash is a codegen'd scan projection; the
+    only shuffle before the fingerprint set is the per-document window
+    sort, keyed by doc id — documents are bounded, so no skew.  With
+    hash ties absent (32-bit hashes, per-document collision odds
+    ~n^2/2^32), "min of each window" selects exactly the winnowing
+    fingerprint set, order-independently — no stateful scan needed.
+    Documents shorter than w k-grams contribute their global-min hash
+    so every tokenizable document gets >= 1 fingerprint.
+
+    Returns (id, h) — one row per distinct fingerprint hash.
+    """
+    st = (df.select(F.col(id_col).alias("id"),
+                    tokens(text_col).alias("__toks"))
+            .filter(F.size("__toks") >= k))
+    # ordered (non-distinct) k-gram sequence; same staged-token-array
+    # discipline as word_shingles_from (HOFs re-evaluate unstaged
+    # expressions per element)
+    idx = F.sequence(F.lit(1), F.size("__toks") - (k - 1))
+
+    def kgram(i):
+        return F.concat_ws(" ", *[F.element_at(F.col("__toks"), i + j)
+                                  for j in range(k)])
+
+    kg = (st.select("id",
+                    F.posexplode(F.transform(idx, kgram))
+                     .alias("pos", "s"))
+            .select("id", "pos",
+                    F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+                     .cast("long").alias("h")))
+    frame = (Window.partitionBy("id").orderBy("pos")
+                   .rowsBetween(0, w - 1))
+    win = kg.select(
+        "id", "pos",
+        F.min("h").over(frame).alias("wmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("cnt"))
+    # full windows start at pos 0..cnt-w; short docs (< w k-grams) keep
+    # the pos-0 row, whose unfilled frame min IS the global min
+    keep = ((F.col("pos") <= F.col("cnt") - w)
+            | ((F.col("cnt") < w) & (F.col("pos") == 0)))
+    return (win.filter(keep)
+               .select("id", F.col("wmin").alias("h"))
+               .distinct())
+
+
+def winnow_pairs(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 4, w: int = 5,
+                 min_shared: int = 2, max_bucket: int = 50) -> DataFrame:
+    """Passage-overlap pairs from winnowing fingerprints: documents
+    sharing >= min_shared fingerprints, with a containment score
+    n_shared / min(|A|, |B|) that approaches 1.0 when one document's
+    text is contained in the other — the plagiarism/contamination
+    measure, orthogonal to symmetric Jaccard.
+
+    Pair generation reuses the proven inverted-index shape from
+    ngram_jaccard_pairs: ONE aggregation groups fingerprint postings,
+    hot fingerprints (> max_bucket docs — boilerplate headers/footers)
+    are dropped structurally BEFORE any pair is emitted, and intra-
+    bucket combinations come from the grouped array, so there is no
+    candidate self-join and the quadratic blow-up is capped per bucket.
+    Per-doc sizes are counted over the SAME stop-filtered index, so
+    containment is consistent with the pair counts in both engines.
+    """
+    fp = winnow_fingerprints(df, text_col, id_col, k, w)
+    grouped = (fp.groupBy("h")
+                 .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+                 .filter(F.size("ids") <= max_bucket))
+    sizes = (grouped.select(F.explode("ids").alias("id"))
+                    .groupBy("id").agg(F.count(F.lit(1)).alias("sz")))
+    combos = F.flatten(F.transform(
+        F.col("ids"),
+        lambda x, i: F.transform(
+            F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    shared = (grouped.filter(F.size("ids") >= 2)
+              .select(F.explode(combos).alias("pr"))
+              .groupBy(F.col("pr.a").alias("id_a"),
+                       F.col("pr.b").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("n_shared"))
+              .filter(F.col("n_shared") >= min_shared))
+    joined = (shared
+              .join(sizes.select(F.col("id").alias("id_a"),
+                                 F.col("sz").alias("sz_a")), "id_a")
+              .join(sizes.select(F.col("id").alias("id_b"),
+                                 F.col("sz").alias("sz_b")), "id_b"))
+    cont = F.round(F.col("n_shared").cast("double")
+                   / F.least("sz_a", "sz_b").cast("double"), 6)
+    return joined.select("id_a", "id_b", "n_shared",
+                         cont.alias("containment"))
+
+
 def _srp_signs(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[int]]:
     """Deterministic ±1 (Rademacher) hyperplane matrix via an LCG — the
     same literal signs are embedded in the Column expressions and the SQL
@@ -1101,6 +1210,53 @@ WITH base AS (
   JOIN sizes sb ON sb.id = i.id_b
 )
 SELECT * FROM j WHERE jaccard >= {threshold}"""
+
+
+def winnow_pairs_sql(table="documents", text_col="text",
+                     id_col="doc_id", k=4, w=5, min_shared=2,
+                     max_bucket=50):
+    """DuckDB twin of :func:`winnow_pairs` — identical k-gram slices,
+    md5-prefix hashes, window-min selection, stop-fingerprint filter,
+    and containment arithmetic, so the comparison is exact."""
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id, {toks} AS t FROM {table}
+  WHERE len({toks}) >= {k}
+), kg AS (
+  SELECT id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(
+             list_slice(t, i + 1, i + {k}), ' ')), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT id, t, unnest(generate_series(0, len(t) - {k})) AS i
+        FROM base)
+), win AS (
+  SELECT id, pos,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {w - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY id) AS cnt
+  FROM kg
+), fp AS (
+  SELECT DISTINCT id, wmin AS h FROM win
+  WHERE pos <= cnt - {w} OR (cnt < {w} AND pos = 0)
+), inv AS (
+  SELECT id, h FROM (
+    SELECT id, h, count(*) OVER (PARTITION BY h) AS df_h FROM fp
+  ) WHERE df_h <= {max_bucket}
+), sizes AS (
+  SELECT id, count(*) AS sz FROM inv GROUP BY id
+), shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+  FROM inv a JOIN inv b ON a.h = b.h AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING count(*) >= {min_shared}
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       round(CAST(s.n_shared AS DOUBLE)
+             / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+FROM shared s
+JOIN sizes sa ON sa.id = s.id_a
+JOIN sizes sb ON sb.id = s.id_b"""
 
 
 def embedding_dup_pairs_sql(table="embeddings", vec_col="embedding",
