@@ -131,6 +131,19 @@ class TestScaleOps:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_winnow_no_cartesian_single_window_sort(self, spark):
+        """Winnowing pairs: candidate generation is intra-bucket combos
+        from ONE grouped inverted index (no candidate self-join), and
+        the only per-document ordering is the fingerprint window —
+        never a Cartesian, never a nested-loop join."""
+        from tuplex_spark.functions import dedup
+        df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        plan = dedup.winnow_pairs(df) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "Window" in plan
+
     def test_loop_udf_stays_native(self, spark):
         """ds_loops (fold + static unroll) must compile to Column exprs:
         no MapInPandas/ArrowEvalPython anywhere in the plan."""
