@@ -1036,6 +1036,22 @@ def q_dedup_winnow(spark, sf_dir):
                               k=3, w=4, min_shared=2)
 
 
+def q_dedup_winnow_decon(spark, sf_dir):
+    """Passage-level benchmark decontamination: flag corpus docs
+    sharing >= 2 winnowing fingerprints with the 'benchmark' subset
+    (doc_id divisible by 17).  Positional guarantee: any verbatim run
+    of >= w+k-1 = 6 tokens lifted from a benchmark doc is caught, on a
+    fingerprint index ~2/(w+1) the size of the full-shingle
+    decontaminate (functions/dedup.py winnow_decontaminate)."""
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 17 == 0)
+    return dedup.winnow_decontaminate(
+        docs, ref, k=3, w=4, min_shared=2, mode="flag"
+    ).select("doc_id", "n_hits", "contaminated")
+
+
 def q_dedup_minhash_sim(spark, sf_dir):
     """LSH candidates WITH their estimated Jaccard (fraction of
     agreeing minhash components) — dup-strength ranking without any
@@ -1708,7 +1724,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (both in the selfchecked tail).  Mid-round: the new dedup_winnow
     (winnowing passage-overlap fingerprints, SIGMOD'03) takes the slot
     of text_redact (green r6-r8; pure regexp projection, shape covered
-    by text_c4's flag projections in-window)."""
+    by text_c4's flag projections in-window), and its decontamination
+    composition dedup_winnow_decon takes the slot of sample_stratified
+    (green r6-r8; md5-threshold selection, decision shape covered by
+    sample_quota in-window plus the hash/temperature tail twins)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
@@ -1757,10 +1776,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q7": q_tpch_q7,
         "tpch_q13": q_tpch_q13,
         "ds_json_udf": q_ds_json_udf,
-        "sample_stratified": q_sample_stratified,
-        # NEW round 9: winnowing passage-overlap dedup (SIGMOD'03);
-        # in-window on arrival per the rotation policy
+        # NEW round 9: winnowing passage-overlap dedup (SIGMOD'03) and
+        # its decontamination composition; in-window on arrival per the
+        # rotation policy
         "dedup_winnow": q_dedup_winnow,
+        "dedup_winnow_decon": q_dedup_winnow_decon,
         # composition of four individually-graded ops (quality/langid/
         # exact-dedup/jaccard) — the best end-to-end proof, graded
         # in-window since round 3
@@ -1788,10 +1808,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keyterms": q_text_keyterms,
         "text_repetition": q_text_repetition,
         "basket_pairs": q_basket_pairs,
-        # round-9 mid-round swap: text_redact (green in CORRECTNESS_r05
-        # -r08; pure regexp-chain projection, shape covered in-window by
-        # text_c4's flag projections) makes room for dedup_winnow
+        # round-9 mid-round swaps: text_redact (green r6-r8; pure
+        # regexp-chain projection, shape covered in-window by text_c4's
+        # flag projections) makes room for dedup_winnow;
+        # sample_stratified (green r6-r8; md5-threshold selection,
+        # decision shape covered by sample_quota's md5-ordered window
+        # in-window plus the hash/temperature twins here) makes room
+        # for dedup_winnow_decon
         "text_redact": q_text_redact,
+        "sample_stratified": q_sample_stratified,
         # round-8 late additions (graded by selfcheck in the tail, the
         # window is already full): int8 embedding quantization
         # (pure-map shape) and the cluster-canonicalize apply step
@@ -2292,6 +2317,13 @@ FROM documents""",
         "dedup_simhash": dedup.simhash_pairs_sql(),
         "dedup_jaccard": dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2),
         "dedup_winnow": dedup.winnow_pairs_sql(k=3, w=4, min_shared=2),
+        "dedup_winnow_decon": (
+            "SELECT doc_id, n_hits, contaminated FROM ("
+            + dedup.winnow_decontaminate_sql(
+                ref_source="(SELECT * FROM documents "
+                           "WHERE doc_id % 17 = 0)",
+                k=3, w=4, min_shared=2, mode="flag")
+            + ")"),
         "dedup_decontaminate": "SELECT doc_id FROM ("
         + dedup.decontaminate_sql(ref_where="doc_id % 17 = 0", n=8)
         + ") q",

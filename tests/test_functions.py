@@ -126,6 +126,30 @@ class TestDedup:
         # 15 full windows -> fingerprints within [1, 15]
         assert 1 <= len(fp[3]) <= 15
 
+    def test_winnow_decontaminate(self, spark, con):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import dedup
+        docs = spark.read.parquet(DOC)
+        ref = docs.filter(F.col("doc_id") % 17 == 0)
+        df = dedup.winnow_decontaminate(
+            docs, ref, k=3, w=4, min_shared=2, mode="flag"
+        ).select("doc_id", "n_hits", "contaminated")
+        assert_matches(df, con, (
+            "SELECT doc_id, n_hits, contaminated FROM ("
+            + dedup.winnow_decontaminate_sql(
+                ref_source="(SELECT * FROM documents "
+                           "WHERE doc_id % 17 = 0)",
+                k=3, w=4, min_shared=2, mode="flag") + ")"))
+        # drop mode == flag-false set, and ref docs flag themselves
+        dropped = dedup.winnow_decontaminate(
+            docs, ref, k=3, w=4, min_shared=2, mode="drop")
+        flagged = {r.doc_id for r in df.where("contaminated").collect()}
+        kept = {r.doc_id for r in dropped.select("doc_id").collect()}
+        all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+        assert kept == all_ids - flagged
+        ref_ids = {r.doc_id for r in ref.select("doc_id").collect()}
+        assert ref_ids <= flagged
+
     def test_winnow_short_doc_gets_fingerprint(self, spark):
         # docs with >= k tokens but < w k-grams keep their global min
         from tuplex_spark.functions import dedup

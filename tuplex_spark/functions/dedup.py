@@ -860,6 +860,49 @@ def winnow_pairs(df: DataFrame, text_col: str = "text",
                          cont.alias("containment"))
 
 
+def winnow_decontaminate(df: DataFrame, ref: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         ref_text_col: str | None = None,
+                         ref_id_col: str | None = None,
+                         k: int = 4, w: int = 5, min_shared: int = 1,
+                         mode: str = "drop") -> DataFrame:
+    """Passage-level benchmark decontamination: drop (or flag) corpus
+    documents sharing >= ``min_shared`` winnowing fingerprints with ANY
+    reference document.
+
+    Versus :func:`decontaminate` (distinct word n-grams): the winnowing
+    guarantee makes the overlap test POSITIONAL — any verbatim run of
+    >= w+k-1 tokens lifted from a benchmark document is caught — while
+    both index sides shrink to ~2/(w+1) of the full shingle set, so at
+    100 TB the broadcast is smaller and the corpus-side probe touches a
+    fraction of the rows for the same contamination recall target.
+
+    Same scale shape as decontaminate: the reference fingerprint set
+    (benchmark suites — tiny) broadcasts; the corpus-side test is a
+    map-side broadcast hash join on the fingerprint explode, and the
+    only corpus shuffle is the per-doc hit count."""
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"winnow_decontaminate mode={mode!r}")
+    rfp = (winnow_fingerprints(ref, ref_text_col or text_col,
+                               ref_id_col or id_col, k, w)
+           .select("h").distinct())
+    cfp = winnow_fingerprints(df, text_col, id_col, k, w)
+    hits = (cfp.join(F.broadcast(rfp), "h")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .filter(F.col("n_hits") >= min_shared)
+            .select(F.col("id").alias("__hit_id"), "n_hits"))
+    if mode == "flag":
+        out = df.join(hits, df[id_col] == F.col("__hit_id"), "left")
+        return out.select(
+            *df.columns,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_shared)
+            .alias("contaminated"))
+    return df.join(hits, df[id_col] == F.col("__hit_id"), "left_anti")
+
+
 def _srp_signs(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[int]]:
     """Deterministic ±1 (Rademacher) hyperplane matrix via an LCG — the
     same literal signs are embedded in the Column expressions and the SQL
@@ -1212,34 +1255,45 @@ WITH base AS (
 SELECT * FROM j WHERE jaccard >= {threshold}"""
 
 
+def _winnow_fp_ctes(prefix: str, source: str, text_col: str,
+                    id_col: str, k: int, w: int) -> str:
+    """The tokenize -> k-gram hash -> window-min -> fingerprint CTE
+    chain (ending in ``{prefix}fp(id, h)``), shared by the pairs and
+    decontaminate twins so the fingerprint definition cannot drift
+    between them.  ``source`` is a table name or parenthesized
+    subquery."""
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""{prefix}base AS (
+  SELECT {id_col} AS id, {toks} AS t FROM {source}
+  WHERE len({toks}) >= {k}
+), {prefix}kg AS (
+  SELECT id, i AS pos,
+         CAST(('0x' || substr(md5(array_to_string(
+             list_slice(t, i + 1, i + {k}), ' ')), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT id, t, unnest(generate_series(0, len(t) - {k})) AS i
+        FROM {prefix}base)
+), {prefix}win AS (
+  SELECT id, pos,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {w - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY id) AS cnt
+  FROM {prefix}kg
+), {prefix}fp AS (
+  SELECT DISTINCT id, wmin AS h FROM {prefix}win
+  WHERE pos <= cnt - {w} OR (cnt < {w} AND pos = 0)
+)"""
+
+
 def winnow_pairs_sql(table="documents", text_col="text",
                      id_col="doc_id", k=4, w=5, min_shared=2,
                      max_bucket=50):
     """DuckDB twin of :func:`winnow_pairs` — identical k-gram slices,
     md5-prefix hashes, window-min selection, stop-fingerprint filter,
     and containment arithmetic, so the comparison is exact."""
-    toks = TOKENS_SQL.format(c=text_col)
+    fp = _winnow_fp_ctes("", table, text_col, id_col, k, w)
     return f"""
-WITH base AS (
-  SELECT {id_col} AS id, {toks} AS t FROM {table}
-  WHERE len({toks}) >= {k}
-), kg AS (
-  SELECT id, i AS pos,
-         CAST(('0x' || substr(md5(array_to_string(
-             list_slice(t, i + 1, i + {k}), ' ')), 1, 8)) AS BIGINT) AS h
-  FROM (SELECT id, t, unnest(generate_series(0, len(t) - {k})) AS i
-        FROM base)
-), win AS (
-  SELECT id, pos,
-         min(h) OVER (PARTITION BY id ORDER BY pos
-                      ROWS BETWEEN CURRENT ROW
-                      AND {w - 1} FOLLOWING) AS wmin,
-         count(*) OVER (PARTITION BY id) AS cnt
-  FROM kg
-), fp AS (
-  SELECT DISTINCT id, wmin AS h FROM win
-  WHERE pos <= cnt - {w} OR (cnt < {w} AND pos = 0)
-), inv AS (
+WITH {fp}, inv AS (
   SELECT id, h FROM (
     SELECT id, h, count(*) OVER (PARTITION BY h) AS df_h FROM fp
   ) WHERE df_h <= {max_bucket}
@@ -1257,6 +1311,35 @@ SELECT s.id_a, s.id_b, s.n_shared,
 FROM shared s
 JOIN sizes sa ON sa.id = s.id_a
 JOIN sizes sb ON sb.id = s.id_b"""
+
+
+def winnow_decontaminate_sql(table="documents", ref_source=None,
+                             text_col="text", id_col="doc_id",
+                             k=4, w=5, min_shared=1, mode="flag"):
+    """DuckDB twin of :func:`winnow_decontaminate`.  ``ref_source`` is
+    a table name or parenthesized subquery selecting the reference
+    documents (same columns); both sides reuse the shared fingerprint
+    CTE chain so corpus and reference hash identically."""
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"winnow_decontaminate mode={mode!r}")
+    cfp = _winnow_fp_ctes("c_", table, text_col, id_col, k, w)
+    rfp = _winnow_fp_ctes("r_", ref_source or table, text_col,
+                          id_col, k, w)
+    hits = f"""hits AS (
+  SELECT c.id, count(*)::BIGINT AS n_hits
+  FROM c_fp c JOIN (SELECT DISTINCT h FROM r_fp) r USING (h)
+  GROUP BY c.id
+  HAVING count(*) >= {min_shared}
+)"""
+    if mode == "flag":
+        return f"""
+WITH {cfp}, {rfp}, {hits}
+SELECT d.*, COALESCE(hits.n_hits, 0) AS n_hits,
+       COALESCE(hits.n_hits, 0) >= {min_shared} AS contaminated
+FROM {table} d LEFT JOIN hits ON hits.id = d.{id_col}"""
+    return f"""
+WITH {cfp}, {rfp}, {hits}
+SELECT d.* FROM {table} d ANTI JOIN hits ON hits.id = d.{id_col}"""
 
 
 def embedding_dup_pairs_sql(table="embeddings", vec_col="embedding",
