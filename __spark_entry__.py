@@ -808,6 +808,26 @@ def q_ds_orc_roundtrip(spark, sf_dir):
         F.col("column1").alias("n"))
 
 
+def q_ds_json_roundtrip(spark, sf_dir):
+    """tojson writer -> Context.json reader (schema inference +
+    corrupt-record quarantine path) -> fold aggregate.  JSONL is the
+    training-data interchange format; round-tripping through it proves
+    the reader/writer pair preserves types end-to-end."""
+    c = _ctx(spark)
+    out = f"/tmp/tuplex_spark_json_{os.path.basename(sf_dir)}"
+    (c.parquet(os.path.join(sf_dir, "supplier.parquet"))
+       .selectColumns(["s_suppkey", "s_nationkey", "s_acctbal"])
+       .tojson(out))
+    ds = c.json(out + "/part-*.json")
+    agg = ds.aggregateByKey(lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                            lambda a, x: (a[0] + x["s_acctbal"], a[1] + 1),
+                            (0.0, 0), ["s_nationkey"])
+    return agg.toDF().select(
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+        F.round(F.col("column0"), 2).alias("sum_bal"),
+        F.col("column1").alias("n"))
+
+
 def q_ds_cache(spark, sf_dir):
     """cache() mid-pipeline; downstream ops read the materialized data."""
     c = _ctx(spark)
@@ -1802,6 +1822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "ds_leftjoin": q_ds_leftjoin,
         "ds_orc_roundtrip": q_ds_orc_roundtrip,
+        # round-9 addition: JSONL sink/source roundtrip (shape twin of
+        # the in-window ds_csv_roundtrip)
+        "ds_json_roundtrip": q_ds_json_roundtrip,
         "ds_cache": q_ds_cache,
         "ds_text_read": q_ds_text_read,
         "ds_parallelize": q_ds_parallelize,
@@ -2238,6 +2261,11 @@ SELECT s_suppkey, s_name AS supplier_name,
        round(s_acctbal, 2) AS s_acctbal
 FROM supplier WHERE s_acctbal > 5000.0""",
         "ds_orc_roundtrip": """
+SELECT s_nationkey::INT AS s_nationkey,
+       round(sum(s_acctbal), 2) AS sum_bal,
+       count(*)::BIGINT AS n
+FROM supplier GROUP BY s_nationkey""",
+        "ds_json_roundtrip": """
 SELECT s_nationkey::INT AS s_nationkey,
        round(sum(s_acctbal), 2) AS sum_bal,
        count(*)::BIGINT AS n

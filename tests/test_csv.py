@@ -341,6 +341,16 @@ class TestJsonSource:
         rows = sorted(ds.collect(), key=repr)
         assert (2, None) in rows and (None, "z") in rows
 
+    def test_tojson_roundtrip(self, ctx, tmp_path):
+        out = str(tmp_path / "sink")
+        ctx.parallelize([(1, "x", 1.5), (2, "y", -0.25)],
+                        columns=["a", "b", "c"]).tojson(out)
+        ds = ctx.json(out + "/part-*.json")
+        rows = sorted(r for r in ds.collect())
+        assert sorted(ds.columns) == ["a", "b", "c"]
+        # types survive the round trip: long, string, double
+        assert rows == [(1, "x", 1.5), (2, "y", -0.25)]
+
 
 class TestCsvReferenceEdges:
     """reference test_csv.py edges not yet codified here."""

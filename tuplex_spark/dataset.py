@@ -1193,6 +1193,16 @@ class DataSet:
             df = df.repartition(n)
         df.write.mode("overwrite").orc(path)
 
+    def tojson(self, path: str, **kwargs):
+        """JSON-lines sink (write side of Context.json) — the
+        training-data interchange format; one JSON object per line,
+        Spark-native writer (beyond the reference's csv/orc pair)."""
+        df, _ = self._split_exceptions()
+        n = kwargs.get("num_parts")
+        if n:
+            df = df.repartition(n)
+        df.write.mode("overwrite").json(path)
+
     def toparquet(self, path: str, bucket_by=None, num_buckets: int = 32,
                   sort_by=None, table: str | None = None,
                   partition_by=None, **kwargs):
