@@ -539,3 +539,134 @@ class TestJpegNative:
         out = _resize_payload(payload, 20, 12)
         w, h, _ = _decode_jpeg(out)
         assert (w, h) == (20, 12)
+
+
+class TestGifNative:
+    """GIF 87a/89a decodes natively: full LZW (variable width, clear
+    codes), interlace, sub-rectangle frames, transparency, disposal —
+    round-tripped through the clear-spam encoder."""
+
+    @staticmethod
+    def _checker(w, h, a=(255, 0, 0), b=(0, 0, 255)):
+        px = bytearray()
+        for r in range(h):
+            for c in range(w):
+                px += bytes(a if (r + c) % 2 == 0 else b)
+        return bytes(px)
+
+    def test_still_roundtrip_exact(self):
+        from tuplex_spark.functions.multimodal import (_decode_gif,
+                                                       encode_gif)
+        rgb = self._checker(7, 5)
+        payload = encode_gif(7, 5, rgb)
+        w, h, px = _decode_gif(payload)
+        assert (w, h) == (7, 5)
+        assert px == rgb
+
+    def test_interlaced_roundtrip_exact(self):
+        from tuplex_spark.functions.multimodal import (_decode_gif,
+                                                       encode_gif)
+        # 4 colors x 9 rows exercises all four interlace passes
+        rgb = bytearray()
+        colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+        for r in range(9):
+            rgb += bytes(colors[r % 4]) * 6
+        payload = encode_gif(6, 9, bytes(rgb), interlace=True)
+        w, h, px = _decode_gif(payload)
+        assert (w, h) == (6, 9)
+        assert px == bytes(rgb)
+
+    def test_wide_palette_crosses_code_widths(self):
+        from tuplex_spark.functions.multimodal import (_decode_gif,
+                                                       encode_gif)
+        # 200 distinct colors -> 8-bit palette, 9-bit LZW codes
+        rgb = b"".join(bytes([i, 255 - i, (i * 7) % 256])
+                       for i in range(200))
+        payload = encode_gif(20, 10, rgb)
+        w, h, px = _decode_gif(payload)
+        assert (w, h) == (20, 10)
+        assert px == rgb
+
+    def test_animation_compositing_and_delays(self):
+        from tuplex_spark.functions.multimodal import (encode_gif,
+                                                       gif_frames)
+        base = self._checker(6, 4, (10, 10, 10), (200, 200, 200))
+        patch = bytes((0, 255, 0)) * 4  # 2x2 green block
+        payload = encode_gif(6, 4, [
+            (100, base),
+            (250, patch, (2, 1, 2, 2)),  # sub-rect overlay at (2,1)
+        ])
+        w, h, frames = gif_frames(payload)
+        assert (w, h) == (6, 4)
+        assert [d for d, _ in frames] == [100, 250]
+        assert frames[0][1] == base
+        want = bytearray(base)
+        for r in range(2):
+            for c in range(2):
+                off = ((1 + r) * 6 + 2 + c) * 3
+                want[off:off + 3] = patch[:3]
+        assert frames[1][1] == bytes(want)
+
+    def test_transparency_keeps_underlying_pixels(self):
+        from tuplex_spark.functions.multimodal import (encode_gif,
+                                                       gif_frames)
+        base = self._checker(4, 4)
+        clear = (1, 2, 3)
+        overlay = bytes(clear) * 8 + bytes((255, 255, 0)) * 8
+        payload = encode_gif(4, 4, [(0, base), (0, overlay)],
+                             transparent_color=bytes(clear))
+        _, _, frames = gif_frames(payload)
+        # top half transparent -> base shows; bottom half yellow
+        assert frames[1][1][:4 * 2 * 3] == base[:4 * 2 * 3]
+        assert frames[1][1][4 * 2 * 3:] == bytes((255, 255, 0)) * 8
+
+    def test_decode_image_real_dispatch(self):
+        from tuplex_spark.functions.multimodal import (decode_image_real,
+                                                       encode_gif)
+        rgb = bytes((255, 255, 255)) * 8 + bytes((0, 0, 0)) * 8
+        d = decode_image_real(encode_gif(4, 4, rgb))
+        assert (d["width"], d["height"]) == (4, 4)
+        assert abs(d["features"][0] - 0.5) < 1e-6  # half white
+
+    def test_gif_resize_roundtrip(self):
+        from tuplex_spark.functions.multimodal import (_decode_gif,
+                                                       _resize_payload,
+                                                       encode_gif)
+        rgb = self._checker(8, 8)
+        out = _resize_payload(encode_gif(8, 8, rgb), 4, 4)
+        w, h, px = _decode_gif(out)
+        assert (w, h) == (4, 4)
+        # nearest with 2x downscale picks every other pixel -> solid a
+        assert px == bytes((255, 0, 0)) * 16
+
+    def test_truncated_frame_is_loud(self):
+        import pytest
+        from tuplex_spark.functions.multimodal import (_decode_gif,
+                                                       encode_gif)
+        payload = bytearray(encode_gif(4, 4, self._checker(4, 4)))
+        # chop the last sub-block before the trailer
+        with pytest.raises(ValueError):
+            _decode_gif(bytes(payload[:20]) + b"\x3B")
+
+    def test_animated_gif_real_frame_sampling(self, spark):
+        from tuplex_spark.functions.multimodal import (_decode_ppm,
+                                                       encode_gif,
+                                                       gif_frames,
+                                                       sample_frames)
+        colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        frames = [(100, bytes(c) * 12) for c in colors]  # 4x3 solids
+        payload = encode_gif(4, 3, frames)
+        df = spark.createDataFrame(
+            [(7, bytearray(payload), ("video", "gif", 4, 3, 300, None))],
+            "asset_id long, payload binary, "
+            "meta struct<media_type:string,format:string,width:int,"
+            "height:int,duration_ms:bigint,sample_rate:int>")
+        out = sample_frames(df, every_ms=150).collect()
+        # 300ms timeline sampled at 150ms -> ts 0 (frame 0), 150 (frame 1)
+        assert [(r.frame_index, r.ts_ms) for r in out] == [(0, 0),
+                                                           (1, 150)]
+        _, _, decoded = gif_frames(payload)
+        for row, want_fi in zip(out, (0, 1)):
+            w, h, px = _decode_ppm(bytes(row.frame))
+            assert (w, h) == (4, 3)
+            assert px == decoded[want_fi][1]

@@ -4,7 +4,9 @@ The Spark-side plumbing is real and tested — schema contracts, Arrow batch
 shapes, mapInPandas partitioning — and a useful codec subset decodes
 NATIVELY in pure Python/stdlib: baseline JPEG (huffman decode + exact
 8x8 IDCT; 4:4:4/4:2:2/4:2:0; DRI/RSTn), PNG (8-bit, zlib inflate +
-unfilter), the binary Netpbm family (P4/P5/P6), uncompressed 24-bit
+unfilter), GIF 87a/89a (full LZW, interlace, transparency, disposal;
+stills AND animations — frame sampling uses the real delay timeline),
+the binary Netpbm family (P4/P5/P6), uncompressed 24-bit
 BMP, and PCM WAV audio.  Formats that genuinely need external codec
 libraries (WebP, progressive JPEG, mp3/ogg, video) stay behind honest
 NotImplementedError /
@@ -308,6 +310,306 @@ def _decode_bmp(payload: bytes):
         out[dst + 1:end:3] = line[1::3]
         out[dst + 2:end:3] = line[0::3]
     return w, h, bytes(out)
+
+
+# ---- GIF 87a/89a (pure Python + numpy) ---------------------------------
+#
+# Decoder: full LZW (variable code width to 12 bits, deferred clears),
+# global/local color tables, interlacing, sub-rectangle frames,
+# transparency, disposal methods 0-3 — both still images and animations.
+# Encoder: palette-built GIF with the classic clear-spam LZW technique
+# (a CLEAR code before the string table could force a width change, so
+# every code is a literal at the initial width — valid LZW, zero
+# compression), optional interlace/animation/transparency so every
+# decoder path is testable without a codec library.
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: codes packed LSB-first, width grows from
+    min_code_size+1 up to 12 bits as the string table fills."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = min_code_size + 1
+    prev = -1
+    acc = nbits = pos = 0
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = -1
+
+    reset()
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out)  # missing EOI: tolerate, like browsers
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev < 0:
+            if code >= clear:
+                raise ValueError("LZW: first code not a literal")
+            out += table[code]
+            prev = code
+            continue
+        if code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(table[prev] + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = table[prev] + table[prev][:1]
+            table.append(entry)
+        else:
+            raise ValueError("LZW: code beyond table")
+        out += entry
+        prev = code
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+
+
+def _lzw_encode_literals(indices, min_code_size: int) -> bytes:
+    """LZW stream of pure literal codes: a CLEAR is emitted before the
+    decoder's table could reach the width-change threshold, so the code
+    width is constant — valid (uncompressed) GIF LZW."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    count = 0
+    for ix in indices:
+        emit(ix)
+        count += 1
+        if count >= clear - 2:  # decoder table appends = count-1
+            emit(clear)
+            count = 0
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_u16(payload: bytes, pos: int) -> int:
+    return payload[pos] | (payload[pos + 1] << 8)
+
+
+def _gif_parse(payload: bytes):
+    """Block walk -> (W, H, bg_index, global_ct, frames); each frame
+    dict carries its sub-rectangle, color table, interlace flag, raw
+    LZW data, and the preceding graphic-control state."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    W = _gif_u16(payload, 6)
+    H = _gif_u16(payload, 8)
+    packed = payload[10]
+    bg = payload[11]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    try:
+        frames, pos = _gif_walk(payload, pos)
+    except IndexError:
+        raise ValueError("truncated GIF") from None
+    if not frames:
+        raise ValueError("GIF with no image data")
+    return W, H, bg, gct, frames
+
+
+def _gif_walk(payload: bytes, pos: int):
+    frames = []
+    delay_ms, transparent, disposal = 0, None, 0
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 4:
+                pk = payload[pos + 1]
+                delay_ms = _gif_u16(payload, pos + 2) * 10
+                transparent = payload[pos + 4] if pk & 1 else None
+                disposal = (pk >> 2) & 0x7
+            while payload[pos] != 0:  # skip/settle sub-blocks
+                pos += payload[pos] + 1
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            left, top = _gif_u16(payload, pos), _gif_u16(payload, pos + 2)
+            w, h = _gif_u16(payload, pos + 4), _gif_u16(payload, pos + 6)
+            pk = payload[pos + 8]
+            pos += 9
+            lct = None
+            if pk & 0x80:
+                n = 2 << (pk & 0x07)
+                lct = payload[pos:pos + 3 * n]
+                pos += 3 * n
+            mcs = payload[pos]
+            pos += 1
+            data = bytearray()
+            while True:
+                ln = payload[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                data += payload[pos:pos + ln]
+                pos += ln
+            frames.append({"left": left, "top": top, "w": w, "h": h,
+                           "interlaced": bool(pk & 0x40), "mcs": mcs,
+                           "data": bytes(data), "lct": lct,
+                           "delay_ms": delay_ms,
+                           "transparent": transparent,
+                           "disposal": disposal})
+            delay_ms, transparent, disposal = 0, None, 0
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    return frames, pos
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_frames(payload: bytes):
+    """Decode every frame fully COMPOSITED onto the logical screen:
+    (W, H, [(delay_ms, rgb bytes), ...]).  Honors sub-rectangle frames,
+    transparency, and disposal 0/1 (keep), 2 (restore background),
+    3 (restore previous)."""
+    W, H, bg, gct, frames = _gif_parse(payload)
+    if gct is not None and (bg + 1) * 3 <= len(gct):
+        bgc = gct[bg * 3:bg * 3 + 3]
+    else:
+        bgc = b"\x00\x00\x00"
+    canvas = _np.frombuffer(bgc * (W * H), dtype=_np.uint8) \
+        .reshape(H, W, 3).copy()
+    out = []
+    for fr in frames:
+        ct = fr["lct"] if fr["lct"] is not None else gct
+        if ct is None:
+            raise ValueError("GIF frame without a color table")
+        w, h = fr["w"], fr["h"]
+        if fr["left"] + w > W or fr["top"] + h > H:
+            raise ValueError("GIF frame exceeds logical screen")
+        raw = _lzw_decode(fr["data"], fr["mcs"])
+        if len(raw) < w * h:
+            raise ValueError("GIF frame pixel data truncated")
+        idx = _np.frombuffer(raw[:w * h], dtype=_np.uint8).reshape(h, w)
+        if fr["interlaced"]:
+            full = _np.empty_like(idx)
+            order = [r for s, step in _GIF_INTERLACE
+                     for r in range(s, h, step)]
+            full[order] = idx
+            idx = full
+        pal = _np.frombuffer(ct.ljust(768, b"\x00"), dtype=_np.uint8) \
+            .reshape(256, 3)
+        rgb = pal[idx]  # h, w, 3
+        snapshot = canvas.copy() if fr["disposal"] == 3 else None
+        region = canvas[fr["top"]:fr["top"] + h,
+                        fr["left"]:fr["left"] + w]
+        if fr["transparent"] is not None:
+            mask = (idx != fr["transparent"])[..., None]
+            region[:] = _np.where(mask, rgb, region)
+        else:
+            region[:] = rgb
+        out.append((fr["delay_ms"], canvas.tobytes()))
+        if fr["disposal"] == 2:
+            region[:] = _np.frombuffer(bgc, dtype=_np.uint8)
+        elif fr["disposal"] == 3:
+            canvas[:] = snapshot
+    return W, H, out
+
+
+def _decode_gif(payload: bytes):
+    """First composited frame as (w, h, rgb) — the still-image face."""
+    w, h, frames = gif_frames(payload)
+    return w, h, frames[0][1]
+
+
+def encode_gif(width: int, height: int, frames, interlace: bool = False,
+               transparent_color: bytes | None = None) -> bytes:
+    """GIF89a encoder (test fixture + resize write side).  ``frames``
+    is rgb bytes (still) or a list of (delay_ms, rgb[, (left, top, w,
+    h)]) tuples; sub-rectangle rgb covers only its rect.  A shared
+    global palette is built from all frames (<= 256 distinct colors);
+    ``transparent_color`` marks that palette entry transparent in every
+    frame's graphic control block."""
+    if isinstance(frames, (bytes, bytearray)):
+        frames = [(0, bytes(frames))]
+    norm = []
+    colors: dict[bytes, int] = {}
+    for f in frames:
+        delay, rgb = f[0], bytes(f[1])
+        rect = f[2] if len(f) > 2 else (0, 0, width, height)
+        if len(rgb) != rect[2] * rect[3] * 3:
+            raise ValueError("rgb length != rect w*h*3")
+        norm.append((delay, rgb, rect))
+        for i in range(0, len(rgb), 3):
+            c = rgb[i:i + 3]
+            if c not in colors:
+                colors[c] = len(colors)
+    if transparent_color is not None and transparent_color not in colors:
+        colors[bytes(transparent_color)] = len(colors)
+    if len(colors) > 256:
+        raise ValueError("encode_gif: > 256 distinct colors")
+    k = max((len(colors) - 1).bit_length(), 1) - 1  # 2^(k+1) entries
+    n_entries = 2 << k
+    gct = bytearray()
+    for c in sorted(colors, key=colors.get):
+        gct += c
+    gct = gct.ljust(3 * n_entries, b"\x00")
+    mcs = max(2, k + 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (k << 4) | k, 0, 0])
+    out += gct
+    for delay, rgb, (left, top, w, h) in norm:
+        pk = 0x04 if transparent_color is None else 0x05  # disposal 1
+        tix = (colors[bytes(transparent_color)]
+               if transparent_color is not None else 0)
+        out += bytes([0x21, 0xF9, 4, pk])
+        out += struct.pack("<H", delay // 10)
+        out += bytes([tix, 0])
+        out += bytes([0x2C]) + struct.pack("<HHHH", left, top, w, h)
+        out += bytes([0x40 if interlace else 0x00])
+        idx = [colors[rgb[i:i + 3]] for i in range(0, len(rgb), 3)]
+        if interlace:
+            order = [r for s, step in _GIF_INTERLACE
+                     for r in range(s, h, step)]
+            idx = [v for r in order for v in idx[r * w:(r + 1) * w]]
+        out += bytes([mcs])
+        data = _lzw_encode_literals(idx, mcs)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
 
 
 # ---- baseline JPEG (pure stdlib + numpy) -------------------------------
@@ -836,16 +1138,19 @@ def _rgb_features(px: bytes, w: int, h: int) -> list[float]:
 def decode_image_real(payload: bytes) -> dict:
     """REAL image decode for the codec-less sandbox: baseline JPEG
     (huffman + exact 8x8 IDCT, 4:4:4/4:2:2/4:2:0, restart markers),
-    PNG (8-bit, stdlib-zlib inflate), the full binary Netpbm family —
-    PPM (P6), PGM (P5), PBM (P4) — and uncompressed 24-bit BMP all
-    parse natively (pure Python + numpy); formats that genuinely need
-    codec libraries (WebP, progressive JPEG, ...) raise
+    PNG (8-bit, stdlib-zlib inflate), GIF 87a/89a (full LZW, interlace,
+    transparency — first composited frame), the full binary Netpbm
+    family — PPM (P6), PGM (P5), PBM (P4) — and uncompressed 24-bit BMP
+    all parse natively (pure Python + numpy); formats that genuinely
+    need codec libraries (WebP, progressive JPEG, ...) raise
     NotImplementedError so the error surfaces in ``decode_error``
     instead of a wrong value."""
     if payload[:2] == b"\xff\xd8":
         w, h, px = _decode_jpeg(payload)
     elif payload[:8] == _PNG_SIG:
         w, h, px = _decode_png(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h, px = _decode_gif(payload)
     elif payload[:2] == b"P6":
         w, h, px = _decode_ppm(payload)
     elif payload[:2] == b"P5":
@@ -1127,6 +1432,12 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
         w, h, px = _decode_jpeg(payload)
         return encode_jpeg(width, height,
                            _resize_rgb_nearest(px, w, h, width, height))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        # nearest-neighbor keeps the palette closed, so the resized
+        # frame re-encodes as a GIF losslessly
+        w, h, px = _decode_gif(payload)
+        return encode_gif(width, height,
+                          _resize_rgb_nearest(px, w, h, width, height))
     return _fake_resize(payload, width, height)
 
 
@@ -1135,10 +1446,11 @@ def resize_images(df: DataFrame, width: int, height: int,
                   id_col: str = "asset_id") -> DataFrame:
     """Resize binary image assets to (width, height) via Arrow-batched
     mapInPandas — narrow (partition-preserving), per-row failures land in
-    ``resize_error``.  PPM(P6) payloads get a real nearest-neighbor
-    resample; other formats use the deterministic stub (codec libraries
-    are env-gated), and the Spark contract (schema, batching, error
-    capture) is identical either way."""
+    ``resize_error``.  PPM(P6), PNG, baseline JPEG, and GIF payloads
+    get a real nearest-neighbor resample (round-tripped through their
+    native codecs); other formats use the deterministic stub (codec
+    libraries are env-gated), and the Spark contract (schema, batching,
+    error capture) is identical either way."""
 
     def run(batches):
         import pandas as pd
@@ -1177,10 +1489,14 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                   max_frames: int = 64) -> DataFrame:
     """Sample one frame every ``every_ms`` from video assets — the
     1-row-in, N-rows-out shape (mapInPandas yields more rows than it
-    consumes; still narrow, no shuffle).  Frame payloads come from the
-    deterministic stub (replace with ffmpeg seek+decode); frame COUNT is
-    ceil(duration / every_ms) capped at ``max_frames`` so one corrupt
-    duration can't explode a batch."""
+    consumes; still narrow, no shuffle).  Animated GIF payloads decode
+    for REAL: the sampled timestamp selects the frame active at that
+    point of the GIF's own delay timeline and the emitted frame is its
+    composited pixels as a PPM payload.  Other containers (mp4 etc.)
+    use the deterministic stub (replace with ffmpeg seek+decode) with
+    the metadata duration; frame COUNT is ceil(duration / every_ms)
+    capped at ``max_frames`` so one corrupt duration can't explode a
+    batch."""
     dur = F.expr(duration_col).cast("long")
     staged = df.select(
         F.col(id_col).alias("asset_id"), F.col(payload_col).alias("p"),
@@ -1194,6 +1510,24 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                 aid = int(pdf["asset_id"].iloc[i])
                 payload = pdf["p"].iloc[i]
                 payload = bytes(payload) if payload is not None else b""
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, frs = gif_frames(payload)
+                    starts, t = [], 0
+                    for d, _ in frs:
+                        starts.append(t)
+                        t += d
+                    dur_ms = t
+                    n = min(max(-(-dur_ms // every_ms), 1), max_frames)
+                    fi = 0
+                    for j in range(n):
+                        ts = j * every_ms
+                        while fi + 1 < len(frs) and starts[fi + 1] <= ts:
+                            fi += 1
+                        ids.append(aid)
+                        idxs.append(j)
+                        tss.append(ts)
+                        frames.append(encode_ppm(w, h, frs[fi][1]))
+                    continue
                 dur_ms = int(pdf["dur"].iloc[i])
                 n = min(max(-(-dur_ms // every_ms), 1), max_frames)
                 for j in range(n):
