@@ -144,6 +144,22 @@ class TestScaleOps:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "Window" in plan
 
+    def test_winnow_decontaminate_broadcasts_reference(self, spark):
+        """The reference fingerprint set must BROADCAST (map-side hash
+        join on the corpus fingerprints), never shuffle the corpus side
+        to a sort-merge join on the fingerprint hash."""
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import dedup
+        docs = spark.read.parquet(os.path.join(SF_DIR,
+                                               "documents.parquet"))
+        ref = docs.filter(F.col("doc_id") % 17 == 0)
+        plan = dedup.winnow_decontaminate(docs, ref, k=3, w=4,
+                                          mode="flag") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_loop_udf_stays_native(self, spark):
         """ds_loops (fold + static unroll) must compile to Column exprs:
         no MapInPandas/ArrowEvalPython anywhere in the plan."""
