@@ -44,6 +44,7 @@ HEADLINE = [
     # round-9 ops
     "ann_kmeans", "ann_quantized", "ann_ivf_trained",
     "pipeline_embedding", "dedup_winnow", "dedup_winnow_decon",
+    "text_bpe", "text_bpe_encode",
 ]
 
 
@@ -63,7 +64,7 @@ SF1_HEADLINE = [
     # round-8 tail + round-9 ops: anchor their scale claims per-round
     "ann_batch_ivf", "vec_quantize", "sketch_distinct_by",
     "ann_kmeans", "ann_quantized", "pipeline_embedding",
-    "dedup_winnow", "dedup_winnow_decon",
+    "dedup_winnow", "dedup_winnow_decon", "text_bpe_encode",
 ]
 SF1_REPLICAS = 10
 

@@ -1367,3 +1367,50 @@ class TestTrainedIvf:
             similarity.kmeans_cent_sql(c=4, rounds=2)).fetchall()
         assert {cid: list(cv) for cid, cv in rows} == \
             {cid: list(cv) for cid, cv in cents.items()}
+
+
+class TestBpe:
+    def test_merge_table_matches_oracle(self, spark, con):
+        from tuplex_spark.functions import text
+        df = text.bpe_merge_table(spark.read.parquet(DOC), k=6)
+        assert_matches(df, con, text.bpe_merge_table_sql(k=6))
+
+    def test_subword_counts_match_oracle(self, spark, con):
+        from tuplex_spark.functions import text
+        df = text.bpe_subword_counts(spark.read.parquet(DOC), k=6)
+        assert_matches(df, con, text.bpe_subword_counts_sql(k=6))
+
+    def test_classic_bpe_semantics(self, spark):
+        # Sennrich's canonical behavior on a controlled vocabulary:
+        # 'aaab' x3 + 'ab' x1.  Round 1: (a,a) 2*3=6, (a,b) 3+1=4 ->
+        # merge (a,a); aaab=[aa,a,b], ab=[a,b].  Round 2: (aa,a) 3,
+        # (a,b) 3+1=4 -> merge (a,b); aaab=[aa,ab], ab=[ab].
+        # Round 3: (aa,ab) 3 -> merge; aaab=[aaab].
+        from tuplex_spark.functions import text
+        rows = [(1, "aaab aaab aaab ab")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        merges = text.bpe_train(df, k=3)
+        assert merges == [(0, "a", "a", 6), (1, "a", "b", 4),
+                          (2, "aa", "ab", 3)], merges
+        # encode: 'aaab' -> [aaab] = 1 subword x3; 'ab' -> [ab] = 1
+        got = text.bpe_subword_counts(df, k=3).collect()
+        assert [(r.doc_id, r.n_subwords) for r in got] == [(1, 4)]
+
+    def test_leftmost_merge_on_chains(self, spark):
+        # 'aaaaa' with merge (a,a): leftmost-first -> [aa, aa, a]
+        from tuplex_spark.functions import text
+        from pyspark.sql import functions as F
+        df = spark.createDataFrame([(1, "aaaaa")],
+                                   "doc_id long, text string")
+        vocab = text._bpe_vocab(df, "text")
+        enc = text.bpe_apply(vocab, [(0, "a", "a", 0)])
+        syms = enc.select(
+            F.expr(text._BPE_SYMBOLS).alias("s")).collect()[0].s
+        assert list(syms) == ["aa", "aa", "a"]
+
+    def test_early_stop_when_no_pairs(self, spark):
+        # single-char words have no pairs: training stops empty
+        from tuplex_spark.functions import text
+        df = spark.createDataFrame([(1, "a b c a b")],
+                                   "doc_id long, text string")
+        assert text.bpe_train(df, k=4) == []

