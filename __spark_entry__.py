@@ -969,6 +969,37 @@ def q_mm_audio(spark, sf_dir):
         "decode_error")
 
 
+def q_mm_gif(spark, sf_dir):
+    """multimodal GIF: per-doc solid-gray 4x3 GIF payloads synthesized
+    with the native encoder, decoded by the REAL pure-Python GIF
+    decoder (LZW + palette) through Arrow mapInPandas.  The 4x3 canvas
+    makes every feature-grid cell exactly one pixel, so each of the 16
+    features is a single float expression the DuckDB oracle replicates
+    bitwise — the same analytic-oracle standard mm_audio sets."""
+    from tuplex_spark.functions import multimodal
+    _prep(spark)
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                cc = int(d) % 256
+                payloads.append(multimodal.encode_gif(
+                    4, 3, bytes([cc, cc, cc]) * 12))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    assets = ids.mapInPandas(make, schema="asset_id long, payload binary")
+    feats = multimodal.extract_features(assets, decoder="image/real")
+    return feats.select(
+        "asset_id", "width", "height",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}")
+          for i in range(multimodal.FEATURE_DIM)],
+        "decode_error")
+
+
 # ======================================================================
 # Training-data pipeline ops (scale extensions; functions/)
 # ======================================================================
@@ -1873,6 +1904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "tpch_q7": q_tpch_q7,
         "mm_audio": q_mm_audio,
+        # round-9 addition: real-GIF decode vs an analytic oracle
+        # (Arrow decode shape twin of mm_decode/mm_audio in-window)
+        "mm_gif": q_mm_gif,
         # round-8 late additions (graded by selfcheck in the tail, the
         # window is already full): int8 embedding quantization
         # (pure-map shape) and the cluster-canonicalize apply step
@@ -2367,6 +2401,22 @@ SELECT doc_id AS asset_id,
             for i in range(9)) + """,
        NULL::VARCHAR AS decode_error
 FROM documents""",
+        # solid-gray 4x3 GIF: n=12 pixels, every 3x4-grid cell exactly
+        # one pixel -> each feature is one float expression, identical
+        # op-for-op with _rgb_features' accumulation on a solid color
+        "mm_gif": """
+SELECT doc_id AS asset_id, 4 AS width, 3 AS height,
+       round((c*12)/(255.0*12), 6) AS f0,
+       round((c*12)/(255.0*12), 6) AS f1,
+       round((c*12)/(255.0*12), 6) AS f2,
+       round((0.299*(c*12) + 0.587*(c*12) + 0.114*(c*12))/(255.0*12), 6)
+         AS f3,
+""" + ",\n".join(
+            f"       round((0.299*c + 0.587*c + 0.114*c)/(255.0*1), 6)"
+            f" AS f{i}" for i in range(4, 16)) + """,
+       NULL::VARCHAR AS decode_error
+FROM (SELECT doc_id, CAST(doc_id % 256 AS DOUBLE) AS c
+      FROM documents)""",
         "text_token_count": text.token_count_sql(),
         "text_quality": text.quality_score_sql(),
         "text_langid": text.language_id_sql(),
