@@ -248,3 +248,25 @@ class TestLSHScaling:
         j4 = dedup.ngram_jaccard_pairs(doc4, n=2, threshold=0.2).count()
         assert m4 <= 4 * max(m1, 1) * 2.5, (m1, m4)
         assert j4 <= 4 * max(j1, 1) * 2.5, (j1, j4)
+
+    def test_winnow_pairs_linearish(self, spark):
+        # decorrelated replicas: winnowing pair count must grow
+        # ~linearly (the stop-fingerprint cap bounds hot buckets, so no
+        # quadratic cross-replica blow-up)
+        from tuplex_spark.functions import dedup
+        doc = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        vows = "aeiou"
+        parts = [doc.select(
+            (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+            F.concat(F.lit(f"r{i} "),
+                     F.translate("text", vows,
+                                 vows[i % 5:] + vows[:i % 5]))
+            .alias("text"))
+            for i in range(4)]
+        doc4 = parts[0]
+        for p in parts[1:]:
+            doc4 = doc4.unionAll(p)
+        w1 = dedup.winnow_pairs(doc, k=3, w=4, min_shared=2).count()
+        w4 = dedup.winnow_pairs(doc4, k=3, w=4, min_shared=2).count()
+        assert w1 > 0
+        assert w4 <= 4 * w1 * 2.5, (w1, w4)
