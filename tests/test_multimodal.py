@@ -648,6 +648,40 @@ class TestGifNative:
         with pytest.raises(ValueError):
             _decode_gif(bytes(payload[:20]) + b"\x3B")
 
+    def test_header_shorter_than_13_bytes_is_valueerror(self):
+        import pytest
+        from tuplex_spark.functions.multimodal import gif_frames
+        # GIF magic but payload shorter than the 13-byte header must be
+        # the documented ValueError, not a raw IndexError
+        with pytest.raises(ValueError, match="truncated GIF"):
+            gif_frames(b"GIF89a")
+        with pytest.raises(ValueError, match="truncated GIF"):
+            gif_frames(b"GIF87a\x04\x00\x03\x00")
+
+    def test_truncated_global_color_table_is_valueerror(self):
+        import pytest
+        from tuplex_spark.functions.multimodal import (encode_gif,
+                                                       gif_frames)
+        payload = encode_gif(4, 4, self._checker(4, 4))
+        # header says a GCT follows; chop inside it
+        with pytest.raises(ValueError, match="truncated GIF"):
+            gif_frames(payload[:14])
+
+    def test_sample_frames_malformed_gif_falls_back_to_stub(self, spark):
+        # a GIF-magic payload that can't decode must NOT fail the task;
+        # it falls back to the metadata-duration stub path per-row
+        from tuplex_spark.functions.multimodal import sample_frames
+        df = spark.createDataFrame(
+            [(3, bytearray(b"GIF89a\xff"), ("video", "gif", 4, 3, 2500,
+                                            None))],
+            "asset_id long, payload binary, "
+            "meta struct<media_type:string,format:string,width:int,"
+            "height:int,duration_ms:bigint,sample_rate:int>")
+        out = sample_frames(df, every_ms=1000).collect()
+        assert [(r.frame_index, r.ts_ms) for r in out] == [
+            (0, 0), (1, 1000), (2, 2000)]
+        assert all(len(r.frame) == 32 for r in out)  # sha256 stub frames
+
     def test_animated_gif_real_frame_sampling(self, spark):
         from tuplex_spark.functions.multimodal import (_decode_ppm,
                                                        encode_gif,

@@ -423,6 +423,8 @@ def _gif_parse(payload: bytes):
     LZW data, and the preceding graphic-control state."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF")
     W = _gif_u16(payload, 6)
     H = _gif_u16(payload, 8)
     packed = payload[10]
@@ -432,6 +434,8 @@ def _gif_parse(payload: bytes):
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = payload[pos:pos + 3 * n]
+        if len(gct) < 3 * n:
+            raise ValueError("truncated GIF")
         pos += 3 * n
     try:
         frames, pos = _gif_walk(payload, pos)
@@ -1511,23 +1515,29 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                 payload = pdf["p"].iloc[i]
                 payload = bytes(payload) if payload is not None else b""
                 if payload[:6] in (b"GIF87a", b"GIF89a"):
-                    w, h, frs = gif_frames(payload)
-                    starts, t = [], 0
-                    for d, _ in frs:
-                        starts.append(t)
-                        t += d
-                    dur_ms = t
-                    n = min(max(-(-dur_ms // every_ms), 1), max_frames)
-                    fi = 0
-                    for j in range(n):
-                        ts = j * every_ms
-                        while fi + 1 < len(frs) and starts[fi + 1] <= ts:
-                            fi += 1
-                        ids.append(aid)
-                        idxs.append(j)
-                        tss.append(ts)
-                        frames.append(encode_ppm(w, h, frs[fi][1]))
-                    continue
+                    # per-row capture: a truncated/malformed GIF falls
+                    # back to the stub path instead of failing the task
+                    try:
+                        w, h, frs = gif_frames(payload)
+                    except Exception:
+                        frs = None
+                    if frs is not None:
+                        starts, t = [], 0
+                        for d, _ in frs:
+                            starts.append(t)
+                            t += d
+                        dur_ms = t
+                        n = min(max(-(-dur_ms // every_ms), 1), max_frames)
+                        fi = 0
+                        for j in range(n):
+                            ts = j * every_ms
+                            while fi + 1 < len(frs) and starts[fi + 1] <= ts:
+                                fi += 1
+                            ids.append(aid)
+                            idxs.append(j)
+                            tss.append(ts)
+                            frames.append(encode_ppm(w, h, frs[fi][1]))
+                        continue
                 dur_ms = int(pdf["dur"].iloc[i])
                 n = min(max(-(-dur_ms // every_ms), 1), max_frames)
                 for j in range(n):
