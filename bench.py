@@ -45,6 +45,9 @@ HEADLINE = [
     "ann_kmeans", "ann_quantized", "ann_ivf_trained",
     "pipeline_embedding", "dedup_winnow", "dedup_winnow_decon",
     "text_bpe", "text_bpe_encode",
+    # round-10: tokenizer-scale batched BPE (k=256 over the
+    # fused-bigram vocabulary — VERDICT r9 item 4's bench point)
+    "text_bpe_batched",
 ]
 
 

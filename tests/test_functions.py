@@ -1499,3 +1499,69 @@ class TestBpe:
         df = spark.createDataFrame([(1, "a b c a b")],
                                    "doc_id long, text string")
         assert text.bpe_train(df, k=4) == []
+
+    def test_batched_equals_sequential_on_corpus(self, spark):
+        # the batched trainer must reproduce the sequential merge list
+        # BITWISE (VERDICT r9 item 4's differential requirement)
+        from tuplex_spark.functions import text
+        docs = spark.read.parquet(DOC)
+        seq = text.bpe_train(docs, k=24)
+        for batch in (4, 16):
+            assert text.bpe_train_batched(docs, k=24,
+                                          batch=batch) == seq, batch
+
+    def test_batched_equals_sequential_adversarial(self, spark):
+        # shapes that stress every batch guard: aa-chains (self-pair
+        # bound), fresh-symbol collisions ('ab' exists as a word while
+        # (a,b) merges), exact count ties
+        from tuplex_spark.functions import text
+        rows = [(1, "a a a a aaaa aaaa ab ab abab abab x y x y x y"),
+                (2, "aaaa aaaa aaaa b a b a b a ab ab"),
+                (3, "q r q r q r s t s t u v"),
+                (4, "zz zz zzz zzz zzzz tie1 tie1 tie2 tie2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        seq = text.bpe_train(df, k=14)
+        assert text.bpe_train_batched(df, k=14, batch=8) == seq
+        assert text.bpe_train_batched(df, k=14, batch=2) == seq
+
+    def test_recheckpoint_does_not_change_merges(self, spark):
+        from tuplex_spark.functions import text
+        docs = spark.read.parquet(DOC)
+        assert (text.bpe_train(docs, k=12, recheckpoint_every=3)
+                == text.bpe_train(docs, k=12, recheckpoint_every=0))
+
+    def test_local_trainer_equals_distributed(self, spark):
+        from tuplex_spark.functions import text
+        docs = spark.read.parquet(DOC)
+        assert text.bpe_train_local(docs, k=24) \
+            == text.bpe_train(docs, k=24)
+        rows = [(1, "a a a a aaaa aaaa ab ab abab abab x y x y x y"),
+                (2, "aaaa aaaa aaaa b a b a b a ab ab"),
+                (3, "q r q r q r s t s t u v")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert text.bpe_train_local(df, k=14) == text.bpe_train(df, k=14)
+
+    def test_local_trainer_tokenizer_scale(self, spark):
+        # the production contract: thousands of merges in one collect +
+        # a local loop — exhausts the synthetic vocab and agrees with
+        # the batched trainer on the shared prefix
+        import time
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import text
+        docs = spark.read.parquet(DOC)
+        fused = (docs.select(
+            "doc_id",
+            F.expr("filter(split(trim(lower(text)), '\\\\s+'),"
+                   " x -> x != '')").alias("t"))
+            .select("doc_id", F.expr(
+                "array_join(zip_with(slice(t, 1, size(t) - 1), "
+                "slice(t, 2, size(t) - 1), (a, b) -> concat(a, b)), "
+                "' ')").alias("text")))
+        t0 = time.time()
+        big = text.bpe_train_local(fused, k=4096)
+        dt = time.time() - t0
+        assert len(big) >= 1000  # vocab-capacity bounded, not k-bounded
+        assert dt < 60, dt
+        small = text.bpe_train_batched(fused, k=64, batch=16,
+                                       vocab_partitions=1)
+        assert big[:64] == small
