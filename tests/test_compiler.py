@@ -4259,14 +4259,50 @@ class TestSetSupport:
                             len(frozenset(s.split()) & {"a", "x"})),
                  expect_compiled=True)
 
-    def test_set_return_value_falls_back(self, ctx):
-        # a returned set must be a real set object (fallback), never a
-        # first-occurrence-ordered array
+    def test_set_return_value_compiles(self, ctx):
+        # compiled since round 10: a returned set crosses the boundary
+        # as a __sv marker struct and collects as a REAL Python set
+        import typing
         before = ctx.metrics.compiledUDFs
-        got = ctx.parallelize(["a b a", "c"]) \
-                 .map(lambda s: set(s.split())).collect()
-        assert ctx.metrics.compiledUDFs == before
+        ds = ctx.parallelize(["a b a", "c"]).map(lambda s: set(s.split()))
+        got = ds.collect()
+        assert ctx.metrics.compiledUDFs == before + 1
         assert got == [{"a", "b"}, {"c"}]
+        assert ds.types == [typing.Set[str]]
+
+    def test_set_return_in_tuple_and_dict(self, ctx):
+        before = ctx.metrics.compiledUDFs
+        got = ctx.parallelize(["a b a", "c d"]) \
+                 .map(lambda s: (len(s), set(s.split()) - {"c"})).collect()
+        assert ctx.metrics.compiledUDFs == before + 1
+        assert got == [(5, {"a", "b"}), (3, {"d"})]
+        got2 = ctx.parallelize(["x y x"]) \
+                  .map(lambda s: {"n": len(s), "u": set(s.split())}) \
+                  .collect()
+        assert got2 == [(5, {"x", "y"})]
+
+    def test_compiled_set_column_consumed_downstream(self, ctx):
+        # a compiled set return re-binds as a set column: downstream
+        # len/membership/algebra stay compiled end-to-end
+        before_fb = ctx.metrics.fallbackUDFs
+        got = (ctx.parallelize(["a b a", "b c d"])
+               .map(lambda s: {"n": len(s), "u": set(s.split())})
+               .map(lambda x: (x["n"], len(x["u"]), "b" in x["u"],
+                               len(x["u"] & {"a", "d"})))
+               .collect())
+        assert ctx.metrics.fallbackUDFs == before_fb
+        assert got == [(5, 2, True, 1), (5, 3, True, 1)]
+
+    def test_set_return_through_arrow_fallback_boundary(self, ctx):
+        # a compiled set column feeding a FALLBACK op must decode to a
+        # real set inside the Python UDF (fallback._struct_to_tuple);
+        # isinstance doesn't compile, so the second op is the fallback
+        got = (ctx.parallelize(["a b a"])
+               .map(lambda s: set(s.split()))
+               .map(lambda u: sorted(u | {"z"})
+                    if isinstance(u, set) else ["NOT A SET"])
+               .collect())
+        assert got == [["a", "b", "z"]]
 
 
 class TestVariantReturns:

@@ -97,6 +97,12 @@ def _py_type(dt: T.DataType, nullable: bool):
         fam = {"__vb": bool, "__vi": int, "__vf": float, "__vs": str}
         opts = tuple(fam[f.name] for f in dt.fields[1:] if f.name in fam)
         return typing.Optional[typing.Union[opts]] if opts else object
+    if isinstance(dt, T.StructType) and len(dt.fields) == 1 \
+            and dt.fields[0].name == "__sv" \
+            and isinstance(dt.fields[0].dataType, T.ArrayType):
+        # compiled set return (compiler.is_set_struct)
+        return typing.Set[
+            _py_type(dt.fields[0].dataType.elementType, False)]
     if isinstance(dt, T.StructType) and \
             all(_re.fullmatch(r"_\d+", f.name) for f in dt.fields):
         base = tuple(_py_type(f.dataType, f.nullable) for f in dt.fields)
@@ -131,6 +137,8 @@ def _py_type_of_value(v):
         return type(v)
     if isinstance(v, tuple):
         return tuple(_py_type_of_value(x) for x in v)
+    if isinstance(v, (set, frozenset)):
+        return typing.Set[_py_type_of_value(next(iter(v)))] if v else set
     if isinstance(v, list):
         return typing.List[_py_type_of_value(v[0])] if v else list
     if isinstance(v, dict):
@@ -154,6 +162,8 @@ def _py_value(v):
             if not v[0]:
                 return None
             return next((x for x in v[1:] if x is not None), None)
+        if flds == ["__sv"]:  # compiled set return (compiler.is_set_struct)
+            return set(v[0]) if v[0] is not None else None
         return tuple(_py_value(x) for x in v)
     if isinstance(v, list):
         return [_py_value(x) for x in v]

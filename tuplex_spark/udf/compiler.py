@@ -625,6 +625,18 @@ def is_variant_struct(dt) -> bool:
             and dt.fields[0].name == "__vt")
 
 
+def is_set_struct(dt) -> bool:
+    """Compiled SET value at a column boundary: a 1-field struct whose
+    ``__sv`` field holds the distinct elements sorted (sets are
+    unordered, so the deterministic order is free to pick) — decoded
+    back to a real Python ``set`` by collect's _py_value and the Arrow
+    fallback's _struct_to_tuple, and re-bound as a set-tagged column by
+    _col_sym so downstream compiled set ops keep compiling."""
+    return (isinstance(dt, T.StructType) and len(dt.fields) == 1
+            and dt.fields[0].name == "__sv"
+            and isinstance(dt.fields[0].dataType, T.ArrayType))
+
+
 def _pytag(v) -> str:
     if v is None:
         return "null"
@@ -698,19 +710,24 @@ class CompiledUDF:
         """[(name-or-None, column, tag)] — tuple fans out positionally,
         dict by key, scalar is a single unnamed column."""
         r = self.result
-        syms = (r.items if isinstance(r, STuple)
-                else list(r.items.values()) if isinstance(r, SDict)
-                else [r])
-        if any(getattr(s, "tag", None) == "set" for s in syms):
-            # a returned SET would collect as a list (and in Spark's
-            # first-occurrence order, not CPython's hash order) —
-            # demote to the exact fallback, which returns real sets
-            raise CompileError("set as return value")
+
+        def out(s):
+            # set-tagged values cross the boundary as a __sv marker
+            # struct (sorted distinct elements) that decodes back to a
+            # real Python set at collect / in the Arrow fallback and
+            # re-binds as a set column for downstream compiled ops —
+            # CPython's hash order is arbitrary, so the sorted order
+            # is a valid (and deterministic) representation
+            if getattr(s, "tag", None) == "set":
+                return (F.struct(F.array_sort(self._tr.to_col(s))
+                                 .alias("__sv")), "set")
+            return (self._tr.to_col(s), s.tag)
+
         if isinstance(r, STuple):
-            return [(None, self._tr.to_col(i), i.tag) for i in r.items]
+            return [(None, *out(i)) for i in r.items]
         if isinstance(r, SDict):
-            return [(k, self._tr.to_col(v), v.tag) for k, v in r.items.items()]
-        return [(None, self._tr.to_col(r), r.tag)]
+            return [(k, *out(v)) for k, v in r.items.items()]
+        return [(None, *out(r))]
 
 
 # ---------------------------------------------------------------- translator
@@ -848,6 +865,14 @@ class Translator:
             # dynamic typing — the Arrow fallback (which decodes the
             # struct back to exact Python values) handles it
             raise CompileError("variant-typed input column")
+        if is_set_struct(dt):
+            # input produced by a compiled set return: re-bind the
+            # element array as a set-tagged column — downstream set
+            # ops (len, membership, algebra) keep compiling
+            f = dt.fields[0]
+            return SCol(col.getField("__sv"), "set",
+                        f.nullable or nullable,
+                        spark_tag(f.dataType.elementType))
         # struct columns following the engine's tuple convention
         # (_0.._n field names) ARE tuples: expose them as STuple so
         # indexing/unpacking/fan-out keep Python tuple semantics

@@ -245,6 +245,14 @@ def _struct_to_tuple(v, t: T.DataType):
             return None
         return next((v.get(f.name) for f in t.fields[1:]
                      if v.get(f.name) is not None), None)
+    if (isinstance(t, T.StructType) and len(t.fields) == 1
+            and t.fields[0].name == "__sv"
+            and isinstance(t.fields[0].dataType, T.ArrayType)):
+        # compiled set return (compiler.is_set_struct)
+        if v is None:
+            return None
+        inner = v.get("__sv") if isinstance(v, dict) else v[0]
+        return set(inner) if inner is not None else None
     if v is None:
         return None
     if isinstance(t, T.StructType) and isinstance(v, dict):
