@@ -68,6 +68,10 @@ SF1_HEADLINE = [
     "ann_batch_ivf", "vec_quantize", "sketch_distinct_by",
     "ann_kmeans", "ann_quantized", "pipeline_embedding",
     "dedup_winnow", "dedup_winnow_decon", "text_bpe_encode",
+    # round-10: the compiled-UDF family's scale anchors (lineitem /
+    # orders are 10x-replicated; VERDICT r9 item 8) + new r10 ops
+    "ds_map_filter", "ds_resolve", "dedup_winnow_spans",
+    "ann_ivf_built",
 ]
 SF1_REPLICAS = 10
 
@@ -143,6 +147,31 @@ def run_once(qs, name, spark, sf_dir) -> float:
     return time.time() - t0
 
 
+# Leg-position bookkeeping (round-10, VERDICT r9 item 1): every sample
+# is stamped with its global sequence number and seconds-since-bench-
+# start, so "late-leg drift" is measurable per-sample in the JSON
+# instead of anecdotal.
+_SAMPLE_SEQ = 0
+_BENCH_T0 = time.time()
+
+
+def job_latency(spark, reps: int = 5) -> float:
+    """Median wall seconds for an EMPTY Spark job (range(1).count) —
+    the per-job scheduler/listener overhead.  The four late-leg-drift
+    ops (pipeline_embedding, dedup_canonical, ann_kmeans,
+    sketch_distinct) are iterative driver-loop ops whose cost is
+    dominated by tens of tiny jobs, so if accumulated session state
+    (listener bus / status store / AQE bookkeeping) inflates per-job
+    latency late in a long session, THIS number moves with it."""
+    spark.range(1).count()  # throwaway
+    vals = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        vals.append(time.perf_counter() - t0)
+    return round(statistics.median(vals), 4)
+
+
 # Absolute 32-thread spin-wall threshold above which the host is not
 # delivering ~32 concurrent CPUs to this process (same constant as
 # machine_state; quiet anchors on this sandbox are 0.2-0.6).
@@ -178,6 +207,41 @@ def make_prober():
     return probe
 
 
+# Healthy single-thread copy bandwidth on this sandbox is ~15-24 GB/s;
+# the round-10 root-cause session measured the "late-leg drift" windows
+# at ~10-12 GB/s with spin32 CLEAN (the spin arrays are cache-resident,
+# so a host memory-bandwidth squeeze is invisible to them).  Samples in
+# such a window are stamped bw_degraded for adjudication — NOT
+# auto-excluded (the healthy/degraded ranges can overlap under the
+# bench's own load; the stamp is evidence, the min-of-samples anchor is
+# the robust statistic).
+BW_DEGRADED_GBS = 13.0
+_BW_BUFS = None
+
+
+def mem_bw_gbs(reps: int = 3) -> float:
+    """Best-of single-thread copy bandwidth over a 64 MB array (>> LLC)
+    — the host-throughput axis spin32 cannot see.  The iterative Arrow
+    ops (ann_kmeans, pipeline_embedding, dedup_canonical,
+    sketch_distinct) are bandwidth-bound, so THIS is the probe that
+    moves when they inflate on a clean-spinning machine (round-10
+    root-cause: windowed host memory-bandwidth degradation, ~2-2.5x,
+    seconds-to-minutes per window, fresh-session-reproducible)."""
+    global _BW_BUFS
+    import numpy as np
+    if _BW_BUFS is None:
+        a = np.ones(64 * 1024 * 1024 // 8)
+        _BW_BUFS = (a, np.empty_like(a))
+    a, b = _BW_BUFS
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.copyto(b, a)
+        dt = time.perf_counter() - t0
+        best = max(best, 2 * a.nbytes / dt / 1e9)
+    return round(best, 1)
+
+
 def measure_query(qs, name, spark, sf_dir, iters, probe, *,
                   gc_before=False, pre_probe=False, warmups=1,
                   runner=run_once) -> dict:
@@ -208,12 +272,20 @@ def measure_query(qs, name, spark, sf_dir, iters, probe, *,
 
     def take(force_probe=False):
         nonlocal best
+        global _SAMPLE_SEQ
         t = runner(qs, name, spark, sf_dir)
-        rec = {"t": round(t, 3)}
+        _SAMPLE_SEQ += 1
+        rec = {"t": round(t, 3), "pos": _SAMPLE_SEQ,
+               "at": round(time.time() - _BENCH_T0, 1)}
         if force_probe or t > OUTLIER_RATIO * best:
             s32 = probe()
             rec["spin32"] = s32
             rec["contended"] = bool(s32 > CONTENTION_SPIN32)
+            # second axis: host memory bandwidth (see mem_bw_gbs) —
+            # recorded as evidence, never auto-excludes a sample
+            bw = mem_bw_gbs()
+            rec["bw_gbs"] = bw
+            rec["bw_degraded"] = bool(bw < BW_DEGRADED_GBS)
         samples.append(rec)
         best = min(best, t)
 
@@ -294,6 +366,7 @@ def machine_state() -> dict:
     # run are upper bounds, not comparable medians.
     return {"loadavg": [round(x, 2) for x in la],
             "spin1": spin1, "spin32": spin32,
+            "mem_bw_gbs": mem_bw_gbs(),
             "degraded": bool(spin32 > 1.5)}
 
 
@@ -339,6 +412,7 @@ def main():
     spark.range(1000).selectExpr("sum(id)").collect()
 
     env0 = machine_state()
+    env0["job_latency"] = job_latency(spark)
     print(f"# machine (sf{sf} leg): {json.dumps(env0)}", file=sys.stderr)
     probe = make_prober()
 
@@ -377,6 +451,7 @@ def main():
             spark.sparkContext._jvm.System.gc()
             time.sleep(1.0)
             env1 = machine_state()
+            env1["job_latency"] = job_latency(spark)
             print(f"# machine (sf1 leg): {json.dumps(env1)}",
                   file=sys.stderr)
             if env1["degraded"]:
@@ -415,6 +490,9 @@ def main():
             if spread_bad:
                 print(f"# WARNING: dedup clean-sample spread > 3x: "
                       f"{json.dumps(spread_bad)}", file=sys.stderr)
+            env1["job_latency_end"] = job_latency(spark)
+            print(f"# sf1 leg end job_latency: "
+                  f"{env1['job_latency_end']}", file=sys.stderr)
             sf1 = {"queries": t1, "spread": s1,
                    "total": round(sum(t for t in t1.values() if t >= 0),
                                   3),

@@ -39,8 +39,12 @@ class TestContentionStamping:
     def test_outlier_probed_and_filtered_when_host_busy(self):
         # sample 2 is 5x the warmup; probe says the host is stalled
         m = _run([1.0, 1.1, 5.0, 0.9], [2.4])
-        assert m["samples"][1] == {"t": 5.0, "spin32": 2.4,
-                                   "contended": True}
+        s = m["samples"][1]
+        assert (s["t"], s["spin32"], s["contended"]) == (5.0, 2.4, True)
+        # round-10: leg-position stamps on every sample
+        assert all("pos" in r and "at" in r for r in m["samples"])
+        assert [r["pos"] for r in m["samples"]] == sorted(
+            r["pos"] for r in m["samples"])
         assert m["n_contended"] == 1
         assert m["median"] == 1.0       # median of [1.1, 0.9]
         assert m["median_raw"] == 1.1   # median of [1.1, 5.0, 0.9]
