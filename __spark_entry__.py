@@ -1378,6 +1378,22 @@ def q_ann_ivf_built(spark, sf_dir):
     return similarity.ivf_query(spark, path, qv, cents, k=10, nprobe=2)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product quantization (Jegou et al., TPAMI'11): m=4 per-subspace
+    L2-k-means codebooks (pq_train) -> corpus encoded to 4 small codes
+    per vector (pq_encode, the 64x storage cut vs float64) -> ADC
+    top-10 where each row's approximate distance is 4 literal-table
+    lookups, whole-stage codegen, no float vectors read at query time
+    (functions/similarity.py pq_topk; the oracle replays all 4
+    codebook trajectories + the encode + the ADC sum bitwise)."""
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    books = similarity.pq_train(emb, m=4, c=8, rounds=2)
+    return similarity.pq_topk(emb, qv, books, k=10)
+
+
 def q_ann_quantized(spark, sf_dir):
     """Asymmetric retrieval over the int8-quantized corpus: stage 1
     scores the 4x-smaller quantized table by reconstructing q_d*scale
@@ -1905,7 +1921,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     re-checkpoint, fused-bigram vocabulary) takes the slot of text_bpe
     (green r9; its k=8 sequential trajectory stays graded in-window
     inside text_bpe_encode, and the batched trainer provably equals
-    sequential — the 256-round oracle IS the sequential replay)."""
+    sequential — the 256-round oracle IS the sequential replay).
+    Late round-10 addition: ann_pq (product quantization — per-subspace
+    L2-k-means codebooks, coded corpus, ADC lookup-table scoring) takes
+    the slot of events_windowed (green r2-r9; windowed-agg shape stays
+    covered in-window by events_sessions' session_window + the
+    watermarked events_correlate)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
@@ -1934,10 +1955,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_ivf": q_ann_batch_ivf,
         "ann_kmeans": q_ann_kmeans,
         "ann_quantized": q_ann_quantized,
+        "ann_pq": q_ann_pq,
         "vec_quantize": q_vec_quantize,
         "sample_quota": q_sample_quota,
         # -- event-stream ops --
-        "events_windowed": q_events_windowed,
         "events_sessions": q_events_sessions,
         "events_funnel": q_events_funnel,
         "events_correlate": q_events_correlate,
@@ -1982,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_orc_roundtrip": q_ds_orc_roundtrip,
         # round-10 rotation: long-green rows whose shapes stay covered
         # in-window (see the graded block comment)
+        "events_windowed": q_events_windowed,
         "ds_csv_roundtrip": q_ds_csv_roundtrip,
         "mm_decode": q_mm_decode,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -2728,6 +2750,8 @@ FROM (""" + analytics_mod.retention_sql() + ") r",
         "ann_ivf_built": similarity_mod.ivf_built_sql(
             cent_sql=similarity_mod.kmeans_cent_sql(c=8, rounds=2),
             k=10, nprobe=2, query_where="vec_id = 0"),
+        "ann_pq": similarity_mod.pq_topk_sql(
+            m=4, c=8, rounds=2, k=10, query_where="vec_id = 0"),
         "ann_quantized": similarity_mod.quantized_topk_sql(
             k=10, rerank=4, query_where="vec_id = 0"),
         # nbits pins to the corpus row count, same as dedup_embedding

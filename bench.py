@@ -46,8 +46,10 @@ HEADLINE = [
     "pipeline_embedding", "dedup_winnow", "dedup_winnow_decon",
     "text_bpe", "text_bpe_encode",
     # round-10: tokenizer-scale batched BPE (k=256 over the
-    # fused-bigram vocabulary — VERDICT r9 item 4's bench point)
-    "text_bpe_batched",
+    # fused-bigram vocabulary — VERDICT r9 item 4's bench point),
+    # the materialized-IVF serving lifecycle, winnow spans, and PQ
+    "text_bpe_batched", "ann_ivf_built", "dedup_winnow_spans",
+    "ann_pq",
 ]
 
 

@@ -332,6 +332,51 @@ class TestSimilarity:
         assert scan_metrics.get("numPartitions") == 2, scan_metrics
 
 
+class TestProductQuantization:
+    def test_pq_matches_oracle(self, spark, con):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+        books = similarity.pq_train(emb, m=4, c=8, rounds=2)
+        df = similarity.pq_topk(emb, qv, books, k=10)
+        assert_matches(df, con, similarity.pq_topk_sql(
+            m=4, c=8, rounds=2, k=10, query_where="vec_id = 0"))
+
+    def test_pq_shapes_and_self_rank(self, spark):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+        books = similarity.pq_train(emb, m=4, c=8, rounds=2)
+        assert len(books) == 4 and all(len(b) == 8 for b in books)
+        assert all(len(cv) == 16 for b in books for _, cv in b)
+        enc = similarity.pq_encode(emb, books)
+        rng = enc.select(
+            F.min(F.array_min("codes")).alias("lo"),
+            F.max(F.array_max("codes")).alias("hi"),
+            F.min(F.size("codes")).alias("m")).head()
+        assert rng["lo"] >= 0 and rng["hi"] <= 7 and rng["m"] == 4
+        # the query's own vector shares all 4 codes with itself: it
+        # must rank at (or tied-at) the minimum ADC distance
+        top = similarity.pq_topk(emb, qv, books, k=3).collect()
+        assert top[0]["vec_id"] == 0
+
+    def test_l2_kmeans_twin(self, spark, con):
+        # the metric="l2" trajectory replays exactly, like cosine's
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        cents = dict(similarity.kmeans_fit(emb, c=4, rounds=2,
+                                           metric="l2"))
+        sql = ("WITH " + ", ".join(similarity._kmeans_ctes(
+            4, 2, "embeddings", "embedding", "vec_id", 64,
+            metric="l2")) + " SELECT cid, cvec FROM cent2")
+        rows = con.execute(sql).fetchall()
+        assert {cid: list(cv) for cid, cv in rows} == \
+            {cid: list(cv) for cid, cv in cents.items()}
+
+
 class TestQuantize:
     def test_int8_reconstruction_bound_and_range(self, spark):
         from pyspark.sql import functions as F

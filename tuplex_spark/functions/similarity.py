@@ -474,9 +474,48 @@ def _kmeans_avg_aggs(dim: int) -> list[Column]:
              .alias(f"c{d}") for d in range(dim)]
 
 
+def py_dot(a, b) -> float:
+    """Strict left-to-right float dot — the Python mirror of
+    list_dot_product / _pdot, so driver-computed constants embed
+    bitwise-identical doubles in both engines."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _argmin_centroid_l2(dn: Column,
+                        centroids: list[tuple[int, list[float]]]
+                        ) -> Column:
+    """greatest-struct argmin over per-centroid rounded SQUARED L2
+    distances (``dn`` = array of dots with the self-dot appended, from
+    _pdot_multi(with_self=True)).  dist2 = (v.v - 2.0*v.c) + c.c with
+    the centroid self-dot a driver constant (py_dot) — the exact
+    left-assoc expression the DuckDB twin writes, so the rounded
+    values and the smallest-cid tie-break agree bitwise."""
+    sd = dn[len(centroids)]
+    structs = []
+    for i, (cid, cvec) in enumerate(centroids):
+        d2 = F.round((sd - F.lit(2.0) * dn[i]) + F.lit(py_dot(cvec, cvec)),
+                     6)
+        structs.append(F.struct((-d2).alias("c"), F.lit(-cid).alias("n")))
+    best = structs[0] if len(structs) == 1 else F.greatest(*structs)
+    return (-best.getField("n")).cast("int")
+
+
+def _assign_l2(df: DataFrame, centroids: list[tuple[int, list[float]]],
+               vec_col: str) -> DataFrame:
+    """assign_centroids under squared-L2 (the PQ/codebook metric) —
+    same ONE-Arrow-pass shape as the cosine version."""
+    v = F.col(vec_col)
+    dn = _pdot_multi(v, [cv for _, cv in centroids], with_self=True)
+    return df.withColumn("centroid", _argmin_centroid_l2(dn, centroids))
+
+
 def kmeans_fit(df: DataFrame, c: int = 8, rounds: int = 3,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               dim: int = 64) -> list[tuple[int, list[float]]]:
+               dim: int = 64,
+               metric: str = "cosine") -> list[tuple[int, list[float]]]:
     """Distributed spherical k-means (Lloyd iterations under cosine):
     learned IVF centroids instead of arbitrary seed vectors.
 
@@ -495,12 +534,21 @@ def kmeans_fit(df: DataFrame, c: int = 8, rounds: int = 3,
     boundary, so both engines iterate over bitwise-identical centroid
     values and the DuckDB twin (:func:`kmeans_sql`) replays the exact
     trajectory.  The reference has no clustering ops at all
-    (SURVEY §2.4) — parity-plus."""
+    (SURVEY §2.4) — parity-plus.
+
+    ``metric="l2"`` runs classic Lloyd under squared Euclidean
+    distance instead — the codebook metric product quantization
+    (:func:`pq_train`) needs; assignment stays one Arrow pass
+    (:func:`_assign_l2`), updates are the same rounded means."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"kmeans metric {metric!r}")
     base = df.select(F.col(id_col).alias("_id"),
                      F.col(vec_col).cast("array<double>").alias("_v"))
     cents = kmeans_seeds(df, c, vec_col, id_col)
     for _ in range(rounds):
-        assigned = assign_centroids(base, cents, "_v")
+        assigned = (assign_centroids(base, cents, "_v")
+                    if metric == "cosine"
+                    else _assign_l2(base, cents, "_v"))
         rows = (assigned.groupBy("centroid")
                 .agg(*_kmeans_avg_aggs(dim)).collect())
         upd = {int(r["centroid"]): [float(r[f"c{d}"]) for d in range(dim)]
@@ -540,39 +588,54 @@ def kmeans_result(df: DataFrame, c: int = 8, rounds: int = 3,
 
 
 def _kmeans_ctes(c: int, rounds: int, table: str, vec_col: str,
-                 id_col: str, dim: int) -> list[str]:
-    """The round-by-round CTE chain shared by :func:`kmeans_sql` and
-    :func:`kmeans_cent_sql` — identical seed pick, assignment ranking,
-    rounded per-dimension means, and empty-cluster carryover."""
+                 id_col: str, dim: int, metric: str = "cosine",
+                 prefix: str = "", vec_sql: str | None = None
+                 ) -> list[str]:
+    """The round-by-round CTE chain shared by :func:`kmeans_sql`,
+    :func:`kmeans_cent_sql` and :func:`pq_topk_sql` — identical seed
+    pick, assignment ranking, rounded per-dimension means, and
+    empty-cluster carryover.  ``metric="l2"`` ranks by the same
+    rounded squared-distance expression :func:`_argmin_centroid_l2`
+    computes; ``prefix`` namespaces the CTEs so several chains (PQ
+    subspaces) coexist in one query; ``vec_sql`` overrides the vector
+    expression (e.g. a subvector slice)."""
     from .sketch import _HASH64_DUCK
     h = _HASH64_DUCK.format(c=id_col)
-    cos = ("round(list_dot_product(b.v, c.cvec)"
-           " / (sqrt(list_dot_product(b.v, b.v))"
-           " * sqrt(list_dot_product(c.cvec, c.cvec))), 6)")
+    vexpr = vec_sql or f"{vec_col}::DOUBLE[]"
+    if metric == "cosine":
+        rank = ("round(list_dot_product(b.v, c.cvec)"
+                " / (sqrt(list_dot_product(b.v, b.v))"
+                " * sqrt(list_dot_product(c.cvec, c.cvec))), 6)"
+                " DESC")
+    else:
+        rank = ("round((list_dot_product(b.v, b.v)"
+                " - 2.0*list_dot_product(b.v, c.cvec))"
+                " + list_dot_product(c.cvec, c.cvec), 6) ASC")
     avgs = ", ".join(f"round(avg(v[{d + 1}]), 6)" for d in range(dim))
-    ctes = [f"""base AS (
-  SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v, {h} AS hh
+    p = prefix
+    ctes = [f"""{p}base AS (
+  SELECT {id_col} AS id, {vexpr} AS v, {h} AS hh
   FROM {table}
-)""", f"""cent0 AS (
+)""", f"""{p}cent0 AS (
   SELECT CAST(row_number() OVER (ORDER BY hh, id) - 1 AS INT) AS cid,
          v AS cvec
-  FROM (SELECT hh, id, v FROM base ORDER BY hh, id LIMIT {c})
+  FROM (SELECT hh, id, v FROM {p}base ORDER BY hh, id LIMIT {c})
 )"""]
     for r in range(1, rounds + 1):
-        ctes.append(f"""asg{r} AS (
+        ctes.append(f"""{p}asg{r} AS (
   SELECT id, v, cid FROM (
     SELECT b.id, b.v, c.cid,
            row_number() OVER (PARTITION BY b.id
-             ORDER BY {cos} DESC, c.cid) AS rn
-    FROM base b CROSS JOIN cent{r - 1} c) WHERE rn = 1
+             ORDER BY {rank}, c.cid) AS rn
+    FROM {p}base b CROSS JOIN {p}cent{r - 1} c) WHERE rn = 1
 )""")
-        ctes.append(f"""upd{r} AS (
+        ctes.append(f"""{p}upd{r} AS (
   SELECT cid, count(*)::BIGINT AS n, [{avgs}] AS cvec
-  FROM asg{r} GROUP BY cid
+  FROM {p}asg{r} GROUP BY cid
 )""")
-        ctes.append(f"""cent{r} AS (
+        ctes.append(f"""{p}cent{r} AS (
   SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
-  FROM cent{r - 1} p LEFT JOIN upd{r} u USING (cid)
+  FROM {p}cent{r - 1} p LEFT JOIN {p}upd{r} u USING (cid)
 )""")
     return ctes
 
@@ -603,6 +666,54 @@ def kmeans_cent_sql(c: int = 8, rounds: int = 3,
     ctes = _kmeans_ctes(c, rounds, table, vec_col, id_col, dim)
     return (f"WITH {', '.join(ctes)}\n"
             f"SELECT cid, cvec FROM cent{rounds}")
+
+
+def pq_topk_sql(m: int = 4, c: int = 8, rounds: int = 2, k: int = 10,
+                table: str = "embeddings", vec_col: str = "embedding",
+                id_col: str = "vec_id", dim: int = 64,
+                query_where: str = "vec_id = 0") -> str:
+    """DuckDB twin of pq_train -> pq_encode -> :func:`pq_topk`: per
+    subspace, the L2 k-means trajectory replays in its own prefixed
+    CTE chain, the corpus encodes by the identical rounded-distance
+    argmin, and the ADC score is the identical left-assoc term sum
+    over the replayed codebooks — bitwise agreement end to end."""
+    sub = dim // m
+    ctes: list[str] = []
+    encs: list[str] = []
+    for s in range(m):
+        p = f"s{s}_"
+        vs = f"({vec_col}::DOUBLE[])[{s * sub + 1}:{(s + 1) * sub}]"
+        ctes += _kmeans_ctes(c, rounds, table, vec_col, id_col, sub,
+                             metric="l2", prefix=p, vec_sql=vs)
+        encs.append(f"""{p}enc AS (
+  SELECT id, cid FROM (
+    SELECT b.id, c.cid,
+           row_number() OVER (PARTITION BY b.id
+             ORDER BY round((list_dot_product(b.v, b.v)
+               - 2.0*list_dot_product(b.v, c.cvec))
+               + list_dot_product(c.cvec, c.cvec), 6) ASC, c.cid) AS rn
+    FROM {p}base b CROSS JOIN {p}cent{rounds} c) WHERE rn = 1
+)""")
+    q = (f"q AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {table} "
+         f"WHERE {query_where})")
+    terms = []
+    joins = []
+    for s in range(m):
+        p = f"s{s}_"
+        qs = f"(q.qv)[{s * sub + 1}:{(s + 1) * sub}]"
+        terms.append(
+            f"((list_dot_product({qs}, {qs})"
+            f" - 2.0*list_dot_product({qs}, c{s}.cvec))"
+            f" + list_dot_product(c{s}.cvec, c{s}.cvec))")
+        joins.append(f"JOIN {p}enc e{s} ON e{s}.id = e0.id\n"
+                     f"JOIN {p}cent{rounds} c{s} ON c{s}.cid = e{s}.cid"
+                     if s else
+                     f"JOIN {p}cent{rounds} c0 ON c0.cid = e0.cid")
+    return (f"WITH {', '.join(ctes + encs)}, {q}\n"
+            f"SELECT e0.id AS {id_col},\n"
+            f"       round({' + '.join(terms)}, 6) AS adc\n"
+            f"FROM s0_enc e0\n" + "\n".join(joins) + ", q\n"
+            f"ORDER BY adc, e0.id\nLIMIT {k}")
 
 
 def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -692,6 +803,95 @@ SELECT c.{id_col}, c.cosine_q,
 FROM cand c JOIN {table} e USING ({id_col}), q
 ORDER BY cosine DESC, c.{id_col}
 LIMIT {k}"""
+
+
+# ---- product quantization (PQ) ------------------------------------------
+#
+# The standard 100 TB embedding-compression/serving pair to scalar int8
+# (quantize_int8): split each vector into m subvectors, learn a c-entry
+# codebook per SUBSPACE (L2 k-means), store each vector as m small codes
+# (dim*4 bytes -> m bytes at c<=256), and answer queries with
+# asymmetric-distance computation (ADC): a per-query m x c distance
+# table, scored JVM-side as m element_at lookups per row — no float
+# vectors are touched at query time.  Jegou/Douze/Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011.  The reference
+# has no vector ops at all — parity-plus.
+
+
+def pq_train(df: DataFrame, m: int = 4, c: int = 8, rounds: int = 2,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             dim: int = 64) -> list[list[tuple[int, list[float]]]]:
+    """Learn the m per-subspace codebooks: each is an independent
+    :func:`kmeans_fit` (metric="l2") over the sliced subvectors —
+    m * rounds bounded jobs, driver state m*c centroids.  The same
+    content-addressed seed pick per subspace keeps the DuckDB twin
+    replayable."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
+    books = []
+    for s in range(m):
+        sdf = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    s * sub + 1, sub).alias("_sv"))
+        books.append(kmeans_fit(sdf, c=c, rounds=rounds, vec_col="_sv",
+                                id_col=id_col, dim=sub, metric="l2"))
+    return books
+
+
+def pq_encode(df: DataFrame,
+              books: list[list[tuple[int, list[float]]]],
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              dim: int = 64) -> DataFrame:
+    """Encode the corpus: per subspace, argmin rounded squared-L2 over
+    the codebook (smallest-cid tie-break) -> (id, codes array<int>).
+    m Arrow passes ride one projection; no shuffle.  At c<=256 the
+    codes column is the 4x->32x storage cut (64 doubles -> 4 bytes
+    here)."""
+    m = len(books)
+    sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for s, book in enumerate(books):
+        sv = F.slice(v, s * sub + 1, sub)
+        dn = _pdot_multi(sv, [cv for _, cv in book], with_self=True)
+        codes.append(_argmin_centroid_l2(dn, book))
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_topk(df: DataFrame, query_vec: list[float],
+            books: list[list[tuple[int, list[float]]]], k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            dim: int = 64) -> DataFrame:
+    """ADC top-k over the PQ-encoded corpus: the driver computes the
+    m x c table of subquery-to-codeword squared distances (py_dot —
+    bitwise the twin's list_dot_product arithmetic), and each encoded
+    row's score is m literal-array lookups summed left-to-right —
+    whole-stage codegen, no Arrow, no float vectors at query time.
+    Returns (id, adc) ascending (approximate distance), ties on id.
+
+    At 100 TB the encode runs once at ingest (pq_encode) and queries
+    scan ONLY the codes column — with c<=256 that is a ~32x smaller
+    scan than the float embeddings, and the same codes table serves
+    every query."""
+    m = len(books)
+    sub = dim // m
+    enc = pq_encode(df, books, vec_col, id_col, dim)
+    term = None
+    for s, book in enumerate(books):
+        qs = [float(x) for x in query_vec[s * sub:(s + 1) * sub]]
+        qq = py_dot(qs, qs)
+        # dense cid->distance table (cids are 0..c-1 from kmeans_seeds)
+        dt = [0.0] * len(book)
+        for cid, cvec in book:
+            dt[cid] = (qq - 2.0 * py_dot(qs, cvec)) + py_dot(cvec, cvec)
+        lookup = F.element_at(F.array(*[F.lit(x) for x in dt]),
+                              F.col("codes")[s] + 1)
+        term = lookup if term is None else term + lookup
+    return (enc.select(F.col(id_col), F.round(term, 6).alias("adc"))
+               .orderBy("adc", id_col)
+               .limit(k))
 
 
 def _argmax_centroid(dots: Column, nrm: Column,
