@@ -1118,6 +1118,20 @@ def q_dedup_winnow_spans(spark, sf_dir):
     return dedup.winnow_match_spans(docs, ref, k=3, w=4)
 
 
+def q_dedup_winnow_redact(spark, sf_dir):
+    """APPLIED passage decontamination: every span matched against the
+    'benchmark' subset collapses to one [REDACTED] token and the
+    document text is rebuilt — keep-the-document decontamination, the
+    step after flag (winnow_decon) and ranges (winnow_spans).  One
+    token explode + span join (spans tiny) + one doc-id shuffle for
+    the ordered rebuild (functions/dedup.py winnow_redact)."""
+    from tuplex_spark.functions import dedup
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 17 == 0)
+    return dedup.winnow_redact(docs, ref, k=3, w=4)
+
+
 def q_dedup_minhash_sim(spark, sf_dir):
     """LSH candidates WITH their estimated Jaccard (fraction of
     agreeing minhash components) — dup-strength ranking without any
@@ -1926,7 +1940,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     L2-k-means codebooks, coded corpus, ADC lookup-table scoring) takes
     the slot of events_windowed (green r2-r9; windowed-agg shape stays
     covered in-window by events_sessions' session_window + the
-    watermarked events_correlate)."""
+    watermarked events_correlate), and dedup_winnow_redact (spans
+    APPLIED: per-span [REDACTED] collapse + ordered text rebuild)
+    takes the slot of sample_quota (green r8-r9; WindowGroupLimit
+    row_number prune stays covered in-window by ann_batch)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
@@ -1957,7 +1974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": q_ann_quantized,
         "ann_pq": q_ann_pq,
         "vec_quantize": q_vec_quantize,
-        "sample_quota": q_sample_quota,
+        "dedup_winnow_redact": q_dedup_winnow_redact,
         # -- event-stream ops --
         "events_sessions": q_events_sessions,
         "events_funnel": q_events_funnel,
@@ -2004,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-10 rotation: long-green rows whose shapes stay covered
         # in-window (see the graded block comment)
         "events_windowed": q_events_windowed,
+        "sample_quota": q_sample_quota,
         "ds_csv_roundtrip": q_ds_csv_roundtrip,
         "mm_decode": q_mm_decode,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -2555,6 +2573,9 @@ FROM (SELECT doc_id, CAST(doc_id % 256 AS DOUBLE) AS c
         "dedup_jaccard": dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2),
         "dedup_winnow": dedup.winnow_pairs_sql(k=3, w=4, min_shared=2),
         "dedup_winnow_spans": dedup.winnow_match_spans_sql(
+            ref_source="(SELECT * FROM documents WHERE doc_id % 17 = 0)",
+            k=3, w=4),
+        "dedup_winnow_redact": dedup.winnow_redact_sql(
             ref_source="(SELECT * FROM documents WHERE doc_id % 17 = 0)",
             k=3, w=4),
         "dedup_winnow_decon": (

@@ -191,6 +191,40 @@ class TestDedup:
         assert any(s.match_end - s.match_start + 1 >= k
                    for s in self_spans)
 
+    def test_winnow_redact_oracle(self, spark, con):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import dedup
+        docs = spark.read.parquet(DOC)
+        ref = docs.filter(F.col("doc_id") % 17 == 0)
+        df = dedup.winnow_redact(docs, ref, k=3, w=4)
+        assert_matches(df, con, dedup.winnow_redact_sql(
+            ref_source="(SELECT * FROM documents WHERE doc_id % 17 = 0)",
+            k=3, w=4))
+
+    def test_winnow_redact_semantics(self, spark):
+        from tuplex_spark.functions import dedup
+        passage = "alpha beta gamma delta epsilon zeta eta theta"
+        corpus = spark.createDataFrame(
+            [(1, "intro words here " + passage
+              + " fully unrelated closing remarks"),
+             (2, "totally clean document about ships and tides")],
+            "doc_id long, text string")
+        ref = spark.createDataFrame([(99, passage)],
+                                    "doc_id long, text string")
+        out = {r["id"]: (r["redacted_text"], r["n_spans"])
+               for r in dedup.winnow_redact(corpus, ref,
+                                            k=3, w=4).collect()}
+        # clean doc passes through byte-identical with n_spans=0
+        assert out[2] == ("totally clean document about ships and tides",
+                          0)
+        # contaminated doc: span collapses to ONE mask token, the
+        # surrounding clean text survives, and no span token leaks
+        text, n = out[1]
+        assert n >= 1 and text.count("[REDACTED]") == n
+        assert text.startswith("intro words here")
+        assert text.endswith("fully unrelated closing remarks")
+        assert "gamma" not in text and "epsilon" not in text
+
     def test_winnow_fingerprints_pos_consistent_with_plain(self, spark):
         # dropping the position column reproduces winnow_fingerprints
         from tuplex_spark.functions import dedup

@@ -989,6 +989,89 @@ def winnow_match_spans(df: DataFrame, ref: DataFrame,
                .select("id", "match_start", "match_end", "n_fp"))
 
 
+def winnow_redact(df: DataFrame, ref: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ref_text_col: str | None = None,
+                  ref_id_col: str | None = None,
+                  k: int = 4, w: int = 5,
+                  mask: str = "[REDACTED]") -> DataFrame:
+    """APPLY the matched spans: rebuild each document's text with every
+    matched passage collapsed to one ``mask`` token — the
+    keep-the-document decontamination a real pipeline ships, instead
+    of dropping documents wholesale (winnow_decontaminate) or only
+    reporting ranges (winnow_match_spans).
+
+    Plan: tokens explode once with positions; the span table
+    (:func:`winnow_match_spans` — contaminated docs only, tiny next to
+    the corpus) joins on doc id and covers each token at most once
+    (spans are disjoint maximal ranges by construction).  The rebuild
+    is one groupBy: sort_array over (pos, piece) structs, concat — a
+    single corpus shuffle on doc id.  Clean documents pass through
+    untouched with n_spans = 0.
+
+    Returns (id, redacted_text, n_spans)."""
+    spans = winnow_match_spans(df, ref, text_col, id_col,
+                               ref_text_col, ref_id_col, k, w)
+    toks = (df.select(F.col(id_col).alias("id"),
+                      tokens(text_col).alias("__toks"))
+              .select("id", F.posexplode("__toks").alias("pos", "tok")))
+    j = toks.join(spans.withColumnRenamed("id", "__sid"),
+                  (F.col("id") == F.col("__sid"))
+                  & (F.col("pos") >= F.col("match_start"))
+                  & (F.col("pos") <= F.col("match_end")), "left")
+    piece = (F.when(F.col("match_start").isNull(), F.col("tok"))
+              .when(F.col("pos") == F.col("match_start"), F.lit(mask))
+              .otherwise(F.lit(None)))
+    # span-interior tokens carry a NULL piece and are filtered out
+    # AFTER the position sort — matching the twin's WHERE piece IS NOT
+    # NULL before its ordered string_agg
+    rebuilt = (j.filter(piece.isNotNull())
+                .select("id", "pos", piece.alias("piece"))
+                .groupBy("id")
+                .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("pos").alias("p"),
+                                         F.col("piece").alias("t")))),
+                            lambda s: s["t"]),
+                        " ").alias("redacted_text")))
+    nsp = spans.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
+    return (rebuilt.join(nsp, "id", "left")
+            .select("id", "redacted_text",
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans")))
+
+
+def winnow_redact_sql(table="documents", ref_source=None,
+                      text_col="text", id_col="doc_id",
+                      k=4, w=5, mask="[REDACTED]"):
+    """DuckDB twin of :func:`winnow_redact` — identical spans
+    (winnow_match_spans_sql's CTE chain), identical token join and
+    keep/mask/drop rule, string_agg ordered by position."""
+    spans_sql = winnow_match_spans_sql(table, ref_source, text_col,
+                                       id_col, k, w)
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH spans AS ({spans_sql}), tok AS (
+  SELECT id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT id, t, unnest(generate_series(1, len(t))) AS i
+        FROM (SELECT {id_col} AS id, {toks} AS t FROM {table}))
+), pieced AS (
+  SELECT t.id, t.pos,
+         CASE WHEN s.match_start IS NULL THEN t.tok
+              WHEN t.pos = s.match_start THEN '{mask}'
+              ELSE NULL END AS piece
+  FROM tok t LEFT JOIN spans s
+    ON s.id = t.id AND t.pos BETWEEN s.match_start AND s.match_end
+), rebuilt AS (
+  SELECT id, string_agg(piece, ' ' ORDER BY pos) AS redacted_text
+  FROM pieced WHERE piece IS NOT NULL GROUP BY id
+), nsp AS (
+  SELECT id, count(*)::BIGINT AS n_spans FROM spans GROUP BY id
+)
+SELECT r.id, r.redacted_text, COALESCE(n.n_spans, 0) AS n_spans
+FROM rebuilt r LEFT JOIN nsp n USING (id)"""
+
+
 def _srp_signs(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[int]]:
     """Deterministic ±1 (Rademacher) hyperplane matrix via an LCG — the
     same literal signs are embedded in the Column expressions and the SQL
