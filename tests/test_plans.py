@@ -383,6 +383,27 @@ class TestSingleScanDedup:
         assert "cos_udf" not in opt
         assert opt.count("keys_udf") == 1, opt.count("keys_udf")
 
+    def test_pq_scoring_is_python_free_and_takeordered(self, spark):
+        """pq_topk's ADC stage must add NO Python beyond pq_encode's m
+        per-subspace assignment passes: the distance-table lookups are
+        literal-array element_at's (whole-stage codegen) and the top-k
+        lowers to TakeOrdered — at 100 TB the query cost is the codes
+        scan, never an Arrow round-trip per row."""
+        import os
+        from tuplex_spark.functions import similarity
+        df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        qv = [float(x) for x in df.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+        books = similarity.pq_train(df, m=4, c=4, rounds=1)
+        enc_plan = similarity.pq_encode(df, books) \
+            ._jdf.queryExecution().executedPlan().toString()
+        top = similarity.pq_topk(df, qv, books, k=5)
+        top_plan = top._jdf.queryExecution().executedPlan().toString()
+        assert (top_plan.count("ArrowEvalPython")
+                == enc_plan.count("ArrowEvalPython"))
+        assert "TakeOrdered" in top_plan
+        assert "Exchange" not in top_plan  # narrow + tree-reduce only
+
     def test_jvm_cosine_matches_arrow_cosine(self, spark):
         """jvm_cosine (zip_with+aggregate fold) must be bitwise equal to
         _pcos's numpy loop on real vectors — same element-wise
