@@ -829,15 +829,21 @@ def pq_train(df: DataFrame, m: int = 4, c: int = 8, rounds: int = 2,
     sub = dim // m
     if sub * m != dim:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
-    books = []
-    for s in range(m):
+
+    def train(s):
         sdf = df.select(
             F.col(id_col),
             F.slice(F.col(vec_col).cast("array<double>"),
                     s * sub + 1, sub).alias("_sv"))
-        books.append(kmeans_fit(sdf, c=c, rounds=rounds, vec_col="_sv",
-                                id_col=id_col, dim=sub, metric="l2"))
-    return books
+        return kmeans_fit(sdf, c=c, rounds=rounds, vec_col="_sv",
+                          id_col=id_col, dim=sub, metric="l2")
+
+    # the m trainings are independent — run their driver loops on m
+    # threads so the per-round jobs overlap (Spark schedules concurrent
+    # jobs fine; wall drops ~m-fold since each round is launch-bound)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(m) as ex:
+        return list(ex.map(train, range(m)))
 
 
 def pq_encode(df: DataFrame,
