@@ -1408,6 +1408,23 @@ def q_ann_pq(spark, sf_dir):
     return similarity.pq_topk(emb, qv, books, k=10)
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ (the FAISS-style production ANN index, Jegou TPAMI'11):
+    coarse L2 k-means partitions the corpus, PQ encodes each vector's
+    RESIDUAL against its coarse centroid, and the query probes nprobe
+    buckets scoring rows by per-bucket ADC tables — the index shape
+    that serves billion-vector stores (functions/similarity.py
+    ivfpq_topk; the oracle replays the coarse trajectory, residuals,
+    all m residual-PQ trajectories, the encode, and the ADC terms
+    bitwise)."""
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return similarity.ivfpq_topk(emb, qv, k=10, nlist=4, m=4, cpq=8,
+                                 rounds=2, nprobe=2)
+
+
 def q_ann_quantized(spark, sf_dir):
     """Asymmetric retrieval over the int8-quantized corpus: stage 1
     scores the 4x-smaller quantized table by reconstructing q_d*scale
@@ -1943,7 +1960,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     watermarked events_correlate), and dedup_winnow_redact (spans
     APPLIED: per-span [REDACTED] collapse + ordered text rebuild)
     takes the slot of sample_quota (green r8-r9; WindowGroupLimit
-    row_number prune stays covered in-window by ann_batch)."""
+    row_number prune stays covered in-window by ann_batch); ann_ivfpq
+    (IVF-PQ: coarse quantizer + residual PQ + per-bucket ADC, the
+    FAISS production index) takes the slot of dedup_simhash (green
+    r4-r9; banded bit-signature blocking + capped bucket pair gen stay
+    covered in-window by dedup_minhash_sim and dedup_embedding's
+    SRP-LSH)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
@@ -1961,7 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_ngram": q_text_langid_ngram,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sim": q_dedup_minhash_sim,
-        "dedup_simhash": q_dedup_simhash,
+        "ann_ivfpq": q_ann_ivfpq,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_canonical": q_dedup_canonical,
@@ -2022,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window (see the graded block comment)
         "events_windowed": q_events_windowed,
         "sample_quota": q_sample_quota,
+        "dedup_simhash": q_dedup_simhash,
         "ds_csv_roundtrip": q_ds_csv_roundtrip,
         "mm_decode": q_mm_decode,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -2773,6 +2796,9 @@ FROM (""" + analytics_mod.retention_sql() + ") r",
             k=10, nprobe=2, query_where="vec_id = 0"),
         "ann_pq": similarity_mod.pq_topk_sql(
             m=4, c=8, rounds=2, k=10, query_where="vec_id = 0"),
+        "ann_ivfpq": similarity_mod.ivfpq_topk_sql(
+            k=10, nlist=4, m=4, cpq=8, rounds=2, nprobe=2,
+            query_where="vec_id = 0"),
         "ann_quantized": similarity_mod.quantized_topk_sql(
             k=10, rerank=4, query_where="vec_id = 0"),
         # nbits pins to the corpus row count, same as dedup_embedding

@@ -49,7 +49,7 @@ HEADLINE = [
     # fused-bigram vocabulary — VERDICT r9 item 4's bench point),
     # the materialized-IVF serving lifecycle, winnow spans, and PQ
     "text_bpe_batched", "ann_ivf_built", "dedup_winnow_spans",
-    "ann_pq",
+    "ann_pq", "dedup_winnow_redact", "ann_ivfpq",
 ]
 
 

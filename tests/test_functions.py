@@ -397,6 +397,30 @@ class TestProductQuantization:
         top = similarity.pq_topk(emb, qv, books, k=3).collect()
         assert top[0]["vec_id"] == 0
 
+    def test_ivfpq_matches_oracle(self, spark, con):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+        df = similarity.ivfpq_topk(emb, qv, k=10, nlist=4, m=4,
+                                   cpq=8, rounds=2, nprobe=2)
+        assert_matches(df, con, similarity.ivfpq_topk_sql(
+            k=10, nlist=4, m=4, cpq=8, rounds=2, nprobe=2,
+            query_where="vec_id = 0"))
+
+    def test_ivfpq_self_rank_and_probe_subset(self, spark):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+        top = similarity.ivfpq_topk(emb, qv, k=5, nlist=4, m=4,
+                                    cpq=8, rounds=1, nprobe=2).collect()
+        # the query vector's own bucket is always probed and its
+        # residual encodes to its own codewords' nearest cells
+        assert top[0]["vec_id"] == 0
+        adcs = [r["adc"] for r in top]
+        assert adcs == sorted(adcs)
+
     def test_l2_kmeans_twin(self, spark, con):
         # the metric="l2" trajectory replays exactly, like cosine's
         from tuplex_spark.functions import similarity

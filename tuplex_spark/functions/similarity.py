@@ -589,8 +589,8 @@ def kmeans_result(df: DataFrame, c: int = 8, rounds: int = 3,
 
 def _kmeans_ctes(c: int, rounds: int, table: str, vec_col: str,
                  id_col: str, dim: int, metric: str = "cosine",
-                 prefix: str = "", vec_sql: str | None = None
-                 ) -> list[str]:
+                 prefix: str = "", vec_sql: str | None = None,
+                 materialized: bool = False) -> list[str]:
     """The round-by-round CTE chain shared by :func:`kmeans_sql`,
     :func:`kmeans_cent_sql` and :func:`pq_topk_sql` — identical seed
     pick, assignment ranking, rounded per-dimension means, and
@@ -613,10 +613,15 @@ def _kmeans_ctes(c: int, rounds: int, table: str, vec_col: str,
                 " + list_dot_product(c.cvec, c.cvec), 6) ASC")
     avgs = ", ".join(f"round(avg(v[{d + 1}]), 6)" for d in range(dim))
     p = prefix
-    ctes = [f"""{p}base AS (
+    # base and cent{r} are each referenced more than once; without
+    # MATERIALIZED DuckDB may inline them and the expansion compounds
+    # per round (the BPE-sym lesson).  Opt-in so the long-green
+    # single-chain oracles keep their exact historical SQL text.
+    M = "MATERIALIZED " if materialized else ""
+    ctes = [f"""{p}base AS {M}(
   SELECT {id_col} AS id, {vexpr} AS v, {h} AS hh
   FROM {table}
-)""", f"""{p}cent0 AS (
+)""", f"""{p}cent0 AS {M}(
   SELECT CAST(row_number() OVER (ORDER BY hh, id) - 1 AS INT) AS cid,
          v AS cvec
   FROM (SELECT hh, id, v FROM {p}base ORDER BY hh, id LIMIT {c})
@@ -633,7 +638,7 @@ def _kmeans_ctes(c: int, rounds: int, table: str, vec_col: str,
   SELECT cid, count(*)::BIGINT AS n, [{avgs}] AS cvec
   FROM {p}asg{r} GROUP BY cid
 )""")
-        ctes.append(f"""{p}cent{r} AS (
+        ctes.append(f"""{p}cent{r} AS {M}(
   SELECT p.cid, COALESCE(u.cvec, p.cvec) AS cvec
   FROM {p}cent{r - 1} p LEFT JOIN {p}upd{r} u USING (cid)
 )""")
@@ -684,8 +689,9 @@ def pq_topk_sql(m: int = 4, c: int = 8, rounds: int = 2, k: int = 10,
         p = f"s{s}_"
         vs = f"({vec_col}::DOUBLE[])[{s * sub + 1}:{(s + 1) * sub}]"
         ctes += _kmeans_ctes(c, rounds, table, vec_col, id_col, sub,
-                             metric="l2", prefix=p, vec_sql=vs)
-        encs.append(f"""{p}enc AS (
+                             metric="l2", prefix=p, vec_sql=vs,
+                             materialized=True)
+        encs.append(f"""{p}enc AS MATERIALIZED (
   SELECT id, cid FROM (
     SELECT b.id, c.cid,
            row_number() OVER (PARTITION BY b.id
@@ -714,6 +720,78 @@ def pq_topk_sql(m: int = 4, c: int = 8, rounds: int = 2, k: int = 10,
             f"       round({' + '.join(terms)}, 6) AS adc\n"
             f"FROM s0_enc e0\n" + "\n".join(joins) + ", q\n"
             f"ORDER BY adc, e0.id\nLIMIT {k}")
+
+
+def ivfpq_topk_sql(k: int = 10, nlist: int = 8, m: int = 4,
+                   cpq: int = 8, rounds: int = 2, nprobe: int = 2,
+                   table: str = "embeddings",
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   dim: int = 64,
+                   query_where: str = "vec_id = 0") -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: the coarse L2 trajectory,
+    the final assignment + residuals, each subspace's residual-PQ
+    trajectory and encode, the probe ranking, and the per-row ADC
+    terms all replay with the identical rounding/tie-break/accumulation
+    discipline — bitwise agreement end to end."""
+    sub = dim // m
+    R = rounds
+    l2rank = ("round((list_dot_product(b.v, b.v)"
+              " - 2.0*list_dot_product(b.v, c.cvec))"
+              " + list_dot_product(c.cvec, c.cvec), 6) ASC")
+    ctes = _kmeans_ctes(nlist, R, table, vec_col, id_col, dim,
+                        metric="l2", prefix="co_", materialized=True)
+    ctes.append(f"""co_asgF AS MATERIALIZED (
+  SELECT id, v, cid FROM (
+    SELECT b.id, b.v, c.cid,
+           row_number() OVER (PARTITION BY b.id
+             ORDER BY {l2rank}, c.cid) AS rn
+    FROM co_base b CROSS JOIN co_cent{R} c) WHERE rn = 1
+)""")
+    ctes.append(f"""resid AS MATERIALIZED (
+  SELECT a.id AS {id_col}, a.cid AS centroid,
+         list_transform(list_zip(a.v, c.cvec), p -> p[1] - p[2]) AS r
+  FROM co_asgF a JOIN co_cent{R} c ON c.cid = a.cid
+)""")
+    for s in range(m):
+        p = f"s{s}_"
+        ctes += _kmeans_ctes(cpq, R, "resid", vec_col, id_col, sub,
+                             metric="l2", prefix=p, materialized=True,
+                             vec_sql=f"r[{s * sub + 1}:{(s + 1) * sub}]")
+        ctes.append(f"""{p}enc AS MATERIALIZED (
+  SELECT id, cid FROM (
+    SELECT b.id, c.cid,
+           row_number() OVER (PARTITION BY b.id
+             ORDER BY {l2rank}, c.cid) AS rn
+    FROM {p}base b CROSS JOIN {p}cent{R} c) WHERE rn = 1
+)""")
+    ctes.append(f"""q AS (
+  SELECT {vec_col}::DOUBLE[] AS qv FROM {table} WHERE {query_where}
+)""")
+    ctes.append(f"""probe AS (
+  SELECT cid, cvec FROM co_cent{R}, q
+  ORDER BY round((list_dot_product(q.qv, q.qv)
+    - 2.0*list_dot_product(q.qv, cvec))
+    + list_dot_product(cvec, cvec), 6) ASC, cid
+  LIMIT {nprobe}
+)""")
+    terms = []
+    joins = []
+    for s in range(m):
+        qs = (f"(list_transform(list_zip(q.qv, p.cvec), "
+              f"lp -> lp[1] - lp[2]))[{s * sub + 1}:{(s + 1) * sub}]")
+        terms.append(
+            f"((list_dot_product({qs}, {qs})"
+            f" - 2.0*list_dot_product({qs}, c{s}.cvec))"
+            f" + list_dot_product(c{s}.cvec, c{s}.cvec))")
+        joins.append(
+            f"JOIN s{s}_enc e{s} ON e{s}.id = e.{id_col}\n"
+            f"JOIN s{s}_cent{R} c{s} ON c{s}.cid = e{s}.cid")
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT e.{id_col},\n"
+            f"       round({' + '.join(terms)}, 6) AS adc\n"
+            f"FROM resid e\nJOIN probe p ON p.cid = e.centroid\n"
+            + "\n".join(joins) + ", q\n"
+            f"ORDER BY adc, e.{id_col}\nLIMIT {k}")
 
 
 def quantized_topk(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -849,7 +927,7 @@ def pq_train(df: DataFrame, m: int = 4, c: int = 8, rounds: int = 2,
 def pq_encode(df: DataFrame,
               books: list[list[tuple[int, list[float]]]],
               vec_col: str = "embedding", id_col: str = "vec_id",
-              dim: int = 64) -> DataFrame:
+              dim: int = 64, keep: list[str] = ()) -> DataFrame:
     """Encode the corpus: per subspace, argmin rounded squared-L2 over
     the codebook (smallest-cid tie-break) -> (id, codes array<int>).
     m Arrow passes ride one projection; no shuffle.  At c<=256 the
@@ -863,7 +941,8 @@ def pq_encode(df: DataFrame,
         sv = F.slice(v, s * sub + 1, sub)
         dn = _pdot_multi(sv, [cv for _, cv in book], with_self=True)
         codes.append(_argmin_centroid_l2(dn, book))
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return df.select(F.col(id_col), *[F.col(c) for c in keep],
+                     F.array(*codes).alias("codes"))
 
 
 def pq_topk(df: DataFrame, query_vec: list[float],
@@ -896,6 +975,91 @@ def pq_topk(df: DataFrame, query_vec: list[float],
                               F.col("codes")[s] + 1)
         term = lookup if term is None else term + lookup
     return (enc.select(F.col(id_col), F.round(term, 6).alias("adc"))
+               .orderBy("adc", id_col)
+               .limit(k))
+
+
+def _coarse_residuals(df: DataFrame,
+                      coarse: list[tuple[int, list[float]]],
+                      vec_col: str, id_col: str) -> DataFrame:
+    """(id, centroid, resid): assign each vector to its nearest coarse
+    centroid (squared L2) and subtract that centroid element-wise —
+    the IVF-PQ residual, computed JVM-side (zip_with against the
+    literal centroid array selected by bucket id)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("_v"))
+    assigned = _assign_l2(base, coarse, "_v")
+    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv])
+                          for _, cv in sorted(coarse)])
+    resid = F.zip_with(F.col("_v"),
+                       F.element_at(cents_lit, F.col("centroid") + 1),
+                       lambda a, b: a - b)
+    return assigned.select("id", "centroid", resid.alias("resid"))
+
+
+def ivfpq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+               nlist: int = 8, m: int = 4, cpq: int = 8,
+               rounds: int = 2, nprobe: int = 2,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               dim: int = 64) -> DataFrame:
+    """IVF-PQ — the FAISS-style production ANN index, composed from
+    the graded pieces: a coarse L2 k-means quantizer partitions the
+    corpus into ``nlist`` buckets, product quantization encodes each
+    vector's RESIDUAL (v - coarse centroid; residuals are far more
+    compressible than raw vectors), and a query probes ``nprobe``
+    buckets scoring rows by ADC over a per-bucket distance table built
+    from the query's own residual against that bucket.
+
+    Plan shape: train = (rounds coarse + m*rounds PQ) bounded
+    driver-loop jobs; encode = one narrow pass (assignment + residual
+    + m code argmins, all JVM/Arrow batched); query = bucket filter
+    (on a materialized index this is ivf_build's directory pruning) +
+    m table lookups per surviving row via a when()-chain over the
+    nprobe probed buckets + TakeOrdered.  At 100 TB the scan is the
+    codes column of the probed buckets only.
+
+    Returns (id, adc) ascending approximate distance, ties on id."""
+    sub = dim // m
+    coarse = kmeans_fit(df, c=nlist, rounds=rounds, vec_col=vec_col,
+                        id_col=id_col, dim=dim, metric="l2")
+    res = _coarse_residuals(df, coarse, vec_col, id_col)
+    books = pq_train(res, m=m, c=cpq, rounds=rounds, vec_col="resid",
+                     id_col="id", dim=dim)
+    enc = pq_encode(res, books, vec_col="resid", id_col="id",
+                    keep=["centroid"])
+    # probe ranking: rounded squared L2 of the query to each coarse
+    # centroid, ascending, smallest-cid ties — mirrored by the twin
+    qd = {cid: round((py_dot(query_vec, query_vec)
+                      - 2.0 * py_dot(query_vec, cv))
+                     + py_dot(cv, cv), 6)
+          for cid, cv in coarse}
+    probes = [cid for cid, _ in sorted(coarse,
+                                       key=lambda c: (qd[c[0]], c[0]))
+              ][:nprobe]
+    cvecs = dict(coarse)
+    score = None
+    for s, book in enumerate(books):
+        # per probed bucket: the distance table of the query RESIDUAL
+        # subvector against this subspace's codewords
+        lookup = None
+        for b in probes:
+            qr = [float(q) - float(c) for q, c in
+                  zip(query_vec, cvecs[b])]
+            qs = qr[s * sub:(s + 1) * sub]
+            qq = py_dot(qs, qs)
+            dt = [0.0] * len(book)
+            for cid, cw in book:
+                dt[cid] = (qq - 2.0 * py_dot(qs, cw)) + py_dot(cw, cw)
+            tbl = F.element_at(F.array(*[F.lit(x) for x in dt]),
+                               F.col("codes")[s] + 1)
+            lookup = (F.when(F.col("centroid") == b, tbl)
+                      if lookup is None
+                      else lookup.when(F.col("centroid") == b, tbl))
+        term = lookup.otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return (enc.filter(F.col("centroid").isin([int(b) for b in probes]))
+               .select(F.col("id").alias(id_col),
+                       F.round(score, 6).alias("adc"))
                .orderBy("adc", id_col)
                .limit(k))
 
