@@ -1047,6 +1047,11 @@ def winnow_redact_sql(table="documents", ref_source=None,
     """DuckDB twin of :func:`winnow_redact` — identical spans
     (winnow_match_spans_sql's CTE chain), identical token join and
     keep/mask/drop rule, string_agg ordered by position."""
+    if "'" in mask or "\\" in mask:
+        # the mask is spliced into a SQL string literal — same loud
+        # no-splice rule as dedup.py's other generated-SQL guards
+        raise ValueError(f"winnow_redact_sql mask {mask!r} contains "
+                         "SQL-literal specials")
     spans_sql = winnow_match_spans_sql(table, ref_source, text_col,
                                        id_col, k, w)
     toks = TOKENS_SQL.format(c=text_col)
