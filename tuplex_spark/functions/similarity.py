@@ -1022,7 +1022,11 @@ def ivfpq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     sub = dim // m
     coarse = kmeans_fit(df, c=nlist, rounds=rounds, vec_col=vec_col,
                         id_col=id_col, dim=dim, metric="l2")
-    res = _coarse_residuals(df, coarse, vec_col, id_col)
+    # materialize the residual table ONCE: without the barrier every
+    # PQ training round of every subspace re-runs the coarse
+    # assignment Arrow pass + subtraction (m * rounds corpus passes)
+    res = _coarse_residuals(df, coarse, vec_col, id_col) \
+        .localCheckpoint(eager=False)
     books = pq_train(res, m=m, c=cpq, rounds=rounds, vec_col="resid",
                      id_col="id", dim=dim)
     enc = pq_encode(res, books, vec_col="resid", id_col="id",
