@@ -74,6 +74,10 @@ SF1_HEADLINE = [
     # orders are 10x-replicated; VERDICT r9 item 8) + new r10 ops
     "ds_map_filter", "ds_resolve", "dedup_winnow_spans",
     "ann_ivf_built",
+    # round-10 late: PQ + applied redaction at scale (ann_ivfpq stays
+    # sf0.1-only — its components are anchored separately: coarse
+    # kmeans == ann_kmeans, residual PQ == ann_pq)
+    "ann_pq", "dedup_winnow_redact",
 ]
 SF1_REPLICAS = 10
 
