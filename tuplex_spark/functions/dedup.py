@@ -1007,7 +1007,10 @@ def winnow_redact(df: DataFrame, ref: DataFrame,
     (spans are disjoint maximal ranges by construction).  The rebuild
     is one groupBy: sort_array over (pos, piece) structs, concat — a
     single corpus shuffle on doc id.  Clean documents pass through
-    untouched with n_spans = 0.
+    untouched with n_spans = 0; documents whose text is NULL or
+    tokenizes to zero tokens survive too (redacted_text = '') — the
+    rebuilt aggregate left-joins back onto the corpus ids so
+    posexplode's empty-array drop cannot lose rows.
 
     Returns (id, redacted_text, n_spans)."""
     spans = winnow_match_spans(df, ref, text_col, id_col,
@@ -1036,8 +1039,12 @@ def winnow_redact(df: DataFrame, ref: DataFrame,
                             lambda s: s["t"]),
                         " ").alias("redacted_text")))
     nsp = spans.groupBy("id").agg(F.count(F.lit(1)).alias("n_spans"))
-    return (rebuilt.join(nsp, "id", "left")
-            .select("id", "redacted_text",
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (ids.join(rebuilt, "id", "left")
+            .join(nsp, "id", "left")
+            .select("id",
+                    F.coalesce("redacted_text", F.lit(""))
+                     .alias("redacted_text"),
                     F.coalesce("n_spans", F.lit(0)).alias("n_spans")))
 
 
@@ -1072,9 +1079,12 @@ WITH spans AS ({spans_sql}), tok AS (
   FROM pieced WHERE piece IS NOT NULL GROUP BY id
 ), nsp AS (
   SELECT id, count(*)::BIGINT AS n_spans FROM spans GROUP BY id
+), ids AS (
+  SELECT DISTINCT {id_col} AS id FROM {table}
 )
-SELECT r.id, r.redacted_text, COALESCE(n.n_spans, 0) AS n_spans
-FROM rebuilt r LEFT JOIN nsp n USING (id)"""
+SELECT i.id, COALESCE(r.redacted_text, '') AS redacted_text,
+       COALESCE(n.n_spans, 0) AS n_spans
+FROM ids i LEFT JOIN rebuilt r USING (id) LEFT JOIN nsp n USING (id)"""
 
 
 def _srp_signs(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[int]]:

@@ -1020,6 +1020,8 @@ def ivfpq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
     Returns (id, adc) ascending approximate distance, ties on id."""
     sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m {m}")
     coarse = kmeans_fit(df, c=nlist, rounds=rounds, vec_col=vec_col,
                         id_col=id_col, dim=dim, metric="l2")
     # materialize the residual table ONCE: without the barrier every
@@ -1030,7 +1032,7 @@ def ivfpq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     books = pq_train(res, m=m, c=cpq, rounds=rounds, vec_col="resid",
                      id_col="id", dim=dim)
     enc = pq_encode(res, books, vec_col="resid", id_col="id",
-                    keep=["centroid"])
+                    dim=dim, keep=["centroid"])
     # probe ranking: rounded squared L2 of the query to each coarse
     # centroid, ascending, smallest-cid ties — mirrored by the twin
     qd = {cid: round((py_dot(query_vec, query_vec)
