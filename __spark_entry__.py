@@ -1425,6 +1425,32 @@ def q_ann_ivfpq(spark, sf_dir):
                                  rounds=2, nprobe=2)
 
 
+def q_ann_ivfpq_built(spark, sf_dir):
+    """The FULL IVF-PQ serving lifecycle (VERDICT r10 item 1):
+    ivfpq_fit trains the coarse quantizer + residual-PQ codebooks ONCE
+    -> ivfpq_build materializes (id, codes) as parquet PARTITIONED BY
+    the coarse centroid -> ivfpq_query scans ONLY the nprobe probed
+    bucket directories (PartitionFilters — plan-asserted in
+    tests/test_functions.py) and scores rows by per-bucket ADC over
+    the m-byte codes column, no training/encoding/float vectors at
+    query time.  This is how a 100 TB FAISS-style store actually
+    serves: build once at ingest, every query pays pruned-scan + m
+    table lookups + TakeOrdered (functions/similarity.py ivfpq_fit +
+    ivfpq_build + ivfpq_query; the oracle replays train + encode +
+    probe + ADC via ivfpq_topk_sql — the materialized index is Spark
+    plumbing with identical results)."""
+    from tuplex_spark.functions import similarity
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    coarse, books = similarity.ivfpq_fit(emb, nlist=8, m=4, cpq=8,
+                                         rounds=2)
+    path = f"/tmp/tuplex_spark_ivfpq_{os.path.basename(sf_dir)}"
+    similarity.ivfpq_build(emb, coarse, books, path)
+    return similarity.ivfpq_query(spark, path, qv, coarse, books,
+                                  k=10, nprobe=2)
+
+
 def q_ann_quantized(spark, sf_dir):
     """Asymmetric retrieval over the int8-quantized corpus: stage 1
     scores the 4x-smaller quantized table by reconstructing q_d*scale
@@ -1750,6 +1776,24 @@ def q_text_bpe_batched(spark, sf_dir):
                                         vocab_partitions=1)
 
 
+def q_text_bpe_local(spark, sf_dir):
+    """Production-architecture BPE training (VERDICT r10 item 3): ONE
+    distributed job computes the occurrence-weighted distinct-word
+    vocabulary (with a loud driver-collect cap — max_vocab), then the
+    256-merge loop runs on the driver with incremental pair-count
+    maintenance over an inverted word index — the HuggingFace/
+    SentencePiece trainer architecture, near-linear in corpus-unique
+    text instead of O(k * vocab) (functions/text.py bpe_train_local).
+    The oracle replays all 256 rounds sequentially (MATERIALIZED CTE
+    chain), so passing grades the full trajectory; the k=4096
+    tokenizer-scale run is differential-locked bitwise against the
+    graded batched trainer in tests/test_functions.py."""
+    from tuplex_spark.functions import text
+    _prep(spark)
+    return text.bpe_merge_table_local(_bpe_fused_docs(spark, sf_dir),
+                                      k=256)
+
+
 def q_text_bpe_encode(spark, sf_dir):
     """BPE ENCODE with the trained merges: per-document subword counts
     — the tokens-per-doc statistic a pretraining pipeline budgets by.
@@ -1965,37 +2009,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FAISS production index) takes the slot of dedup_simhash (green
     r4-r9; banded bit-signature blocking + capped bucket pair gen stay
     covered in-window by dedup_minhash_sim and dedup_embedding's
-    SRP-LSH)."""
+    SRP-LSH).
+
+    Round-11 rotation (VERDICT r10 items 1/3/6): two NEW compositions
+    arrive in-window — ann_ivfpq_built (the materialized IVF-PQ
+    serving lifecycle: ivfpq_fit -> centroid-partitioned codes
+    parquet -> pruned-scan ADC query) takes the slot of ann_batch_ivf
+    (green r9-r10; its bucket equi-join retrieval is the in-plan
+    sibling of the graded lifecycle and stays covered by
+    ann_ivf_trained returning in-window, a strict superset), and
+    text_bpe_local (the production trainer: one distributed vocab job
+    + incremental driver merge loop, k=256) takes the slot of
+    text_bpe_batched (green r10; identical oracle trajectory — all
+    three trainers are differential-locked bitwise, and the batched
+    k-linearity claim moved into an asserted scaling test per VERDICT
+    item 8).  The longest-ungraded rows return per item 6: ds_sets
+    (last graded r08) takes the slot of dedup_winnow (green r9-r10;
+    winnow fingerprints stay graded THROUGH dedup_winnow_redact,
+    which composes winnow_match_spans -> winnow_fingerprints_pos, and
+    dedup_winnow_decon stays in-window); mm_decode takes the slot of
+    mm_gif (green r10; same Arrow mapInPandas decode family, GIF
+    branch pytest-locked in tests/test_multimodal.py); ds_csv_roundtrip
+    takes the slot of ds_json_roundtrip (green r10; identical
+    write->infer->aggregate roundtrip shape, JSONL sink additionally
+    pytest-locked); ann_ivf_trained takes the slot of
+    sketch_distinct_by (green r9-r10; its per-group WindowGroupLimit
+    prune is the same shape as sample_quota returning in-window, over
+    sketch_distinct's KMV core which stays graded); text_bpe (k=8
+    sequential) takes the slot of
+    dedup_winnow_spans (green r10; spans stay graded inside
+    dedup_winnow_redact, which joins the span table it produces);
+    events_windowed takes the slot of ann_topk (green r1-r10;
+    exact-cosine + TakeOrdered shape covered in-window by ann_batch,
+    its batched superset); sample_quota takes the slot of
+    vec_quantize (green r9-r10; the int8 transform stays graded
+    inside ann_quantized, which scores quantize_int8's output);
+    dedup_simhash takes the slot of dedup_minhash_sim (green r10;
+    banded-signature blocking returns via simhash itself, the
+    est_jaccard payload shape stays covered by dedup_jaccard
+    in-window and dedup_minhash/dedup_minhash_sim selfchecked in the
+    tail)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
         "ds_resolve": q_ds_resolve,
         "ds_join": q_ds_join,
         "ds_agg_bykey": q_ds_agg_bykey,
-        "ds_json_roundtrip": q_ds_json_roundtrip,
         "ds_strings": q_ds_strings,
         "ds_re": q_ds_re,
         "ds_loops": q_ds_loops,
         "ds_relational": q_ds_relational,
         # -- training-data pipeline ops --
-        "mm_gif": q_mm_gif,
+        "mm_decode": q_mm_decode,
         "text_quality": q_text_quality,
         "text_langid_ngram": q_text_langid_ngram,
         "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sim": q_dedup_minhash_sim,
+        "dedup_simhash": q_dedup_simhash,
         "ann_ivfpq": q_ann_ivfpq,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "dedup_canonical": q_dedup_canonical,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
-        "ann_topk": q_ann_topk,
+        "events_windowed": q_events_windowed,
         "ann_ivf_built": q_ann_ivf_built,
         "ann_batch": q_ann_batch,
-        "ann_batch_ivf": q_ann_batch_ivf,
+        # NEW round 11: the materialized IVF-PQ serving lifecycle
+        # (VERDICT r10 item 1); in-window on arrival
+        "ann_ivfpq_built": q_ann_ivfpq_built,
         "ann_kmeans": q_ann_kmeans,
         "ann_quantized": q_ann_quantized,
         "ann_pq": q_ann_pq,
-        "vec_quantize": q_vec_quantize,
+        "sample_quota": q_sample_quota,
         "dedup_winnow_redact": q_dedup_winnow_redact,
         # -- event-stream ops --
         "events_sessions": q_events_sessions,
@@ -2003,22 +2087,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_correlate": q_events_correlate,
         # -- temporal joins (Spark-native additions) --
         "events_asof": q_events_asof,
-        "dedup_winnow_spans": q_dedup_winnow_spans,
+        "ann_ivf_trained": q_ann_ivf_trained,
         # -- deterministic sketches --
         "sketch_distinct": q_sketch_distinct,
         "sketch_quantiles": q_sketch_quantiles,
-        "sketch_distinct_by": q_sketch_distinct_by,
+        "ds_sets": q_ds_sets,
         # -- TPC-H distinct shapes --
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q13": q_tpch_q13,
         "ds_json_udf": q_ds_json_udf,
-        # NEW round 9: winnowing passage-overlap dedup (SIGMOD'03), its
-        # decontamination composition, and real BPE merge training +
-        # corpus encoding; in-window on arrival per the rotation policy
-        "dedup_winnow": q_dedup_winnow,
+        # round-11 returns (VERDICT r10 item 6) + the NEW production
+        # BPE trainer (item 3); see the rotation paragraph above
+        "ds_csv_roundtrip": q_ds_csv_roundtrip,
         "dedup_winnow_decon": q_dedup_winnow_decon,
-        "text_bpe_batched": q_text_bpe_batched,
+        "text_bpe_local": q_text_bpe_local,
+        "text_bpe": q_text_bpe,
         "text_bpe_encode": q_text_bpe_encode,
         # composition of four individually-graded ops (quality/langid/
         # exact-dedup/jaccard) — the best end-to-end proof, graded
@@ -2040,14 +2124,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "ds_leftjoin": q_ds_leftjoin,
         "ds_orc_roundtrip": q_ds_orc_roundtrip,
-        # round-10 rotation: long-green rows whose shapes stay covered
+        # round-11 rotation: long-green rows whose shapes stay covered
         # in-window (see the graded block comment)
-        "events_windowed": q_events_windowed,
-        "sample_quota": q_sample_quota,
-        "dedup_simhash": q_dedup_simhash,
-        "ds_csv_roundtrip": q_ds_csv_roundtrip,
-        "mm_decode": q_mm_decode,
-        "ann_ivf_trained": q_ann_ivf_trained,
+        "mm_gif": q_mm_gif,
+        "ds_json_roundtrip": q_ds_json_roundtrip,
+        "ann_batch_ivf": q_ann_batch_ivf,
+        "ann_topk": q_ann_topk,
+        "vec_quantize": q_vec_quantize,
+        "sketch_distinct_by": q_sketch_distinct_by,
+        "dedup_minhash_sim": q_dedup_minhash_sim,
+        "dedup_winnow": q_dedup_winnow,
+        "dedup_winnow_spans": q_dedup_winnow_spans,
+        "text_bpe_batched": q_text_bpe_batched,
         "events_range_join": q_events_range_join,
         "ds_cache": q_ds_cache,
         "ds_text_read": q_ds_text_read,
@@ -2070,10 +2158,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "tpch_q7": q_tpch_q7,
         "mm_audio": q_mm_audio,
-        # round-10: text_bpe (k=8, green r9) demoted for the
-        # tokenizer-scale text_bpe_batched in-window — same trajectory
-        # mechanics, 32x the merges, batched selection + re-checkpoint
-        "text_bpe": q_text_bpe,
         # round-8 late additions (graded by selfcheck in the tail, the
         # window is already full): int8 embedding quantization
         # (pure-map shape) and the cluster-canonicalize apply step
@@ -2084,7 +2168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_withcolumn": q_ds_withcolumn,
         "ds_aggregate": q_ds_aggregate,
         "ds_math": q_ds_math,
-        "ds_sets": q_ds_sets,
         "dedup_components": q_dedup_components,
         "tpch_q5": q_tpch_q5,
         "tpch_q19": q_tpch_q19,
@@ -2689,6 +2772,8 @@ FROM events GROUP BY event_type""",
         "text_redact": text.redact_pii_sql(),
         "text_vocab": text.vocabulary_sql(min_count=3),
         "text_bpe": text.bpe_merge_table_sql(k=8),
+        "text_bpe_local": text.bpe_merge_table_sql(
+            table=_BPE_FUSED_SQL, k=256),
         "text_bpe_batched": text.bpe_merge_table_sql(
             table=_BPE_FUSED_SQL, k=256),
         "text_bpe_encode": text.bpe_subword_counts_sql(k=8),
@@ -2798,6 +2883,13 @@ FROM (""" + analytics_mod.retention_sql() + ") r",
             m=4, c=8, rounds=2, k=10, query_where="vec_id = 0"),
         "ann_ivfpq": similarity_mod.ivfpq_topk_sql(
             k=10, nlist=4, m=4, cpq=8, rounds=2, nprobe=2,
+            query_where="vec_id = 0"),
+        # the materialized-index lifecycle returns bitwise the same
+        # rows as the in-plan composition at the same trained params —
+        # the partitioned parquet is Spark plumbing the oracle need
+        # not replicate (same policy as ann_ivf_built)
+        "ann_ivfpq_built": similarity_mod.ivfpq_topk_sql(
+            k=10, nlist=8, m=4, cpq=8, rounds=2, nprobe=2,
             query_where="vec_id = 0"),
         "ann_quantized": similarity_mod.quantized_topk_sql(
             k=10, rerank=4, query_where="vec_id = 0"),

@@ -45,11 +45,21 @@ HEADLINE = [
     "ann_kmeans", "ann_quantized", "ann_ivf_trained",
     "pipeline_embedding", "dedup_winnow", "dedup_winnow_decon",
     "text_bpe", "text_bpe_encode",
-    # round-10: tokenizer-scale batched BPE (k=256 over the
-    # fused-bigram vocabulary — VERDICT r9 item 4's bench point),
-    # the materialized-IVF serving lifecycle, winnow spans, and PQ
-    "text_bpe_batched", "ann_ivf_built", "dedup_winnow_spans",
+    # round-10: the materialized-IVF serving lifecycle, winnow spans,
+    # and PQ
+    "ann_ivf_built", "dedup_winnow_spans",
     "ann_pq", "dedup_winnow_redact", "ann_ivfpq",
+    # round-11 (VERDICT r10 items 1/3/8): the materialized IVF-PQ
+    # serving lifecycle and the production BPE trainer.
+    # text_bpe_batched (26.9s at k=256, ~30% of the whole r10 leg)
+    # leaves the bench: its job-launch k-linearity is now ASSERTED
+    # structurally in tests/test_functions.py
+    # (test_batched_trainer_job_count_linear_in_k), its trajectory
+    # stays oracle-graded through text_bpe_local (identical merge
+    # list, same k=256 twin), and the per-merge cost anchor is
+    # text_bpe (k=8) — re-proving a known linear curve every leg
+    # bought nothing
+    "ann_ivfpq_built", "text_bpe_local",
 ]
 
 
@@ -78,6 +88,11 @@ SF1_HEADLINE = [
     # sf0.1-only — its components are anchored separately: coarse
     # kmeans == ann_kmeans, residual PQ == ann_pq)
     "ann_pq", "dedup_winnow_redact",
+    # round-11: the IVF-PQ serving lifecycle (build = encode+write,
+    # query = pruned codes scan) and the production BPE trainer (one
+    # vocab job + driver loop) — both scale claims need per-round
+    # sf1 anchors
+    "ann_ivfpq_built", "text_bpe_local",
 ]
 SF1_REPLICAS = 10
 

@@ -451,6 +451,139 @@ class TestProductQuantization:
         adcs = [r["adc"] for r in top]
         assert adcs == sorted(adcs)
 
+    def test_ivfpq_built_lifecycle_matches_topk_and_prunes(
+            self, spark, tmp_path):
+        # fit -> ivfpq_build (centroid-partitioned codes parquet) ->
+        # ivfpq_query must equal the in-plan ivfpq_topk on the same
+        # trained params, with the nprobe filter reaching the scan as
+        # a PARTITION filter and ZERO shuffle Exchange in the plan
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+        coarse, books = similarity.ivfpq_fit(emb, nlist=4, m=4, cpq=8,
+                                             rounds=2)
+        path = str(tmp_path / "ivfpq_idx")
+        similarity.ivfpq_build(emb, coarse, books, path)
+        q = similarity.ivfpq_query(spark, path, qv, coarse, books,
+                                   k=10, nprobe=2)
+        want = similarity.ivfpq_topk(emb, qv, k=10, nlist=4, m=4,
+                                     cpq=8, rounds=2, nprobe=2)
+        assert [tuple(r) for r in q.collect()] == \
+            [tuple(r) for r in want.collect()]
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        import re as _re
+        mt = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert mt and "centroid" in mt.group(1), plan
+        # the scan opened exactly the nprobe probed directories
+        leaves = q._jdf.queryExecution().executedPlan().collectLeaves()
+        scan_metrics = {}
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            if "parquet" in node.nodeName().lower():
+                it = node.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    scan_metrics[kv._1()] = kv._2().value()
+        assert scan_metrics.get("numPartitions") == 2, scan_metrics
+        # ADC + top-k is scan -> filter -> project -> TakeOrdered:
+        # no shuffle Exchange anywhere, no Python in the scoring stage
+        assert "Exchange" not in plan, plan
+        assert "ArrowEvalPython" not in plan, plan
+
+    def test_adc_arrow_path_bitwise_matches_literal(self, spark,
+                                                    tmp_path):
+        # max_literals=0 forces the Arrow closure-table scorer; it
+        # must agree BITWISE with the literal codegen path (same
+        # driver doubles, same left-to-right accumulation)
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB)
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+        books = similarity.pq_train(emb, m=4, c=8, rounds=1)
+        lit = similarity.pq_topk(emb, qv, books, k=10).collect()
+        arw = similarity.pq_topk(emb, qv, books, k=10,
+                                 max_literals=0).collect()
+        assert [tuple(r) for r in lit] == [tuple(r) for r in arw]
+        # the Arrow encode (codes computed inside the UDF, HALF_UP
+        # rounding emulated by floor(x*1e6+0.5)/1e6) must match the
+        # JVM struct-argmin encode on trained codebooks
+        enc_lit = similarity.pq_encode(emb, books).collect()
+        enc_arw = similarity.pq_encode(emb, books,
+                                       max_literals=0).collect()
+        key = lambda r: r["vec_id"]
+        assert [(r["vec_id"], list(r["codes"]))
+                for r in sorted(enc_lit, key=key)] == \
+            [(r["vec_id"], list(r["codes"]))
+             for r in sorted(enc_arw, key=key)]
+        coarse, pbooks = similarity.ivfpq_fit(emb, nlist=4, m=4,
+                                              cpq=8, rounds=1)
+        path = str(tmp_path / "ivfpq_ab")
+        similarity.ivfpq_build(emb, coarse, pbooks, path)
+        lit = similarity.ivfpq_query(spark, path, qv, coarse, pbooks,
+                                     k=10, nprobe=2).collect()
+        arw = similarity.ivfpq_query(spark, path, qv, coarse, pbooks,
+                                     k=10, nprobe=2,
+                                     max_literals=0).collect()
+        assert [tuple(r) for r in lit] == [tuple(r) for r in arw]
+
+    def test_coarse_residuals_arrow_path_matches_literal(self, spark):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB).limit(200)
+        coarse = similarity.kmeans_fit(emb, c=4, rounds=1, metric="l2")
+        lit = similarity._coarse_residuals(emb, coarse, "embedding",
+                                           "vec_id").collect()
+        arw = similarity._coarse_residuals(emb, coarse, "embedding",
+                                           "vec_id",
+                                           max_literals=0).collect()
+        key = lambda r: r["id"]
+        assert [tuple(r) for r in sorted(lit, key=key)] == \
+            [tuple(r) for r in sorted(arw, key=key)]
+
+    def test_ivfpq_production_params_codegen_survives(self, spark,
+                                                      tmp_path):
+        # VERDICT r10 item 2: at FAISS-like params (m=16, c=256,
+        # nlist=256, nprobe=32) the encode and query plans must
+        # compile — spark.sql.codegen.fallback=false turns a janino
+        # 64 KB overflow into a hard error instead of a silent
+        # interpreted fallback.  Codebooks/centroids are fabricated
+        # deterministically (no training) — this is a PLAN-SIZE test.
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB).limit(300)
+        qv = [float(x) for x in emb.filter("vec_id = 0")
+              .select("embedding").head()[0]]
+
+        def lcg_vecs(n, d, seed):
+            state, out = seed, []
+            for _ in range(n):
+                row = []
+                for _ in range(d):
+                    state = (1103515245 * state + 12345) % (1 << 31)
+                    row.append(round(state / float(1 << 31) - 0.5, 6))
+                out.append(row)
+            return out
+
+        nlist, m, cpq, dim = 256, 16, 256, 64
+        coarse = list(enumerate(lcg_vecs(nlist, dim, 7)))
+        books = [list(enumerate(lcg_vecs(cpq, dim // m, 100 + s)))
+                 for s in range(m)]
+        old = spark.conf.get("spark.sql.codegen.fallback", "true")
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        try:
+            path = str(tmp_path / "ivfpq_prod")
+            similarity.ivfpq_build(emb, coarse, books, path)
+            out = similarity.ivfpq_query(spark, path, qv, coarse,
+                                         books, k=10,
+                                         nprobe=32).collect()
+            assert len(out) == 10
+            adcs = [r["adc"] for r in out]
+            assert adcs == sorted(adcs)
+            # and plain PQ at production m*c
+            pout = similarity.pq_topk(emb, qv, books, k=10).collect()
+            assert len(pout) == 10
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", old)
+
     def test_ivfpq_nondefault_dim(self, spark):
         # ADVICE r10: ivfpq_topk used to call pq_encode without
         # forwarding dim, so any dim != 64 sliced subvectors at wrong
@@ -1696,6 +1829,52 @@ class TestBpe:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         assert text.bpe_train_local(df, k=14) == text.bpe_train(df, k=14)
 
+    def test_batched_trainer_job_count_linear_in_k(self, spark):
+        # VERDICT r10 item 8: the batched trainer's k-linearity claim,
+        # asserted STRUCTURALLY (Spark job count per k) instead of
+        # re-proving the wall-clock curve every bench leg — the
+        # trainer is job-launch bound, so jobs ~ k/batch is the claim.
+        # Wall-clock assertions flake in this host's documented
+        # bandwidth-degradation windows; job counts cannot.
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import text
+        docs = spark.read.parquet(DOC)
+        fused = (docs.select(
+            "doc_id",
+            F.expr("filter(split(trim(lower(text)), '\\\\s+'),"
+                   " x -> x != '')").alias("t"))
+            .select("doc_id", F.expr(
+                "array_join(zip_with(slice(t, 1, size(t) - 1), "
+                "slice(t, 2, size(t) - 1), (a, b) -> concat(a, b)), "
+                "' ')").alias("text")))
+        sc = spark.sparkContext
+        st = sc.statusTracker()
+
+        def jobs_for(k):
+            group = f"bpe_jobcount_{k}"
+            sc.setJobGroup(group, "bpe job-count probe")
+            try:
+                merges = text.bpe_train_batched(fused, k=k, batch=16,
+                                                vocab_partitions=1)
+            finally:
+                sc.setJobGroup(None, None)
+            assert len(merges) == k
+            return len(st.getJobIdsForGroup(group))
+
+        j64, j128 = jobs_for(64), jobs_for(128)
+        # linear: doubling k at fixed batch at most doubles the job
+        # count (+ slack for batch rounds ended early by the
+        # prefix-acceptance guards); the O(k^2) failure mode this
+        # guards (per-round lineage replay) shows up as per-round
+        # JOBS or time, never fewer rounds
+        assert j128 <= 2 * j64 + 4, (j64, j128)
+        # and jobs per MERGE stay constant-bounded (a batch round is
+        # one pair-table collect; worst case every round degenerates
+        # to a single accepted merge — this corpus' interacting pair
+        # counts do exactly that, ~1 round/merge — but never MORE
+        # than a bounded number of jobs per merge)
+        assert j64 <= 64 * 2 + 4, j64
+
     def test_local_trainer_tokenizer_scale(self, spark):
         # the production contract: thousands of merges in one collect +
         # a local loop — exhausts the synthetic vocab and agrees with
@@ -1721,6 +1900,11 @@ class TestBpe:
         # windowed 2-2.5x memory-bandwidth degradation (BASELINE.md
         # round-10 section) that would flake a tight wall-clock bound
         assert dt < 300, dt
-        small = text.bpe_train_batched(fused, k=64, batch=16,
+        small = text.bpe_train_batched(fused, k=256, batch=32,
                                        vocab_partitions=1)
-        assert big[:64] == small
+        assert big[:256] == small
+        # the driver-collect guard (VERDICT r10 item 3): a vocabulary
+        # past max_vocab must refuse loudly BEFORE collecting
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="max_vocab"):
+            text.bpe_train_local(fused, k=4, max_vocab=10)

