@@ -3211,7 +3211,101 @@ class TestHandlerTypeName:
             try:
                 return int(s)
             except ValueError as e:
-                return len(repr(e))  # repr(e) -> exact fallback
+                return len(str(e.__cause__))  # other attr -> fallback
+        run_diff(ctx, ["5", "xyz"], k, expect_compiled=False)
+
+    def test_repr_e_compiles(self, ctx):
+        # round 11: repr(e) == TypeName(repr(args)) derives from the
+        # recorded raise-site message (incl. CPython quote selection —
+        # the engine message contains single quotes)
+        def k(s):
+            try:
+                return "ok" + str(int(s))
+            except ValueError as e:
+                return repr(e)
+        run_diff(ctx, ["5", "xyz", ""], k, expect_compiled=True)
+
+    def test_fstring_e_repr_compiles(self, ctx):
+        def k(s):
+            try:
+                return f"ok:{int(s)}"
+            except ValueError as e:
+                return f"err={e!r}"
+        run_diff(ctx, ["5", "xyz"], k, expect_compiled=True)
+
+    def test_repr_e_user_raise_multiarg(self, ctx):
+        def k(x):
+            try:
+                if x < 0:
+                    raise ValueError("neg", x * 2)
+                return "v" + str(x)
+            except ValueError as e:
+                return repr(e)
+        run_diff(ctx, [3, -4, 0], k, expect_compiled=True)
+
+    def test_repr_e_float_arg_falls_back(self, ctx):
+        # Python float repr drifts from Spark's double->string cast
+        def k(x):
+            try:
+                if x < 0:
+                    raise ValueError(x * 0.5)
+                return "v"
+            except ValueError as e:
+                return repr(e)
+        run_diff(ctx, [3, -4], k, expect_compiled=False)
+
+    def test_fstring_e_compiles(self, ctx):
+        # round 11 (VERDICT r10 item 7): f"{e}" IS str(e) by CPython
+        # definition (no conversion, no spec) — rides the recorded
+        # raise-site message machinery
+        def k(s):
+            try:
+                return f"ok:{int(s)}"
+            except ValueError as e:
+                return f"err:{e}"
+        run_diff(ctx, ["5", "xyz", ""], k, expect_compiled=True)
+
+    def test_fstring_e_bang_s_compiles(self, ctx):
+        def k(s):
+            try:
+                return f"ok:{int(s)}"
+            except ValueError as e:
+                return f"err:{e!s}!"
+        run_diff(ctx, ["5", "xyz"], k, expect_compiled=True)
+
+    def test_format_e_compiles(self, ctx):
+        # "{}".format(e) calls format(e, '') == str(e)
+        def k(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                return "bad input -> {}".format(e)
+        run_diff(ctx, ["5", "xyz", ""], k, expect_compiled=True)
+
+    def test_format_e_positional_and_mixed_compiles(self, ctx):
+        def k(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                return "{1} <- {0}".format(e, len(s))
+        run_diff(ctx, ["5", "xyz"], k, expect_compiled=True)
+
+    def test_fstring_e_spec_still_falls_back(self, ctx):
+        # a format spec on an exception raises TypeError in CPython
+        # (object.__format__ rejects non-empty specs) — never fake it
+        def k(s):
+            try:
+                return f"ok:{int(s)}"
+            except ValueError as e:
+                return f"err:{e:>30}"
+        run_diff(ctx, ["5", "xyz"], k, expect_compiled=False)
+
+    def test_format_e_with_spec_still_falls_back(self, ctx):
+        def k(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                return "{:>30}".format(e)
         run_diff(ctx, ["5", "xyz"], k, expect_compiled=False)
 
 
@@ -4455,9 +4549,26 @@ class TestWhileTrueBreakRewrite:
             return x + i
         run_diff(ctx, [1, 2], f, expect_compiled=True)
 
-    def test_mid_body_break_still_falls_back(self, ctx):
-        # break that is neither first nor last statement: no respell,
-        # data-dependent flag -> exact fallback
+    def test_mid_body_break_respells(self, ctx):
+        # round 11 (VERDICT r10 item 7): a single break that is
+        # neither first nor last respells as
+        # ``A; while not c: B; A`` — the rotated body is a plain
+        # contraction + accumulator, so this compiles now (was an
+        # Arrow fallback)
+        def f(x):
+            v = x
+            n = 0
+            while True:
+                n = n + 1
+                if v < 2:
+                    break
+                v = v - 1
+            return v * 100 + n
+        run_diff(ctx, [9, 3, 2, 1, 100], f, expect_compiled=True)
+
+    def test_mid_body_break_split_driver_update_falls_back(self, ctx):
+        # two updates of the driver in the rotated body: no single
+        # recognized step, so the respelled loop falls back exactly
         def f(x):
             v = x
             while True:
@@ -4465,6 +4576,48 @@ class TestWhileTrueBreakRewrite:
                 if v < 2:
                     break
                 v = v - 1
+            return v
+        run_diff(ctx, [9, 3, 2, 100], f, expect_compiled=False)
+
+    def test_mid_body_break_counter_shape_falls_back(self, ctx):
+        # rotation puts the pre-break accumulation AFTER the counter
+        # increment, so the for-range rewrite (increment-last) cannot
+        # apply and the dynamic stop keeps it off the contraction fold
+        # -> exact fallback, same rows
+        def f(x):
+            i, s = 0, 0
+            while True:
+                s += i
+                if i >= x:
+                    break
+                i += 1
+            return s
+        run_diff(ctx, [0, 1, 5, 10], f, expect_compiled=False)
+
+    def test_mid_body_break_first_iteration_exits(self, ctx):
+        # the prefix A runs exactly once when c holds immediately
+        def f(x):
+            v = x
+            n = 0
+            while True:
+                n = n + 1
+                if v <= 1:
+                    break
+                v = v // 2
+            return (v, n)
+        run_diff(ctx, [0, 1, 2, 9, 64], f)
+
+    def test_mid_body_break_nonfoldable_still_falls_back(self, ctx):
+        # respell applies but the rotated loop has no bound proof
+        # (loop-variant threshold) -> exact fallback, same rows
+        def f(x):
+            v = x
+            t = 0
+            while True:
+                v = v - 1
+                if v < t:
+                    break
+                t = t + 1
             return v
         run_diff(ctx, [9, 3, 2], f, expect_compiled=False)
 

@@ -264,6 +264,98 @@ def _is_message_read(n, name: str) -> bool:
             and n.args[0].id == name)
 
 
+def _fstring_message_read(n, name: str):
+    """``f"...{<name>}..."`` / ``{<name>!s}`` — formatting the
+    exception with STR semantics (no conversion or !s, no format
+    spec) is exactly ``str(e)``; returns the inner Name node.  ``!r``
+    / ``!a`` need CPython repr, and a format spec would make CPython
+    raise TypeError (object.__format__ rejects non-empty specs for
+    exceptions) — both stay exact-fallback via None."""
+    if (isinstance(n, ast.FormattedValue)
+            and isinstance(n.value, ast.Name) and n.value.id == name
+            and n.conversion in (-1, ord("s"))
+            and n.format_spec is None):
+        return n.value
+    return None
+
+
+def _format_call_message_reads(n, name: str):
+    """``"<const template>".format(..., <name>, ...)``: the Name
+    argument nodes every one of whose consuming fields applies STR
+    semantics (bare ``{}`` / ``{i}`` / ``{kw}`` — no spec, no
+    conversion or !s, no attribute/index access on the field).
+    Returns the list of such Name nodes, or None when the call isn't
+    that shape or some field needs repr/a spec (CPython raises
+    TypeError on a non-empty spec for exceptions; never fake it)."""
+    if not (isinstance(n, ast.Call) and isinstance(n.func, ast.Attribute)
+            and n.func.attr == "format"
+            and isinstance(n.func.value, ast.Constant)
+            and isinstance(n.func.value.value, str)
+            and all(isinstance(a, ast.expr) and not isinstance(a, ast.Starred)
+                    for a in n.args)
+            and all(kw.arg is not None for kw in n.keywords)):
+        return None
+    import string as _string
+    try:
+        fields = list(_string.Formatter().parse(n.func.value.value))
+    except ValueError:
+        return None
+    uses: list[tuple] = []   # (key, full_field_name, spec, conversion)
+    auto = 0
+    for _lit, fname, fspec, fconv in fields:
+        if fname is None:
+            continue
+        head = fname.split(".")[0].split("[")[0]
+        if head == "":
+            key: int | str = auto
+            auto += 1
+        elif head.isdigit():
+            key = int(head)
+        else:
+            key = head
+        uses.append((key, fname, head, fspec, fconv))
+    out = []
+    for i, a in enumerate(n.args):
+        if isinstance(a, ast.Name) and a.id == name:
+            for key, fname, head, fspec, fconv in uses:
+                if key == i:
+                    if fname != head or fspec not in ("", None) \
+                            or fconv not in (None, "s"):
+                        return None
+            out.append(a)
+    for kw in n.keywords:
+        if isinstance(kw.value, ast.Name) and kw.value.id == name:
+            for key, fname, head, fspec, fconv in uses:
+                if key == kw.arg:
+                    if fname != head or fspec not in ("", None) \
+                            or fconv not in (None, "s"):
+                        return None
+            out.append(kw.value)
+    return out or None
+
+
+def _is_repr_read(n, name: str):
+    """``repr(<name>)`` — CPython defines BaseException.__repr__ as
+    ``TypeName(repr(arg), ...)`` over e.args, so it derives from the
+    same recorded raise-site state as the 'args' kind."""
+    if (isinstance(n, ast.Call) and isinstance(n.func, ast.Name)
+            and n.func.id == "repr" and len(n.args) == 1
+            and not n.keywords and isinstance(n.args[0], ast.Name)
+            and n.args[0].id == name):
+        return n.args[0]
+    return None
+
+
+def _fstring_repr_read(n, name: str):
+    """``f"...{<name>!r}..."`` with no format spec — same as repr(e)."""
+    if (isinstance(n, ast.FormattedValue)
+            and isinstance(n.value, ast.Name) and n.value.id == name
+            and n.conversion == ord("r")
+            and n.format_spec is None):
+        return n.value
+    return None
+
+
 def _is_reraise(n, name: str | None):
     """``raise <name>`` (no cause) — returns the Name node or None."""
     if (isinstance(n, ast.Raise) and n.cause is None
@@ -277,11 +369,16 @@ def _exc_read_kinds(handler: ast.ExceptHandler) -> set[str] | None:
     """Classify every Load of the handler's ``as`` name into the reads
     the compiled path can answer: 'typename' (type(e).__name__ /
     e.__class__.__name__ — class statically known per guard),
-    'message' (str(e) — needs a recorded raise-site message), 'args'
-    (e.args — recorded raise-site args, or derived (str(e),) for the
-    one-string-arg builtins), and 'reraise' (``raise e`` — re-emits the
-    per-guard codes/messages).  None = some other read (passing e to a
-    function, repr(e), e.<other attribute>) — exact-fallback."""
+    'message' (str(e) — needs a recorded raise-site message; since
+    round 11 this also covers f-string ``{e}``/``{e!s}`` and constant-
+    template ``"...".format(e)`` positions with bare fields, both of
+    which CPython defines as str(e)), 'args' (e.args — recorded
+    raise-site args, or derived (str(e),) for the one-string-arg
+    builtins), 'repr' (repr(e) / ``{e!r}`` — TypeName(repr(args))
+    over the recorded raise-site args, round 11), and 'reraise'
+    (``raise e`` — re-emits the per-guard codes/messages).  None =
+    some other read (passing e to a function, a format spec on e,
+    e.<other attribute>) — exact-fallback."""
     name = handler.name
     # Any rebind or delete of the ``as`` name (``e = 5``, ``del e``,
     # ``for e in ...``, ``with ... as e``) makes later Loads refer to
@@ -309,6 +406,23 @@ def _exc_read_kinds(handler: ast.ExceptHandler) -> set[str] | None:
                 continue
             if _is_message_read(n, name):
                 ok[id(n.args[0])] = "message"
+                continue
+            inner = _fstring_message_read(n, name)
+            if inner is not None:
+                ok[id(inner)] = "message"
+                continue
+            inner = _is_repr_read(n, name)
+            if inner is not None:
+                ok[id(inner)] = "repr"
+                continue
+            inner = _fstring_repr_read(n, name)
+            if inner is not None:
+                ok[id(inner)] = "repr"
+                continue
+            inners = _format_call_message_reads(n, name)
+            if inners:
+                for fn_node in inners:
+                    ok[id(fn_node)] = "message"
     kinds: set[str] = set()
     for hs in handler.body:
         for n in ast.walk(hs):
@@ -328,10 +442,11 @@ class _ExcReadRewriter(ast.NodeTransformer):
     re-raise context."""
 
     def __init__(self, name: str, typename_sym=None, message_sym=None,
-                 args_sym=None):
+                 args_sym=None, repr_sym=None):
         self.name = name
         self.typename_sym, self.message_sym = typename_sym, message_sym
         self.args_sym = args_sym
+        self.repr_sym = repr_sym
 
     def visit_Attribute(self, node):
         if _is_typename_read(node, self.name) is not None \
@@ -346,6 +461,46 @@ class _ExcReadRewriter(ast.NodeTransformer):
         if _is_message_read(node, self.name) \
                 and self.message_sym is not None:
             return _SymExpr(self.message_sym)
+        if _is_repr_read(node, self.name) is not None \
+                and self.repr_sym is not None:
+            return _SymExpr(self.repr_sym)
+        if self.message_sym is not None:
+            inners = _format_call_message_reads(node, self.name)
+            if inners:
+                # replace exactly the qualifying Name ARGUMENTS with
+                # the message sym — format() then applies its (bare)
+                # fields to the same str value CPython would pass
+                ids = {id(x) for x in inners}
+                node = ast.copy_location(ast.Call(
+                    func=node.func,
+                    args=[_SymExpr(self.message_sym)
+                          if id(a) in ids else a for a in node.args],
+                    keywords=[ast.keyword(
+                        arg=kw.arg,
+                        value=_SymExpr(self.message_sym)
+                        if id(kw.value) in ids else kw.value)
+                        for kw in node.keywords]), node)
+                ast.fix_missing_locations(node)
+        return self.generic_visit(node)
+
+    def visit_FormattedValue(self, node):
+        if _fstring_message_read(node, self.name) is not None \
+                and self.message_sym is not None:
+            new = ast.copy_location(
+                ast.FormattedValue(value=_SymExpr(self.message_sym),
+                                   conversion=node.conversion,
+                                   format_spec=None), node)
+            ast.fix_missing_locations(new)
+            return new
+        if _fstring_repr_read(node, self.name) is not None \
+                and self.repr_sym is not None:
+            # repr already applied — drop the !r (str of str identity)
+            new = ast.copy_location(
+                ast.FormattedValue(value=_SymExpr(self.repr_sym),
+                                   conversion=-1,
+                                   format_spec=None), node)
+            ast.fix_missing_locations(new)
+            return new
         return self.generic_visit(node)
 
 
@@ -1068,16 +1223,23 @@ class Translator:
                     rargs = []
                 elif (isinstance(st.exc, ast.Call)
                         and not st.exc.keywords
-                        and len(st.exc.args) == 1):
+                        and not any(isinstance(a, ast.Starred)
+                                    for a in st.exc.args)):
+                    # round 11: multi-arg raises record their args too
+                    # (repr(e)/e.args over same-arity sites compile);
+                    # str(e) stays 1-arg-only — the multi-arg message
+                    # is the str of the args TUPLE, not derivable from
+                    # _to_str of a single Sym
                     ng = len(self.guards)
                     try:
-                        asym = self.eval(st.exc.args[0])
-                        rargs = [asym]
-                        ng2 = len(self.guards)
-                        try:
-                            rmsg = self._to_str(asym)
-                        except CompileError:
-                            self._truncate_guards(ng2)
+                        asyms = [self.eval(a) for a in st.exc.args]
+                        rargs = asyms
+                        if len(asyms) == 1:
+                            ng2 = len(self.guards)
+                            try:
+                                rmsg = self._to_str(asyms[0])
+                            except CompileError:
+                                self._truncate_guards(ng2)
                     except CompileError:
                         self._truncate_guards(ng)
                 self.guard(F.lit(True), exc_name, msg=rmsg)
@@ -1581,9 +1743,14 @@ class Translator:
                         args_sym = self._exc_args_sym(
                             conds, new_guards, new_msgs, new_args,
                             n_guards)
+                    repr_sym = None
+                    if "repr" in kinds:
+                        repr_sym = self._exc_repr_sym(
+                            conds, new_guards, new_msgs, new_args,
+                            n_guards)
                     import copy as _copy
                     rw_t = _ExcReadRewriter(h.name, name_sym, msg_sym,
-                                            args_sym)
+                                            args_sym, repr_sym)
                     hbody = [rw_t.visit(_copy.deepcopy(s))
                              for s in h.body]
                 self._locals = dict(saved)
@@ -1667,6 +1834,53 @@ class Translator:
                 merged = self._merge_vals(eff, a[j], merged)
             items.append(merged)
         return STuple(items)
+
+    def _exc_repr_sym(self, conds, new_guards, new_msgs, new_args,
+                      n_guards: int):
+        """Merged ``repr(e)`` for a handler — CPython's
+        BaseException.__repr__ is ``TypeName(repr(arg), ...)`` over
+        e.args (one arg prints without a trailing comma), so it
+        derives from the same recorded raise-site state as 'args':
+        explicit recorded args (str args via the bit-exact
+        _py_str_repr, int/bool args exact; float args fall back —
+        Python float repr drifts from Spark's cast), or (message,)
+        for the one-string-arg builtins."""
+        rcol = None
+        for eff, gi in conds:
+            code = new_guards[gi - n_guards][1]
+            nm = name_for_code(code)
+            a = new_args.get(gi)
+            if a is None:
+                m = new_msgs.get(gi)
+                if nm in _ARGS_IS_MESSAGE and m is not None:
+                    a = [SCol(m, "str", False)]
+                else:
+                    raise CompileError(
+                        "handler reads repr(e) for a raise site "
+                        "without recorded args")
+            parts = []
+            for s in a:
+                tg = getattr(s, "tag", None)
+                if tg == "str":
+                    parts.append(_py_str_repr(self.to_col(s)))
+                elif tg == "int":
+                    parts.append(self.to_col(s).cast("string"))
+                elif tg == "bool":
+                    parts.append(F.when(self.to_col(s), F.lit("True"))
+                                  .otherwise(F.lit("False")))
+                else:
+                    raise CompileError(
+                        f"repr(e) over a {tg} raise-site arg")
+            if parts:
+                inner = parts[0]
+                for p in parts[1:]:
+                    inner = F.concat(inner, F.lit(", "), p)
+                col = F.concat(F.lit(nm + "("), inner, F.lit(")"))
+            else:
+                col = F.lit(nm + "()")
+            rcol = F.when(eff, col) if rcol is None \
+                else rcol.when(eff, col)
+        return SCol(rcol, "str", False)
 
     def _emit_reraise(self, entries, path: Column | None) -> None:
         """Re-emit the original guards of the exception a handler is
@@ -1801,16 +2015,17 @@ class Translator:
         return new
 
     def _while_true_break_rewrite(self, st: ast.While, path):
-        """``while True: if c: break; rest``  ==  ``while not c: rest``
-        and the do-while spelling ``while True: body; if c: break``  ==
-        ``body; while not c: body`` — exact respellings (the break is
-        the loop's only exit, checked at the same program points), so
-        the rewritten loop rides whatever _exec_while machinery fits
+        """``while True: if c: break; rest``  ==  ``while not c: rest``,
+        the do-while spelling ``while True: body; if c: break``  ==
+        ``body; while not c: body``, and (round 11) the single MID-BODY
+        break ``while True: A; if c: break; B``  ==
+        ``A; while not c: B; A`` — exact respellings (the break is the
+        loop's only exit, checked at the same program points), so the
+        rewritten loop rides whatever _exec_while machinery fits
         (static unroll, counter rewrite, contraction/convergence fold)
         and falls back exactly when the respelled loop would.  Returns
         the (terminated, path) result, or None when the shape doesn't
-        match (break not the sole top/bottom statement, extra
-        break/continue, non-constant test)."""
+        match (more than one break/continue, non-constant test)."""
         test = st.test
         if not (isinstance(test, ast.Constant) and test.value):
             return None
@@ -1847,6 +2062,28 @@ class Translator:
                     path = ~cond if path is None else (path & ~cond)
             self._path = path
             return self._exec_while(w, path)
+        # mid-body: the rotated loop body B;A re-checks c at the same
+        # program point CPython does (after A, before B), and the
+        # one-time prefix run of A matches CPython's first iteration —
+        # A's statements are shared AST nodes between the prefix and
+        # the loop body (read-only traversals, so sharing is safe)
+        for i in range(1, len(body) - 1):
+            if is_break_if(body[i]) \
+                    and not any(_contains_break_continue(s)
+                                for s in body[:i] + body[i + 1:]):
+                pre = body[:i]
+                w = ast.copy_location(
+                    ast.While(test=self._invert_test(body[i].test),
+                              body=body[i + 1:] + pre, orelse=[]), st)
+                ast.fix_missing_locations(w)
+                start = len(self._returns)
+                if self.exec_block(pre, path):
+                    return True, path
+                for cond, _ in self._returns[start:]:
+                    if cond is not None:
+                        path = ~cond if path is None else (path & ~cond)
+                self._path = path
+                return self._exec_while(w, path)
         return None
 
     def _while_counter_rewrite(self, st: ast.While):
