@@ -527,6 +527,42 @@ class TestProductQuantization:
                                      max_literals=0).collect()
         assert [tuple(r) for r in lit] == [tuple(r) for r in arw]
 
+    def test_cos_assign_arrow_path_matches_literal(self, spark,
+                                                   tmp_path):
+        from tuplex_spark.functions import similarity
+        emb = spark.read.parquet(EMB).limit(300)
+        cents = similarity.kmeans_fit(emb, c=6, rounds=1)
+        lit = similarity.assign_centroids(emb, cents) \
+            .select("vec_id", "centroid").collect()
+        arw = similarity.assign_centroids(emb, cents, max_literals=0) \
+            .select("vec_id", "centroid").collect()
+        key = lambda r: r["vec_id"]
+        assert [tuple(r) for r in sorted(lit, key=key)] == \
+            [tuple(r) for r in sorted(arw, key=key)]
+        # and ivf_build at production nlist survives codegen strictly
+        def lcg_vecs(n, d, seed):
+            state, out = seed, []
+            for _ in range(n):
+                row = []
+                for _ in range(d):
+                    state = (1103515245 * state + 12345) % (1 << 31)
+                    row.append(round(state / float(1 << 31) - 0.5, 6))
+                out.append(row)
+            return out
+        big = list(enumerate(lcg_vecs(512, 64, 11)))
+        old = spark.conf.get("spark.sql.codegen.fallback", "true")
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        try:
+            path = str(tmp_path / "ivf_prod")
+            similarity.ivf_build(emb, big, path)
+            qv = [float(x) for x in emb.filter("vec_id = 0")
+                  .select("embedding").head()[0]]
+            out = similarity.ivf_query(spark, path, qv, big, k=5,
+                                       nprobe=8).collect()
+            assert len(out) == 5
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", old)
+
     def test_coarse_residuals_arrow_path_matches_literal(self, spark):
         from tuplex_spark.functions import similarity
         emb = spark.read.parquet(EMB).limit(200)

