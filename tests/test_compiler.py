@@ -2279,8 +2279,17 @@ class TestCompiledTryExcept:
             try:
                 return int(s)
             except ValueError as e:
-                return len(repr(e))  # repr(e) stays on fallback
+                return len(dir(e))  # arbitrary reflection -> fallback
         run_diff(ctx, self.STRS, f, expect_compiled=False)
+
+    def test_as_name_repr_len_compiles(self, ctx):
+        # round 11: repr(e) derives from the recorded raise site
+        def f(s):
+            try:
+                return int(s)
+            except ValueError as e:
+                return len(repr(e))
+        run_diff(ctx, self.STRS, f, expect_compiled=True)
 
     def test_as_name_args_read_compiles(self, ctx):
         # round 8: e.args derives (str(e),) from the recorded message
