@@ -1827,6 +1827,22 @@ def q_text_bpe_encode(spark, sf_dir):
     return text.bpe_subword_counts(_t(spark, sf_dir, "documents"), k=8)
 
 
+def q_pipeline_tokenize(spark, sf_dir):
+    """END-TO-END tokenize-and-pack: train BPE on the corpus (the
+    production local trainer, k=24), encode every document to its
+    SUBWORD count (codegen replaces over the vocabulary + broadcast
+    join), pack into fixed 512-subword training blocks by the
+    deterministic bucket-window arithmetic — the tail of a real
+    pretraining pipeline, packing by TOKENIZER counts instead of
+    whitespace tokens (functions/pipeline.py tokenize_and_pack; the
+    oracle replays the k training rounds, the encode join, and the
+    placement windows bitwise)."""
+    from tuplex_spark.functions import pipeline
+    _prep(spark)
+    return pipeline.tokenize_and_pack(_t(spark, sf_dir, "documents"),
+                                      k=24)
+
+
 def q_text_rarity(spark, sf_dir):
     """Corpus-frequency rarity signals (unigram-LM "commonness"
     filters): integer-exact sums + one rounded division per column so
@@ -2075,7 +2091,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (green r8-r10; semdedup composes the same pointer-jumping
     components + smallest-id survivor machinery, its jaccard-pair
     front end stays graded as dedup_jaccard, and dedup_components/
-    dedup_canonical stay green in the selfchecked tail)."""
+    dedup_canonical stay green in the selfchecked tail); and
+    pipeline_tokenize (end-to-end BPE-train -> subword-encode -> pack
+    into fixed training blocks) takes the slot of text_pack (green
+    r6-r10; its bucket-window placement arithmetic is a strict subset
+    of the composition, which packs by TRAINED-tokenizer subword
+    counts)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
@@ -2141,7 +2162,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window since round 3
         "text_rarity": q_text_rarity,
         "dedup_chunks": q_dedup_chunks,
-        "text_pack": q_text_pack,
+        # NEW round 11: end-to-end tokenize-and-pack; in-window on
+        # arrival — takes the slot of text_pack (green r6-r10; the
+        # bucket-window placement arithmetic is a strict subset of
+        # this composition, which packs by trained-BPE subword counts)
+        "pipeline_tokenize": q_pipeline_tokenize,
         "text_c4": q_text_c4,
         "pipeline_clean": q_pipeline_clean,
         "pipeline_embedding": q_pipeline_embedding,
@@ -2169,6 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_spans": q_dedup_winnow_spans,
         "text_bpe_batched": q_text_bpe_batched,
         "dedup_canonical": q_dedup_canonical,
+        "text_pack": q_text_pack,
         "events_range_join": q_events_range_join,
         "ds_cache": q_ds_cache,
         "ds_text_read": q_ds_text_read,
@@ -2741,6 +2767,7 @@ FROM (SELECT doc_id, CAST(doc_id % 256 AS DOUBLE) AS c
                 dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2))
             + ")"),
         "text_pack": text.pack_sequences_sql(budget=512, n_buckets=16),
+        "pipeline_tokenize": pipeline.tokenize_and_pack_sql(k=24),
         "text_repetition": text.repetition_scores_sql(),
         # nbits must match the Spark side's corpus-adaptive choice: the
         # driver grades the oracle at sf0.01, so count that table's rows

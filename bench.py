@@ -67,7 +67,7 @@ HEADLINE = [
     # the component costs are anchored separately (kmeans ==
     # ann_kmeans, verify == dedup_embedding, components ==
     # dedup_canonical)
-    "dedup_semantic",
+    "dedup_semantic", "pipeline_tokenize",
 ]
 
 

@@ -703,6 +703,32 @@ class TestSemanticDedup:
         assert semantic.adaptive_k(10**9) * 64 <= ADC_LITERAL_MAX
 
 
+class TestTokenizeAndPack:
+    def test_matches_oracle(self, spark, con):
+        from tuplex_spark.functions import pipeline
+        docs = spark.read.parquet(DOC)
+        df = pipeline.tokenize_and_pack(docs, k=24)
+        assert_matches(df, con, pipeline.tokenize_and_pack_sql(k=24))
+
+    def test_placement_invariants(self, spark):
+        from tuplex_spark.functions import pipeline
+        docs = spark.read.parquet(DOC).limit(100)
+        rows = pipeline.tokenize_and_pack(docs, k=8, budget=128,
+                                          n_buckets=4).collect()
+        assert len(rows) == 100
+        by_bucket = {}
+        for r in rows:
+            assert 0 <= r["off"] < 128 and r["block"] >= 0
+            assert r["bucket"] == r["doc_id"] % 4
+            by_bucket.setdefault(r["bucket"], []).append(r)
+        for rs in by_bucket.values():
+            rs.sort(key=lambda r: r["doc_id"])
+            run = 0
+            for r in rs:
+                assert r["block"] * 128 + r["off"] == run
+                run += r["n_subwords"]
+
+
 class TestQuantize:
     def test_int8_reconstruction_bound_and_range(self, spark):
         from pyspark.sql import functions as F

@@ -106,6 +106,95 @@ FROM s1 LEFT JOIN drops ON s1.{id_col} = drops.{id_col}
 WHERE drops.{id_col} IS NULL"""
 
 
+def tokenize_and_pack(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 24,
+                      budget: int = 512,
+                      n_buckets: int = 16) -> DataFrame:
+    """The tokenize-and-pack tail of a pretraining pipeline,
+    end-to-end: train a BPE tokenizer on the corpus
+    (text.bpe_train_local — the production trainer: ONE distributed
+    vocab job + incremental driver merge loop), encode every document
+    to its SUBWORD count (k codegen replaces over the small
+    vocabulary, AQE-broadcast join back — the corpus never
+    re-shuffles), then pack documents into fixed ``budget``-subword
+    training blocks with text.pack_sequences' deterministic
+    bucket-window arithmetic — packing by TOKENIZER counts, which is
+    what a real pipeline budgets by, not whitespace tokens.
+
+    Documents with no in-charset words pack with n_subwords = 0 (they
+    occupy no block space but keep their placement row).
+
+    Returns (id, n_subwords, bucket, block, off).  100 TB shape: one
+    vocab shuffle + driver merge loop (vocab-bounded collect, loudly
+    capped), one broadcast-join scan for counts, one bucket-window
+    shuffle for placement."""
+    from pyspark.sql import Window
+    from .text import (_BPE_SYMBOLS, _BPE_WORD_RE, _bpe_vocab,
+                       bpe_apply, bpe_train_local, tokens)
+    merges = bpe_train_local(docs, text_col, k)
+    vocab = _bpe_vocab(docs, text_col)
+    enc = bpe_apply(vocab, merges) \
+        .select("w", F.size(F.expr(_BPE_SYMBOLS)).alias("ns"))
+    docw = (docs.select(F.col(id_col).alias("id"),
+                        F.explode(tokens(text_col)).alias("w"))
+            .filter(F.col("w").rlike(_BPE_WORD_RE)))
+    counts = (docw.join(enc, "w")
+              .groupBy("id").agg(F.sum("ns").alias("n_subwords")))
+    base = (docs.select(F.col(id_col).alias("id"))
+            .join(counts, "id", "left")
+            .select("id",
+                    F.coalesce("n_subwords", F.lit(0)).cast("long")
+                     .alias("n_subwords"),
+                    (F.col("id") % n_buckets).alias("bucket")))
+    w = Window.partitionBy("bucket").orderBy("id")
+    start = F.sum("n_subwords").over(w) - F.col("n_subwords")
+    return base.select(
+        F.col("id").alias(id_col), "n_subwords",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.floor(start / budget).cast("long").alias("block"),
+        (start % budget).cast("long").alias("off"))
+
+
+def tokenize_and_pack_sql(table: str = "documents",
+                          text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 24,
+                          budget: int = 512,
+                          n_buckets: int = 16) -> str:
+    """DuckDB twin of :func:`tokenize_and_pack`: the k training rounds
+    replay sequentially (text._bpe_ctes — bpe_train_local is
+    bitwise-locked to that trajectory), the encode/count join and the
+    bucket-window placement mirror exactly."""
+    from .text import _BPE_D, _BPE_WORD_RE, TOKENS_SQL, _bpe_ctes
+    toks = TOKENS_SQL.format(c=text_col)
+    ctes = _bpe_ctes(k, table, text_col)
+    return f"""WITH {ctes}, enc AS (
+  SELECT w, len(list_filter(string_split(sym, '{_BPE_D}'),
+                            x -> x <> '')) AS ns
+  FROM sym{k}
+), docw AS (
+  SELECT id, w FROM (
+    SELECT {id_col} AS id, unnest({toks}) AS w FROM {table})
+  WHERE regexp_matches(w, '{_BPE_WORD_RE}')
+), counts AS (
+  SELECT d.id, sum(e.ns)::BIGINT AS n_subwords
+  FROM docw d JOIN enc e ON d.w = e.w GROUP BY d.id
+), base AS (
+  SELECT t.{id_col} AS id,
+         COALESCE(c.n_subwords, 0)::BIGINT AS n_subwords,
+         (t.{id_col} % {n_buckets})::BIGINT AS bucket
+  FROM {table} t LEFT JOIN counts c ON t.{id_col} = c.id
+), cum AS (
+  SELECT id, n_subwords, bucket,
+         sum(n_subwords) OVER (PARTITION BY bucket ORDER BY id)
+           - n_subwords AS start
+  FROM base
+)
+SELECT id AS {id_col}, n_subwords, bucket,
+       (start // {budget})::BIGINT AS block,
+       (start % {budget})::BIGINT AS off
+FROM cum"""
+
+
 def embedding_clean(docs: DataFrame, emb: DataFrame,
                     min_quality: float = 0.55, lang: str = "en",
                     threshold: float = 0.45,
