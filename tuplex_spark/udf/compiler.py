@@ -1444,7 +1444,22 @@ class Translator:
             return self._exec_for_first_match(st, path)
         if st.orelse:
             raise CompileError("for-else")
-        self._exec_for_fold(st, path)
+        ret = self._exec_for_fold(st, path)
+        if ret is not None:
+            # round 11: returns MIXED with accumulation — the fold
+            # lowered each `return EXPR` to (value, flag) accumulators
+            # + break, so the loop stopped updating at the return
+            # point; emit the return under the flag condition and
+            # narrow the path like any conditional return
+            rv_name, rf_name = ret
+            rcond = F.coalesce(self.to_col(self._locals[rf_name]),
+                               F.lit(False))
+            ret_path = rcond if path is None else (path & rcond)
+            self._returns.append((ret_path, self._locals[rv_name]))
+            path = ~rcond if path is None else (path & ~rcond)
+            self._path = path
+            self._locals.pop(rv_name, None)
+            self._locals.pop(rf_name, None)
         return False, path
 
     @staticmethod
@@ -2719,10 +2734,63 @@ class Translator:
             return [target.id]
         raise CompileError("loop target shape")
 
+    def _rewrite_loop_returns(self, stmts: list, rv: str, rf: str):
+        """Rewrite ``return EXPR`` inside a dynamic-loop body as
+        ``rv = EXPR; rf = True; break`` — the value and flag become
+        ordinary fold accumulators and the break rides the existing
+        flag lowering, so the loop stops updating exactly at the
+        return point (round 11: the returns-mixed-with-accumulation
+        shape).  Returns must sit in statement position within plain
+        if-chains; a return nested in an inner loop/try/with — or a
+        bare ``return`` (a None arm is the variant-widening the fold
+        accumulator can't express) — raises CompileError -> exact
+        Arrow fallback."""
+        out: list = []
+        for s in stmts:
+            if isinstance(s, ast.Return):
+                if s.value is None:
+                    raise CompileError("bare return in dynamic loop")
+                a = ast.Assign(
+                    targets=[ast.Name(id=rv, ctx=ast.Store())],
+                    value=s.value)
+                ast.copy_location(a, s)
+                ast.fix_missing_locations(a)
+                out.append(a)
+                out.append(_flag_assign(rf, True))
+                out.append(ast.copy_location(ast.Break(), s))
+                return out  # statically dead code after a return
+            if isinstance(s, ast.If):
+                if any(isinstance(n, ast.Return) for n in ast.walk(s)):
+                    ns = ast.If(
+                        test=s.test,
+                        body=self._rewrite_loop_returns(s.body, rv, rf),
+                        orelse=self._rewrite_loop_returns(s.orelse,
+                                                          rv, rf))
+                    ast.copy_location(ns, s)
+                    ast.fix_missing_locations(ns)
+                    out.append(ns)
+                else:
+                    out.append(s)
+                continue
+            if any(isinstance(n, ast.Return) for n in ast.walk(s)):
+                raise CompileError("return nested in inner construct")
+            out.append(s)
+        return out
+
     def _exec_for_fold(self, st: ast.For, path: Column | None):
         arr, tags, is_struct, arr_nullable = self._iter_array(st.iter)
         body = list(st.body)
         flag_names: list[str] = []
+        ret_names: tuple[str, str] | None = None
+        if any(isinstance(n, ast.Return)
+               for s in body for n in ast.walk(s)):
+            rid = self._loop_flag_id = \
+                getattr(self, "_loop_flag_id", 0) + 1
+            rv, rf = f"__rv{rid}", f"__rf{rid}"
+            body = self._rewrite_loop_returns(body, rv, rf)
+            self._locals[rv] = SConst(None)
+            self._locals[rf] = SCol(F.lit(False), "bool", False)
+            ret_names = (rv, rf)
         if any(_contains_break_continue(s) for s in body):
             # break/continue lower to boolean flag ACCUMULATORS: the
             # whole iteration runs under `if not __brk`, so post-break
@@ -2745,7 +2813,10 @@ class Translator:
             raise CompileError("dynamic loop with no accumulators")
         init = {n: self._locals[n] for n in accs}
         for s in init.values():
-            if s.tag not in ("int", "float", "bool", "str"):
+            # "null" only as the pre-loop seed of the synthetic return
+            # accumulator (never read unless the flag is set, and the
+            # dry pass unifies it to the return expression's tag)
+            if s.tag not in ("int", "float", "bool", "str", "null"):
                 raise CompileError(f"fold accumulator of tag {s.tag}")
 
         def run_body(acc_syms, x):
@@ -2824,6 +2895,7 @@ class Translator:
             self._locals.pop(n, None)
         for n in flag_names:
             self._locals.pop(n, None)
+        return ret_names
 
     def _merge_envs(self, cond, t_env, f_env, saved):
         out = {}
