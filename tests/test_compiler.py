@@ -559,13 +559,28 @@ class TestLoops:
             return str(n)
         run_diff(ctx, self.TEXTS, f, expect_compiled=True)
 
-    def test_guarded_fold_body_falls_back(self, ctx):
+    def test_guarded_fold_body_compiles(self, ctx):
+        # round 11: guards inside the fold body fold into synthetic
+        # (flag, code) accumulators — the first raising iteration's
+        # site wins, and the row becomes an ordinary exception row
         def f(x):
             acc = 0
             for t in x.split(" "):
                 acc += 10 // len(t)  # ZeroDivisionError on empty token
             return acc
-        run_diff(ctx, ["a bb", "ccc dddd"], f, expect_compiled=False)
+        run_diff(ctx, ["a bb", "ccc dddd", "a  b", ""], f,
+                 expect_compiled=True)
+
+    def test_guarded_fold_raise_is_resolvable(self, ctx):
+        # the folded raise behaves like any guard row: resolve() takes it
+        def f(x):
+            acc = 0
+            for t in x.split(" "):
+                acc += 10 // len(t)
+            return acc
+        ds = ctx.parallelize(["a bb", "a  b", "cc"]).map(f)
+        out = ds.resolve(ZeroDivisionError, lambda x: -1).collect()
+        assert out == [15, -1, 5]
 
     def test_empty_array_fold(self, ctx):
         def f(x):
@@ -4721,9 +4736,10 @@ class TestLoopReturnsWithAccumulation:
             return acc
         run_diff(ctx, ["abc def", "a"], f, expect_compiled=False)
 
-    def test_guard_raising_return_expr_falls_back(self, ctx):
-        # a DYNAMIC loop whose return expression can raise: the fold
-        # can't path-condition per-iteration guards -> exact fallback
+    def test_guard_raising_return_expr_compiles(self, ctx):
+        # a DYNAMIC loop whose return expression can raise: the guard
+        # folds into the (flag, code) accumulators and the raising row
+        # becomes an exception row at exactly CPython's raise point
         def f(s):
             acc = 0
             for t in s.split(" "):
@@ -4731,8 +4747,8 @@ class TestLoopReturnsWithAccumulation:
                 if acc > 5:
                     return 10 // (len(t) - 2)
             return acc
-        run_diff(ctx, ["abc defg", "abcd", "a"], f,
-                 expect_compiled=False)
+        run_diff(ctx, ["abc defg", "abcd", "a", "abcd ef"], f,
+                 expect_compiled=True)
 
     def test_return_in_nested_loop_falls_back(self, ctx):
         def f(s):

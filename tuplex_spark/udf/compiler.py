@@ -2821,7 +2821,13 @@ class Translator:
 
         def run_body(acc_syms, x):
             """Execute the loop body under acc/element bindings; returns
-            {acc: Sym-after}.  Guards or returns inside abort."""
+            ({acc: Sym-after}, captured_guards).  Returns inside abort
+            (the return rewrite removed them first); guards the body
+            emits are CAPTURED (round 11) — their conditions reference
+            the fold's lambda variables, so they fold into synthetic
+            (flag, code) accumulator fields instead of top-level guard
+            rows, with the first-raise ordering preserved by the
+            already-raised mask."""
             saved_locals = dict(self._locals)
             saved_returns = list(self._returns)
             n_guards = len(self.guards)
@@ -2834,10 +2840,9 @@ class Translator:
                 if self.exec_block(body, None) \
                         or len(self._returns) != len(saved_returns):
                     raise CompileError("return/raise inside dynamic loop")
-                if len(self.guards) != n_guards:
-                    self._truncate_guards(n_guards)
-                    raise CompileError("guard-raising dynamic loop body")
-                return {n: self._locals[n] for n in accs}
+                caught = list(self.guards[n_guards:])
+                self._truncate_guards(n_guards)
+                return {n: self._locals[n] for n in accs}, caught
             finally:
                 self._branch_depth -= 1
                 self._hof_depth -= 1
@@ -2846,37 +2851,73 @@ class Translator:
 
         # pass 1 (dry): discover post-body tags to fix the struct schema
         dummy = F.lit(0)
-        out = run_body({n: SCol(dummy, s.tag, s.nullable)
-                        for n, s in init.items()}, dummy)
+        out, caught1 = run_body({n: SCol(dummy, s.tag, s.nullable)
+                                 for n, s in init.items()}, dummy)
         final = {}
         for n in accs:
             t = _unify_tags(init[n].tag, out[n].tag)
             if t not in ("int", "float", "bool", "str"):
                 raise CompileError(f"fold accumulator widens to {t}")
             final[n] = t
-        out2 = run_body({n: SCol(dummy, final[n], init[n].nullable)
-                         for n in accs}, dummy)
+        out2, caught2 = run_body({n: SCol(dummy, final[n],
+                                          init[n].nullable)
+                                  for n in accs}, dummy)
         for n in accs:
             if _unify_tags(final[n], out2[n].tag) != final[n]:
                 raise CompileError("fold accumulator type oscillates")
+        if [c for _, c in caught1] != [c for _, c in caught2]:
+            raise CompileError("unstable guard sites in loop body")
+        guard_codes = [c for _, c in caught2]
         nullable = {n: init[n].nullable or out2[n].nullable for n in accs}
 
         def cast_to(col: Column, tag: str) -> Column:
             return col.cast(tag_to_spark(tag).simpleString())
 
-        zero = F.struct(*[
+        nacc = len(accs)
+        zero_fields = [
             cast_to(self.to_col(init[n]), final[n]).alias(f"f{i}")
-            for i, n in enumerate(accs)])
+            for i, n in enumerate(accs)]
+        if guard_codes:
+            zero_fields += [F.lit(False).alias(f"f{nacc}"),
+                            F.lit(0).alias(f"f{nacc + 1}")]
+        zero = F.struct(*zero_fields)
 
         def merge(acc, x):
-            res = run_body(
+            res, caught = run_body(
                 {n: SCol(acc.getField(f"f{i}"), final[n], nullable[n])
                  for i, n in enumerate(accs)}, x)
-            return F.struct(*[
+            fields = [
                 cast_to(self.to_col(res[n]), final[n]).alias(f"f{i}")
-                for i, n in enumerate(accs)])
+                for i, n in enumerate(accs)]
+            if guard_codes:
+                if [c for _, c in caught] != guard_codes:
+                    raise CompileError("unstable guard sites in loop "
+                                       "body")
+                already = acc.getField(f"f{nacc}")
+                gc = acc.getField(f"f{nacc + 1}")
+                for cond, code in caught:
+                    c = F.coalesce(cond, F.lit(False))
+                    gc = F.when(~already & c, F.lit(code)).otherwise(gc)
+                    already = already | c
+                fields += [already.alias(f"f{nacc}"),
+                           gc.alias(f"f{nacc + 1}")]
+            return F.struct(*fields)
 
         result = F.aggregate(arr, zero, merge)
+        if guard_codes:
+            # re-emit the folded raises as ordinary top-level guards:
+            # first-raise order inside the loop is preserved by the
+            # already-mask (the stored code is the FIRST site to fire
+            # across all iterations), and emission HERE keeps the
+            # loop's raise ahead of later statements' guards in the
+            # dataset when-chain.  No recorded message — handlers
+            # reading str(e) over these sites stay on the fallback.
+            gf_col = F.coalesce(result.getField(f"f{nacc}"),
+                                F.lit(False))
+            gc_col = result.getField(f"f{nacc + 1}")
+            for code in dict.fromkeys(guard_codes):
+                self.guard(gf_col & (gc_col == code),
+                           name_for_code(code))
         tmp = f"__fold_{self._tmp}"
         self._tmp += 1
         res_sym = SCol(result, "struct", arr_nullable)
