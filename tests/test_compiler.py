@@ -4750,6 +4750,44 @@ class TestLoopReturnsWithAccumulation:
         run_diff(ctx, ["abc defg", "abcd", "a", "abcd ef"], f,
                  expect_compiled=True)
 
+    def test_guarded_while_body_compiles(self, ctx):
+        # round 11: guards inside a convergence-while body fold into
+        # (flag, code) accumulator fields updated only on iterations
+        # the loop test admits — raising rows become exception rows at
+        # CPython's raise point, ahead of the cap guard
+        def f(x):
+            v = x
+            acc = 0
+            while v > 1:
+                acc = acc + 10 // (v - 2)  # raises when v hits 2
+                v = v - 1
+            return acc
+        run_diff(ctx, [0, 1, 5, 3], f, expect_compiled=True)
+
+    def test_guarded_while_raise_resolvable(self, ctx):
+        def f(x):
+            v = x
+            acc = 0
+            while v > 1:
+                acc = acc + 10 // (v - 2)
+                v = v - 1
+            return acc
+        ds = ctx.parallelize([1, 4, 0]).map(f)
+        out = ds.resolve(ZeroDivisionError, lambda x: -1).collect()
+        assert out == [0, -1, 0]
+
+    def test_guarded_while_body_no_raise_rows(self, ctx):
+        # the guard machinery must not fire on rows whose trajectory
+        # never hits the raise condition
+        def f(x):
+            v = x + 10
+            acc = 0
+            while v > 1:
+                acc = acc + 100 // v  # v never 0 on this trajectory
+                v = v // 2
+            return acc
+        run_diff(ctx, [0, 5, 100], f, expect_compiled=True)
+
     def test_return_in_nested_loop_falls_back(self, ctx):
         def f(s):
             acc = 0

@@ -2441,7 +2441,12 @@ class Translator:
 
         def run_step(acc_syms):
             """Evaluate (test, body) under acc bindings; returns
-            (cond_sym, {acc: Sym-after})."""
+            (cond_sym, {acc: Sym-after}, captured_guards).  Guards the
+            body emits are CAPTURED (round 11, same scheme as
+            _exec_for_fold): their conditions reference the fold's
+            accumulator fields, so they fold into synthetic
+            (flag, code) fields updated only on iterations the loop
+            test admits — exactly the iterations CPython runs."""
             saved_locals = dict(self._locals)
             saved_returns = list(self._returns)
             k_guards = len(self.guards)
@@ -2454,10 +2459,9 @@ class Translator:
                 if self.exec_block(st.body, None) \
                         or len(self._returns) != len(saved_returns):
                     raise CompileError("return inside convergence while")
-                if len(self.guards) != k_guards:
-                    self._truncate_guards(k_guards)
-                    raise CompileError("guard-raising while body")
-                return cond, {n: self._locals[n] for n in accs}
+                caught = list(self.guards[k_guards:])
+                self._truncate_guards(k_guards)
+                return cond, {n: self._locals[n] for n in accs}, caught
             finally:
                 self._branch_depth -= 1
                 self._hof_depth -= 1
@@ -2468,22 +2472,26 @@ class Translator:
         # scheme as _exec_for_fold)
         dummy = F.lit(0)
         try:
-            _, out = run_step({n: SCol(dummy, s.tag, s.nullable)
-                               for n, s in init.items()})
+            _, out, caught1 = run_step({n: SCol(dummy, s.tag, s.nullable)
+                                        for n, s in init.items()})
             final = {}
             for n in accs:
                 tg = _unify_tags(init[n].tag, out[n].tag)
                 if tg not in ("int", "float", "bool", "str"):
                     raise CompileError(f"while accumulator widens to {tg}")
                 final[n] = tg
-            _, out2 = run_step({n: SCol(dummy, final[n], init[n].nullable)
-                                for n in accs})
+            _, out2, caught2 = run_step(
+                {n: SCol(dummy, final[n], init[n].nullable)
+                 for n in accs})
             for n in accs:
                 if _unify_tags(final[n], out2[n].tag) != final[n]:
                     raise CompileError("while accumulator oscillates")
+            if [c for _, c in caught1] != [c for _, c in caught2]:
+                raise CompileError("unstable guard sites in while body")
         except CompileError:
             self._truncate_guards(n_guards)
             return False
+        guard_codes = [c for _, c in caught2]
         nullable = {n: init[n].nullable or out2[n].nullable for n in accs}
 
         # per-row iteration bound (double space, clamped BEFORE ceil so
@@ -2537,23 +2545,51 @@ class Translator:
         def cast_to(col: Column, tg: str) -> Column:
             return col.cast(tag_to_spark(tg).simpleString())
 
-        zero = F.struct(*[
+        nacc = len(accs)
+        zero_fields = [
             cast_to(self.to_col(init[n]), final[n]).alias(f"f{i}")
-            for i, n in enumerate(accs)])
+            for i, n in enumerate(accs)]
+        if guard_codes:
+            zero_fields += [F.lit(False).alias(f"f{nacc}"),
+                            F.lit(0).alias(f"f{nacc + 1}")]
+        zero = F.struct(*zero_fields)
 
         def merge(acc, _x):
-            cond, res = run_step(
+            cond, res, caught = run_step(
                 {n: SCol(acc.getField(f"f{i}"), final[n], nullable[n])
                  for i, n in enumerate(accs)})
-            return F.when(cond, F.struct(*[
+            fields = [
                 cast_to(self.to_col(res[n]), final[n]).alias(f"f{i}")
-                for i, n in enumerate(accs)])).otherwise(acc)
+                for i, n in enumerate(accs)]
+            if guard_codes:
+                if [cd for _, cd in caught] != guard_codes:
+                    raise CompileError("unstable guard sites in while "
+                                       "body")
+                already = acc.getField(f"f{nacc}")
+                gc = acc.getField(f"f{nacc + 1}")
+                for gcond, code in caught:
+                    cc = F.coalesce(gcond, F.lit(False))
+                    gc = F.when(~already & cc, F.lit(code)).otherwise(gc)
+                    already = already | cc
+                fields += [already.alias(f"f{nacc}"),
+                           gc.alias(f"f{nacc + 1}")]
+            return F.when(cond, F.struct(*fields)).otherwise(acc)
 
         result = F.aggregate(F.sequence(F.lit(1), k), zero, merge)
         any_null = any(getattr(s, "nullable", False) for s in init.values())
         for i, n in enumerate(accs):
             self._locals[n] = SCol(result.getField(f"f{i}"), final[n],
                                    nullable[n] or any_null)
+        if guard_codes:
+            # folded body raises re-emit FIRST (ahead of the cap
+            # guard), preserving first-raise order — the stored code
+            # is the first site to fire across iterations
+            gf_col = F.coalesce(result.getField(f"f{nacc}"),
+                                F.lit(False))
+            gc_col = result.getField(f"f{nacc + 1}")
+            for code in dict.fromkeys(guard_codes):
+                self.guard(gf_col & (gc_col == code),
+                           name_for_code(code))
         # cap guard: condition still true after K iterations -> the
         # compiled bound was insufficient (CPython would keep looping);
         # grow additionally guards its termination PREcondition (see
