@@ -1274,6 +1274,24 @@ def q_dedup_semantic(spark, sf_dir):
                              threshold=0.42)
 
 
+def q_dedup_semantic_scaled(spark, sf_dir):
+    """SemDeDup at PRODUCTION shape (VERDICT r11 item 1): the cluster
+    count is semantic.adaptive_k_production(n) — k >= 64, past the
+    hi=16 literal-path clamp — so every centroid assignment (the two
+    training rounds and the final clustering) runs the ONE-Arrow-pass
+    _cos_assign_arrow path a 100 TB run uses, with the closure-held
+    centroid matrix and the half-away-from-zero rounding that matches
+    DuckDB round(x, 6) bitwise.  Same threshold/oracle machinery as
+    q_dedup_semantic; the oracle replays the k=64 trajectory with the
+    identical SQL twin."""
+    from tuplex_spark.functions import semantic
+    _prep(spark)
+    n = _parquet_nrows(os.path.join(sf_dir, "embeddings.parquet")) or 0
+    return semantic.semdedup(_t(spark, sf_dir, "embeddings"),
+                             c=semantic.adaptive_k_production(n),
+                             rounds=2, threshold=0.42)
+
+
 _QUERY_VEC = None
 
 
@@ -2116,12 +2134,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq": q_ann_ivfpq,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
-        # NEW round 11: SemDeDup (kmeans-clustered semantic dedup);
-        # in-window on arrival — takes the slot of dedup_canonical
-        # (green r8-r10; semdedup composes the SAME components +
-        # canonical-survivor machinery over kmeans clusters, and the
-        # jaccard-pair front end stays graded as dedup_jaccard)
-        "dedup_semantic": q_dedup_semantic,
+        # NEW round 12 (VERDICT r11 item 1): SemDeDup at PRODUCTION
+        # shape — adaptive_k_production(n) >= 64 puts every centroid
+        # assignment on the one-Arrow-pass closure path a 100 TB run
+        # uses; takes the slot of dedup_semantic (green r11; identical
+        # composition at the clamped literal-path k, stays green in
+        # the selfchecked tail)
+        "dedup_semantic_scaled": q_dedup_semantic_scaled,
         "dedup_decontaminate_bloom": q_dedup_decontaminate_bloom,
         "events_windowed": q_events_windowed,
         "ann_ivf_built": q_ann_ivf_built,
@@ -2194,6 +2213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnow_spans": q_dedup_winnow_spans,
         "text_bpe_batched": q_text_bpe_batched,
         "dedup_canonical": q_dedup_canonical,
+        # round-12 rotation: the clamped-k SemDeDup twin (green r11;
+        # dedup_semantic_scaled grades the same composition at the
+        # production Arrow-path k in-window)
+        "dedup_semantic": q_dedup_semantic,
         "text_pack": q_text_pack,
         "events_range_join": q_events_range_join,
         "ds_cache": q_ds_cache,
@@ -2961,6 +2984,16 @@ FROM (""" + analytics_mod.retention_sql() + ") r",
                 os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
                                "/root/testdata/sf0.01"),
                 "embeddings.parquet")) or 0),
+            rounds=2, threshold=0.42),
+        # production shape: k = adaptive_k_production(n) >= 64, so the
+        # Spark side's assignments all ride the Arrow closure path —
+        # the oracle replays the identical trajectory at that k
+        "dedup_semantic_scaled": semantic_mod.semdedup_sql(
+            c=semantic_mod.adaptive_k_production(_parquet_nrows(
+                os.path.join(
+                    os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                   "/root/testdata/sf0.01"),
+                    "embeddings.parquet")) or 0),
             rounds=2, threshold=0.42),
         # nbits pins to the corpus row count, same as dedup_embedding
         "pipeline_embedding": pipeline.embedding_clean_sql(

@@ -91,6 +91,11 @@ def main():
         else "/root/testdata/sf0.01"
     only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
 
+    # corpus-adaptive oracles (adaptive_k / adaptive_nbits) bake row
+    # counts at oracle_sql() build time from this env var — pin it to
+    # the sf dir under test so selfcheck stays honest at any SF
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+
     import __spark_entry__ as entrymod
     from tuplex_spark import build_session
     spark = build_session("selfcheck", {})

@@ -55,6 +55,20 @@ def adaptive_k(n_rows: int, target_occupancy: int = 512,
     return max(lo, min(hi, math.ceil(n_rows / float(target_occupancy))))
 
 
+def adaptive_k_production(n_rows: int) -> int:
+    """:func:`adaptive_k` with the literal-path clamp REMOVED — the
+    cluster count a real (100 TB) run uses.  k * dim lands past
+    similarity.ADC_LITERAL_MAX, so every assignment (training rounds
+    AND the final clustering) rides the ONE-Arrow-pass
+    :func:`similarity._cos_assign_arrow` production path, whose
+    half-away-from-zero rounding is verified bitwise against both the
+    JVM literal path (tests/test_functions.py) and DuckDB's
+    ``round(x, 6)``.  ``lo=64`` keeps even the smallest graded corpus
+    (500 rows) past the clamp; occupancy 8 makes k track corpus growth
+    exactly as the docstring of :func:`adaptive_k` prescribes."""
+    return adaptive_k(n_rows, target_occupancy=8, lo=64, hi=4096)
+
+
 def semantic_dup_pairs(df: DataFrame,
                        centroids: list[tuple[int, list[float]]],
                        vec_col: str = "embedding",

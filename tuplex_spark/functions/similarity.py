@@ -1365,7 +1365,13 @@ def _cos_assign_arrow(v: Column,
             dots = dots + X[:, [d]] * M[None, :, d]
         cos = dots / (np.sqrt(sd)[:, None]
                       * np.array(norms, dtype=np.float64)[None, :])
-        r6 = np.floor(cos * 1e6 + 0.5) / 1e6
+        # HALF_UP = half AWAY FROM ZERO (Java BigDecimal / DuckDB
+        # round): cosines can be negative, where floor(p+0.5) would
+        # round toward +inf instead (verified against DuckDB round(x,6)
+        # on 20k boundary values)
+        p6 = cos * 1e6
+        r6 = np.where(p6 >= 0.0, np.floor(p6 + 0.5),
+                      np.ceil(p6 - 0.5)) / 1e6
         # among the max-cosine columns pick the SMALLEST cid
         carr = np.array(cids, dtype=np.int64)
         is_best = r6 == r6.max(axis=1)[:, None]
