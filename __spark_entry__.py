@@ -1000,6 +1000,56 @@ def q_mm_gif(spark, sf_dir):
         "decode_error")
 
 
+def q_mm_jpeg(spark, sf_dir):
+    """multimodal JPEG (VERDICT r11 item 3): per-doc solid-gray 32x3
+    JPEGs synthesized by the baseline encoder (quality 85, subsampling
+    cycling 4:4:4/4:2:0/4:2:2 by doc_id, restart markers every 1-2
+    MCUs), decoded by the REAL pure-Python baseline decoder (huffman +
+    exact IDCT, multimodal.py) through Arrow mapInPandas.
+
+    Analytic oracle: gray levels are 128 + 5j, so the quality-85 DC
+    quantizer (q00 = 5 for both Annex K tables) is exactly invertible
+    — round(8*5j/5)*5/8 = 5j — and zero-quantized chroma reconstructs
+    128 exactly; the decode is bit-exact uniform c for every j in
+    [-25, 25] and every sampling mode (verified for all 153 combos),
+    while still exercising huffman coding, DC prediction across the
+    4:2:0 MCU's four luma blocks, bit unstuffing, RSTn resync and all
+    three upsampling ratios.  The 32x3 canvas makes every 4x3-grid
+    feature cell exactly one 8-pixel row, so each feature is one float
+    expression the DuckDB oracle replicates op-for-op (the mm_gif /
+    mm_audio analytic-oracle standard).  Every 13th doc's SOF0 marker
+    is flipped to SOF2 (progressive), grading the per-row
+    NotImplementedError capture path."""
+    from tuplex_spark.functions import multimodal
+    _prep(spark)
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c = 128 + 5 * ((d % 51) - 25)
+                mode = ("444", "420", "422")[d % 3]
+                p = multimodal.encode_jpeg(
+                    32, 3, bytes([c, c, c]) * 96, quality=85,
+                    subsample=mode, restart_interval=1 + (d % 2))
+                if d % 13 == 0:
+                    p = p.replace(b"\xff\xc0", b"\xff\xc2", 1)
+                payloads.append(p)
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    assets = ids.mapInPandas(make, schema="asset_id long, payload binary")
+    feats = multimodal.extract_features(assets, decoder="image/real")
+    return feats.select(
+        "asset_id", "width", "height",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}")
+          for i in range(multimodal.FEATURE_DIM)],
+        "decode_error")
+
+
 # ======================================================================
 # Training-data pipeline ops (scale extensions; functions/)
 # ======================================================================
@@ -2127,7 +2177,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_relational": q_ds_relational,
         # -- training-data pipeline ops --
         "mm_decode": q_mm_decode,
-        "text_quality": q_text_quality,
+        # NEW round 12 (VERDICT r11 item 3): baseline JPEG round-trip
+        # with the mm_gif-style analytic oracle + error-capture rows;
+        # takes the slot of text_quality (green r1-r11; its
+        # length/punct/stopword flags stay graded through text_c4
+        # in-window and composed in pipeline_clean/pipeline_curate)
+        "mm_jpeg": q_mm_jpeg,
         "text_langid_ngram": q_text_langid_ngram,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
@@ -2236,6 +2291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for text_bpe; mm_audio (green r7-r8; Arrow mapInPandas
         # decode shape covered by mm_decode in-window) makes room for
         # text_bpe_encode
+        # round-12 rotation: see the graded block comments
+        "text_quality": q_text_quality,
         "text_redact": q_text_redact,
         "sample_stratified": q_sample_stratified,
         "tpch_q7": q_tpch_q7,
@@ -2749,6 +2806,32 @@ SELECT doc_id AS asset_id, 4 AS width, 3 AS height,
             f" AS f{i}" for i in range(4, 16)) + """,
        NULL::VARCHAR AS decode_error
 FROM (SELECT doc_id, CAST(doc_id % 256 AS DOUBLE) AS c
+      FROM documents)""",
+        # solid-gray 32x3 JPEG, gray = 128+5j (DC-quantizer-exact, so
+        # decode is bit-exact uniform c): every grid cell is one
+        # 8-pixel row -> one float expression per feature; every 13th
+        # doc is marker-flipped to progressive -> error-capture row
+        "mm_jpeg": """
+SELECT doc_id AS asset_id,
+       CASE WHEN prog THEN NULL ELSE 32 END AS width,
+       CASE WHEN prog THEN NULL ELSE 3 END AS height,
+""" + ",\n".join(
+            f"       CASE WHEN prog THEN NULL ELSE"
+            f" round((c*96)/(255.0*96), 6) END AS f{i}"
+            for i in range(3)) + """,
+       CASE WHEN prog THEN NULL ELSE
+         round((0.299*(c*96) + 0.587*(c*96) + 0.114*(c*96))
+               / (255.0*96), 6) END AS f3,
+""" + ",\n".join(
+            f"       CASE WHEN prog THEN NULL ELSE"
+            f" round((0.299*(c*8) + 0.587*(c*8) + 0.114*(c*8))"
+            f" / (255.0*8), 6) END AS f{i}" for i in range(4, 16)) + """,
+       CASE WHEN prog
+            THEN 'NotImplementedError: progressive JPEG (SOF2)'
+            ELSE NULL END AS decode_error
+FROM (SELECT doc_id,
+             CAST(128 + 5 * ((doc_id % 51) - 25) AS DOUBLE) AS c,
+             (doc_id % 13 = 0) AS prog
       FROM documents)""",
         "text_token_count": text.token_count_sql(),
         "text_quality": text.quality_score_sql(),
