@@ -514,6 +514,13 @@ def _not_name(name: str) -> ast.expr:
                        operand=ast.Name(id=name, ctx=ast.Load()))
 
 
+def _is_pure_break_if(s) -> bool:
+    """``if c: break`` with no orelse — the only break carrier the
+    while-contraction fold admits (see _while_contraction_info)."""
+    return (isinstance(s, ast.If) and not s.orelse
+            and len(s.body) == 1 and isinstance(s.body[0], ast.Break))
+
+
 def _lower_break_continue(stmts: list, brk: str, cont: str) -> list:
     """Rewrite a loop body so break/continue become flag assignments:
     ``break`` -> brk=True, cont=True; ``continue`` -> cont=True; any
@@ -755,6 +762,22 @@ _VARIANT_FIELDS = {
     "float": ("__vf", "double", 3),
     "str": ("__vs", "string", 4),
 }
+
+
+class SArgsTuple(Sym):
+    """Handler ``e.args`` over MIXED-arity raise sites (round 12):
+    carries the per-site recorded args (eff-condition, [Sym...]) plus a
+    merged length Sym, instead of one static tuple (CPython handlers
+    see one exception per row, so the tuple LENGTH is data-dependent).
+    Only ``len(e.args)`` and literal-index subscripts compile — the
+    index resolves per-site (so negative indices pick each site's own
+    position) and the items merge under the eff conditions; any other
+    use of the tuple value is a CompileError -> exact fallback."""
+    tag = "argstuple"
+    nullable = False
+
+    def __init__(self, per, len_sym):
+        self.per, self.len_sym = per, len_sym
 
 
 class SVariant(Sym):
@@ -1839,9 +1862,18 @@ class Translator:
             if arity is None:
                 arity = len(a)
             elif arity != len(a):
-                raise CompileError("e.args arity differs across the "
-                                   "handler's raise sites")
+                arity = -1  # mixed — padded representation below
             per.append((eff, a))
+        if arity == -1:
+            # round 12: MIXED arity — no static tuple exists (the
+            # length is data-dependent), so carry the per-site args +
+            # a merged length; len()/literal-index reads resolve
+            # per-site and merge (SArgsTuple), everything else falls
+            # back exactly
+            lmerged = SConst(len(per[-1][1]))
+            for eff, a in reversed(per[:-1]):
+                lmerged = self._merge_vals(eff, SConst(len(a)), lmerged)
+            return SArgsTuple(per, lmerged)
         items = []
         for j in range(arity):
             merged = per[-1][1][j]
@@ -1849,6 +1881,15 @@ class Translator:
                 merged = self._merge_vals(eff, a[j], merged)
             items.append(merged)
         return STuple(items)
+
+    def per_site_args_item(self, base: SArgsTuple, k: int):
+        """Item ``k`` of a mixed-arity e.args: python indexing per site
+        (raises IndexError if any site lacks the position), merged
+        under the sites' eff conditions."""
+        merged = base.per[-1][1][k]
+        for eff, a in reversed(base.per[:-1]):
+            merged = self._merge_vals(eff, a[k], merged)
+        return merged
 
     def _exc_repr_sym(self, conds, new_guards, new_msgs, new_args,
                       n_guards: int):
@@ -1970,6 +2011,18 @@ class Translator:
             rw = self._while_true_break_rewrite(st, path)
             if rw is not None:
                 return rw
+            # data-dependent break-ifs over a recognized contraction
+            # test (round 12): the convergence fold lowers them to a
+            # frozen-flag accumulator — break only exits earlier, so
+            # the analytic bound stays valid.  A CompileError here
+            # (e.g. a nested loop makes the body unscannable) must not
+            # preempt the static unroll path below.
+            ng = len(self.guards)
+            try:
+                if self._while_convergence_fold(st):
+                    return False, path
+            except CompileError:
+                self._truncate_guards(ng)
             # `while True:` (or any statically-foldable test) with
             # statically-resolvable breaks: unroll with flag lowering
             return self._exec_while_unroll_break(st, path)
@@ -2053,8 +2106,13 @@ class Translator:
         body = list(st.body)
         if len(body) < 2:
             return None
-        if is_break_if(body[0]) \
-                and not any(_contains_break_continue(s) for s in body[1:]):
+        if is_break_if(body[0]):
+            # EXACT regardless of what follows: both forms check c at
+            # the same program point, and any further break/continue
+            # in the rest binds identically to the respelled loop
+            # (round 12 — previously required a break-free rest; the
+            # remaining breaks now ride the counter folds' flag
+            # lowering or the break-tolerant convergence fold)
             w = ast.copy_location(
                 ast.While(test=self._invert_test(body[0].test),
                           body=body[1:], orelse=[]), st)
@@ -2082,10 +2140,17 @@ class Translator:
         # one-time prefix run of A matches CPython's first iteration —
         # A's statements are shared AST nodes between the prefix and
         # the loop body (read-only traversals, so sharing is safe)
+        # prefix A must be break/continue-free (it runs ONCE outside
+        # any loop); B may contain further breaks (they exit without
+        # re-running A in both spellings — round 12) but not continue
+        # (original order after continue-in-B is A-then-test; rotated
+        # is test-then-A)
         for i in range(1, len(body) - 1):
             if is_break_if(body[i]) \
                     and not any(_contains_break_continue(s)
-                                for s in body[:i] + body[i + 1:]):
+                                for s in body[:i]) \
+                    and not any(_contains_continue(s)
+                                for s in body[i + 1:]):
                 pre = body[:i]
                 w = ast.copy_location(
                     ast.While(test=self._invert_test(body[i].test),
@@ -2329,10 +2394,19 @@ class Translator:
             return None
         t = thr.value
         # body: straight-line assignments, exactly one recognized
-        # update of the driver
-        body_assigned = set(_loop_assigned_names(st.body))
+        # update of the driver.  Pure break-ifs (``if c: break`` —
+        # round 12) are SKIPPED: a break only exits EARLIER, so the
+        # contraction bound stays a valid upper bound, and the fold
+        # lowers them to a frozen-flag accumulator (any other
+        # break-carrying statement could update accumulators — or the
+        # driver — without breaking, which would invalidate the bound,
+        # so those still reject).
+        body_assigned = set(_loop_assigned_names(
+            [s for s in st.body if not _is_pure_break_if(s)]))
         upd = None
         for s in st.body:
+            if _is_pure_break_if(s):
+                continue
             if isinstance(s, ast.AugAssign):
                 tgts, val, bop = [s.target], s.value, s.op
             elif isinstance(s, ast.Assign):
@@ -2428,16 +2502,41 @@ class Translator:
             self._truncate_guards(n_guards)
             return False
         var, kind, c, t, exact = info
-        assigned = _loop_assigned_names(st.body)
+        # round 12: data-dependent break-ifs lower to a FROZEN-FLAG
+        # accumulator — break only exits earlier, so the contraction
+        # bound stays valid; iterations after the flag set are no-ops
+        # (the step condition carries ~brk).  continue is rejected: it
+        # can skip the driver update, so admitted iterations would no
+        # longer each contract and the bound proof breaks.
+        body = list(st.body)
+        brk = cont = None
+        if any(_contains_break_continue(s) for s in st.body):
+            if any(_contains_continue(s) for s in st.body):
+                self._truncate_guards(n_guards)
+                return False
+            fid = self._loop_flag_id = getattr(self, "_loop_flag_id",
+                                               0) + 1
+            brk, cont = f"__brk{fid}", f"__cont{fid}"
+            body = [_flag_assign(cont, False)] \
+                + _lower_break_continue(body, brk, cont)
+            self._locals[brk] = SConst(False)
+            self._locals[cont] = SConst(False)
+        assigned = _loop_assigned_names(body)
         accs = [n for n in assigned if n in self._locals]
-        if set(assigned) != set(accs):
+
+        def bail():
             self._truncate_guards(n_guards)
+            if brk is not None:
+                self._locals.pop(brk, None)
+                self._locals.pop(cont, None)
             return False
+
+        if set(assigned) != set(accs):
+            return bail()
         init = {n: self._locals[n] for n in accs}
         if any(s.tag not in ("int", "float", "bool", "str")
                for s in init.values()):
-            self._truncate_guards(n_guards)
-            return False
+            return bail()
 
         def run_step(acc_syms):
             """Evaluate (test, body) under acc bindings; returns
@@ -2456,7 +2555,12 @@ class Translator:
                 for n, s in acc_syms.items():
                     self._locals[n] = s
                 cond = self.truthy(self.eval(st.test))
-                if self.exec_block(st.body, None) \
+                if brk is not None:
+                    # a broken row freezes: iterations after the flag
+                    # set are no-ops, exactly CPython's early exit
+                    cond = cond & ~F.coalesce(
+                        self.to_col(acc_syms[brk]), F.lit(False))
+                if self.exec_block(body, None) \
                         or len(self._returns) != len(saved_returns):
                     raise CompileError("return inside convergence while")
                 caught = list(self.guards[k_guards:])
@@ -2489,8 +2593,7 @@ class Translator:
             if [c for _, c in caught1] != [c for _, c in caught2]:
                 raise CompileError("unstable guard sites in while body")
         except CompileError:
-            self._truncate_guards(n_guards)
-            return False
+            return bail()
         guard_codes = [c for _, c in caught2]
         nullable = {n: init[n].nullable or out2[n].nullable for n in accs}
 
@@ -2597,7 +2700,16 @@ class Translator:
         guard_cond = self.truthy(self.eval(st.test))
         if kind == "grow":
             guard_cond = guard_cond | precond_bad
+        if brk is not None:
+            # a row that exited via break is a CLEAN exit even though
+            # the while test still holds (and even if its grow
+            # precondition looked hang-shaped — CPython broke first)
+            guard_cond = guard_cond & ~F.coalesce(
+                self.to_col(self._locals[brk]), F.lit(False))
         self.guard(guard_cond, "RuntimeError")
+        if brk is not None:
+            self._locals.pop(brk, None)
+            self._locals.pop(cont, None)
         return True
 
     def _unroll_with_break(self, st: ast.For, vals) -> list:
@@ -3467,6 +3579,20 @@ class Translator:
                                msg="tuple index out of range")
                     return SConst(None)
             raise CompileError("tuple index must be int constant")
+        if isinstance(base, SArgsTuple):
+            # mixed-arity e.args: resolve the literal index per raise
+            # SITE (negative indices pick each site's own position),
+            # then merge under the eff conditions.  An index out of
+            # range for ANY site would be a per-row IndexError inside
+            # the handler — exact fallback, not a guard.
+            if not (isinstance(idx, SConst) and isinstance(idx.value, int)):
+                raise CompileError("e.args index must be int constant")
+            try:
+                merged = self.per_site_args_item(base, idx.value)
+            except IndexError:
+                raise CompileError(
+                    "e.args index out of range for a raise site")
+            return merged
         if isinstance(base, SDict):
             if isinstance(idx, SConst) and isinstance(idx.value, str):
                 if idx.value in base.items:
@@ -4880,6 +5006,26 @@ class Translator:
             # str(container): CPython renders quotes and (for sets)
             # hash order; the string cast renders java style — refuse
             raise CompileError(f"str({s.tag})")
+        if isinstance(s, SVariant):
+            # per-tag CPython str over the RUNTIME type — the raw
+            # struct cast rendered '{vt, ...}' (round-12 fix: hit by
+            # str(e.args[k]) over mixed-type raise sites)
+            c = s.col
+            out = F.lit("None")
+            for t in s.present:
+                name, _, code = _VARIANT_FIELDS[t]
+                v = c.getField(name)
+                if t == "bool":
+                    sv = F.when(v, "True").otherwise("False")
+                elif t == "float":
+                    sv = _py_float_str(v)
+                elif t == "str":
+                    sv = v
+                else:
+                    sv = v.cast("string")
+                out = F.when(c.getField("__vt") == code, sv) \
+                    .otherwise(out)
+            return out
         c = self.to_col(s)
         if s.tag == "bool":
             out = F.when(c, "True").otherwise("False")
@@ -5113,6 +5259,8 @@ class Translator:
             return SConst(len(a.value))
         if isinstance(a, (STuple, SDict)):
             return SConst(len(a.items))
+        if isinstance(a, SArgsTuple):
+            return a.len_sym
         c = self.to_col(a)
         self._guard_nulls(a)
         if a.tag == "str":
