@@ -4913,7 +4913,11 @@ class TestLoopReturnsWithAccumulation:
             return s
         run_diff(ctx, [0, 2, 5, 10], f, expect_compiled=True)
 
-    def test_bare_return_falls_back(self, ctx):
+    def test_bare_return_compiles(self, ctx):
+        # round 12: an all-bare-return loop needs only the flag
+        # accumulator — the caller reads the untouched SConst(None)
+        # seed, and the None arm merges with the typed post-loop
+        # return through the variant machinery
         def f(s):
             acc = 0
             for t in s.split(" "):
@@ -4921,7 +4925,45 @@ class TestLoopReturnsWithAccumulation:
                 if acc > 4:
                     return
             return acc
-        run_diff(ctx, ["abc def", "a"], f, expect_compiled=False)
+        run_diff(ctx, ["abc def", "a", "", "abcde", "ab cd"], f,
+                 expect_compiled=True)
+
+    def test_return_none_literal_compiles(self, ctx):
+        # `return None` is the same site shape as bare `return`
+        def f(s):
+            n = 0
+            for t in s.split(" "):
+                if t == "bad":
+                    return None
+                n = n + 1
+            return n
+        run_diff(ctx, ["a bad c", "a b c", "bad", ""], f,
+                 expect_compiled=True)
+
+    def test_mixed_bare_and_valued_falls_back(self, ctx):
+        # a bare exit would overwrite the value accumulator with a
+        # None arm — not expressible in a scalar fold field
+        def f(s):
+            acc = 0
+            for t in s.split(" "):
+                if t == "x":
+                    return
+                acc = acc + len(t)
+                if acc > 6:
+                    return acc
+            return acc
+        run_diff(ctx, ["x y", "abc defg", "ab"], f,
+                 expect_compiled=False)
+
+    def test_bare_return_none_result_rows(self, ctx):
+        # rows that exit via the bare return must collect as REAL None
+        def f(s):
+            for t in s.split(" "):
+                if len(t) > 3:
+                    return
+            return s
+        run_diff(ctx, ["abcd e", "ab c", "", "xyzzy"], f,
+                 expect_compiled=True)
 
     def test_guard_raising_return_expr_compiles(self, ctx):
         # a DYNAMIC loop whose return expression can raise: the guard

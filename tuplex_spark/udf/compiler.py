@@ -2888,16 +2888,24 @@ class Translator:
         ordinary fold accumulators and the break rides the existing
         flag lowering, so the loop stops updating exactly at the
         return point (round 11: the returns-mixed-with-accumulation
-        shape).  Returns must sit in statement position within plain
-        if-chains; a return nested in an inner loop/try/with — or a
-        bare ``return`` (a None arm is the variant-widening the fold
-        accumulator can't express) — raises CompileError -> exact
-        Arrow fallback."""
+        shape).  Bare ``return`` / ``return None`` sites (round 12)
+        skip the value assignment — the flag alone carries the exit
+        and the caller reads the untouched SConst(None) seed, so the
+        fold never needs a None-typed accumulator field; MIXING bare
+        and valued sites in one loop falls back (a bare exit would
+        have to overwrite the value accumulator with a None arm, the
+        variant-widening the fold can't express).  Returns must sit in
+        statement position within plain if-chains; a return nested in
+        an inner loop/try/with raises CompileError -> exact Arrow
+        fallback."""
         out: list = []
         for s in stmts:
             if isinstance(s, ast.Return):
-                if s.value is None:
-                    raise CompileError("bare return in dynamic loop")
+                if s.value is None or (isinstance(s.value, ast.Constant)
+                                       and s.value.value is None):
+                    out.append(_flag_assign(rf, True))
+                    out.append(ast.copy_location(ast.Break(), s))
+                    return out
                 a = ast.Assign(
                     targets=[ast.Name(id=rv, ctx=ast.Store())],
                     value=s.value)
@@ -2930,8 +2938,19 @@ class Translator:
         body = list(st.body)
         flag_names: list[str] = []
         ret_names: tuple[str, str] | None = None
-        if any(isinstance(n, ast.Return)
-               for s in body for n in ast.walk(s)):
+        rets = [n for s in body for n in ast.walk(s)
+                if isinstance(n, ast.Return)]
+        if rets:
+            bare = [r for r in rets
+                    if r.value is None
+                    or (isinstance(r.value, ast.Constant)
+                        and r.value.value is None)]
+            if bare and len(bare) != len(rets):
+                # a bare exit would overwrite the value accumulator
+                # with a None arm — not expressible in a scalar fold
+                # field (see _rewrite_loop_returns)
+                raise CompileError(
+                    "mixed bare/valued returns in dynamic loop")
             rid = self._loop_flag_id = \
                 getattr(self, "_loop_flag_id", 0) + 1
             rv, rf = f"__rv{rid}", f"__rf{rid}"
