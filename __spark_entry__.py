@@ -946,7 +946,11 @@ def q_mm_audio(spark, sf_dir):
     oracle with zero float drift."""
     from tuplex_spark.functions import multimodal
     _prep(spark)
-    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    # widen the 1-file scan before the CPU-bound pure-Python
+    # encode stage (multimodal._spread: no-op once partitions
+    # >= parallelism, as any at-scale scan already is)
+    ids = multimodal._spread(
+        _t(spark, sf_dir, "documents").select("doc_id"))
 
     def make(batches):
         import pandas as pd
@@ -978,7 +982,11 @@ def q_mm_gif(spark, sf_dir):
     bitwise — the same analytic-oracle standard mm_audio sets."""
     from tuplex_spark.functions import multimodal
     _prep(spark)
-    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    # widen the 1-file scan before the CPU-bound pure-Python
+    # encode stage (multimodal._spread: no-op once partitions
+    # >= parallelism, as any at-scale scan already is)
+    ids = multimodal._spread(
+        _t(spark, sf_dir, "documents").select("doc_id"))
 
     def make(batches):
         import pandas as pd
@@ -1022,7 +1030,11 @@ def q_mm_jpeg(spark, sf_dir):
     NotImplementedError capture path."""
     from tuplex_spark.functions import multimodal
     _prep(spark)
-    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    # widen the 1-file scan before the CPU-bound pure-Python
+    # encode stage (multimodal._spread: no-op once partitions
+    # >= parallelism, as any at-scale scan already is)
+    ids = multimodal._spread(
+        _t(spark, sf_dir, "documents").select("doc_id"))
 
     def make(batches):
         import pandas as pd

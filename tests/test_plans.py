@@ -313,12 +313,32 @@ class TestScaleOps:
         assert plan.count("Scan parquet") == 2, plan
 
     def test_mm_decode_is_single_narrow_python_stage(self, spark):
-        """Multimodal decode: exactly one Arrow python stage, no shuffle."""
+        """Multimodal decode: exactly one Arrow python stage; the only
+        permitted Exchange is the round-robin widening of a
+        narrower-than-parallelism input ahead of the CPU-bound codec
+        (multimodal._spread) — never a key shuffle."""
         import __spark_entry__ as em
         df = em.q_mm_decode(spark, SF_DIR)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("MapInPandas") == 1
-        assert "Exchange" not in plan
+        nex = plan.count("Exchange")
+        assert nex <= 1, plan
+        if nex:
+            assert "RoundRobinPartitioning" in plan, plan
+
+    def test_spread_noop_on_wide_input(self, spark):
+        """_spread must NOT add a shuffle when the input already has
+        >= defaultParallelism partitions (the 100 TB scan shape)."""
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import multimodal
+        n = spark.sparkContext.defaultParallelism
+        df = spark.range(1000, numPartitions=n + 1) \
+            .select(F.col("id").alias("asset_id"),
+                    F.col("id").cast("string").cast("binary")
+                     .alias("payload"))
+        out = multimodal.extract_features(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
 
 
 class TestSingleScanDedup:

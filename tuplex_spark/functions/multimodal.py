@@ -1306,11 +1306,29 @@ AUDIO_SCHEMA = T.StructType([
 ])
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a NARROW input ahead of a CPU-bound Arrow codec stage: a
+    pure-Python decoder pinned to a 1-file scan's single partition
+    serializes the whole corpus decode onto one core (measured 17.6s
+    -> ~2s on the 5k-doc JPEG bench at local[32]).  Round-robin
+    repartitions only when the plan's partitioning is narrower than
+    the session's default parallelism — a 100 TB binary scan already
+    carries >= parallelism splits (maxPartitionBytes), so at cluster
+    scale this is a no-op and no payload shuffle is added."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def extract_audio_features(df: DataFrame, payload_col: str = "payload",
                            id_col: str = "asset_id") -> DataFrame:
     """Decode + featurize binary audio assets via Arrow-batched
-    mapInPandas (narrow, partition-preserving) — same exception-model
-    contract as extract_features: bad assets land in decode_error."""
+    mapInPandas (narrow in the steady state — a narrower-than-
+    parallelism input is round-robin widened first, see _spread) —
+    same exception-model contract as extract_features: bad assets land
+    in decode_error."""
 
     def run(batches):
         import pandas as pd
@@ -1337,7 +1355,7 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
                         f"{type(e).__name__}: {e}")
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(run, schema=AUDIO_SCHEMA)
+    return _spread(df).mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 DECODERS = {
@@ -1383,7 +1401,7 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame({"asset_id": ids, "width": ws, "height": hs,
                                 "features": fs, "decode_error": errs})
 
-    return df.mapInPandas(run, schema=EXTRACT_SCHEMA)
+    return _spread(df).mapInPandas(run, schema=EXTRACT_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType([
@@ -1476,7 +1494,7 @@ def resize_images(df: DataFrame, width: int, height: int,
                 "width": [width] * len(ids), "height": [height] * len(ids),
                 "resize_error": errs})
 
-    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+    return _spread(df).mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType([
@@ -1549,7 +1567,7 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
             yield pd.DataFrame({"asset_id": ids, "frame_index": idxs,
                                 "ts_ms": tss, "frame": frames})
 
-    return staged.mapInPandas(run, schema=FRAME_SCHEMA)
+    return _spread(staged).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def make_asset_frame(spark, n: int = 100, partitions: int = 4,
