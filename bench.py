@@ -74,6 +74,9 @@ HEADLINE = [
     # costs stay anchored), the baseline-JPEG decode query, and the
     # full curation composition
     "dedup_semantic_scaled", "mm_jpeg", "pipeline_curate",
+    # round-12: exact-substring dedup (Lee et al. ACL'22) — one gram
+    # explode + one corpus-wide hash-window shuffle + per-doc merge
+    "dedup_substring",
 ]
 
 

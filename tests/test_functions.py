@@ -275,6 +275,59 @@ class TestDedup:
         got = dedup.winnow_fingerprints(df, k=3, w=4).collect()
         assert len(got) == 1 and got[0].id == 1
 
+    def test_substring_spans_oracle(self, spark, con):
+        from tuplex_spark.functions import dedup
+        df = dedup.substring_dup_spans(spark.read.parquet(DOC),
+                                       min_len=8)
+        assert_matches(df, con,
+                       dedup.substring_dup_spans_sql(min_len=8))
+
+    def test_substring_dedup_oracle(self, spark, con):
+        from tuplex_spark.functions import dedup
+        df = dedup.substring_dedup(spark.read.parquet(DOC), min_len=8)
+        assert_matches(df, con, dedup.substring_dedup_sql(min_len=8))
+
+    def test_substring_semantics(self, spark):
+        # Lee et al. ExactSubstr semantics on a known corpus: a shared
+        # 6-token passage across two docs is found exactly (and only
+        # it), self-repetition within ONE doc counts, and a clean doc
+        # produces no spans
+        from tuplex_spark.functions import dedup
+        shared = "one two three four five six"        # tokens 0-5
+        rows = [
+            (1, shared + " tail a b c"),
+            (2, "lead x y " + shared),                # passage at 3-8
+            (3, "clean words with no duplication at all here ok"),
+            # internal repetition: the 6-gram at 0 equals the one at 6
+            (4, shared + " " + shared),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        spans = {(r.id, r.dup_start, r.dup_end)
+                 for r in dedup.substring_dup_spans(
+                     df, min_len=6).collect()}
+        assert (1, 0, 5) in spans
+        assert (2, 3, 8) in spans
+        assert not any(i == 3 for i, *_ in spans)
+        # doc 4: gram starts 0..6 ALL duplicated (each 6-gram of the
+        # repeated text occurs twice in-doc) -> one merged span 0-11
+        assert (4, 0, 11) in spans
+        cut = {r.id: (r.deduped_text, r.n_spans, r.n_removed)
+               for r in dedup.substring_dedup(df, min_len=6).collect()}
+        assert cut[1] == ("tail a b c", 1, 6)
+        assert cut[2] == ("lead x y", 1, 6)
+        assert cut[3][1] == 0 and cut[3][2] == 0
+        assert cut[4] == ("", 1, 12)
+
+    def test_substring_short_and_null_docs_survive(self, spark):
+        from tuplex_spark.functions import dedup
+        df = spark.createDataFrame(
+            [(1, "tiny"), (2, None), (3, "")],
+            "doc_id long, text string")
+        got = {r.id: (r.deduped_text, r.n_spans)
+               for r in dedup.substring_dedup(df, min_len=6).collect()}
+        assert got[1] == ("tiny", 0)
+        assert got[2][1] == 0 and got[3][1] == 0
+
     def test_embedding_adaptive_matches_oracle(self, spark, con):
         # the adaptive-nbits path must stay bitwise-locked to the SQL
         # twin when both derive nbits from the same row count

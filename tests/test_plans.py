@@ -362,6 +362,21 @@ class TestSingleScanDedup:
         plan = self._plan(spark, dedup.simhash_pairs)
         assert plan.count("Scan parquet") == 1
 
+    def test_substring_spans_single_scan_two_shuffles(self, spark):
+        """Exact-substring dedup (Lee et al.): ONE scan + ONE explode,
+        exactly two Exchanges (the corpus-wide gram-hash window count
+        and the per-doc span-merge window) — no self-join, no python,
+        no cartesian."""
+        from tuplex_spark.functions import dedup
+        plan = self._plan(
+            spark, lambda df: dedup.substring_dup_spans(df, min_len=12))
+        assert plan.count("Scan parquet") == 1, plan
+        assert plan.count("Generate") == 1, plan
+        assert plan.count("Exchange") == 2, plan
+        assert "Python" not in plan, plan
+        assert "BroadcastNestedLoop" not in plan
+        assert "Cartesian" not in plan
+
     def test_jaccard_bounded_recompute(self, spark):
         """The inverted index is deliberately NOT persisted (measured
         3-4x slower than recomputing; see dedup.py) — the index subtree

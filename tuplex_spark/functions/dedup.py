@@ -1087,6 +1087,223 @@ SELECT i.id, COALESCE(r.redacted_text, '') AS redacted_text,
 FROM ids i LEFT JOIN rebuilt r USING (id) LEFT JOIN nsp n USING (id)"""
 
 
+def _substring_grams(df: DataFrame, text_col: str, id_col: str,
+                     min_len: int) -> DataFrame:
+    """(id, pos, h) — one row per token position that starts a
+    ``min_len``-token gram, h = the gram's 128-bit md5 (16-byte
+    binary: halves the shuffle payload vs the hex string; cross-engine
+    equality is unchanged).  Same staged-token-array discipline as
+    _winnow_kgram_hashes; the gram text is built with ONE slice +
+    array_join per position (O(min_len) chars), not min_len
+    element_at calls."""
+    st = (df.select(F.col(id_col).alias("id"),
+                    tokens(text_col).alias("__toks"))
+            .filter(F.size("__toks") >= min_len))
+    idx = F.sequence(F.lit(1), F.size("__toks") - (min_len - 1))
+    grams = F.transform(
+        idx, lambda i: F.array_join(
+            F.slice(F.col("__toks"), i, min_len), " "))
+    return (st.select("id", F.posexplode(grams).alias("pos", "s"))
+              .select("id", "pos", F.unhex(F.md5("s")).alias("h")))
+
+
+def substring_dup_spans(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        min_len: int = 50) -> DataFrame:
+    """EXACT substring deduplication spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the
+    ExactSubstr dedup; reference repo has no analog, and the shingle
+    strategies here are all approximate).  Finds every maximal token
+    range covered by some substring of >= ``min_len`` tokens that
+    occurs >= 2 times ANYWHERE in the corpus (other documents or the
+    same one — self-repetition counts, as in the paper).
+
+    The paper builds a suffix array; that is not the Spark-shaped
+    plan.  This uses the covering-union equivalence instead: a token
+    position lies inside SOME duplicated substring of length >=
+    min_len  iff  it lies inside a duplicated min_len-gram (any
+    length->=min_len duplicate contains a duplicated min_len-window
+    through every one of its positions, and a duplicated min_len-gram
+    IS such a substring).  So the union of duplicated min_len-gram
+    ranges equals the union of all >=min_len duplicated-substring
+    ranges — EXACTLY, with one corpus-wide gram count instead of a
+    suffix array.  Gram identity is the full 128-bit md5 (collision
+    odds ~n^2/2^128 — astronomically below data-corruption rates).
+
+    Shape at 100 TB: the gram table is one scan projection + explode
+    (|tokens| rows x 16-byte hash); duplication is count(*) OVER
+    (PARTITION BY h) — ONE hash shuffle, the inverted-index discipline
+    every LSH op here uses (no self-join, no second scan); a
+    boilerplate mega-gram concentrates its positions in one window
+    partition, bounded by that gram's own occurrence count.  The span
+    merge windows are per-document (bounded, no skew).
+
+    Returns (id, dup_start, dup_end, n_grams): inclusive 0-based token
+    ranges, overlapping-or-adjacent gram ranges merged maximally, with
+    the count of duplicated gram starts merged into each."""
+    g = _substring_grams(df, text_col, id_col, min_len)
+    hits = (g.select("id", "pos",
+                     F.count(F.lit(1)).over(Window.partitionBy("h"))
+                      .alias("__c"))
+             .filter(F.col("__c") >= 2)
+             .select("id", "pos"))
+    prev = (Window.partitionBy("id").orderBy("pos")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (Window.partitionBy("id").orderBy("s")
+                 .rowsBetween(Window.unboundedPreceding, 0))
+    staged = hits.select(
+        "id", F.col("pos").alias("s"),
+        (F.col("pos") + (min_len - 1)).alias("e"),
+        F.max(F.col("pos") + (min_len - 1)).over(prev).alias("pe"))
+    flagged = staged.select(
+        "id", "s", "e",
+        F.when(F.col("pe").isNull()
+               | (F.col("s") > F.col("pe") + 1), 1)
+         .otherwise(0).alias("nw"))
+    isl = flagged.select("id", "s", "e",
+                         F.sum("nw").over(cum).alias("g"))
+    return (isl.groupBy("id", "g")
+               .agg(F.min("s").alias("dup_start"),
+                    F.max("e").alias("dup_end"),
+                    F.count(F.lit(1)).alias("n_grams"))
+               .select("id", "dup_start", "dup_end", "n_grams"))
+
+
+def substring_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_len: int = 50) -> DataFrame:
+    """APPLY exact-substring dedup: rebuild each document with every
+    duplicated span CUT OUT (the paper removes the duplicated bytes;
+    winnow_redact's mask-and-keep is the contamination analog).  Clean
+    documents pass through untouched; a document that is entirely
+    duplicated text survives as an empty string (drop it with
+    ``n_removed > 0 AND deduped_text = ''`` downstream if desired).
+
+    Same rebuild shape as winnow_redact: tokens explode once, the span
+    table (duplicated docs only — small next to the corpus) joins on
+    doc id covering each token at most once (spans are disjoint
+    maximal ranges by construction), one groupBy-sort rebuild, and the
+    corpus-id left join guarantees text-less rows survive.
+
+    Returns (id, deduped_text, n_spans, n_removed) — n_removed is the
+    number of tokens cut."""
+    spans = substring_dup_spans(df, text_col, id_col, min_len)
+    toks = (df.select(F.col(id_col).alias("id"),
+                      tokens(text_col).alias("__toks"))
+              .select("id", F.posexplode("__toks").alias("pos", "tok")))
+    j = toks.join(spans.withColumnRenamed("id", "__sid"),
+                  (F.col("id") == F.col("__sid"))
+                  & (F.col("pos") >= F.col("dup_start"))
+                  & (F.col("pos") <= F.col("dup_end")), "left")
+    rebuilt = (j.filter(F.col("dup_start").isNull())
+                .select("id", "pos", "tok")
+                .groupBy("id")
+                .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct(F.col("pos").alias("p"),
+                                         F.col("tok").alias("t")))),
+                            lambda s: s["t"]),
+                        " ").alias("deduped_text")))
+    nsp = spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("dup_end") - F.col("dup_start") + 1)
+         .alias("n_removed"))
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    return (ids.join(rebuilt, "id", "left")
+            .join(nsp, "id", "left")
+            .select("id",
+                    F.coalesce("deduped_text", F.lit(""))
+                     .alias("deduped_text"),
+                    F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+                    F.coalesce("n_removed", F.lit(0))
+                     .alias("n_removed")))
+
+
+def _substring_hits_ctes(prefix: str, source: str, text_col: str,
+                         id_col: str, min_len: int) -> str:
+    """Tokenize -> min_len-gram md5 -> corpus-wide window count ->
+    duplicated gram starts, ending in ``{prefix}hits(id, pos)`` — the
+    SQL twin of the hit stage of :func:`substring_dup_spans`."""
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""{prefix}base AS (
+  SELECT {id_col} AS id, {toks} AS t FROM {source}
+  WHERE len({toks}) >= {min_len}
+), {prefix}g AS (
+  SELECT id, i AS pos,
+         unhex(md5(array_to_string(
+             list_slice(t, i + 1, i + {min_len}), ' '))) AS h
+  FROM (SELECT id, t,
+               unnest(generate_series(0, len(t) - {min_len})) AS i
+        FROM {prefix}base)
+), {prefix}hits AS (
+  SELECT id, pos FROM (
+    SELECT id, pos, count(*) OVER (PARTITION BY h) AS c
+    FROM {prefix}g
+  ) WHERE c >= 2
+)"""
+
+
+def substring_dup_spans_sql(table="documents", text_col="text",
+                            id_col="doc_id", min_len=50):
+    """DuckDB twin of :func:`substring_dup_spans` — identical gram
+    slices, md5 identity, window count, and gap-and-islands merge."""
+    hits = _substring_hits_ctes("", table, text_col, id_col, min_len)
+    return f"""
+WITH {hits}, iv AS (
+  SELECT id, pos AS s, pos + {min_len - 1} AS e,
+         max(pos + {min_len - 1}) OVER (
+           PARTITION BY id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM hits
+), fl AS (
+  SELECT id, s, e,
+         CASE WHEN pe IS NULL OR s > pe + 1 THEN 1 ELSE 0 END AS nw
+  FROM iv
+), isl AS (
+  SELECT id, s, e,
+         sum(nw) OVER (PARTITION BY id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM fl
+)
+SELECT id, min(s)::BIGINT AS dup_start, max(e)::BIGINT AS dup_end,
+       count(*)::BIGINT AS n_grams
+FROM isl GROUP BY id, g"""
+
+
+def substring_dedup_sql(table="documents", text_col="text",
+                        id_col="doc_id", min_len=50):
+    """DuckDB twin of :func:`substring_dedup` — identical spans and
+    the winnow_redact rebuild shape with the span tokens dropped."""
+    spans_sql = substring_dup_spans_sql(table, text_col, id_col,
+                                        min_len)
+    toks = TOKENS_SQL.format(c=text_col)
+    return f"""
+WITH spans AS ({spans_sql}), tok AS (
+  SELECT id, i - 1 AS pos, t[i] AS tok
+  FROM (SELECT id, t, unnest(generate_series(1, len(t))) AS i
+        FROM (SELECT {id_col} AS id, {toks} AS t FROM {table}))
+), kept AS (
+  SELECT t.id, t.pos, t.tok
+  FROM tok t LEFT JOIN spans s
+    ON s.id = t.id AND t.pos BETWEEN s.dup_start AND s.dup_end
+  WHERE s.dup_start IS NULL
+), rebuilt AS (
+  SELECT id, string_agg(tok, ' ' ORDER BY pos) AS deduped_text
+  FROM kept GROUP BY id
+), nsp AS (
+  SELECT id, count(*)::BIGINT AS n_spans,
+         sum(dup_end - dup_start + 1)::BIGINT AS n_removed
+  FROM spans GROUP BY id
+), ids AS (
+  SELECT DISTINCT {id_col} AS id FROM {table}
+)
+SELECT i.id, COALESCE(r.deduped_text, '') AS deduped_text,
+       COALESCE(n.n_spans, 0) AS n_spans,
+       COALESCE(n.n_removed, 0) AS n_removed
+FROM ids i LEFT JOIN rebuilt r USING (id) LEFT JOIN nsp n USING (id)"""
+
+
 def _srp_signs(n_planes: int, dim: int, seed: int = 0x5EED) -> list[list[int]]:
     """Deterministic ±1 (Rademacher) hyperplane matrix via an LCG — the
     same literal signs are embedded in the Column expressions and the SQL
