@@ -116,6 +116,9 @@ SF1_HEADLINE = [
     # constant per row; the full curation composition anchors the
     # end-to-end flow
     "dedup_semantic_scaled", "pipeline_curate",
+    # round-12: exact-substring dedup at 10x corpus (the gram-hash
+    # window shuffle is the scale claim)
+    "dedup_substring",
 ]
 SF1_REPLICAS = 10
 

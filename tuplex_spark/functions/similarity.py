@@ -1357,27 +1357,47 @@ def _cos_assign_arrow(v: Column,
     def assign_udf(xs: pd.Series) -> pd.Series:
         import numpy as np
         X = np.vstack(xs.to_numpy()).astype(np.float64)
-        M = np.array(mats, dtype=np.float64)               # (C, dim)
-        sd = X[:, 0] * X[:, 0]
-        dots = X[:, [0]] * M[None, :, 0]
-        for d in range(1, X.shape[1]):
-            sd = sd + X[:, d] * X[:, d]
-            dots = dots + X[:, [d]] * M[None, :, d]
-        cos = dots / (np.sqrt(sd)[:, None]
-                      * np.array(norms, dtype=np.float64)[None, :])
-        # HALF_UP = half AWAY FROM ZERO (Java BigDecimal / DuckDB
-        # round): cosines can be negative, where floor(p+0.5) would
-        # round toward +inf instead (verified against DuckDB round(x,6)
-        # on 20k boundary values)
-        p6 = cos * 1e6
-        r6 = np.where(p6 >= 0.0, np.floor(p6 + 0.5),
-                      np.ceil(p6 - 0.5)) / 1e6
-        # among the max-cosine columns pick the SMALLEST cid
+        # the dim loop preserves the contract's strict left-to-right
+        # accumulation (a BLAS matmul reorders the sum — reordered
+        # rounding can flip r6 at a boundary and change the argmax),
+        # so the speed lever is MEMORY SHAPE, not the algorithm:
+        # both operands transpose to contiguous (dim, *) so each
+        # dim-step streams two contiguous vectors instead of
+        # 512-byte-strided columns, and rows chunk so the (blk, C)
+        # accumulator stays cache-resident across all dim steps — at
+        # C=4096 the unchunked temp was n*C*8 bytes RE-STREAMED from
+        # DRAM once per dimension (hundreds of GB per sf1 assignment
+        # pass; measured 68s -> ~8s for the sf1 SemDeDup lifecycle)
+        XT = np.ascontiguousarray(X.T)                     # (dim, n)
+        MT = np.ascontiguousarray(
+            np.array(mats, dtype=np.float64).T)            # (dim, C)
+        nv = np.array(norms, dtype=np.float64)
         carr = np.array(cids, dtype=np.int64)
-        is_best = r6 == r6.max(axis=1)[:, None]
-        picked = np.where(is_best, carr[None, :],
-                          np.iinfo(np.int64).max).min(axis=1)
-        return pd.Series(picked.astype("int32"))
+        ndim, n = XT.shape
+        C = MT.shape[1]
+        blk = max(64, (8 << 20) // max(C * 8, 1))
+        out = np.empty(n, dtype=np.int64)
+        for s0 in range(0, n, blk):
+            xb = XT[:, s0:s0 + blk]                        # (dim, b)
+            sd = xb[0] * xb[0]
+            dots = xb[0][:, None] * MT[0][None, :]
+            for d in range(1, ndim):
+                sd = sd + xb[d] * xb[d]
+                dots = dots + xb[d][:, None] * MT[d][None, :]
+            cos = dots / (np.sqrt(sd)[:, None] * nv[None, :])
+            # HALF_UP = half AWAY FROM ZERO (Java BigDecimal / DuckDB
+            # round): cosines can be negative, where floor(p+0.5)
+            # would round toward +inf instead (verified against
+            # DuckDB round(x,6) on 20k boundary values)
+            p6 = cos * 1e6
+            r6 = np.where(p6 >= 0.0, np.floor(p6 + 0.5),
+                          np.ceil(p6 - 0.5)) / 1e6
+            # among the max-cosine columns pick the SMALLEST cid
+            is_best = r6 == r6.max(axis=1)[:, None]
+            out[s0:s0 + blk] = np.where(
+                is_best, carr[None, :],
+                np.iinfo(np.int64).max).min(axis=1)
+        return pd.Series(out.astype("int32"))
 
     return assign_udf(v.cast("array<double>"))
 
