@@ -2004,6 +2004,73 @@ def q_sample_temperature(spark, sf_dir):
         F.max("doc_id").alias("max_id"))
 
 
+# DSIR (Xie et al. NeurIPS'23) — the ratio table is fit ONCE per
+# corpus dir and shared by the weights and sample queries (and the
+# oracle twins fit the bitwise-identical table via DuckDB: integer
+# bucket counts under the same md5 arithmetic + the same Python log
+# quantization)
+_DSIR_CACHE: dict[str, list] = {}
+_DSIR_TARGET_MOD = 13
+
+
+def _dsir_table_spark(spark, sf_dir):
+    from tuplex_spark.functions import dsir
+    if sf_dir not in _DSIR_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        tgt = docs.filter(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
+        _DSIR_CACHE[sf_dir] = dsir.dsir_log_ratio_table(docs, tgt)
+    return _DSIR_CACHE[sf_dir]
+
+
+_DSIR_ORACLE_CACHE: dict[str, list] = {}
+
+
+def _dsir_table_oracle():
+    import duckdb
+    from tuplex_spark.functions import dsir
+    sfd = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                         "/root/testdata/sf0.01")
+    if sfd not in _DSIR_ORACLE_CACHE:
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet('"
+            + os.path.join(sfd, "documents.parquet") + "')")
+        _DSIR_ORACLE_CACHE[sfd] = dsir.dsir_log_ratio_table_duckdb(
+            con, "documents",
+            f"(SELECT * FROM documents WHERE doc_id % "
+            f"{_DSIR_TARGET_MOD} = 0)")
+        con.close()
+    return _DSIR_ORACLE_CACHE[sfd]
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. NeurIPS'23 — NEW round 12):
+    hashed unigram+bigram bag models fit on target (doc_id % 13 == 0)
+    vs the raw corpus, per-doc log importance weight as an INTEGER
+    nano-nat sum (the only logs run in Python on the bounded
+    2048-bucket count table, so the weight arithmetic is bitwise
+    engine-portable; functions/dsir.py)."""
+    from tuplex_spark.functions import dsir
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
+    return dsir.dsir_weights(docs, tgt,
+                             ratio_table=_dsir_table_spark(spark, sf_dir))
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR resampling step: Gumbel-top-k (content-addressed md5
+    Gumbel noise, key rounded to 6 before the cut) keeps the 300
+    most-target-like documents — sampling without replacement
+    proportional to the importance weight (functions/dsir.py)."""
+    from tuplex_spark.functions import dsir
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    tgt = docs.filter(F.col("doc_id") % _DSIR_TARGET_MOD == 0)
+    return dsir.dsir_sample(docs, tgt, n_keep=300,
+                            ratio_table=_dsir_table_spark(spark, sf_dir))
+
+
 def q_sample_quota(spark, sf_dir):
     """Per-source quota cap (<=40 docs per source, deterministic md5
     hash order) — the corpus-balancing pass that stops giant domains
@@ -2374,6 +2441,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 12 (tail): the exact-substring CUT applier —
         # span arithmetic graded via dedup_substring in-window
         "dedup_substring_cut": q_dedup_substring_cut,
+        # NEW round 12 (tail): DSIR importance weighting + resampling
+        # (Xie et al. NeurIPS'23)
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
         "text_pack": q_text_pack,
         "events_range_join": q_events_range_join,
         "ds_cache": q_ds_cache,
@@ -2462,6 +2533,7 @@ def oracle_sql() -> dict[str, str]:
     from tuplex_spark.functions import dedup, pipeline, text
     from tuplex_spark.functions import analytics as analytics_mod
     from tuplex_spark.functions import sampling as sampling_mod
+    from tuplex_spark.functions import dsir as dsir_mod
     from tuplex_spark.functions import semantic as semantic_mod
     from tuplex_spark.functions import sketch as sketch_mod
     from tuplex_spark.functions import similarity as similarity_mod
@@ -2948,6 +3020,12 @@ FROM (SELECT doc_id,
         "dedup_jaccard": dedup.ngram_jaccard_pairs_sql(n=2, threshold=0.2),
         "dedup_substring": dedup.substring_dup_spans_sql(min_len=12),
         "dedup_substring_cut": dedup.substring_dedup_sql(min_len=12),
+        # the twins fit the SAME nano-nat ratio table via DuckDB on
+        # the oracle corpus (bitwise-identical to the Spark fit by
+        # construction — integer counts + the same Python log)
+        "dsir_weights": dsir_mod.dsir_weights_sql(_dsir_table_oracle()),
+        "dsir_sample": dsir_mod.dsir_sample_sql(_dsir_table_oracle(),
+                                                n_keep=300),
         "dedup_winnow": dedup.winnow_pairs_sql(k=3, w=4, min_shared=2),
         "dedup_winnow_spans": dedup.winnow_match_spans_sql(
             ref_source="(SELECT * FROM documents WHERE doc_id % 17 = 0)",

@@ -1125,6 +1125,85 @@ class TestPipelineCompose:
         assert 0 < kept < total, (kept, total)
 
 
+class TestDSIR:
+    """DSIR importance resampling (Xie et al. NeurIPS'23;
+    functions/dsir.py): the two fitters (Spark / DuckDB) must produce
+    the bitwise-identical nano-nat ratio table, weights must
+    oracle-match exactly (integer-sum arithmetic), and weighting must
+    actually prefer target-like documents."""
+
+    def _target_sql(self):
+        return "(SELECT * FROM documents WHERE doc_id % 13 = 0)"
+
+    def test_fitters_agree_bitwise(self, spark, con):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import dsir
+        docs = spark.read.parquet(DOC)
+        tgt = docs.filter(F.col("doc_id") % 13 == 0)
+        a = dsir.dsir_log_ratio_table(docs, tgt, n_buckets=512)
+        b = dsir.dsir_log_ratio_table_duckdb(
+            con, "documents", self._target_sql(), n_buckets=512)
+        assert a == b
+
+    def test_weights_oracle(self, spark, con):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import dsir
+        docs = spark.read.parquet(DOC)
+        tgt = docs.filter(F.col("doc_id") % 13 == 0)
+        tab = dsir.dsir_log_ratio_table_duckdb(
+            con, "documents", self._target_sql(), n_buckets=512)
+        df = dsir.dsir_weights(docs, tgt, n_buckets=512,
+                               ratio_table=tab)
+        assert_matches(df, con,
+                       dsir.dsir_weights_sql(tab, n_buckets=512))
+
+    def test_sample_oracle(self, spark, con):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import dsir
+        docs = spark.read.parquet(DOC)
+        tgt = docs.filter(F.col("doc_id") % 13 == 0)
+        tab = dsir.dsir_log_ratio_table_duckdb(
+            con, "documents", self._target_sql(), n_buckets=512)
+        df = dsir.dsir_sample(docs, tgt, n_keep=100, n_buckets=512,
+                              ratio_table=tab)
+        assert_matches(df, con,
+                       dsir.dsir_sample_sql(tab, n_keep=100,
+                                            n_buckets=512))
+
+    def test_weights_prefer_target_like_docs(self, spark):
+        # docs drawn from the target's vocabulary must outweigh docs
+        # from a disjoint vocabulary
+        from tuplex_spark.functions import dsir
+        tgt_rows = [(100 + i, "alpha beta gamma delta epsilon " * 4)
+                    for i in range(5)]
+        src_rows = ([(i, "zeta eta theta iota kappa " * 4)
+                     for i in range(5)]
+                    + [(50 + i, "alpha beta gamma delta epsilon " * 4)
+                       for i in range(3)])
+        docs = spark.createDataFrame(src_rows + tgt_rows,
+                                     "doc_id long, text string")
+        tgt = spark.createDataFrame(tgt_rows,
+                                    "doc_id long, text string")
+        w = {r.doc_id: r.logw
+             for r in dsir.dsir_weights(docs, tgt,
+                                        n_buckets=256).collect()}
+        target_like = [w[50 + i] for i in range(3)]
+        off_target = [w[i] for i in range(5)]
+        assert min(target_like) > max(off_target)
+
+    def test_empty_doc_gets_zero_weight(self, spark):
+        from tuplex_spark.functions import dsir
+        docs = spark.createDataFrame(
+            [(1, "alpha beta"), (2, None), (3, "")],
+            "doc_id long, text string")
+        tgt = docs.filter("doc_id = 1")
+        w = {r.doc_id: r.logw
+             for r in dsir.dsir_weights(docs, tgt,
+                                        n_buckets=64).collect()}
+        assert w[2] == 0.0
+        assert len(w) == 3
+
+
 class TestSampling:
     """Deterministic content-addressed sampling (functions/sampling.py):
     membership must be a pure function of the row key — stable under
