@@ -1387,15 +1387,42 @@ class TestFirstMatch:
             return -1
         run_diff(ctx, self.TEXTS, f, expect_compiled=True)
 
-    def test_guarding_predicate_falls_back(self, ctx):
-        # int(t) in the PREDICATE can raise per element — not
-        # path-conditionable, must take the Arrow fallback (and agree)
+    def test_guarding_predicate_compiles_via_fold(self, ctx):
+        # round 12: int(t) in the PREDICATE can raise per element —
+        # the filter/element_at fast path can't host that, but the
+        # dispatcher now falls THROUGH to the fold, whose r11
+        # guard-capture accumulators raise at the first raising
+        # element of any not-yet-returned row (CPython's order)
         def f(x):
             for t in x.split(" "):
                 if int(t) > 3:
                     return t
             return ""
-        run_diff(ctx, ["1 2 9", "4 5"], f, expect_compiled=False)
+        run_diff(ctx, ["1 2 9", "4 5", "1 x 9", "x", "2 1"], f,
+                 expect_compiled=True)
+
+    def test_raising_predicate_after_match_no_raise(self, ctx):
+        # a row that MATCHES before reaching the raising element must
+        # return cleanly — the guard fires only on not-yet-broken
+        # iterations
+        def f(x):
+            for t in x.split(" "):
+                if 10 // (len(t) - 2) > 3:   # raises on len==2 tokens
+                    return t
+            return "none"
+        run_diff(ctx, ["abc xy", "xy abc", "a b", "zzz"], f,
+                 expect_compiled=True)
+
+    def test_raising_predicate_resolvable(self, ctx):
+        # the folded raise must be a STANDARD resolvable exception row
+        def f(x):
+            for t in x.split(" "):
+                if int(t) > 3:
+                    return t
+            return ""
+        ds = ctx.parallelize(["1 9", "a 5", "2"]).map(f) \
+            .resolve(ValueError, lambda x: "bad")
+        assert ds.collect() == ["9", "bad", ""]
 
     def test_stale_loop_var_falls_back(self, ctx):
         # referencing the loop var after the loop needs the matched/last

@@ -1464,7 +1464,22 @@ class Translator:
             self._path = path
             return False, path
         if self._is_first_match(st):
-            return self._exec_for_first_match(st, path)
+            # the filter/element_at fast path can't host a
+            # guard-raising predicate (a guard can't be conditioned
+            # per element inside F.filter); fall THROUGH to the fold,
+            # whose r11 guard-capture accumulators express exactly
+            # that — the raise fires at the first raising element of
+            # any not-yet-returned row, CPython's order (round 12;
+            # previously the whole UDF fell back to Arrow)
+            ng = len(self.guards)
+            saved_returns = len(self._returns)
+            n_staged = len(self.staged)
+            try:
+                return self._exec_for_first_match(st, path)
+            except CompileError:
+                self._truncate_guards(ng)
+                del self._returns[saved_returns:]
+                del self.staged[n_staged:]
         if st.orelse:
             raise CompileError("for-else")
         ret = self._exec_for_fold(st, path)
