@@ -2071,6 +2071,36 @@ def q_dsir_sample(spark, sf_dir):
                             ratio_table=_dsir_table_spark(spark, sf_dir))
 
 
+_MIX_WEIGHTS = {f"src{i}": (90_000 if i % 3 == 0 else 35_000)
+                for i in range(20)}
+_MIX_BUDGET = 400_000
+
+
+def q_mixture_plan(spark, sf_dir):
+    """Corpus-mixture audit table (NEW round 12): per source the
+    available token mass, the ppm mixture weight, the integer token
+    target and the exhaustion flag — the plan a GPT-3/PaLM/LLaMA-style
+    weighted-mixture assembly runs on (functions/mixture.py).  One
+    scan-projection token-count agg collapsing to #sources rows."""
+    from tuplex_spark.functions import mixture
+    _prep(spark)
+    return mixture.mixture_plan(_t(spark, sf_dir, "documents"),
+                                _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """APPLY the mixture: deterministic per-source keep sets whose
+    expected token mass hits budget * weight — the md5 cut under a
+    cross-multiplied INTEGER comparison (decimal(20,0) / HUGEINT), so
+    membership is bitwise engine-portable with no driver state at all
+    (functions/mixture.py mixture_sample)."""
+    from tuplex_spark.functions import mixture
+    _prep(spark)
+    kept = mixture.mixture_sample(_t(spark, sf_dir, "documents"),
+                                  _MIX_WEIGHTS, _MIX_BUDGET)
+    return kept.select("doc_id", "source")
+
+
 def q_sample_quota(spark, sf_dir):
     """Per-source quota cap (<=40 docs per source, deterministic md5
     hash order) — the corpus-balancing pass that stops giant domains
@@ -2445,6 +2475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (Xie et al. NeurIPS'23)
         "dsir_weights": q_dsir_weights,
         "dsir_sample": q_dsir_sample,
+        # NEW round 12 (tail): deterministic mixture sampling (the
+        # GPT-3/PaLM/LLaMA source-mixture step, integer-exact cut)
+        "mixture_plan": q_mixture_plan,
+        "mixture_sample": q_mixture_sample,
         "text_pack": q_text_pack,
         "events_range_join": q_events_range_join,
         "ds_cache": q_ds_cache,
@@ -2534,6 +2568,7 @@ def oracle_sql() -> dict[str, str]:
     from tuplex_spark.functions import analytics as analytics_mod
     from tuplex_spark.functions import sampling as sampling_mod
     from tuplex_spark.functions import dsir as dsir_mod
+    from tuplex_spark.functions import mixture as mixture_mod
     from tuplex_spark.functions import semantic as semantic_mod
     from tuplex_spark.functions import sketch as sketch_mod
     from tuplex_spark.functions import similarity as similarity_mod
@@ -3026,6 +3061,11 @@ FROM (SELECT doc_id,
         "dsir_weights": dsir_mod.dsir_weights_sql(_dsir_table_oracle()),
         "dsir_sample": dsir_mod.dsir_sample_sql(_dsir_table_oracle(),
                                                 n_keep=300),
+        "mixture_plan": mixture_mod.mixture_plan_sql(
+            _MIX_WEIGHTS, _MIX_BUDGET),
+        "mixture_sample": "SELECT doc_id, source FROM ("
+            + mixture_mod.mixture_sample_sql(_MIX_WEIGHTS, _MIX_BUDGET)
+            + ") _m",
         "dedup_winnow": dedup.winnow_pairs_sql(k=3, w=4, min_shared=2),
         "dedup_winnow_spans": dedup.winnow_match_spans_sql(
             ref_source="(SELECT * FROM documents WHERE doc_id % 17 = 0)",

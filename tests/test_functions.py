@@ -1204,6 +1204,76 @@ class TestDSIR:
         assert len(w) == 3
 
 
+class TestMixture:
+    """Deterministic corpus-mixture sampling (functions/mixture.py):
+    the cross-multiplied integer cut must oracle-match exactly, honor
+    the per-source token budget in expectation, keep exhausted sources
+    whole, and stay stable under repartitioning."""
+
+    W = {f"src{i}": (90_000 if i % 3 == 0 else 35_000)
+         for i in range(20)}
+
+    def test_plan_oracle(self, spark, con):
+        from tuplex_spark.functions import mixture
+        df = mixture.mixture_plan(spark.read.parquet(DOC), self.W,
+                                  400_000)
+        assert_matches(df, con,
+                       mixture.mixture_plan_sql(self.W, 400_000))
+
+    def test_sample_oracle(self, spark, con):
+        from tuplex_spark.functions import mixture
+        df = mixture.mixture_sample(spark.read.parquet(DOC), self.W,
+                                    400_000).select("doc_id", "source")
+        assert_matches(df, con, "SELECT doc_id, source FROM ("
+                       + mixture.mixture_sample_sql(self.W, 400_000)
+                       + ") _m")
+
+    def test_exhausted_source_kept_whole_and_zero_dropped(self, spark):
+        from tuplex_spark.functions import mixture
+        docs = spark.read.parquet(DOC)
+        w = {"src0": 10_000_000, "src1": 0}  # others: absent -> 0
+        kept = mixture.mixture_sample(docs, w, 10**9)
+        srcs = {r.source for r in kept.select("source")
+                .distinct().collect()}
+        assert srcs == {"src0"}
+        n0 = docs.filter("source = 'src0'").count()
+        assert kept.count() == n0
+
+    def test_stable_under_repartition(self, spark):
+        from tuplex_spark.functions import mixture
+        docs = spark.read.parquet(DOC)
+        a = {r.doc_id for r in mixture.mixture_sample(
+            docs, self.W, 200_000).select("doc_id").collect()}
+        b = {r.doc_id for r in mixture.mixture_sample(
+            docs.repartition(13), self.W, 200_000)
+            .select("doc_id").collect()}
+        assert a == b and a
+
+    def test_budget_hit_in_expectation(self, spark):
+        from pyspark.sql import functions as F
+        from tuplex_spark.functions import text
+        from tuplex_spark.functions import mixture
+        docs = spark.read.parquet(DOC)
+        budget = 300_000
+        w = {f"src{i}": 50_000 for i in range(20)}  # sums to 1e6
+        kept = mixture.mixture_sample(docs, w, budget)
+        tok = kept.select(F.sum(F.size(
+            text.tokens("text"))).alias("t")).collect()[0].t or 0
+        total = docs.select(F.sum(F.size(
+            text.tokens("text"))).alias("t")).collect()[0].t
+        want = min(budget, total)
+        assert abs(tok - want) / want < 0.25  # Bernoulli variance
+
+    def test_weight_validation(self, spark):
+        from tuplex_spark.functions import mixture
+        docs = spark.read.parquet(DOC)
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            mixture.mixture_sample(docs, {"s'rc": 10}, 100)
+        with _pt.raises(ValueError):
+            mixture.mixture_sample(docs, {"src0": 0.5}, 100)
+
+
 class TestSampling:
     """Deterministic content-addressed sampling (functions/sampling.py):
     membership must be a pure function of the row key — stable under
