@@ -4693,6 +4693,73 @@ class TestWhileTrueBreakRewrite:
                  expect_compiled=True)
 
 
+class TestContinueAfterDriverUpdate:
+    """Round 12: a pure ``if c: continue`` STRICTLY AFTER the driver
+    update compiles in the convergence fold — the admitted iteration
+    still contracts (the update already ran), and the continue only
+    skips trailing accumulator statements, exactly CPython.  A
+    continue BEFORE the update could skip it -> still falls back."""
+
+    def test_continue_after_update_compiles(self, ctx):
+        def f(x):
+            v = x
+            s = 0
+            while v > 1:
+                v = v - 1
+                if v % 2 == 0:
+                    continue
+                s = s + v
+            return s  # sums the odd values below x
+        run_diff(ctx, [0, 1, 2, 5, 10, 7], f, expect_compiled=True)
+
+    def test_continue_before_update_falls_back(self, ctx):
+        # data stays below the loop entry: any entering row would HANG
+        # CPython (the continue really does skip the update), which is
+        # exactly why this shape must not ride the fold
+        def f(x):
+            v = x
+            s = 0
+            while v > 1:
+                if v % 2 == 0:
+                    continue          # would skip the update -> hang
+                v = v - 1
+                s = s + v
+            return s
+        run_diff(ctx, [0, 1, -5], f, expect_compiled=False)
+
+    def test_continue_with_break_and_guard(self, ctx):
+        # continue + break + a guard-raising trailing statement in one
+        # contraction body: the continue skips the raising statement
+        # on even v (CPython), the break freezes, the raise fires at
+        # the first admitted odd v == 3
+        def f(x):
+            v = x
+            s = 0
+            while v > 1:
+                v = v - 1
+                if s > 50:
+                    break
+                if v % 2 == 0:
+                    continue
+                s = s + 10 // (v - 3)
+            return s
+        run_diff(ctx, [0, 2, 5, 4, 9, 6], f, expect_compiled=True)
+
+    def test_continue_skips_only_trailing(self, ctx):
+        def f(x):
+            v = x
+            a = 0
+            b = 0
+            while v > 0:
+                v = v - 2
+                a = a + 1
+                if v == 2:
+                    continue
+                b = b + v
+            return a * 1000 + b
+        run_diff(ctx, [0, 2, 4, 6, 8, 7], f, expect_compiled=True)
+
+
 class TestBreakTolerantConvergenceFold:
     """Round 12 (VERDICT r11 item 4): data-dependent break-ifs inside
     a recognized contraction ``while`` compile — each ``if c: break``
@@ -4780,8 +4847,11 @@ class TestBreakTolerantConvergenceFold:
             return v
         run_diff(ctx, [7, 10, 3], f, expect_compiled=False)
 
-    def test_continue_with_break_still_falls_back(self, ctx):
-        # continue can skip the driver update -> no bound proof
+    def test_continue_with_break_after_update_compiles(self, ctx):
+        # late round 12: this continue sits AFTER the driver update,
+        # so the admitted iteration already contracted — it now rides
+        # the continue-flag lowering (TestContinueAfterDriverUpdate)
+        # alongside the break freeze
         def f(x):
             v = x
             s = 0
@@ -4793,7 +4863,7 @@ class TestBreakTolerantConvergenceFold:
                     break
                 s += v
             return (v, s)
-        run_diff(ctx, [10, 4, 0], f, expect_compiled=False)
+        run_diff(ctx, [10, 4, 0, 25, 7], f, expect_compiled=True)
 
 
 class TestMixedArityExcArgs:

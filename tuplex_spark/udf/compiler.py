@@ -521,6 +521,14 @@ def _is_pure_break_if(s) -> bool:
             and len(s.body) == 1 and isinstance(s.body[0], ast.Break))
 
 
+def _is_pure_continue_if(s) -> bool:
+    """``if c: continue`` with no orelse — admitted by the
+    while-contraction fold ONLY after the driver update (a continue
+    before it could skip the update and void the iteration bound)."""
+    return (isinstance(s, ast.If) and not s.orelse
+            and len(s.body) == 1 and isinstance(s.body[0], ast.Continue))
+
+
 def _lower_break_continue(stmts: list, brk: str, cont: str) -> list:
     """Rewrite a loop body so break/continue become flag assignments:
     ``break`` -> brk=True, cont=True; ``continue`` -> cont=True; any
@@ -2417,10 +2425,19 @@ class Translator:
         # driver — without breaking, which would invalidate the bound,
         # so those still reject).
         body_assigned = set(_loop_assigned_names(
-            [s for s in st.body if not _is_pure_break_if(s)]))
+            [s for s in st.body
+             if not (_is_pure_break_if(s) or _is_pure_continue_if(s))]))
         upd = None
         for s in st.body:
             if _is_pure_break_if(s):
+                continue
+            if _is_pure_continue_if(s):
+                # round 12: a continue AFTER the driver update only
+                # skips trailing accumulator statements — the admitted
+                # iteration still contracts, so the bound holds; one
+                # BEFORE the update could skip it -> reject
+                if upd is None:
+                    return None
                 continue
             if isinstance(s, ast.AugAssign):
                 tgts, val, bop = [s.target], s.value, s.op
@@ -2526,7 +2543,14 @@ class Translator:
         body = list(st.body)
         brk = cont = None
         if any(_contains_break_continue(s) for s in st.body):
-            if any(_contains_continue(s) for s in st.body):
+            # continues reaching here were position-validated by
+            # _while_contraction_info (pure continue-ifs strictly
+            # after the driver update — round 12); anything else
+            # already bailed the recognizer
+            if any(_contains_continue(s) for s in st.body) \
+                    and not all(
+                        _is_pure_continue_if(s) or not _contains_continue(s)
+                        for s in st.body):
                 self._truncate_guards(n_guards)
                 return False
             fid = self._loop_flag_id = getattr(self, "_loop_flag_id",
@@ -2570,7 +2594,7 @@ class Translator:
                 for n, s in acc_syms.items():
                     self._locals[n] = s
                 cond = self.truthy(self.eval(st.test))
-                if brk is not None:
+                if brk is not None and brk in acc_syms:
                     # a broken row freezes: iterations after the flag
                     # set are no-ops, exactly CPython's early exit
                     cond = cond & ~F.coalesce(
