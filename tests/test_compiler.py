@@ -389,6 +389,64 @@ class TestComprehensions:
         assert set(ds.collect()) <= {"a", "b"}
 
 
+class TestGuardedComprehensionBody:
+    """Round 12: a single-generator comprehension whose BODY can raise
+    compiles — the per-element guards lift to row scope: the row
+    raises iff some surviving element's body raises, at the FIRST
+    such element in array order (site order within the element
+    preserved), exactly CPython's evaluation order."""
+
+    def test_int_cast_body(self, ctx):
+        # ValueError at the first non-digit token
+        def f(x):
+            return sum([int(t) for t in x.split(" ")])
+        run_diff(ctx, ["1 2 3", "4 x 5", "10", "y", "7 8"], f,
+                 expect_compiled=True)
+
+    def test_division_body(self, ctx):
+        def f(x):
+            return sum([10 // (len(t) - 2) for t in x.split(" ")])
+        run_diff(ctx, ["a bbb", "ab cd", "abc a", ""], f,
+                 expect_compiled=True)
+
+    def test_two_sites_first_raise_order(self, ctx):
+        # per element: int(t) (ValueError) evaluates BEFORE the
+        # division (ZeroDivisionError); across elements the FIRST bad
+        # element decides — "0 x" must raise ZeroDivisionError, "x 0"
+        # must raise ValueError
+        def f(x):
+            return sum([100 // int(t) for t in x.split(" ")])
+        ds1 = ctx.parallelize(["0 x"]).map(f)
+        ds1.collect()
+        assert list(ds1.exception_counts) == ["ZeroDivisionError"]
+        ds2 = ctx.parallelize(["x 0"]).map(f)
+        ds2.collect()
+        assert list(ds2.exception_counts) == ["ValueError"]
+        run_diff(ctx, ["1 2 4", "5 0", "z 0", "25"], f,
+                 expect_compiled=True)
+
+    def test_filtered_elements_cannot_raise(self, ctx):
+        # an element the `if` filters out is never evaluated by
+        # CPython — the lifted guard must skip it too
+        def f(x):
+            return sum([10 // (len(t) - 1)
+                        for t in x.split(" ") if len(t) != 1])
+        run_diff(ctx, ["ab c ddd", "x", "ab", ""], f,
+                 expect_compiled=True)
+
+    def test_guard_resolvable(self, ctx):
+        def f(x):
+            return sum([int(t) for t in x.split(" ")])
+        ds = ctx.parallelize(["1 2", "3 z", "4"]).map(f) \
+            .resolve(ValueError, lambda x: -1)
+        assert ds.collect() == [3, -1, 4]
+
+    def test_guarded_condition_still_falls_back(self, ctx):
+        def f(x):
+            return sum([len(t) for t in x.split(" ") if int(t) > 2])
+        run_diff(ctx, ["3 4", "1 9"], f, expect_compiled=False)
+
+
 class TestPositionalColumns:
     def test_mapcolumn_by_index(self, ctx):
         ds = ctx.parallelize([(1, "a"), (2, "b")], columns=["n", "s"])

@@ -3412,6 +3412,130 @@ class Translator:
         raise CompileError("non-str dict keys need constant values")
 
     def _ev_ListComp(self, node):
+        """Comprehensions: the strict filter/transform lowering first;
+        if it aborts ONLY because the body needs exception guards, a
+        single-generator comprehension retries on the guard-lifting
+        path (round 12, _ev_listcomp_guarded)."""
+        n = len(self.guards)
+        try:
+            return self._ev_listcomp_strict(node)
+        except CompileError as e:
+            if str(e) != "guarded comprehension body" \
+                    or len(node.generators) != 1:
+                raise
+            self._truncate_guards(n)
+            return self._ev_listcomp_guarded(node)
+
+    def _comp_iter_array(self, it):
+        """Normalize a comprehension iterable Sym to an array SCol."""
+        if isinstance(it, SDict):
+            # iterating a dict yields its (constant) keys
+            it = SConst(list(it.items.keys()))
+        if isinstance(it, SConst) and isinstance(it.value,
+                                                 (list, tuple)):
+            it = SCol(F.array(*[F.lit(v) for v in it.value]), "array",
+                      False,
+                      elem=_pytag(it.value[0]) if it.value else "str")
+        if not (isinstance(it, SCol) and it.tag == "array"):
+            raise CompileError(f"comprehension over {it.tag}")
+        return it
+
+    def _ev_listcomp_guarded(self, node):
+        """Round 12: a SINGLE-generator comprehension whose BODY can
+        raise (``[10 // int(t) for t in toks]``) compiles by LIFTING
+        the per-element guards to row scope: the row raises iff some
+        filter-surviving element's body raises, at the FIRST such
+        element in array order with site order within the element
+        preserved — exactly CPython's evaluation order.  The value
+        column evaluates the body unguarded (only read on rows where
+        no guard fired).  Guarded filter conditions, guarded
+        iterables, and nested generators still fall back."""
+        gen = node.generators[0]
+        if gen.is_async or not isinstance(gen.target, ast.Name):
+            raise CompileError("comprehension target")
+        it = self._comp_iter_array(self.eval(gen.iter))
+        elem = it.elem or "str"
+        var = gen.target.id
+
+        def bind(xcol, enode):
+            """Evaluate ``enode`` with the loop var bound to ``xcol``;
+            guards the eval emits are CAPTURED and returned."""
+            saved = self._locals.get(var)
+            n = len(self.guards)
+            self._locals[var] = SCol(xcol, elem, False)
+            self._hof_depth += 1
+            try:
+                res = self.eval(enode)
+                caught = list(self.guards[n:])
+                self._truncate_guards(n)
+                return res, caught
+            finally:
+                self._hof_depth -= 1
+                if saved is None:
+                    self._locals.pop(var, None)
+                else:
+                    self._locals[var] = saved
+
+        arr = it.col
+
+        def make_cond(c):
+            def fn(x):
+                res, caught = bind(x, c)
+                if caught:
+                    raise CompileError(
+                        "guarded comprehension condition")
+                return self.truthy(res)
+            return fn
+
+        for cond in gen.ifs:
+            arr = F.filter(arr, make_cond(cond))
+        if self._hof_depth == 0:
+            name = f"__t{len(self.staged)}"
+            self.staged.append((name, arr))
+            arr = F.col(name)
+        # probe once for the site list (codes in site order — the
+        # eval is deterministic, so every re-evaluation agrees)
+        probe_res, probe_caught = bind(F.element_at(arr, 1), node.elt)
+        if not probe_caught:
+            raise CompileError("guarded comprehension body")
+        codes = [c for _, c in probe_caught]
+        out_tag = probe_res.tag
+
+        def any_fn(x, i):
+            _, caught = bind(x, node.elt)
+            a = F.lit(False)
+            for c, _ in caught:
+                a = a | F.coalesce(c, F.lit(False))
+            return F.struct(i.alias("i"), a.alias("f"))
+
+        fb = F.element_at(
+            F.filter(F.transform(arr, any_fn), lambda s: s["f"]), 1)
+        if self._hof_depth == 0:
+            name = f"__t{len(self.staged)}"
+            self.staged.append((name, fb))
+            fb = F.col(name)
+        has_bad = fb.isNotNull()
+        xbad = F.element_at(arr, (fb["i"] + 1).cast("int"))
+        _, bad_caught = bind(xbad, node.elt)
+        if [c for _, c in bad_caught] != codes:
+            raise CompileError("unstable guard sites in comprehension")
+        prior = F.lit(False)
+        for c, code in bad_caught:
+            cc = F.coalesce(c, F.lit(False))
+            self.guard(has_bad & cc & ~prior, name_for_code(code))
+            prior = prior | cc
+
+        def val_fn(x):
+            res, caught = bind(x, node.elt)
+            out_tag_local = res.tag
+            if out_tag_local != out_tag:
+                raise CompileError("unstable comprehension body type")
+            return self.to_col(res)
+
+        out = F.transform(arr, val_fn)
+        return SCol(out, "array", it.nullable, elem=out_tag)
+
+    def _ev_listcomp_strict(self, node):
         """[expr for v in arr (if cond)*]+ -> F.filter + F.transform,
         nested generators flattened level by level
         (``[f(a,b) for a in xs for b in g(a)]`` becomes
@@ -3421,8 +3545,8 @@ class Translator:
 
         Bodies, conditions, or inner iterables that would need exception
         guards abort compilation (a guard predicate can't reference HOF
-        lambda variables at row scope), falling back to the interpreted
-        path."""
+        lambda variables at row scope) and retry on the guard-lifting
+        path (_ev_ListComp wrapper) or fall back."""
         for gen in node.generators:
             if gen.is_async or not isinstance(gen.target, ast.Name):
                 raise CompileError("comprehension target")
