@@ -68,7 +68,7 @@ def mixture_plan(df: DataFrame, weights_ppm: dict[str, int],
                .agg(F.sum(F.size(tokens(text_col))).cast("long")
                      .alias("avail_tokens"),
                     F.count(F.lit(1)).cast("long").alias("n_docs")))
-    ppm = F.coalesce(wmap.getItem(F.col("source")), F.lit(0)) \
+    ppm = F.coalesce(F.element_at(wmap, F.col("source")), F.lit(0)) \
         .cast("long")
     # floor division in exact integer space (Spark decimal "/" rounds
     # HALF_UP, so divide via floor() to match DuckDB's // floor)
