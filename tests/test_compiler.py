@@ -3484,16 +3484,62 @@ class TestHandlerArgsAndReraise:
                 return len(e.args)
         run_diff(ctx, [1, 5, 2, 9], f, expect_compiled=True)
 
-    def test_keyerror_args_falls_back(self, ctx):
-        # KeyError args=(key,) but str(e)=repr(key): not derivable from
-        # the recorded message -> exact fallback, still correct
+    def test_keyerror_args_compile(self, ctx):
+        # late round 12: KeyError sites RECORD args=(key,) at the
+        # guard, so handlers reading e.args compile over dict misses
         def f(s):
             d = {"a": 1}
             try:
                 return d[s]
             except KeyError as e:
                 return len(e.args)
-        run_diff(ctx, ["a", "b"], f, expect_compiled=False)
+        run_diff(ctx, ["a", "b"], f, expect_compiled=True)
+
+    def test_keyerror_args_value_is_the_key(self, ctx):
+        # e.args[0] is the KEY VALUE (not its repr)
+        def f(s):
+            d = {"a": 1, "b": 2}
+            try:
+                return d[s] * 100
+            except KeyError as e:
+                return len(e.args[0])
+        run_diff(ctx, ["a", "zz", "b", "missing"], f,
+                 expect_compiled=True)
+
+    def test_keyerror_args_int_key_dynamic(self, ctx):
+        def f(x):
+            d = {1: "one", 2: "two"}
+            try:
+                return d[x]
+            except KeyError as e:
+                return e.args[0] * 10
+        run_diff(ctx, [1, 2, 7, -3], f, expect_compiled=True)
+
+    def test_dict_pop_missing_args(self, ctx):
+        # dict MUTATION under a try is a pre-existing structural
+        # fallback (pop under conditional control flow) — the recorded
+        # KeyError args don't change that; exactness preserved
+        def f(x):
+            d = {"a": 1}
+            try:
+                d.pop("zz")
+                return 0
+            except KeyError as e:
+                return e.args[0] + str(x)
+        run_diff(ctx, [1, 2], f, expect_compiled=False)
+
+    def test_keyerror_mixed_with_valueerror_site(self, ctx):
+        # KeyError (args=(key,)) and ValueError (args=(msg,)) feeding
+        # one handler: same-arity merge through the variant machinery
+        def f(s):
+            d = {"a": 1}
+            try:
+                if s == "v":
+                    raise ValueError("boom")
+                return d[s]
+            except (KeyError, ValueError) as e:
+                return str(e.args[0])
+        run_diff(ctx, ["a", "v", "x"], f, expect_compiled=True)
 
     def test_mixed_arity_len_compiles(self, ctx):
         # one site has args=(), the other args=(msg,): round 12 —

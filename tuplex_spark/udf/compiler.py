@@ -1100,6 +1100,14 @@ class Translator:
             snaps[len(self.guards) - 1] = {
                 n: self._locals[n] for n in names if n in self._locals}
 
+    def _record_args(self, args: list) -> None:
+        """Attach CPython ``e.args`` Syms to the guard JUST emitted
+        (round 12: KeyError sites — args=(key,) — so handlers reading
+        e.args/e.args[0] compile over dict/map misses).  No-op when
+        guards are off (guard() appended nothing)."""
+        if self.with_guards:
+            self._guard_args[len(self.guards) - 1] = args
+
     def _truncate_guards(self, start: int) -> None:
         """Roll back guards emitted past ``start`` (speculative
         compile paths) — and their recorded messages, so a later guard
@@ -3670,6 +3678,7 @@ class Translator:
             if default is not None:
                 return default
             self.guard(F.lit(True), "KeyError")
+            self._record_args([idx])
             return SConst(None)
         keys = [k for k, _ in items]
         if all(isinstance(k, (int, bool)) for k in keys):
@@ -3723,6 +3732,7 @@ class Translator:
         except CompileError:
             kmsg = None
         self.guard(~hit, "KeyError", msg=kmsg)
+        self._record_args([idx])
         return SCol(expr, tag, nullable)
 
     def _ev_Subscript(self, node):
@@ -3779,8 +3789,9 @@ class Translator:
             if isinstance(idx, SConst) and isinstance(idx.value, str):
                 if idx.value in base.items:
                     return base.items[idx.value]
-                # str(KeyError(k)) is repr(k)
+                # str(KeyError(k)) is repr(k); args is (k,)
                 self.guard(F.lit(True), "KeyError", msg=repr(idx.value))
+                self._record_args([SConst(idx.value)])
                 return SConst(None)
             return self._dict_dynamic_lookup(
                 list(base.items.items()), idx)
@@ -3790,6 +3801,11 @@ class Translator:
                     return SConst(base.value[idx.value])
                 except Exception as e:
                     self.guard(F.lit(True), type(e).__name__, msg=str(e))
+                    if isinstance(e, KeyError) and all(
+                            isinstance(a, (int, float, bool, str,
+                                           type(None)))
+                            for a in e.args):
+                        self._record_args([SConst(a) for a in e.args])
                     return SConst(None)
             if isinstance(base.value, dict):
                 # constant lookup-table subscripted by a column — the
@@ -3821,6 +3837,7 @@ class Translator:
                     kmsg = None
                 self.guard(~F.map_contains_key(base.col, k), "KeyError",
                            msg=kmsg)
+                self._record_args([idx])
                 return SCol(F.element_at(base.col, k), "any", True)
             if base.tag == "struct":
                 if isinstance(idx, SConst) and isinstance(idx.value, str):
@@ -6128,6 +6145,7 @@ class Translator:
         self.guard(F.coalesce(is_obj
                               & ~F.array_contains(keys, idx.value),
                               F.lit(False)), "KeyError")
+        self._record_args([SConst(idx.value)])
         return SJson(base.v_col, f"{base.path}.{idx.value}")
 
     def _json_get(self, base: SJson, args: list[Sym]) -> SJson:
@@ -7096,7 +7114,11 @@ class Translator:
                     if args:
                         raise CompileError("popitem takes no arguments")
                     if not base.items:
+                        # CPython: KeyError('popitem(): dictionary is
+                        # empty') — a one-string-arg site
                         self.guard(F.lit(True), "KeyError")
+                        self._record_args([SConst(
+                            "popitem(): dictionary is empty")])
                         return SConst(None)
                     k = next(reversed(base.items))  # LIFO like CPython
                     return STuple([SConst(k), base.items.pop(k)])
@@ -7108,6 +7130,7 @@ class Translator:
                 if len(args) > 1:
                     return args[1]
                 self.guard(F.lit(True), "KeyError")
+                self._record_args([SConst(k.value)])
                 return SConst(None)
         c = self.to_col(base)
         if name == "get":
