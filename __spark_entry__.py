@@ -1066,6 +1066,52 @@ def q_mm_jpeg(spark, sf_dir):
 # Training-data pipeline ops (scale extensions; functions/)
 # ======================================================================
 
+def q_mm_frames(spark, sf_dir):
+    """multimodal frame sampling (late round 12): per-doc ANIMATED
+    3-frame solid-gray 4x3 GIFs (grays g, g+3, g+6 at delays
+    40/60/100 ms) synthesized by the native encoder; sample_frames
+    picks the frame active at each 50 ms tick of the GIF's own delay
+    timeline (the 1-row-in-N-out mapInPandas shape) and emits its
+    composited pixels as PPM; the real decoder then featurizes each
+    sampled frame.  200 ms duration / 50 ms ticks -> 4 rows per doc at
+    ts 0/50/100/150 hitting frames 0/1/2/2 — so every feature is one
+    analytic float expression in (doc_id, tick), the mm_gif standard.
+    The composite id doc_id*4 + frame_index carries the frame identity
+    through the decode stage."""
+    from tuplex_spark.functions import multimodal
+    _prep(spark)
+    ids = multimodal._spread(
+        _t(spark, sf_dir, "documents").select("doc_id"))
+
+    def make(batches):
+        import pandas as pd
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                g = int(d) % 200 + 10
+                payloads.append(multimodal.encode_gif(4, 3, [
+                    (40, bytes([g, g, g]) * 12),
+                    (60, bytes([g + 3] * 3) * 12),
+                    (100, bytes([g + 6] * 3) * 12)]))
+            yield pd.DataFrame({"asset_id": pdf["doc_id"],
+                                "payload": payloads,
+                                "dur": [0] * len(pdf)})
+
+    assets = ids.mapInPandas(
+        make, schema="asset_id long, payload binary, dur long")
+    frames = multimodal.sample_frames(assets, every_ms=50,
+                                      duration_col="dur")
+    staged = frames.select(
+        (F.col("asset_id") * 4 + F.col("frame_index")).alias("asset_id"),
+        F.col("frame").alias("payload"))
+    feats = multimodal.extract_features(staged, decoder="image/real")
+    return feats.select(
+        "asset_id", "width", "height",
+        *[F.round(F.col("features")[i], 6).alias(f"f{i}")
+          for i in range(multimodal.FEATURE_DIM)],
+        "decode_error")
+
+
 def q_pipeline_clean(spark, sf_dir):
     """Composed training-data pipeline: quality filter -> language
     filter -> exact dedup -> verified near-dup removal, one DataFrame
@@ -2479,6 +2525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # GPT-3/PaLM/LLaMA source-mixture step, integer-exact cut)
         "mixture_plan": q_mixture_plan,
         "mixture_sample": q_mixture_sample,
+        # late round 12 (tail): animated-GIF frame sampling on the
+        # delay timeline, featurized by the real decoder
+        "mm_frames": q_mm_frames,
         "text_pack": q_text_pack,
         "events_range_join": q_events_range_join,
         "ds_cache": q_ds_cache,
@@ -3017,6 +3066,26 @@ SELECT doc_id AS asset_id, 4 AS width, 3 AS height,
        NULL::VARCHAR AS decode_error
 FROM (SELECT doc_id, CAST(doc_id % 256 AS DOUBLE) AS c
       FROM documents)""",
+        # animated 3-frame solid-gray 4x3 GIF: 200ms total on delays
+        # 40/60/100, sampled every 50ms -> ticks 0..3 hit frames
+        # 0/1/2/2; composite id = doc_id*4 + tick, gray c = g + 3*frame
+        "mm_frames": """
+SELECT doc_id * 4 + j AS asset_id, 4 AS width, 3 AS height,
+       round((c*12)/(255.0*12), 6) AS f0,
+       round((c*12)/(255.0*12), 6) AS f1,
+       round((c*12)/(255.0*12), 6) AS f2,
+       round((0.299*(c*12) + 0.587*(c*12) + 0.114*(c*12))/(255.0*12), 6)
+         AS f3,
+""" + ",\n".join(
+            f"       round((0.299*c + 0.587*c + 0.114*c)/(255.0*1), 6)"
+            f" AS f{i}" for i in range(4, 16)) + """,
+       NULL::VARCHAR AS decode_error
+FROM (SELECT doc_id, j,
+             CAST(doc_id % 200 + 10
+                  + 3 * (CASE WHEN j = 0 THEN 0
+                              WHEN j = 1 THEN 1 ELSE 2 END) AS DOUBLE)
+               AS c
+      FROM documents, unnest(generate_series(0, 3)) AS t(j))""",
         # solid-gray 32x3 JPEG, gray = 128+5j (DC-quantizer-exact, so
         # decode is bit-exact uniform c): every grid cell is one
         # 8-pixel row -> one float expression per feature; every 13th
