@@ -3484,6 +3484,65 @@ class TestHandlerArgsAndReraise:
                 return len(e.args)
         run_diff(ctx, [1, 5, 2, 9], f, expect_compiled=True)
 
+    def test_bare_assert_args_empty(self, ctx):
+        # late round 12: a bare assert records args=() — CPython's
+        # AssertionError() — so len(e.args) compiles.  UDFs live in
+        # udf_shapes.py: pytest's assert rewriting would otherwise
+        # give the CPython reference a message arg (args=(msg,))
+        from udf_shapes import assert_bare_args_len
+        run_diff(ctx, [3, -1, 0, 7], assert_bare_args_len,
+                 expect_compiled=True)
+
+    def test_msg_assert_args_value(self, ctx):
+        # args=(msg_value,) holds the ORIGINAL message value
+        from udf_shapes import assert_msg_args_value
+        run_diff(ctx, [2, 3, 4, 7], assert_msg_args_value,
+                 expect_compiled=True)
+
+    def test_next_exhausted_args_empty(self, ctx):
+        # StopIteration from an exhausted next(): args=() recorded
+        def f(s):
+            try:
+                return next(iter(s.split(",,"))) + "!"
+            except StopIteration as e:
+                return str(len(e.args))
+        # split(",,") of "" yields [''] in CPython — use a shape whose
+        # guard actually fires: explicit empty-tuple iteration
+        def g(x):
+            try:
+                return next(iter(())) is None
+            except StopIteration as e:
+                return len(e.args) == 0
+        run_diff(ctx, [1, 2], g, expect_compiled=True)
+
+    def test_second_next_after_consume_falls_back_correct(self, ctx):
+        # pre-r12 SILENT-WRONG: every next() returned element 1, so a
+        # discarded next(it) didn't advance — two nexts on one
+        # iterator compiled wrong.  Positional _SIter state fixes the
+        # straight-line case; the consume-then-next-inside-try shape
+        # (different depth after a prior consume) now falls back with
+        # CORRECT values instead
+        def f(s):
+            it = iter(s.split(" "))
+            next(it)
+            try:
+                return next(it) + "!"
+            except StopIteration as e:
+                return str(len(e.args))
+        run_diff(ctx, ["a b", "solo", "x y z"], f,
+                 expect_compiled=False)
+
+    def test_straight_line_multi_next_compiles(self, ctx):
+        # successive straight-line nexts consume successive elements
+        def f(s):
+            it = iter(s.split(" "))
+            a = next(it)
+            b = next(it, "none")
+            c = next(it, "none")
+            return a + "|" + b + "|" + c
+        run_diff(ctx, ["x y z", "p q", "solo", "a b c"], f,
+                 expect_compiled=True)
+
     def test_keyerror_args_compile(self, ctx):
         # late round 12: KeyError sites RECORD args=(key,) at the
         # guard, so handlers reading e.args compile over dict misses

@@ -22,3 +22,19 @@ def assert_without_message(x):
         return str(x)
     except AssertionError as e:
         return "failed<" + str(e) + ">"
+
+
+def assert_bare_args_len(x):
+    try:
+        assert x > 0
+        return x
+    except AssertionError as e:
+        return len(e.args)
+
+
+def assert_msg_args_value(x):
+    try:
+        assert x % 2 == 0, x * 100
+        return x
+    except AssertionError as e:
+        return e.args[0]

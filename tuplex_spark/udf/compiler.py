@@ -1292,14 +1292,23 @@ class Translator:
                 # its guards by ~cond so a raising msg expression can't
                 # fail rows whose assertion holds
                 amsg: Column | str | None = "" if st.msg is None else None
+                # late round 12: record CPython's args — () for a bare
+                # assert, (msg_value,) with a message (the ORIGINAL
+                # value, not its str)
+                aargs: list | None = [] if st.msg is None else None
                 if st.msg is not None:
                     ng = len(self.guards)
                     try:
                         with self._under_path(~cond):
-                            amsg = self._to_str(self.eval(st.msg))
+                            msym = self.eval(st.msg)
+                            amsg = self._to_str(msym)
+                            aargs = [msym]
                     except CompileError:
                         self._truncate_guards(ng)
+                        aargs = None
                 self.guard(~cond, "AssertionError", msg=amsg)
+                if aargs is not None:
+                    self._record_args(aargs)
                 continue
             if isinstance(st, ast.Pass):
                 continue
@@ -5877,38 +5886,56 @@ class Translator:
         a = args[0]
         if isinstance(a, (STuple, SConst)) or \
                 (isinstance(a, SCol) and a.tag == "array"):
-            return _SIter(a)
+            return _SIter(a, (self._branch_depth, self._hof_depth))
         raise CompileError(f"iter({a.tag})")
 
     def _b_next(self, args):
         a = args[0]
         if not isinstance(a, _SIter):
             raise CompileError("next over non-iter")
+        if a.poisoned:
+            raise CompileError(
+                "next on an iterator advanced under a branch/HOF")
+        here = (self._branch_depth, self._hof_depth)
+        if here != a.created_at:
+            if a.pos != 0:
+                # a branch-conditioned consume after straight-line
+                # consumes: CPython's position depends on whether the
+                # branch ran — not statically known
+                raise CompileError(
+                    "next at a different depth than iter() after "
+                    "prior consumes")
+            a.poisoned = True
+        pos = a.pos
+        a.pos += 1
         base = a.base
         default = args[1] if len(args) > 1 else None
         if isinstance(base, SConst):
             seq = list(base.value)
-            if seq:
-                return SConst(seq[0])
+            if pos < len(seq):
+                return SConst(seq[pos])
             if default is not None:
                 return default
             self.guard(F.lit(True), "StopIteration")
+            self._record_args([])
             return SConst(None)
         if isinstance(base, STuple):
-            if base.items:
-                return base.items[0]
+            if pos < len(base.items):
+                return base.items[pos]
             if default is not None:
                 return default
             self.guard(F.lit(True), "StopIteration")
+            self._record_args([])
             return SConst(None)
-        empty = F.size(base.col) == 0
-        first = F.element_at(base.col, 1)
+        empty = F.size(base.col) < pos + 1
+        nth = F.element_at(base.col, pos + 1)
         if default is not None:
             d = self.to_col(default)
-            return SCol(F.when(empty, d).otherwise(first),
+            return SCol(F.when(empty, d).otherwise(nth),
                         base.elem or "any", True)
         self.guard(empty, "StopIteration")
-        return SCol(first, base.elem or "any", True)
+        self._record_args([])
+        return SCol(nth, base.elem or "any", True)
 
     def _b_reversed(self, args):
         a = args[0]
@@ -7147,11 +7174,22 @@ class Translator:
 
 
 class _SIter(Sym):
-    """Result of iter(x): supports only next() (first element)."""
+    """Result of iter(x) with a STATIC position counter: straight-line
+    ``next()`` calls consume successive elements in code order (==
+    CPython's execution order at the creation depth).  A next() at a
+    DIFFERENT branch/HOF depth than the creation site is allowed once
+    from position 0 (the ``next(iter(x), d)`` idiom inside a branch or
+    comprehension) but POISONS the iterator — a later next() can't
+    know whether that branch executed, so it falls back instead of
+    silently re-reading (pre-r12, EVERY next() returned element 1:
+    two nexts on one iterator compiled silently wrong)."""
     tag = "iter"
 
-    def __init__(self, base):
+    def __init__(self, base, created_at=(0, 0)):
         self.base = base
+        self.pos = 0
+        self.created_at = created_at
+        self.poisoned = False
 
 
 class _BoundModuleFn(Sym):
