@@ -69,10 +69,10 @@ HEADLINE = [
     # dedup_canonical)
     "pipeline_tokenize",
     # round-12 (VERDICT r11 items 1/3/5): SemDeDup at the PRODUCTION
-    # Arrow-assignment k (replaces the clamped dedup_semantic, which
-    # leaves the bench — identical composition, its per-component
-    # costs stay anchored), the baseline-JPEG decode query, and the
-    # full curation composition
+    # Arrow-assignment k (dedup_semantic_scaled) BESIDE the clamped
+    # dedup_semantic (optimization rounds never drop a benched query),
+    # the baseline-JPEG decode query, and the full curation composition
+    "dedup_semantic",
     "dedup_semantic_scaled", "mm_jpeg", "pipeline_curate",
     # round-12: exact-substring dedup (Lee et al. ACL'22) — one gram
     # explode + one corpus-wide hash-window shuffle + per-doc merge

