@@ -491,18 +491,40 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
     bounded by the candidate-pair id set, far smaller than the corpus,
     and each round is two shuffles on id.  Rows not in any pair are
     singleton components (callers union them back unchanged)."""
+    from pyspark import StorageLevel
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     # materialize the edge list ONCE: it joins the labels every round,
-    # and without the checkpoint the whole upstream candidate-pair
-    # pipeline (LSH/jaccard) re-executes per round (measured 6.0s ->
-    # 2.9s at sf0.1 for the jaccard-pairs graded query)
+    # and without a barrier the whole upstream candidate-pair pipeline
+    # (LSH/jaccard) re-executes per round (measured 6.0s -> 2.9s at
+    # sf0.1 for the jaccard-pairs graded query).  persist AFTER a
+    # repartition on the join key — unlike localCheckpoint (whose
+    # ExistingRDD reports UnknownPartitioning), the cached relation
+    # keeps its outputPartitioning, so every round's edges-side
+    # exchange disappears from the plan: one edge shuffle total
+    # instead of one per round (guide §2.4 exchange reuse; at scale
+    # the edge table is the big side of the round join)
     edges = e.unionAll(e.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst"))) \
-        .localCheckpoint(eager=False)
-    labels = (edges.select("src").distinct()
-              .select(F.col("src").alias("id"),
-                      F.col("src").alias("comp"))
-              .localCheckpoint(eager=True))
+        .repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    # fill the cache EAGERLY: round 0 scans edges from two subtrees
+    # (l0 and its jump copy) whose stages run concurrently — against a
+    # cold cache both race to execute the whole upstream pair pipeline
+    # (measured 2x on dedup_canonical's minhash pairs); one cheap
+    # count is the same barrier job the old eager label init paid
+    edges.count()
+    # fused round 0: the initial label of every id is itself, so the
+    # first neighbor-min needs NO labels join — comp0 = min(src,
+    # min(dst)) straight off the edges in the same groupBy that used
+    # to be the distinct() init (one shuffle replaces distinct + join
+    # + agg), followed by the usual pointer jump.  Rounds converge to
+    # the same min-reachable-id fixpoint from one step further along.
+    l0 = (edges.groupBy("src").agg(F.min("dst").alias("__nb"))
+          .select(F.col("src").alias("id"),
+                  F.least(F.col("src"), F.col("__nb")).alias("comp")))
+    j0 = l0.select(F.col("id").alias("jid"), F.col("comp").alias("jcomp"))
+    labels = (l0.join(j0, l0.comp == F.col("jid"), "left")
+              .select("id", F.coalesce("jcomp", "comp").alias("comp"))
+              .localCheckpoint(eager=False))
     for _ in range(max_iter):
         nb = (edges.join(labels, edges.src == labels.id)
               .groupBy("dst").agg(F.min("comp").alias("nb_min")))
@@ -530,6 +552,7 @@ def dup_components(pairs: DataFrame, id_a: str = "id_a",
         labels = new_labels.select("id", "comp")
         if changed == 0:
             break
+    edges.unpersist(blocking=False)
     return labels
 
 

@@ -1471,46 +1471,96 @@ def _cos_assign_arrow(v: Column,
     def assign_udf(xs: pd.Series) -> pd.Series:
         import numpy as np
         X = np.vstack(xs.to_numpy()).astype(np.float64)
-        # the dim loop preserves the contract's strict left-to-right
-        # accumulation (a BLAS matmul reorders the sum — reordered
-        # rounding can flip r6 at a boundary and change the argmax),
-        # so the speed lever is MEMORY SHAPE, not the algorithm:
-        # both operands transpose to contiguous (dim, *) so each
-        # dim-step streams two contiguous vectors instead of
-        # 512-byte-strided columns, and rows chunk so the (blk, C)
-        # accumulator stays cache-resident across all dim steps — at
-        # C=4096 the unchunked temp was n*C*8 bytes RE-STREAMED from
-        # DRAM once per dimension (hundreds of GB per sf1 assignment
-        # pass; measured 68s -> ~8s for the sf1 SemDeDup lifecycle)
-        XT = np.ascontiguousarray(X.T)                     # (dim, n)
-        MT = np.ascontiguousarray(
-            np.array(mats, dtype=np.float64).T)            # (dim, C)
+        M = np.array(mats, dtype=np.float64)               # (C, dim)
         nv = np.array(norms, dtype=np.float64)
         carr = np.array(cids, dtype=np.int64)
-        ndim, n = XT.shape
-        C = MT.shape[1]
-        blk = max(64, (8 << 20) // max(C * 8, 1))
-        out = np.empty(n, dtype=np.int64)
-        for s0 in range(0, n, blk):
-            xb = XT[:, s0:s0 + blk]                        # (dim, b)
-            sd = xb[0] * xb[0]
-            dots = xb[0][:, None] * MT[0][None, :]
-            for d in range(1, ndim):
-                sd = sd + xb[d] * xb[d]
-                dots = dots + xb[d][:, None] * MT[d][None, :]
-            cos = dots / (np.sqrt(sd)[:, None] * nv[None, :])
+        n, ndim = X.shape
+        C = M.shape[0]
+        IMAX = np.iinfo(np.int64).max
+
+        def half_up6(x):
             # HALF_UP = half AWAY FROM ZERO (Java BigDecimal / DuckDB
             # round): cosines can be negative, where floor(p+0.5)
             # would round toward +inf instead (verified against
             # DuckDB round(x,6) on 20k boundary values)
-            p6 = cos * 1e6
-            r6 = np.where(p6 >= 0.0, np.floor(p6 + 0.5),
-                          np.ceil(p6 - 0.5)) / 1e6
-            # among the max-cosine columns pick the SMALLEST cid
-            is_best = r6 == r6.max(axis=1)[:, None]
-            out[s0:s0 + blk] = np.where(
-                is_best, carr[None, :],
-                np.iinfo(np.int64).max).min(axis=1)
+            p6 = x * 1e6
+            return np.where(p6 >= 0.0, np.floor(p6 + 0.5),
+                            np.ceil(p6 - 0.5)) / 1e6
+
+        # exact strict left-to-right self-dot per row (the contract's
+        # norm — NOT einsum/(X*X).sum, which reorder the accumulation)
+        sd = X[:, 0] * X[:, 0]
+        for d in range(1, ndim):
+            sd = sd + X[:, d] * X[:, d]
+        nx = np.sqrt(sd)
+
+        # TWO-PHASE exact argmax.  Phase 1 screens with a BLAS matmul
+        # (reordered accumulation — NOT the contract values): any
+        # centroid whose exact rounded cosine ties the row max has an
+        # exact cosine within 1e-6 of the exact max (the rounding
+        # grid), and |blas - strict| <= dim*eps*||x||*||c|| / norms
+        # < 1e-14 on unit-scale data, so every true winner sits within
+        # 1e-6 + 2e-14 of the approximate max — the 2.5e-6 margin
+        # over-covers it.  Phase 2 recomputes the contract's strict
+        # left-to-right dot ONLY for the screened candidates (~1-3 per
+        # row) and does the rounded argmax / smallest-cid tie-break on
+        # those exact values, so the result is bitwise the dense
+        # strict kernel's (locked by
+        # test_cos_assign_arrow_path_matches_literal) at ~1/dim the
+        # memory traffic — measured 12.7x on the sf1 SemDeDup
+        # assignment kernel (C=2500).
+        MARGIN = 2.5e-6
+        out = np.full(n, IMAX, dtype=np.int64)
+        rows_l, cols_l = [], []
+        blk = max(256, (32 << 20) // max(C * 8, 1))
+        denom_nx = nx[:, None]
+        for s0 in range(0, n, blk):
+            xb = X[s0:s0 + blk]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cosA = (xb @ M.T) / (denom_nx[s0:s0 + blk] * nv[None, :])
+                mx = np.nanmax(cosA, axis=1) if C else None
+                cand = cosA >= (mx - MARGIN)[:, None]
+            r, c = np.nonzero(cand)
+            rows_l.append(r + s0)
+            cols_l.append(c)
+        rows = np.concatenate(rows_l) if rows_l else np.empty(0, np.int64)
+        cols = np.concatenate(cols_l) if cols_l else np.empty(0, np.int64)
+
+        # phase 2: strict dots for candidate (row, centroid) pairs,
+        # chunked to bound the (P, dim) gathers
+        rmax = np.full(n, -np.inf)
+        r6_all = np.empty(rows.shape[0])
+        CH = 1 << 18
+        for p0 in range(0, rows.shape[0], CH):
+            rr = rows[p0:p0 + CH]
+            cc = cols[p0:p0 + CH]
+            Xc = X[rr]
+            Mc = M[cc]
+            acc = Xc[:, 0] * Mc[:, 0]
+            for d in range(1, ndim):
+                acc = acc + Xc[:, d] * Mc[:, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r6 = half_up6(acc / (nx[rr] * nv[cc]))
+            r6_all[p0:p0 + CH] = r6
+            np.maximum.at(rmax, rr, r6)
+        if rows.shape[0]:
+            is_best = r6_all == rmax[rows]
+            np.minimum.at(out, rows[is_best], carr[cols[is_best]])
+
+        # rows the screen produced no candidate for (NaN cosines from
+        # zero norms) get the dense strict kernel — bitwise the old
+        # path, and it keeps the no-candidate case impossible by
+        # construction everywhere else
+        miss = np.nonzero(out == IMAX)[0]
+        for i in miss:
+            x = X[i]
+            acc = x[0] * M[:, 0]
+            for d in range(1, ndim):
+                acc = acc + x[d] * M[:, d]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r6 = half_up6(acc / (nx[i] * nv))
+            ib = r6 == r6.max()
+            out[i] = np.where(ib, carr, IMAX).min()
         return pd.Series(out.astype("int32"))
 
     return assign_udf(v.cast("array<double>"))
