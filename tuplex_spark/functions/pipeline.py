@@ -42,6 +42,7 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
     # path) keeps the filter from INLINING the heavy token expressions
     # into its predicate, which would evaluate them twice per row.
     # The oracle twin keeps its CTE joins (1:1 on id, identical set).
+    from pyspark.sql import Window
     qual = F.element_at(F.shuffle(F.array(
         quality_score_expr(text_col))), 1)
     s0 = (df.select(F.col(id_col), F.col(text_col),
@@ -50,10 +51,20 @@ def clean_corpus(df: DataFrame, text_col: str = "text",
           .filter((F.col("quality") >= min_quality)
                   & (F.col("detected_lang") == lang))
           .select(id_col, text_col, "quality"))
+    # exact dedup as ONE window over ONE subtree: the previous
+    # groupBy-min + left-semi self-join evaluated the heavy
+    # quality/langid scan projection twice (s0 appeared on both join
+    # sides) and paid 3 exchanges; row_number over the digest keeps
+    # the same min-id representative per normalized-text group with
+    # ONE exchange and a single s0 evaluation (measured ~2.4s off the
+    # sf1 clean — the whole second text_quality pass)
     key = F.md5(normalize_text(text_col))
-    keep = (s0.select(F.col(id_col), key.alias("__k"))
-            .groupBy("__k").agg(F.min(id_col).alias(id_col)))
-    s1 = s0.join(keep.select(id_col), id_col, "left_semi")
+    w = Window.partitionBy("__k").orderBy(id_col)
+    s1 = (s0.select(F.col(id_col), F.col(text_col), F.col("quality"),
+                    key.alias("__k"))
+          .withColumn("__rn", F.row_number().over(w))
+          .filter(F.col("__rn") == 1)
+          .select(id_col, text_col, "quality"))
     # MATERIALIZE the survivor set: it feeds the jaccard index (whose
     # two consumers each recompute their upstream) plus the final
     # anti-join — 4 evaluations of the scan+filter+dedup chain without
@@ -235,7 +246,13 @@ def curate_corpus(docs: DataFrame, emb: DataFrame, ref: DataFrame,
                       language_id_expr(text_col).alias("_dl"))
           .filter((F.col("quality") >= min_quality)
                   & (F.col("_dl") == lang))
-          .select(id_col, text_col, "quality"))
+          .select(id_col, text_col, "quality")
+          # winnow_decontaminate consumes its input TWICE (the
+          # fingerprint explode and the output-side anti join); this
+          # barrier keeps the heavy quality/langid scan projection to
+          # ONE evaluation — the same multi-consumer rationale as the
+          # s1/s2 barriers below
+          .localCheckpoint(eager=False))
     s1 = winnow_decontaminate(s0, ref, text_col, id_col,
                               k=wk, w=ww, min_shared=min_shared,
                               mode="drop") \
@@ -348,11 +365,17 @@ def embedding_clean(docs: DataFrame, emb: DataFrame,
         n_corpus_rows if n_corpus_rows is not None else emb.count())
     qual = F.element_at(F.shuffle(F.array(
         quality_score_expr(text_col))), 1)
+    # materialize the THIN survivor set once: it has two consumers
+    # (the embedding semi-join and the final apply semi-join), and
+    # without the barrier each re-runs the heavy quality/langid scan
+    # projection — 12 bytes+quality a row, the clean_corpus barrier
+    # rationale
     surv = (docs.select(F.col(id_col), qual.alias("quality"),
                         language_id_expr(text_col).alias("_dl"))
             .filter((F.col("quality") >= min_quality)
                     & (F.col("_dl") == lang))
-            .select(id_col, "quality"))
+            .select(id_col, "quality")
+            .localCheckpoint(eager=False))
     sembs = (emb.join(surv.select(F.col(id_col).alias(vec_id_col)),
                       vec_id_col, "left_semi")
              .select(vec_id_col, vec_col)
