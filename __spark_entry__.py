@@ -1238,7 +1238,10 @@ def q_dedup_winnow(spark, sf_dir):
     miss (functions/dedup.py winnow_pairs)."""
     from tuplex_spark.functions import dedup
     _prep(spark)
-    return dedup.winnow_pairs(_t(spark, sf_dir, "documents"),
+    # widened corpus scan (_t_wide): the fingerprint stage is the
+    # CPU-heavy single-pass term — measured 1.69 -> 1.23 s at sf0.1
+    return dedup.winnow_pairs(_t_wide(spark, sf_dir, "documents",
+                                      "doc_id"),
                               k=3, w=4, min_shared=2)
 
 
@@ -1251,7 +1254,7 @@ def q_dedup_winnow_decon(spark, sf_dir):
     decontaminate (functions/dedup.py winnow_decontaminate)."""
     from tuplex_spark.functions import dedup
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents", "doc_id")
     ref = docs.filter(F.col("doc_id") % 17 == 0)
     return dedup.winnow_decontaminate(
         docs, ref, k=3, w=4, min_shared=2, mode="flag"
@@ -1268,7 +1271,7 @@ def q_dedup_winnow_spans(spark, sf_dir):
     reconstructs identical spans via winnow_match_spans_sql)."""
     from tuplex_spark.functions import dedup
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents", "doc_id")
     ref = docs.filter(F.col("doc_id") % 17 == 0)
     return dedup.winnow_match_spans(docs, ref, k=3, w=4)
 
@@ -1282,7 +1285,7 @@ def q_dedup_winnow_redact(spark, sf_dir):
     the ordered rebuild (functions/dedup.py winnow_redact)."""
     from tuplex_spark.functions import dedup
     _prep(spark)
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents", "doc_id")
     ref = docs.filter(F.col("doc_id") % 17 == 0)
     return dedup.winnow_redact(docs, ref, k=3, w=4)
 
@@ -1390,6 +1393,53 @@ def _parquet_nrows(path: str) -> int | None:
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return None
+
+
+def _parquet_rowgroups(path: str) -> int | None:
+    """Row-group count from parquet footers (no Spark job) — the scan's
+    maximum task parallelism, since a row group is read whole by one
+    split."""
+    import glob
+    try:
+        import pyarrow.parquet as pq
+        parts = (glob.glob(os.path.join(path, "*.parquet"))
+                 if os.path.isdir(path) else [path])
+        if not parts:
+            return None
+        return sum(pq.ParquetFile(p).metadata.num_row_groups
+                   for p in parts)
+    except Exception:
+        return None
+
+
+def _t_wide(spark: SparkSession, sf_dir: str, name: str,
+            key: str) -> DataFrame:
+    """:func:`_t`, hash-widened to the session parallelism when the
+    table's parquet layout cannot feed that many scan tasks (row-group
+    count from footers — no Spark job, memoized with the reader plan).
+    The multimodal._spread rationale at the table layer: a CPU-heavy
+    first stage (winnowing fingerprints: tokenize + k-gram hash +
+    window mins) over a single-row-group file is otherwise pinned to
+    ONE core, while any at-scale layout already carries >=
+    parallelism row groups and this is a no-op with no added
+    exchange.  Hash partitioning on the id column (cheap murmur3 on a
+    long) — keyless round-robin pays a per-partition sort of the full
+    rows (spark.sql.execution.sortBeforeRepartition) that measured
+    SLOWER than the single-core stage it replaced."""
+    ck = ("wide", id(spark), os.path.join(sf_dir, name), key)
+    if ck in _READ_CACHE:
+        return _READ_CACHE[ck]
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    rg = _parquet_rowgroups(os.path.join(sf_dir, f"{name}.parquet"))
+    # widen only when the layout can feed less than a QUARTER of the
+    # cores: at 10 row groups / 32 cores the added exchange measured
+    # neutral-to-negative (interleaved A/B on winnow_redact), while
+    # the single-row-group case measured -27% on winnow_pairs
+    if rg is not None and rg * 4 <= par:
+        df = df.repartition(par, key)
+    _READ_CACHE[ck] = df
+    return df
 
 
 def q_dedup_embedding(spark, sf_dir):
