@@ -599,7 +599,19 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
          # full working set of generated classes warm (measured: all
          # five sf1 LSH queries stable at 1.5-2.7 s after one pass vs
          # 40-90 s outliers recurring indefinitely before).
-         .config("spark.sql.codegen.cache.maxEntries", "10000"))
+         .config("spark.sql.codegen.cache.maxEntries", "10000")
+         # localCheckpoint blocks from finished queries stay pinned
+         # until the JVM collects their RDD objects and ContextCleaner
+         # unpersists them; with a pre-touched 16 GB heap old-gen GCs
+         # are rare, so a long session accumulates dead blocks (and
+         # their block-manager bookkeeping) — measured as monotonic
+         # in-leg inflation of late checkpoint-heavy queries (the r12
+         # semdedup samples grew 17 -> 33 s across one bench leg).
+         # The stock 30 MIN periodic-GC interval is tuned for clusters
+         # where a driver System.gc() is expensive; at one driver GC
+         # per 90 s the cleaner keeps the block store bounded for
+         # pennies (a full G1 pass on this heap is ~0.1 s).
+         .config("spark.cleaner.periodicGC.interval", "90s"))
     # Right-sized, PRE-TOUCHED heap.  The old 90 GB lazily-committed
     # heap let G1 grow young gen by tens of GB between collections;
     # every fresh GB is first-touch page faults against the OS, which
