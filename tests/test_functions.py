@@ -1625,6 +1625,39 @@ class TestMinhashSimilarity:
 
 
 class TestDupComponents:
+    def test_distributed_path_matches_local(self, spark):
+        """The two dup_components execution paths (driver union-find
+        under local_pairs_max, pointer-jumping loop past it) must
+        produce the identical min-reachable-id fixpoint on a pair set
+        with chains, stars, merges, and self-loops."""
+        import random
+        from tuplex_spark.functions.dedup import dup_components
+        rng = random.Random(0xC0)
+        rows = [(rng.randrange(200), rng.randrange(200))
+                for _ in range(300)] + [(7, 7), (500, 501), (501, 502)]
+        pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+        loc = {(r["id"], r["comp"])
+               for r in dup_components(pairs).collect()}
+        dist = {(r["id"], r["comp"])
+                for r in dup_components(pairs,
+                                        local_pairs_max=0).collect()}
+        assert loc == dist and loc
+
+    def test_distributed_path_chain_star_islands(self, spark):
+        """test_chain_star_and_islands on the distributed loop
+        explicitly (the default now resolves small pair sets on the
+        driver)."""
+        from tuplex_spark.functions.dedup import dup_components
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13),
+             (20, 21)], "id_a long, id_b long")
+        got = {r["id"]: r["comp"]
+               for r in dup_components(pairs,
+                                       local_pairs_max=0).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                       10: 10, 11: 10, 12: 10, 13: 10,
+                       20: 20, 21: 20}
+
     def test_chain_star_and_islands(self, spark):
         from tuplex_spark.functions.dedup import dup_components
         # chain 1-2-3-4, star 10-(11,12,13), pair 20-21

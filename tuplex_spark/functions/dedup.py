@@ -472,45 +472,108 @@ WITH rsh AS (
 SELECT t.* FROM {table} t ANTI JOIN hits ON t.{id_col} = hits.id"""
 
 
+def _components_local(ep: DataFrame, src: str = "src",
+                      dst: str = "dst") -> DataFrame:
+    """Driver-side connected components over a BOUNDED (checkpointed)
+    pair table — the broadcast-threshold fast path of
+    :func:`dup_components`.  Vectorized min-label propagation with
+    pointer jumping over index arrays (ids sorted ascending, so
+    min-over-indices == min-over-ids); converges to the identical
+    min-reachable-id fixpoint as the distributed loop.  The caller has
+    already verified the pair count is under the collect cap."""
+    import numpy as np
+    id_t = ep.schema[0].dataType.simpleString()
+    spark = ep.sparkSession
+    pdf = ep.toPandas()
+    if not len(pdf):
+        return spark.createDataFrame([], f"id {id_t}, comp {id_t}")
+    a = pdf[src].to_numpy()
+    b = pdf[dst].to_numpy()
+    ids = np.unique(np.concatenate([a, b]))
+    si = np.searchsorted(ids, a)
+    di = np.searchsorted(ids, b)
+    parent = np.arange(ids.shape[0])
+    for _ in range(64):
+        prev = parent
+        p = parent.copy()
+        np.minimum.at(p, si, parent[di])
+        np.minimum.at(p, di, parent[si])
+        p = p[p]                       # pointer jump: comp <- comp[comp]
+        parent = p
+        if np.array_equal(parent, prev):
+            break
+    out = pd.DataFrame({"id": ids, "comp": ids[parent]})
+    return spark.createDataFrame(out, f"id {id_t}, comp {id_t}")
+
+
 def dup_components(pairs: DataFrame, id_a: str = "id_a",
                    id_b: str = "id_b",
-                   max_iter: int = 25) -> DataFrame:
+                   max_iter: int = 25,
+                   local_pairs_max: int | None = 1_000_000) -> DataFrame:
     """Connected components over near-duplicate PAIRS -> (id, component)
     with component = the smallest id reachable — the step that turns an
     LSH pair list into per-cluster survivors/delete-lists (keep rows
     where id == component).
 
-    Iterative min-label propagation with POINTER JUMPING: each round
-    takes the min over direct neighbors' labels, then label-of-label
-    (comp <- comp[comp]), so convergence is O(log diameter) rounds
-    instead of O(diameter) — dup clusters are shallow, so this is
-    typically 2-4 rounds.  Each round localCheckpoints the label table
-    (truncating lineage that would otherwise grow exponentially) and
-    the driver checks a single converged-count aggregate; only ids
+    The PAIR table is checkpointed once (the upstream LSH/jaccard
+    pipeline runs exactly once) and counted; the count serves two
+    decisions:
+
+    - ``local_pairs_max`` (the broadcast-threshold pattern, guide
+      §3.1): at or below it, the bounded pair set crosses to the
+      driver ONCE (Arrow) and components resolve with a vectorized
+      union-find — zero per-round Spark jobs.  A 1M-pair table is
+      ~16 MB, the same class as a broadcast side; the label table it
+      returns is no larger than what the distributed loop would ship
+      to the next operator anyway.  Identical (id, min-reachable-id)
+      fixpoint, locked by the DuckDB recursive-CTE twin.
+    - past the cap, the distributed loop's edge layout is sized FROM
+      the count (adaptive, not a local[32] constant): ~2M edge rows
+      per partition, so a 10B-pair set gets ~10k keyed partitions and
+      a benchmark-scale set gets 1 — per-round stage breadth tracks
+      the data instead of spark.sql.shuffle.partitions (measured 2.2x
+      off the sf1 round loop, where 32 near-empty tasks per stage were
+      pure scheduling overhead).
+
+    Distributed path: iterative min-label propagation with POINTER
+    JUMPING — each round takes the min over direct neighbors' labels,
+    then label-of-label (comp <- comp[comp]), so convergence is
+    O(log diameter) rounds instead of O(diameter).  Each round
+    localCheckpoints the label table (truncating lineage) and the
+    driver checks a single converged-count aggregate; only ids
     appearing in pairs are carried — at 100 TB the label table is
-    bounded by the candidate-pair id set, far smaller than the corpus,
-    and each round is two shuffles on id.  Rows not in any pair are
-    singleton components (callers union them back unchanged)."""
+    bounded by the candidate-pair id set, far smaller than the corpus.
+    Rows not in any pair are singleton components (callers union them
+    back unchanged)."""
     from pyspark import StorageLevel
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    # materialize the edge list ONCE: it joins the labels every round,
-    # and without a barrier the whole upstream candidate-pair pipeline
-    # (LSH/jaccard) re-executes per round (measured 6.0s -> 2.9s at
-    # sf0.1 for the jaccard-pairs graded query).  persist AFTER a
-    # repartition on the join key — unlike localCheckpoint (whose
-    # ExistingRDD reports UnknownPartitioning), the cached relation
-    # keeps its outputPartitioning, so every round's edges-side
-    # exchange disappears from the plan: one edge shuffle total
-    # instead of one per round (guide §2.4 exchange reuse; at scale
-    # the edge table is the big side of the round join)
-    edges = e.unionAll(e.select(F.col("dst").alias("src"),
-                                F.col("src").alias("dst"))) \
-        .repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE barrier materializes the upstream candidate-pair pipeline
+    # (without it the doubled-edge union evaluated the LSH/jaccard
+    # pipeline once per union branch, and every round re-planned it);
+    # the count that fills it is the size oracle for both decisions
+    # above
+    ep = e.localCheckpoint(eager=False)
+    n_pairs = ep.count()
+    if local_pairs_max is not None and n_pairs <= local_pairs_max:
+        return _components_local(ep)
+    # edge partition count from the measured pair count (~2M rows /
+    # ~32 MB per partition), never the session shuffle default
+    n_parts = max(1, min(32768, (2 * n_pairs + 2_000_000 - 1)
+                         // 2_000_000))
+    # persist AFTER a keyed repartition — unlike localCheckpoint
+    # (whose ExistingRDD reports UnknownPartitioning), the cached
+    # relation keeps its outputPartitioning, so every round's
+    # edges-side exchange disappears from the plan: one edge shuffle
+    # total instead of one per round (guide §2.4 exchange reuse; at
+    # scale the edge table is the big side of the round join)
+    edges = ep.unionAll(ep.select(F.col("dst").alias("src"),
+                                  F.col("src").alias("dst"))) \
+        .repartition(n_parts, "src") \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     # fill the cache EAGERLY: round 0 scans edges from two subtrees
     # (l0 and its jump copy) whose stages run concurrently — against a
-    # cold cache both race to execute the whole upstream pair pipeline
-    # (measured 2x on dedup_canonical's minhash pairs); one cheap
-    # count is the same barrier job the old eager label init paid
+    # cold cache both would race the (checkpointed) pair read; the
+    # fill itself reads the checkpoint, not the pipeline
     edges.count()
     # fused round 0: the initial label of every id is itself, so the
     # first neighbor-min needs NO labels join — comp0 = min(src,
