@@ -536,6 +536,40 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
     cpus = str(options.get("tuplex.executorCount")
                or os.environ.get("SPARK_GRAFT_CPUS") or "32")
     shuffle = options.get("tuplex.shufflePartitions") or cpus
+    # ONE BLAS thread per Python worker: every Arrow kernel here
+    # (centroid assignment, PQ encode, SemDeDup verify) calls numpy
+    # matmuls from N concurrent task workers, and an uncapped OpenBLAS
+    # starts a full #cores thread pool PER WORKER — 10 tasks x 32
+    # threads = 320 runnable threads thrashing one 32-CPU host
+    # (measured: the same 20000x64 @ 64x2500 screen matmul runs at
+    # 1.6-16 GFLOP/s uncapped vs 27 GFLOP/s single-threaded; in-Spark
+    # assignment passes swung 2-60 s).  Tasks are the parallelism
+    # unit; per-task BLAS threading only ever oversubscribes (guide
+    # §4.2).  setdefault so an operator can still override per-run;
+    # os.environ covers local mode (workers inherit the driver env),
+    # executorEnv covers a real cluster.
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+               "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
+    # Keep Python-worker malloc arenas MAPPED across batches.  Every
+    # Arrow kernel allocates multi-MB numpy temporaries (the centroid
+    # screen's (blk, C) cosine block is ~32 MB); glibc serves those
+    # via mmap and returns them to the OS on free, so EVERY batch
+    # re-faults the pages in — and this host's fault path degrades
+    # ~25-150x for the first seconds after a worker has sat idle
+    # (measured: the same 2000x64 @ 64x2500 matmul reads 0.02 s hot,
+    # 0.44-5.4 s after a 4-10 s idle gap, and 0.02 s again with the
+    # arena pinned).  MMAP_MAX_=0 routes large blocks onto the brk
+    # heap, TRIM_THRESHOLD_=-1 stops glibc giving the heap back:
+    # together each worker keeps its high-water arena (bounded by the
+    # kernels' chunking, ~tens of MB) and batch N+1 reuses batch N's
+    # hot pages.  Same class of fix as the JVM's -Xms/+AlwaysPreTouch
+    # above, applied to the Python side of the boundary.  glibc reads
+    # these at process start, so they only affect the workers the JVM
+    # forks (and executors via executorEnv below), never this driver.
+    for _v in ("MALLOC_MMAP_MAX_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(_v, "0" if _v == "MALLOC_MMAP_MAX_"
+                              else "-1")
     b = (SparkSession.builder
          .master(f"local[{cpus}]")
          .appName(name)
@@ -611,7 +645,19 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
          # where a driver System.gc() is expensive; at one driver GC
          # per 90 s the cleaner keeps the block store bounded for
          # pennies (a full G1 pass on this heap is ~0.1 s).
-         .config("spark.cleaner.periodicGC.interval", "90s"))
+         .config("spark.cleaner.periodicGC.interval", "90s")
+         # cluster-mode twin of the os.environ BLAS cap above (local
+         # workers inherit the driver env; executors need it passed)
+         .config("spark.executorEnv.OPENBLAS_NUM_THREADS",
+                 os.environ["OPENBLAS_NUM_THREADS"])
+         .config("spark.executorEnv.OMP_NUM_THREADS",
+                 os.environ["OMP_NUM_THREADS"])
+         .config("spark.executorEnv.MKL_NUM_THREADS",
+                 os.environ["MKL_NUM_THREADS"])
+         .config("spark.executorEnv.MALLOC_MMAP_MAX_",
+                 os.environ["MALLOC_MMAP_MAX_"])
+         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+                 os.environ["MALLOC_TRIM_THRESHOLD_"]))
     # Right-sized, PRE-TOUCHED heap.  The old 90 GB lazily-committed
     # heap let G1 grow young gen by tens of GB between collections;
     # every fresh GB is first-touch page faults against the OS, which
