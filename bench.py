@@ -457,6 +457,32 @@ def main():
     warm = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     warm.groupBy("r_name").count().collect()
     spark.range(1000).selectExpr("sum(id)").collect()
+    # Session warmup extension (round 12; measurement methodology per
+    # query is UNCHANGED — warmup + iters samples, noop sink, median):
+    # the old two warm queries never touched the Python worker pool or
+    # let scheduler latency settle, so the sf0.1 leg's first queries
+    # absorbed worker fork + import + the host's fresh-process CPU
+    # ramp while the sf1 leg (25 min into the session) never did —
+    # legs were not comparable (measured: leg-start job_latency 0.22 s
+    # vs 0.09 mid-session; tpch_q1 0.79 s early-leg vs 0.37 anchor).
+    # (a) one Arrow-UDF pass over defaultParallelism partitions spawns
+    # and ramps the full worker pool; (b) empty jobs until three land
+    # under 150 ms (20 s budget) settle JIT/scheduler before sample 1.
+    from pyspark.sql import functions as _F
+    _pudf = _F.pandas_udf(lambda s: s * 2, "long")
+    _wdf = spark.range(32_000).select((_F.col("id") % 97).alias("x"))
+    for _ in range(3):
+        _wdf.select(_pudf("x").alias("y")) \
+            .write.format("noop").mode("overwrite").save()
+    # threshold 80 ms: the scheduler JIT-tiers over ~100 empty jobs
+    # (measured 0.2 s/job at rep 5, 0.10 at rep 40, 0.06 at rep 100);
+    # a looser cut exits during the early plateau
+    _settle_end = time.time() + 25
+    _ok = 0
+    while time.time() < _settle_end and _ok < 3:
+        _t0 = time.perf_counter()
+        spark.range(1).count()
+        _ok = _ok + 1 if time.perf_counter() - _t0 < 0.08 else 0
 
     env0 = machine_state()
     env0["job_latency"] = job_latency(spark)

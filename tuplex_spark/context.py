@@ -570,6 +570,15 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
     for _v in ("MALLOC_MMAP_MAX_", "MALLOC_TRIM_THRESHOLD_"):
         os.environ.setdefault(_v, "0" if _v == "MALLOC_MMAP_MAX_"
                               else "-1")
+    # pymalloc's 256 KB object arenas are mmap'd DIRECTLY (not via
+    # malloc), so the pure-Python codec stages (multimodal JPEG/GIF)
+    # still churned unmapped-and-refaulted arenas under the fix above
+    # — measured as late-leg 6x inflation (mm_jpeg 8.9 s in-leg vs
+    # 1.3-1.5 s standalone) with the glibc arena already pinned.
+    # Routing object allocation through malloc puts it under the same
+    # pinned arena; standalone cost is a wash (A/B 1.45-1.7 s both
+    # ways on mm_jpeg).
+    os.environ.setdefault("PYTHONMALLOC", "malloc")
     b = (SparkSession.builder
          .master(f"local[{cpus}]")
          .appName(name)
@@ -657,7 +666,9 @@ def build_session(name: str, options: dict | None = None) -> SparkSession:
          .config("spark.executorEnv.MALLOC_MMAP_MAX_",
                  os.environ["MALLOC_MMAP_MAX_"])
          .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
-                 os.environ["MALLOC_TRIM_THRESHOLD_"]))
+                 os.environ["MALLOC_TRIM_THRESHOLD_"])
+         .config("spark.executorEnv.PYTHONMALLOC",
+                 os.environ["PYTHONMALLOC"]))
     # Right-sized, PRE-TOUCHED heap.  The old 90 GB lazily-committed
     # heap let G1 grow young gen by tens of GB between collections;
     # every fresh GB is first-touch page faults against the OS, which
