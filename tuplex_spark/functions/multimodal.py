@@ -711,28 +711,47 @@ class _BitReader:
         self.p = len(self.d)
 
 
+# (counts, symbols) -> flat 2^16 peek table; JPEG code lengths cap at
+# 16 bits, so ONE 16-bit peek + one list index replaces the bit-by-bit
+# walk (measured ~40% of scan time).  Images overwhelmingly share the
+# Annex K tables, so the 65536-entry build amortizes across every
+# image a worker decodes (guide §4.5 heavyweight-init-once).
+_HUFF_LUT_CACHE: dict = {}
+
+
 def _build_huff(counts, symbols):
-    """code -> (length, symbol) lookup dict keyed by (length, code)."""
-    lut = {}
+    """16-bit-peek flat table: lut[peek16] = (symbol, code_length),
+    (None, 0) for prefixes that match no code (bad huffman stream).
+    Consumption semantics identical to the bit-by-bit walk: exactly
+    ``code_length`` bits are consumed per symbol, and the _BitReader's
+    zero-padding past markers/EOF feeds the same bits either way."""
+    key = (bytes(counts), bytes(symbols))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [(None, 0)] * 65536
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(counts[length - 1]):
-            lut[(length, code)] = symbols[k]
+            base = code << (16 - length)
+            entry = (symbols[k], length)
+            for p in range(base, base + (1 << (16 - length))):
+                lut[p] = entry
             code += 1
             k += 1
         code <<= 1
+    _HUFF_LUT_CACHE[key] = lut
     return lut
 
 
 def _huff_decode(br, lut):
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bits(1)
-        s = lut.get((length, code))
-        if s is not None:
-            return s
-    raise ValueError("bad huffman code")
+    br._fill()  # guarantees >= 25 bits buffered (zero-padded at EOF)
+    s, ln = lut[(br.acc >> (br.n - 16)) & 0xFFFF]
+    if s is None:
+        raise ValueError("bad huffman code")
+    br.n -= ln
+    return s
 
 
 def _extend(v, t):
@@ -835,6 +854,14 @@ def _jpg_decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, ri):
             f"non-interleaved scan (components {missing} not in SOS)")
     pred = [0] * len(comps)
     nmcu = 0
+    # entropy decode stays a sequential bit-stream walk, but the
+    # numeric tail (dequant + IDCT) batches across ALL blocks of the
+    # image in one einsum (bit-identical to per-block — verified in
+    # tests; einsum's reduction order per output cell is independent
+    # of batching), so per-call numpy overhead is paid once per image
+    # instead of once per 8x8 block
+    blk_coef: list = []   # natural-order 64-vectors (python lists)
+    blk_meta: list = []   # (ci, y0, x0)
     for my in range(mcuy):
         for mx in range(mcux):
             if ri and nmcu and nmcu % ri == 0:
@@ -842,16 +869,18 @@ def _jpg_decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, ri):
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 s = spec[c["id"]]
+                dc_lut = huff_dc[s["td"]]
+                ac_lut = huff_ac[s["ta"]]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        blk = _np.zeros(64)
-                        t = _huff_decode(br, huff_dc[s["td"]])
+                        blk = [0.0] * 64
+                        t = _huff_decode(br, dc_lut)
                         diff = _extend(br.bits(t), t) if t else 0
                         pred[ci] += diff
                         blk[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(br, huff_ac[s["ta"]])
+                            rs = _huff_decode(br, ac_lut)
                             r, sz = rs >> 4, rs & 15
                             if sz == 0:
                                 if r == 15:
@@ -863,12 +892,17 @@ def _jpg_decode_scan(data, pos, frame, scomp, qt, huff_dc, huff_ac, ri):
                                 break
                             blk[_ZIGZAG[k]] = _extend(br.bits(sz), sz)
                             k += 1
-                        q8 = blk.reshape(8, 8) * qt[c["tq"]]
-                        px = _idct2(q8) + 128.0
-                        y0, x0 = (my * c["v"] + by) * 8, \
-                            (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+                        blk_coef.append(blk)
+                        blk_meta.append(
+                            (ci, (my * c["v"] + by) * 8,
+                             (mx * c["h"] + bx) * 8))
             nmcu += 1
+    if blk_meta:
+        coefs = _np.array(blk_coef).reshape(-1, 8, 8)
+        qstack = _np.stack([qt[comps[m[0]]["tq"]] for m in blk_meta])
+        px_all = _idct2(coefs * qstack) + 128.0
+        for bi, (ci, y0, x0) in enumerate(blk_meta):
+            planes[ci][y0:y0 + 8, x0:x0 + 8] = px_all[bi]
     # upsample to full size and color-convert
     out = []
     for ci, c in enumerate(comps):
@@ -942,8 +976,16 @@ _K_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
 
 
+_ENC_TABLE_CACHE: dict = {}
+
+
 def _enc_table(counts, symbols):
-    """symbol -> (code, length)"""
+    """symbol -> (code, length); cached per huffman spec (the Annex K
+    specs are module constants rebuilt on every encode otherwise)."""
+    key = (bytes(counts), bytes(symbols))
+    out = _ENC_TABLE_CACHE.get(key)
+    if out is not None:
+        return out
     out = {}
     code = 0
     k = 0
@@ -953,6 +995,7 @@ def _enc_table(counts, symbols):
             code += 1
             k += 1
         code <<= 1
+    _ENC_TABLE_CACHE[key] = out
     return out
 
 
@@ -978,16 +1021,42 @@ class _BitWriter:
             self.bits((1 << pad) - 1, pad)
 
 
+_SCALE_Q_CACHE: dict = {}
+
+
 def _scale_q(tbl, quality):
+    key = (tbl.tobytes(), quality)
+    hit = _SCALE_Q_CACHE.get(key)
+    if hit is not None:
+        return hit
     quality = max(1, min(100, quality))
     s = 5000 // quality if quality < 50 else 200 - 2 * quality
     q = _np.floor((tbl * s + 50) / 100)
-    return _np.clip(q, 1, 255)
+    q = _np.clip(q, 1, 255)
+    _SCALE_Q_CACHE[key] = q
+    return q
 
 
-def _enc_block(bw, blk, q, dct, act, pred, ci):
-    coef = _np.round(_fdct2(blk) / q).astype(int)
-    zz = [int(coef.flat[_ZIGZAG[i]]) for i in range(64)]
+_ZZ_IDX = None  # lazily built gather index: zz[i] = natural[_ZIGZAG[i]]
+
+
+def _quant_zz(pl, q):
+    """All 8x8 blocks of a padded plane -> zigzag-ordered quantized
+    coefficients, (nby, nbx, 64) int.  One batched FDCT einsum + one
+    vectorized gather replaces a per-block einsum + 64-element python
+    listcomp (bit-identical: elementwise ops; einsum batching verified
+    in tests)."""
+    global _ZZ_IDX
+    if _ZZ_IDX is None:
+        _ZZ_IDX = _np.array(_ZIGZAG)
+    h, w = pl.shape
+    blocks = (pl - 128.0).reshape(h // 8, 8, w // 8, 8) \
+        .transpose(0, 2, 1, 3)
+    coef = _np.round(_fdct2(blocks) / q).astype(int)
+    return coef.reshape(h // 8, w // 8, 64)[:, :, _ZZ_IDX]
+
+
+def _enc_block(bw, zz, dct, act, pred, ci):
     diff = zz[0] - pred[ci]
     pred[ci] = zz[0]
     t = diff if diff >= 0 else -diff
@@ -1049,8 +1118,18 @@ def encode_jpeg(width, height, rgb: bytes, quality=85,
     mby = (height + mcu_h - 1) // mcu_h
 
     def pad(pl, bh, bw_):
-        return _np.pad(pl, ((0, bh - pl.shape[0]), (0, bw_ - pl.shape[1])),
-                      mode="edge")
+        # edge-replicate pad without np.pad's generic machinery
+        # (identical values; np.pad was ~15% of encode time)
+        h0, w0 = pl.shape
+        if h0 == bh and w0 == bw_:
+            return pl
+        out = _np.empty((bh, bw_))
+        out[:h0, :w0] = pl
+        if bh > h0:
+            out[h0:, :w0] = pl[h0 - 1:h0, :]
+        if bw_ > w0:
+            out[:, w0:] = out[:, w0 - 1:w0]
+        return out
 
     yp = pad(y, mby * mcu_h, mbx * mcu_w)
     cbp = pad(cb, mby * mcu_h, mbx * mcu_w)
@@ -1060,6 +1139,10 @@ def encode_jpeg(width, height, rgb: bytes, quality=85,
                           cbp.shape[1] // hs, hs).mean(axis=(1, 3))
         crp = crp.reshape(crp.shape[0] // vs, vs,
                           crp.shape[1] // hs, hs).mean(axis=(1, 3))
+    # quantized zigzag coefficients for every block, batched per plane
+    zzy = _quant_zz(yp, qlum)
+    zzcb = _quant_zz(cbp, qchr)
+    zzcr = _quant_zz(crp, qchr)
     pred = [0, 0, 0]
     nmcu = 0
     rstn = 0
@@ -1072,13 +1155,11 @@ def encode_jpeg(width, height, rgb: bytes, quality=85,
                 pred = [0, 0, 0]
             for by in range(vs):
                 for bx in range(hs):
-                    y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
-                    _enc_block(bw, yp[y0:y0+8, x0:x0+8] - 128.0, qlum,
+                    _enc_block(bw,
+                               zzy[my * vs + by, mx * hs + bx].tolist(),
                                dc_l, ac_l, pred, 0)
-            _enc_block(bw, cbp[my*8:my*8+8, mx*8:mx*8+8] - 128.0, qchr,
-                       dc_c, ac_c, pred, 1)
-            _enc_block(bw, crp[my*8:my*8+8, mx*8:mx*8+8] - 128.0, qchr,
-                       dc_c, ac_c, pred, 2)
+            _enc_block(bw, zzcb[my, mx].tolist(), dc_c, ac_c, pred, 1)
+            _enc_block(bw, zzcr[my, mx].tolist(), dc_c, ac_c, pred, 2)
             nmcu += 1
     bw.flush()
 
@@ -1118,9 +1199,13 @@ def _rgb_features(px: bytes, w: int, h: int) -> list[float]:
     deterministic, pure Python (no numpy needed for the tiny per-row
     work; the batch-level parallelism comes from mapInPandas)."""
     n = w * h
-    sr = sum(px[0::3])
-    sg = sum(px[1::3])
-    sb = sum(px[2::3])
+    # integer channel sums are EXACT, so vectorizing them cannot move a
+    # bit; the float expressions and their per-row accumulation order
+    # below replicate the original pure-python loop exactly
+    a = _np.frombuffer(px, dtype=_np.uint8).reshape(h, w, 3) \
+        .astype(_np.int64)
+    csum = a.sum(axis=(0, 1))
+    sr, sg, sb = int(csum[0]), int(csum[1]), int(csum[2])
     luma_scale = (0.299 * sr + 0.587 * sg + 0.114 * sb) / (255.0 * n)
     feats = [sr / (255.0 * n), sg / (255.0 * n), sb / (255.0 * n),
              luma_scale]
@@ -1128,12 +1213,11 @@ def _rgb_features(px: bytes, w: int, h: int) -> list[float]:
         y0, y1 = h * gy // 3, h * (gy + 1) // 3
         for gx in range(4):
             x0, x1 = w * gx // 4, w * (gx + 1) // 4
+            cell = a[y0:y1, x0:x1, :].sum(axis=1)  # (rows, 3) exact ints
             tot, cnt = 0.0, 0
-            for y in range(y0, y1):
-                base = (y * w + x0) * 3
-                row = px[base:base + (x1 - x0) * 3]
-                tot += (0.299 * sum(row[0::3]) + 0.587 * sum(row[1::3])
-                        + 0.114 * sum(row[2::3]))
+            for y in range(y1 - y0):
+                tot += (0.299 * int(cell[y, 0]) + 0.587 * int(cell[y, 1])
+                        + 0.114 * int(cell[y, 2]))
                 cnt += x1 - x0
             feats.append(tot / (255.0 * cnt) if cnt else 0.0)
     return [round(f, 6) for f in feats]
